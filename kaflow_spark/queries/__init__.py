@@ -1,0 +1,15 @@
+"""Declared-query registry aggregation.
+
+Importing this package materializes every declared query into
+``REGISTRY`` (name -> DeclaredQuery). ``__spark_entry__`` and the
+tests consume it.
+"""
+
+from kaflow_spark.queries import base as _base
+from kaflow_spark.queries import pipeline as _pipeline  # noqa: F401
+from kaflow_spark.queries import relational as _relational  # noqa: F401
+
+REGISTRY = _base.REGISTRY
+DeclaredQuery = _base.DeclaredQuery
+
+__all__ = ["REGISTRY", "DeclaredQuery"]

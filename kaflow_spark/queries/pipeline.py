@@ -1,0 +1,141 @@
+"""Declared dedup / sessionization / text queries Q29-Q33 (SURVEY §2B).
+
+Batch analogs of the streaming operators plus the first slice of the
+LLM-data-pipeline surface (text stats, exact text dedup). The
+approximate operators (MinHash LSH, cosine ANN) live in
+``kaflow_spark.operators`` and are declared separately (rows-only
+checks) because they are not oracle-hashable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kaflow_spark.catalog import load
+from kaflow_spark.queries.base import declare
+
+
+@declare(
+    "q29_dedup_groupmin",
+    oracle="""
+    SELECT user_id, event_type, MIN(event_id) AS first_event FROM events
+    GROUP BY user_id, event_type ORDER BY user_id, event_type
+    """,
+    doc="Deterministic exact dedup: keep-first-by-key as group-min "
+    "(dropDuplicates is order-nondeterministic under shuffle; this "
+    "is the scale-safe declared form).",
+    tags=("dedup",),
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first_event"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@declare(
+    "q30_tumbling_window_batch",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS h, event_type, COUNT(*) AS n FROM events
+    GROUP BY DATE_TRUNC('hour', ts), event_type ORDER BY h, event_type
+    """,
+    doc="Tumbling-window batch analog (streaming twin: window(ts,'1 hour') "
+    "in kaflow_spark.streaming.windows).",
+    tags=("window-agg",),
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("h", "event_type")
+    )
+
+
+@declare(
+    "q31_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        FROM events),
+    numbered AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess
+        FROM flagged)
+    SELECT user_id, sess, COUNT(*) AS n, MIN(event_id) AS first_e
+    FROM numbered GROUP BY user_id, sess ORDER BY user_id, sess
+    """,
+    doc="Sessionization (30-min gap) via gaps-and-islands: lag + "
+    "running sum + group. One shuffle on user_id reused by both "
+    "windows and the final aggregation (same partition key). "
+    "Streaming twin: session_window(ts, '30 minutes').",
+    tags=("dedup", "window-agg"),
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    order_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order_w)
+    return (
+        load(spark, sf, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(gap > 30 * 60, 1).otherwise(0).alias("new_s"),
+        )
+        .withColumn("sess", F.sum("new_s").over(run_w))
+        .groupBy("user_id", "sess")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("event_id").alias("first_e"))
+        .orderBy("user_id", "sess")
+    )
+
+
+@declare(
+    "q32_text_stats",
+    oracle="""
+    SELECT doc_id, CAST(LENGTH(text) AS INT) AS nch,
+           CAST(len(string_split(text, ' ')) AS INT) AS ntok
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Text stats: char length + whitespace token count, all JVM-side.",
+    tags=("text",),
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.length("text").cast("int").alias("nch"),
+            F.size(F.split(F.col("text"), " ", -1)).cast("int").alias("ntok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declare(
+    "q33_exact_text_dup",
+    oracle="""
+    SELECT MD5(text) AS h, COUNT(*) AS n, MIN(doc_id) AS keeper FROM documents
+    GROUP BY MD5(text) HAVING COUNT(*) > 1 ORDER BY h
+    """,
+    doc="Exact duplicate-text groups by content hash; the aggregation "
+    "keys on the 32-byte digest, not the document body, so the "
+    "shuffle moves hashes, not texts.",
+    tags=("dedup", "text"),
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n") > 1)
+        .orderBy("h")
+    )

@@ -1,0 +1,77 @@
+"""SparkSession factory with the engine's scale-oriented config posture.
+
+The defaults below are the "100 TB posture" from SURVEY §4.2: AQE on
+(runtime re-planning, partition coalescing, skew-join splitting),
+Arrow for any pandas-UDF exchange, UTC session timezone (determinism
+vs. the DuckDB oracle), and shuffle partitioning that AQE can shrink.
+
+On a real cluster the same factory is used with ``master=None`` so
+spark-submit / the cluster manager decides; ``local[*]`` is only the
+test default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for scale-out correctness + performance; every one of
+# these is a stock Spark knob (no custom plugins required).
+ENGINE_CONF: dict[str, str] = {
+    # --- Adaptive Query Execution: runtime re-plan, coalesce, skew ---
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # --- Shuffle sizing: a starting point AQE will coalesce down;
+    #     on a 1000-executor cluster this is set to ~2-3x total cores.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # --- Arrow: vectorized python<->JVM exchange for pandas UDFs ---
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # --- Determinism: timestamps interpreted in UTC everywhere so the
+    #     engine and the DuckDB oracle agree on literals and extracts.
+    "spark.sql.session.timeZone": "UTC",
+    # --- Parquet: vectorized reader + aggregate pushdown ---
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # Read parquet TIMESTAMP(isAdjustedToUTC=false) as TIMESTAMP_NTZ so
+    # wall-clock semantics match DuckDB exactly.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    # TIMESTAMP(NANOS) columns (events.ts) surface as raw INT64 nanos;
+    # catalog.load converts them to microsecond timestamps on scan.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # --- Broadcast threshold: dims up to 64 MiB go broadcast ---
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Quiet progress bars in test output.
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(
+    app_name: str = "kaflow_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine posture applied.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when not running
+    under a cluster manager, mirroring the driver harness.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
