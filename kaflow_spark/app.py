@@ -1,0 +1,533 @@
+"""The kaflow-parity application surface on Spark.
+
+Re-expresses the reference's consume→transform→produce model
+(/root/reference/kaflow/applications.py) on DataFrames:
+
+- ``@app.consume(topic, sink_topics=...)`` registers a **record
+  handler** with the reference's injected-parameter signature
+  (FromValue/FromKey/FromHeader/MessageOffset/...). The engine
+  compiles it to ONE Arrow-batched ``mapInPandas`` stage per topic:
+  raw bytes cross into Python once, decode + handle + encode happen
+  in-process, outputs fan out to every sink topic.
+- ``@app.transform(topic, sink_topics=..., value=...)`` registers a
+  **declarative handler**: a function DataFrame→DataFrame over the
+  JVM-decoded value struct (``from_json`` fast path) — zero Python
+  in the data path; this is the 100 TB-preferred surface.
+- Typed exception handlers (MRO dispatch, parity with
+  kaflow/_consumer.py:192-198) and a deserialization-error channel
+  that routes failures to a dead-letter DataFrame with the raw bytes
+  preserved (parity with kaflow/_consumer.py:129-190 — including
+  fixing the reference's header-failure bug at :188: here header
+  decode failure dead-letters the record like value/key failure).
+- One handler per topic; re-registering a topic replaces the previous
+  handler (the reference does the same, silently —
+  kaflow/applications.py:262-276).
+
+Batch and streaming run the same compiled graph: ``process_batch`` for
+a static envelope DataFrame (this is what TestClient drives), and
+``run_stream``/``process_stream`` for Structured Streaming micro-batches.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from collections.abc import Callable, Iterator, Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kaflow_spark.exceptions import DeserializationError
+from kaflow_spark.message import (
+    ENVELOPE_DDL,
+    Message,
+    OUTPUT_DDL,
+)
+from kaflow_spark.params import HandlerSpec, get_handler_spec
+
+# mapInPandas output: handler result + error channel + raw passthrough
+_STAGE_DDL = (
+    "error string, out_value binary, out_key binary, "
+    "out_headers array<struct<key: string, value: binary>>, "
+    "topic string, partition int, offset bigint, timestamp timestamp, "
+    "raw_value binary, raw_key binary"
+)
+
+_DLQ_DDL = (
+    "topic string, partition int, offset bigint, timestamp timestamp, "
+    "value binary, key binary, error string"
+)
+
+
+def _headers_to_dict(raw: Any) -> dict[str, bytes] | None:
+    """Kafka headers array<struct> -> last-wins dict (parity with
+    kaflow/_consumer.py:120-125; duplicate keys collapse to last)."""
+    if raw is None or (isinstance(raw, float) and pd.isna(raw)):
+        return None
+    out: dict[str, bytes] = {}
+    for h in raw:
+        k, v = (h["key"], h["value"]) if isinstance(h, dict) else (h[0], h[1])
+        out[k] = bytes(v) if v is not None else None
+    return out
+
+
+def _headers_to_rows(headers: dict[str, bytes] | None):
+    if headers is None:
+        return None
+    return [{"key": k, "value": v} for k, v in headers.items()]
+
+
+def _ts_ms(ts: Any) -> int | None:
+    if ts is None or pd.isna(ts):
+        return None
+    return int(pd.Timestamp(ts).value // 1_000_000)
+
+
+@dataclass
+class _Consumer:
+    topic: str
+    sink_topics: tuple[str, ...]
+    spec: HandlerSpec
+
+
+@dataclass
+class _Transform:
+    topic: str
+    sink_topics: tuple[str, ...]
+    fn: Callable[[DataFrame], DataFrame]
+    value_serde: Any  # Serde with a JVM column codec
+    key_serde: Any | None = None
+
+
+@dataclass
+class App:
+    """Engine application: topic registry + compiled Spark pipelines."""
+
+    name: str = "kaflow-spark-app"
+    brokers: str | None = None
+    kafka_options: dict[str, str] = field(default_factory=dict)
+    dlq_topic: str | None = None
+
+    def __post_init__(self) -> None:
+        self._consumers: dict[str, _Consumer | _Transform] = {}
+        self._exception_handlers: dict[type, Callable] = {}
+        self._deser_error_handler: Callable | None = None
+        self._produced: list[tuple[str, Message]] = []
+
+    # ------------------------------------------------------ registration
+
+    def consume(
+        self, topic: str, sink_topics: Sequence[str] = ()
+    ) -> Callable[[Callable], Callable]:
+        """Register a record handler (reference decorator:
+        kaflow/applications.py:345-374)."""
+
+        def deco(func: Callable) -> Callable:
+            spec = get_handler_spec(func)
+            self._consumers[topic] = _Consumer(topic, tuple(sink_topics), spec)
+            return func
+
+        return deco
+
+    def transform(
+        self,
+        topic: str,
+        sink_topics: Sequence[str] = (),
+        value: object = None,
+        key: object = None,
+    ) -> Callable[[Callable], Callable]:
+        """Register a declarative DataFrame transform for a topic.
+
+        ``value``/``key`` are serde annotations (e.g. ``Json[Model]``);
+        the engine decodes on the JVM (from_json) and hands the typed
+        DataFrame to ``fn``; the returned DataFrame's ``value`` column
+        (typed) is encoded back with the same serde unless it is
+        already binary.
+        """
+        from kaflow_spark.params import _unpack
+
+        _, vserde, _ = _unpack(value) if value is not None else (None, None, None)
+        if vserde is None or vserde.decode_col(F.col("value")) is None:
+            raise TypeError(
+                "transform() needs a value serde with a JVM column codec "
+                "(Json[Model], Str, bytes)"
+            )
+        _, kserde, _ = _unpack(key) if key is not None else (None, None, None)
+
+        def deco(fn: Callable[[DataFrame], DataFrame]) -> Callable:
+            self._consumers[topic] = _Transform(
+                topic, tuple(sink_topics), fn, vserde, kserde
+            )
+            return fn
+
+        return deco
+
+    def exception_handler(self, exc_type: type) -> Callable:
+        """Typed handler registry; MRO-walk dispatch at runtime
+        (kaflow/applications.py:420-431)."""
+
+        def deco(func: Callable) -> Callable:
+            self._exception_handlers[exc_type] = func
+            return func
+
+        return deco
+
+    def deserialization_error_handler(self) -> Callable:
+        def deco(func: Callable) -> Callable:
+            self._deser_error_handler = func
+            return func
+
+        return deco
+
+    def produce(self, sink_topic: str) -> Callable:
+        """Driver-side push source (kaflow/applications.py:376-418):
+        each call of the wrapped function publishes its returned
+        Message to ``sink_topic`` (buffered; ``flush_produced`` turns
+        the buffer into a DataFrame / Kafka write)."""
+
+        def deco(func: Callable) -> Callable:
+            def wrapper(*a: Any, **kw: Any) -> Message | None:
+                res = func(*a, **kw)
+                if asyncio.iscoroutine(res):
+                    res = asyncio.run(res)
+                if res is not None:
+                    self._produced.append((sink_topic, res))
+                return res
+
+            wrapper.__name__ = getattr(func, "__name__", "produced")
+            return wrapper
+
+        return deco
+
+    def flush_produced(self, spark: SparkSession) -> DataFrame:
+        """Materialize buffered @produce messages as an output-shaped
+        DataFrame (and clear the buffer)."""
+        rows = [
+            (t, m.value, m.key, _headers_to_rows(m.headers))
+            for t, m in self._produced
+        ]
+        self._produced.clear()
+        return spark.createDataFrame(rows, OUTPUT_DDL)
+
+    # -------------------------------------------------------- compilation
+
+    def _compile_consumer(self, con: _Consumer) -> Callable:
+        """Build the mapInPandas stage fn for one record handler.
+
+        Everything referenced here must pickle to executors: the spec
+        (handler + serdes) and the exception-handler table.
+        """
+        spec = con.spec
+        exc_table = dict(self._exception_handlers)
+        deser_handler = self._deser_error_handler
+
+        def lookup_exc_handler(exc: Exception) -> Callable | None:
+            # MRO walk, most-specific first (kaflow/_consumer.py:192-198)
+            for klass in type(exc).__mro__:
+                if klass in exc_table:
+                    return exc_table[klass]
+            return None
+
+        def call_handler(kwargs: dict[str, Any]) -> Message | None:
+            res = spec.func(**kwargs)
+            if asyncio.iscoroutine(res):
+                res = asyncio.run(res)
+            if res is not None and not isinstance(res, Message):
+                raise TypeError(
+                    f"handler must return Message or None, got {type(res)!r}"
+                )
+            return res
+
+        def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_rows: list[dict[str, Any]] = []
+                for row in pdf.itertuples(index=False):
+                    raw_value = None if row.value is None else bytes(row.value)
+                    raw_key = None if row.key is None else bytes(row.key)
+                    passthrough = {
+                        "topic": row.topic,
+                        "partition": row.partition,
+                        "offset": row.offset,
+                        "timestamp": row.timestamp,
+                        "raw_value": raw_value,
+                        "raw_key": raw_key,
+                    }
+                    raw_msg = Message(
+                        value=raw_value,
+                        key=raw_key,
+                        headers=_headers_to_dict(row.headers),
+                        offset=row.offset,
+                        partition=row.partition,
+                        timestamp=_ts_ms(row.timestamp),
+                    )
+                    # ---- deserialize (error => dead-letter the record;
+                    # header failure included — the reference's :188 bug
+                    # is deliberately not reproduced)
+                    kwargs: dict[str, Any] = {}
+                    try:
+                        part = "value"
+                        kwargs[spec.value.param] = (
+                            None
+                            if raw_value is None
+                            else spec.value.serde.loads(raw_value)
+                        )
+                        if spec.key is not None:
+                            part = "key"
+                            kwargs[spec.key.param] = (
+                                None
+                                if raw_key is None
+                                else spec.key.serde.loads(raw_key)
+                            )
+                        part = "headers"
+                        hdrs = raw_msg.headers or {}
+                        for hb in spec.headers:
+                            raw_h = hdrs.get(hb.alias)
+                            kwargs[hb.param] = (
+                                None if raw_h is None else hb.serde.loads(raw_h)
+                            )
+                    except Exception as exc:  # noqa: BLE001
+                        derr = DeserializationError(part, raw_msg, exc)
+                        if deser_handler is not None:
+                            res = deser_handler(derr)
+                            if asyncio.iscoroutine(res):
+                                asyncio.run(res)
+                        out_rows.append(
+                            {
+                                "error": f"deserialization:{part}: {exc}",
+                                "out_value": None,
+                                "out_key": None,
+                                "out_headers": None,
+                                **passthrough,
+                            }
+                        )
+                        continue
+                    if spec.offset_param:
+                        kwargs[spec.offset_param] = row.offset
+                    if spec.partition_param:
+                        kwargs[spec.partition_param] = row.partition
+                    if spec.timestamp_param:
+                        kwargs[spec.timestamp_param] = raw_msg.timestamp
+                    # ---- execute handler with typed-exception dispatch
+                    try:
+                        msg = call_handler(kwargs)
+                    except Exception as exc:  # noqa: BLE001
+                        handler = lookup_exc_handler(exc)
+                        if handler is not None:
+                            res = handler(exc)
+                            if asyncio.iscoroutine(res):
+                                asyncio.run(res)
+                            continue  # swallowed: record dropped
+                        out_rows.append(
+                            {
+                                "error": f"handler:{type(exc).__name__}: {exc}",
+                                "out_value": None,
+                                "out_key": None,
+                                "out_headers": None,
+                                **passthrough,
+                            }
+                        )
+                        continue
+                    if msg is None:
+                        continue  # filtered (kaflow/_consumer.py:241-244)
+                    out_rows.append(
+                        {
+                            "error": None,
+                            "out_value": msg.value,
+                            "out_key": msg.key,
+                            "out_headers": _headers_to_rows(msg.headers),
+                            **passthrough,
+                        }
+                    )
+                cols = [
+                    "error",
+                    "out_value",
+                    "out_key",
+                    "out_headers",
+                    "topic",
+                    "partition",
+                    "offset",
+                    "timestamp",
+                    "raw_value",
+                    "raw_key",
+                ]
+                yield pd.DataFrame(out_rows, columns=cols)
+
+        return stage
+
+    # --------------------------------------------------------- execution
+
+    def process_batch(self, envelope: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Run every registered topic pipeline over an envelope
+        DataFrame (FIXTURES.md A1 schema). Returns (outputs, dlq):
+        outputs has one row per (record result × sink topic) in
+        OUTPUT_DDL shape; dlq carries failed records with raw bytes.
+        """
+        spark = envelope.sparkSession
+        outputs: list[DataFrame] = []
+        dlqs: list[DataFrame] = []
+        for topic, reg in self._consumers.items():
+            src = envelope.filter(F.col("topic") == topic)
+            if isinstance(reg, _Transform):
+                ok, dlq = self._run_transform(reg, src)
+            else:
+                staged = src.mapInPandas(self._compile_consumer(reg), _STAGE_DDL)
+                ok = staged.filter(F.col("error").isNull())
+                dlq = staged.filter(F.col("error").isNotNull()).select(
+                    "topic",
+                    "partition",
+                    "offset",
+                    "timestamp",
+                    F.col("raw_value").alias("value"),
+                    F.col("raw_key").alias("key"),
+                    "error",
+                )
+                ok = ok.select(
+                    F.col("out_value").alias("value"),
+                    F.col("out_key").alias("key"),
+                    F.col("out_headers").alias("headers"),
+                )
+            # fan-out: one output row per sink topic (reference publishes
+            # the same Message to every sink, kaflow/_consumer.py:218-232)
+            for sink in reg.sink_topics:
+                outputs.append(
+                    ok.select(
+                        F.lit(sink).alias("topic"), "value", "key", "headers"
+                    )
+                )
+            dlqs.append(dlq)
+        empty_out = spark.createDataFrame([], OUTPUT_DDL)
+        empty_dlq = spark.createDataFrame([], _DLQ_DDL)
+        out = outputs[0] if outputs else empty_out
+        for o in outputs[1:]:
+            out = out.unionAll(o)
+        dlq = dlqs[0] if dlqs else empty_dlq
+        for d in dlqs[1:]:
+            dlq = dlq.unionAll(d)
+        return out, dlq
+
+    def _run_transform(
+        self, reg: _Transform, src: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """JVM fast path: decode via column codec, apply the user's
+        DataFrame function, re-encode. Malformed payloads (decoded
+        struct null while raw bytes non-null) dead-letter."""
+        parsed_col, bad = reg.value_serde.decode_with_errors(F.col("value"))
+        decoded = src.withColumn("_parsed", parsed_col)
+        if reg.key_serde is not None:
+            decoded = decoded.withColumn(
+                "_key_parsed", reg.key_serde.decode_col(F.col("key"))
+            )
+        dlq = decoded.filter(bad).select(
+            "topic",
+            "partition",
+            "offset",
+            "timestamp",
+            "value",
+            "key",
+            F.lit("deserialization:value: malformed payload").alias("error"),
+        )
+        ok_in = decoded.filter(~bad)
+        typed = ok_in.select(
+            F.col("_parsed").alias("value"),
+            *(
+                [F.col("_key_parsed").alias("key")]
+                if reg.key_serde is not None
+                else [F.col("key")]
+            ),
+            "headers",
+            "partition",
+            "offset",
+            "timestamp",
+        )
+        result = reg.fn(typed)
+        if "value" not in result.columns:
+            raise ValueError("transform result must include a 'value' column")
+        out_cols = []
+        if _is_binary(result, "value"):
+            out_cols.append(F.col("value"))
+        else:
+            out_cols.append(reg.value_serde.encode_col(F.col("value")).alias("value"))
+        if "key" not in result.columns:
+            out_cols.append(F.lit(None).cast("binary").alias("key"))
+        elif _is_binary(result, "key"):
+            out_cols.append(F.col("key"))
+        else:
+            kserde = reg.key_serde or reg.value_serde
+            out_cols.append(kserde.encode_col(F.col("key")).alias("key"))
+        if "headers" in result.columns:
+            out_cols.append(F.col("headers"))
+        else:
+            out_cols.append(
+                F.lit(None)
+                .cast("array<struct<key: string, value: binary>>")
+                .alias("headers")
+            )
+        return result.select(*out_cols), dlq
+
+    # --------------------------------------------------------- streaming
+
+    def source_stream(self, spark: SparkSession) -> DataFrame:
+        """Kafka source over every registered topic (reference builds
+        one consumer subscribed to all topics,
+        kaflow/applications.py:278-314)."""
+        if not self.brokers:
+            raise ValueError("App(brokers=...) required for streaming")
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.brokers)
+            .option("subscribe", ",".join(self._consumers))
+            .option("includeHeaders", "true")
+        )
+        for k, v in self.kafka_options.items():
+            reader = reader.option(k, v)
+        return reader.load().withColumnRenamed("timestampType", "timestamp_type")
+
+    def process_stream(self, envelope_stream: DataFrame):
+        """foreachBatch body: run the compiled graph per micro-batch."""
+
+        def body(batch_df: DataFrame, batch_id: int) -> None:
+            out, dlq = self.process_batch(batch_df)
+            self._write_outputs(out, dlq)
+
+        return body
+
+    def _write_outputs(self, out: DataFrame, dlq: DataFrame) -> None:
+        if not self.brokers:
+            raise ValueError("App(brokers=...) required for Kafka sinks")
+        (
+            out.write.format("kafka")
+            .option("kafka.bootstrap.servers", self.brokers)
+            .save()
+        )
+        if self.dlq_topic is not None:
+            (
+                dlq.selectExpr(
+                    f"'{self.dlq_topic}' AS topic",
+                    "value",
+                    "key",
+                    "to_json(struct(error, offset, partition)) AS headers_json",
+                )
+                .select("topic", "value", "key")
+                .write.format("kafka")
+                .option("kafka.bootstrap.servers", self.brokers)
+                .save()
+            )
+
+    def run_stream(self, spark: SparkSession, checkpoint: str):
+        """Start the streaming query: one Kafka scan shared by every
+        topic pipeline, fan-out inside foreachBatch (exactly-once via
+        checkpoint + idempotent/at-least-once Kafka sink — documented
+        delta vs the reference's transactional pass-through)."""
+        stream = self.source_stream(spark)
+        return (
+            stream.writeStream.foreachBatch(self.process_stream(stream))
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+
+
+def _is_binary(df: DataFrame, col: str) -> bool:
+    return dict(df.dtypes).get(col) == "binary"
