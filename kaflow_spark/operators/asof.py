@@ -1,0 +1,90 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+Implemented as the union-and-window composition (no range explosion,
+no nested-loop): tag both sides, union on (key, ts), and carry the
+most recent right-side row forward with ``last(..., ignorenulls)``
+over (key, ts, side). One shuffle on the join key; O(n log n) within
+partitions; immune to the unbounded fan-out a range join would have.
+
+At 100 TB both inputs shuffle once by key — the same cost as any
+equi-join of the two tables, with no risk of a skewed time-range
+blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    *,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right.ts <= left.ts (direction='backward'; 'forward' mirrors).
+
+    ``value_cols``: right-side columns to carry (default: all except
+    keys/ts). Right rows sort before left rows at equal timestamps,
+    so an exactly-simultaneous right row IS matched (inclusive).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*keys, right_ts)]
+
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    ts = "_asof_ts"
+    side = "_asof_side"
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias(ts),
+        F.lit(1).alias(side),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias(side),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(ts).asc(), F.col(side).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = {
+            c: F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
+            for c in value_cols
+        }
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(ts).asc(), F.col(side).desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        fill = {
+            c: F.first(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
+            for c in value_cols
+        }
+
+    filled = unioned.select(
+        *[c for c in unioned.columns if not c.endswith(suffix)],
+        *[expr.alias(f"{c}{suffix}") for c, expr in fill.items()],
+    )
+    return (
+        filled.filter(F.col(side) == 1)
+        .drop(ts, side)
+    )

@@ -1,0 +1,283 @@
+"""Deduplication operators for LLM data pipelines.
+
+All hot paths are built-in Spark expressions (higher-order functions,
+xxhash64, array ops) — no Python in the data path. Shapes:
+
+- exact: hash-groupBy (shuffle moves 16-byte digests, not documents)
+- MinHash + LSH banding: shingle → minhash signature → band →
+  bucket-join for candidate pairs → exact-Jaccard verify
+- SimHash: 64-bit signature, hamming-distance candidates
+- n-gram Jaccard: exact set similarity for a pair list
+- embedding near-dup: hyperplane-LSH bucket → in-bucket cosine
+
+Scale notes: every pairwise step is LSH-bucketed so the join is
+equi-keyed (shuffle-partitionable, AQE-skew-splittable) — never an
+all-pairs cross join. Bucket skew (boilerplate shingles) is bounded
+by ``max_bucket`` sampling.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from kaflow_spark.functions.vectors import cosine, hyperplane_sign_bits
+
+_MERSENNE = (1 << 31) - 1  # 2^31-1, prime; keeps a*x+b inside int64
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact text duplicate group.
+
+    Deterministic (group-min, not dropDuplicates whose keeper depends
+    on partition order). Returns kept ids with group sizes.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .drop("content_hash")
+    )
+
+
+def char_shingles(text_col: str, k: int = 5) -> F.Column:
+    """Distinct character k-shingle hashes (xxhash64, JVM-side)."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.xxhash64(t.substr(i, F.lit(k))),
+        )
+    )
+
+
+def minhash_signature(
+    shingle_hashes: F.Column, num_hashes: int = 64, seed: int = 42
+) -> F.Column:
+    """MinHash signature: for each of ``num_hashes`` universal hash
+    functions h_j(x) = (a_j·x + b_j) mod p, take the min over the
+    shingle set. Coefficients are seeded driver-side constants baked
+    into the plan (deterministic across runs and executors)."""
+    rng = random.Random(seed)
+    # reduce shingle hashes into [0, p) once so products stay < 2^62
+    reduced = F.transform(shingle_hashes, lambda x: F.pmod(x, F.lit(_MERSENNE)))
+
+    def perm_min(a: int, b: int) -> F.Column:
+        # NB: coefficients must bind via closure, not lambda defaults —
+        # pyspark treats every lambda parameter as a lambda variable.
+        return F.array_min(
+            F.transform(
+                reduced, lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE))
+            )
+        )
+
+    sig = [
+        perm_min(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    Pipeline: shingle → signature → split into ``bands`` bands →
+    explode (one row per band) → equi-join on (band, band hash) →
+    pairs with estimated Jaccard (signature agreement fraction).
+
+    The only shuffle is the band-bucket equi-join; ``max_bucket``
+    drops degenerate buckets (e.g. empty-string shingles) that would
+    produce quadratic blowup.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(char_shingles(text_col, shingle_k), num_hashes, seed).alias(
+            "_sig"
+        ),
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "_id", "_sig", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("_id", "_sig", "bb.band", "bb.bucket")
+    # bound pathological buckets before the self-join
+    counted = banded.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("_bn") <= max_bucket)
+    left = counted.select(
+        F.col("band"), F.col("bucket"), F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")
+    )
+    right = counted.select(
+        F.col("band"), F.col("bucket"), F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # estimated jaccard = fraction of agreeing signature positions
+    agree = F.aggregate(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    num_hashes_lit = F.lit(num_hashes).cast("double")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (agree.cast("double") / num_hashes_lit).alias("est_jaccard"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (the verify stage after
+    LSH): two broadcast-or-shuffle hash joins to fetch shingle sets,
+    then pure array math."""
+    sh = df.select(
+        F.col(id_col).alias("_jid"),
+        char_shingles(text_col, k).alias("_sh"),
+    )
+    a = sh.select(F.col("_jid").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_jid").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+def simhash(text_col: str, ngram: int = 3) -> F.Column:
+    """64-bit SimHash over character n-gram hashes: per bit position,
+    sum +1/-1 votes across n-gram hashes; bit set iff the vote is
+    positive. Pure expression algebra (64 aggregates over the n-gram
+    array, fused by codegen)."""
+    hashes = char_shingles(text_col, ngram)
+
+    def bit_vote(i: int) -> F.Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bits = [
+        F.when(bit_vote(i) > 0, F.lit(1).cast("bigint")).otherwise(0)
+        for i in range(64)
+    ]
+    out = F.lit(0).cast("bigint")
+    for i, b in enumerate(bits):
+        out = out + F.shiftleft(b, i)
+    return out
+
+
+def hamming64(a: F.Column, b: F.Column) -> F.Column:
+    """Population count of a XOR b via bit_count."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram: int = 3,
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs. Candidate generation blocks on each of
+    four 16-bit chunks (pigeonhole: any pair within hamming distance 3
+    agrees on at least one chunk), so the join stays equi-keyed."""
+    sigs = df.select(F.col(id_col).alias("_id"), simhash(text_col, ngram).alias("_sh"))
+    mask = (1 << block_bits) - 1
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("_sh"), c * block_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("key"),
+        )
+        for c in range(64 // block_bits)
+    ]
+    blocked = sigs.select(
+        "_id", "_sh", F.explode(F.array(*chunk_structs)).alias("ck")
+    ).select("_id", "_sh", "ck.chunk", "ck.key")
+    a = blocked.select("chunk", "key", F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = blocked.select("chunk", "key", F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicates: hyperplane-LSH bucket (cosine-
+    preserving) then exact cosine inside buckets. Pairs with cosine ≥
+    threshold. High-threshold pairs collide in the same bucket with
+    high probability; recall/cost tuned via num_planes."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+    bucketed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        hyperplane_sign_bits(vec_col, planes).alias("_bucket"),
+    )
+    a = bucketed.select("_bucket", F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
+    b = bucketed.select("_bucket", F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

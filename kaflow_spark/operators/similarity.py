@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns.
+
+- ``cosine_topk``: brute-force exact top-k for one query vector — a
+  single scan + TakeOrderedAndProject (per-partition heaps, O(k)
+  driver transfer). This is the correctness baseline and is itself
+  scan-bound at scale (no shuffle at all).
+- ``ann_topk``: hyperplane-LSH bucketed approximate top-k — prunes
+  the scan to buckets within a hamming radius of the query's
+  signature. The scale path when the corpus is 100 TB: bucket id is
+  a partition-prunable key if the table is written bucketed/
+  partitioned by it.
+- ``similarity_join``: all-pairs ≥-threshold join, LSH-bucketed.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import DataFrame, functions as F
+
+from kaflow_spark.functions.vectors import cosine, hyperplane_sign_bits
+
+
+def _query_lit(query: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in query])
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k. Scores optionally rounded so
+    ordering is reproducible across engines; ties break on id."""
+    score = cosine(F.col(vec_col), _query_lit(query))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    return (
+        df.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def make_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def _signature_of(query: list[float], planes: list[list[float]]) -> int:
+    sig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query, p)) >= 0:
+            sig |= 1 << i
+    return sig
+
+
+def ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    *,
+    num_planes: int = 12,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact rerank to rows whose LSH
+    signature is within ``probe_hamming`` bits of the query signature
+    (multi-probe). The bucket filter is a plain IN-list predicate —
+    pushdown-eligible when the table is stored partitioned by bucket."""
+    planes = make_planes(len(query), num_planes, seed)
+    qsig = _signature_of(query, planes)
+    probes = {qsig}
+    for r in range(1, probe_hamming + 1):
+        for bits in itertools.combinations(range(num_planes), r):
+            flipped = qsig
+            for b in bits:
+                flipped ^= 1 << b
+            probes.add(flipped)
+    bucketed = df.withColumn("_bucket", hyperplane_sign_bits(vec_col, planes))
+    pruned = bucketed.filter(F.col("_bucket").isin(*sorted(probes)))
+    return cosine_topk(pruned, vec_col, id_col, query, k)
+
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str,
+    id_cols: tuple[str, str],
+    *,
+    threshold: float = 0.9,
+    num_planes: int = 10,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """≥-threshold cosine join between two embedding tables, bucketed
+    by shared hyperplane signatures so the pairing is an equi-join."""
+    if dim is None:
+        dim = len(left.select(vec_col).first()[0])
+    planes = make_planes(dim, num_planes, seed)
+    lb = left.select(
+        F.col(id_cols[0]).alias("id_l"),
+        F.col(vec_col).alias("v_l"),
+        hyperplane_sign_bits(vec_col, planes).alias("_bucket"),
+    )
+    rb = right.select(
+        F.col(id_cols[1]).alias("id_r"),
+        F.col(vec_col).alias("v_r"),
+        hyperplane_sign_bits(vec_col, planes).alias("_bucket"),
+    )
+    return (
+        lb.join(rb, "_bucket")
+        .select(
+            "id_l", "id_r", cosine(F.col("v_l"), F.col("v_r")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )

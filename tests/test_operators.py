@@ -1,0 +1,207 @@
+"""Semantic tests for the LLM-pipeline operators (the approximate ones
+the oracle can't hash-check) plus the as-of join and multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaflow_spark.catalog import load
+from kaflow_spark.operators.asof import asof_join
+from kaflow_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from kaflow_spark.operators.multimodal import attach_fake_media, fake_decode, frame_sample
+from kaflow_spark.operators.similarity import ann_topk, cosine_topk
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind the distant mountains and the river flows quietly through the valley"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, BASE.replace("quick", "swift")),  # near duplicate of 1
+        (4, "completely different content about databases and query engines"),
+        (5, "yet another unrelated string with nothing in common at all here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = exact_dedup(docs, "text", "doc_id").collect()
+    kept_ids = sorted(r["doc_id"] for r in kept)
+    assert kept_ids == [1, 3, 4, 5]  # 2 deduped into 1's group
+    sizes = {r["doc_id"]: r["group_size"] for r in kept}
+    assert sizes[1] == 2
+
+
+def test_minhash_finds_near_dups_and_estimates_jaccard(docs):
+    cands = minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=64, bands=16)
+    rows = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cands.collect()}
+    assert rows[(1, 2)] == 1.0  # identical => all signatures agree
+    assert (1, 3) in rows and rows[(1, 3)] > 0.5  # near-dup caught
+    assert (4, 5) not in rows  # unrelated not candidates
+    # estimate tracks exact jaccard within MinHash error bounds
+    exact = ngram_jaccard_pairs(docs, cands, "doc_id", "text")
+    for r in exact.collect():
+        est = rows[(r["id_a"], r["id_b"])]
+        assert abs(est - r["jaccard"]) < 0.25
+
+
+def test_simhash_near_dups(docs):
+    pairs = simhash_near_dups(docs, "doc_id", "text", max_hamming=10)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0  # identical text => identical simhash
+    assert (1, 3) in got  # near-dup within hamming budget
+    assert (4, 5) not in got
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # ~same direction as 1
+        (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pairs = embedding_near_dups(
+        df, "vec_id", "embedding", threshold=0.95, num_planes=6, dim=4
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(p in {(1, 2)} for p in got)
+
+
+def test_cosine_topk_exact(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    query = [float(x) for x in e.filter(F.col("vec_id") == 1).first()["embedding"]]
+    top = cosine_topk(e, "embedding", "vec_id", query, 10).collect()
+    assert top[0]["vec_id"] == 1  # query vector is its own nearest neighbour
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ann_recall_on_planted_neighbours(spark):
+    """LSH ANN must find planted near-neighbours (high cosine ⇒ same
+    bucket w.h.p.); random noise vectors are the distractors."""
+    import random as _r
+
+    rng = _r.Random(7)
+    dim = 16
+    query = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = []
+    for i in range(10):  # planted: query + small noise
+        rows.append((i, [q + rng.gauss(0, 0.05) for q in query]))
+    for i in range(10, 210):  # distractors: random directions
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = [r["vec_id"] for r in cosine_topk(df, "embedding", "vec_id", query, 10).collect()]
+    assert set(exact) == set(range(10))  # brute force finds the plant
+    approx = [
+        r["vec_id"]
+        for r in ann_topk(
+            df, "embedding", "vec_id", query, 10, num_planes=8, probe_hamming=1
+        ).collect()
+    ]
+    assert len(set(exact) & set(approx)) >= 8
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_and_forward(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00")),
+            (1, _ts("2024-01-01 12:00:00")),
+            (2, _ts("2024-01-01 09:00:00")),
+        ],
+        "uid bigint, at timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:30:00"), 100.0),
+            (1, _ts("2024-01-01 11:00:00"), 200.0),
+            (1, _ts("2024-01-01 12:00:00"), 250.0),  # simultaneous w/ left
+            (2, _ts("2024-01-01 10:00:00"), 999.0),  # after left's only row
+        ],
+        "uid bigint, at timestamp, px double",
+    )
+    back = asof_join(left, right, "uid", "at", "at", ["px"])
+    got = {(r["uid"], r["at"]): r["px_right"] for r in back.collect()}
+    assert got[(1, _ts("2024-01-01 10:00:00"))] == 100.0
+    assert got[(1, _ts("2024-01-01 12:00:00"))] == 250.0  # inclusive match
+    assert got[(2, _ts("2024-01-01 09:00:00"))] is None  # nothing before
+
+    fwd = asof_join(left, right, "uid", "at", "at", ["px"], direction="forward")
+    got_f = {(r["uid"], r["at"]): r["px_right"] for r in fwd.collect()}
+    assert got_f[(1, _ts("2024-01-01 10:00:00"))] == 200.0
+    assert got_f[(2, _ts("2024-01-01 09:00:00"))] == 999.0
+
+
+def test_multimodal_plumbing(spark):
+    base = spark.range(1, 9).withColumnRenamed("id", "media_id")
+    media = attach_fake_media(base, "media_id")
+    assert dict(media.dtypes)["payload"] == "binary"
+    decoded = fake_decode(media)
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert len(rows) == 8
+    assert rows[1]["mime"] == "image/fake"
+    assert rows[1]["width"] == 64 + (1 % 8) * 16
+    assert all(len(r["checksum"]) == 32 for r in rows.values())
+    framed = frame_sample(media, n_frames=4).select("media_id", "frame_hashes")
+    fr = framed.collect()
+    assert all(len(r["frame_hashes"]) == 4 for r in fr)
+    # deterministic: same media id => same frame hashes across runs
+    fr2 = frame_sample(media, n_frames=4).select("media_id", "frame_hashes").collect()
+    assert sorted(map(str, fr)) == sorted(map(str, fr2))
+
+
+def test_decode_image_stub_raises(spark):
+    base = spark.range(1, 3).withColumnRenamed("id", "media_id")
+    media = attach_fake_media(base, "media_id")
+    from kaflow_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(media)
+
+
+def test_textstats_semantics(spark):
+    from kaflow_spark.functions.textstats import lang_id, quality_score_bp, token_count_bpe
+
+    rows = [
+        (1, "the cat and the dog went to the park and it was fun"),
+        (2, "el perro y el gato en la casa es un animal que come"),
+        (3, "der Hund und die Katze sind nicht ein Tier mit Problemen"),
+        (4, "zzz qqq 12345 %%%"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            lang_id("text").alias("lang"),
+            quality_score_bp("text").alias("q"),
+            token_count_bpe("text").alias("ntok"),
+        ).collect()
+    }
+    assert out[1]["lang"] == "en"
+    assert out[2]["lang"] == "es"
+    assert out[3]["lang"] == "de"
+    assert out[4]["lang"] == "und"
+    assert out[1]["q"] > out[4]["q"]  # prose scores above junk
+    assert out[1]["ntok"] >= 12
