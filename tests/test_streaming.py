@@ -1,0 +1,243 @@
+"""Structured Streaming tests: real micro-batch execution through
+file sources (one file per trigger) + memory sinks. Kafka itself needs
+the spark-sql-kafka package and a broker — the wiring is covered by
+unit-shape tests; the streaming *semantics* (watermarks, windows,
+dedup, arbitrary state, the app's micro-batch body) run for real here.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+import kaflow_spark.message as M
+from kaflow_spark.app import App
+from kaflow_spark.message import Message
+from kaflow_spark.params import FromValue, Str
+from kaflow_spark.streaming.dedup import dedup_within_watermark
+from kaflow_spark.streaming.stateful import running_aggregate
+from kaflow_spark.streaming.windows import session, tumbling
+
+EVENTS_DDL = "event_id bigint, ts timestamp, user_id bigint, value double"
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s + "+00:00")
+
+
+def _write_chunk(spark, path: str, rows: list[tuple]) -> None:
+    spark.createDataFrame(rows, EVENTS_DDL).coalesce(1).write.mode("append").parquet(path)
+
+
+def _stream(spark, path: str):
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def _run_query(df, mode: str, name: str):
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+
+
+@pytest.fixture()
+def tdir(tmp_path) -> str:
+    return str(tmp_path / f"stream-{uuid.uuid4().hex[:8]}")
+
+
+def test_tumbling_window_with_watermark_append(spark, tdir):
+    """Append mode emits a window only once the watermark passes its
+    end; a late event arriving after that is dropped."""
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _write_chunk(
+        spark,
+        tdir,
+        [
+            (1, _ts("2024-01-01 10:00:30"), 1, 1.0),
+            (2, _ts("2024-01-01 10:03:00"), 1, 1.0),
+        ],
+    )
+    agg = tumbling(
+        _stream(spark, tdir),
+        "ts",
+        "5 minutes",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+        watermark="10 minutes",
+    )
+    q = _run_query(agg, "append", name)
+    try:
+        q.processAllAvailable()
+        assert spark.sql(f"SELECT * FROM {name}").count() == 0  # window open
+
+        # batch 2: event far in the future pushes watermark past 10:05
+        _write_chunk(spark, tdir, [(3, _ts("2024-01-01 11:00:00"), 1, 1.0)])
+        q.processAllAvailable()
+        # batch 3: late event for the already-closed 10:00 window
+        _write_chunk(spark, tdir, [(4, _ts("2024-01-01 10:01:00"), 1, 1.0)])
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        closed = {
+            (r["window_start"].isoformat(), r["n"]) for r in rows
+        }
+        # the 10:00-10:05 window closed with exactly the 2 on-time events;
+        # the late event_id=4 did NOT reopen/recount it
+        assert ("2024-01-01T10:00:00+00:00", 2) in closed or (
+            "2024-01-01T10:00:00",
+            2,
+        ) in closed
+        assert all(n == 2 for (_, n) in closed)
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_within_watermark(spark, tdir):
+    name = f"d_{uuid.uuid4().hex[:8]}"
+    _write_chunk(
+        spark,
+        tdir,
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1, 1.0),
+            (1, _ts("2024-01-01 10:00:10"), 1, 1.0),  # same event_id, same batch
+        ],
+    )
+    dd = dedup_within_watermark(
+        _stream(spark, tdir), ["event_id"], "ts", watermark="30 minutes"
+    )
+    q = _run_query(dd, "append", name)
+    try:
+        q.processAllAvailable()
+        # batch 2: redelivery of event_id=1 within the horizon + a new id
+        _write_chunk(
+            spark,
+            tdir,
+            [
+                (1, _ts("2024-01-01 10:05:00"), 1, 1.0),
+                (2, _ts("2024-01-01 10:06:00"), 1, 2.0),
+            ],
+        )
+        q.processAllAvailable()
+        ids = [r["event_id"] for r in spark.sql(f"SELECT * FROM {name}").collect()]
+        assert sorted(ids) == [1, 2]  # each id exactly once
+    finally:
+        q.stop()
+
+
+def test_session_window_streaming(spark, tdir):
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    _write_chunk(
+        spark,
+        tdir,
+        [
+            (1, _ts("2024-01-01 10:00:00"), 7, 1.0),
+            (2, _ts("2024-01-01 10:10:00"), 7, 1.0),  # same session (gap 30m)
+            (3, _ts("2024-01-01 12:00:00"), 7, 1.0),  # new session
+        ],
+    )
+    sess = session(
+        _stream(spark, tdir),
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+        watermark="10 minutes",
+    )
+    q = _run_query(sess, "append", name)
+    try:
+        q.processAllAvailable()
+        # close everything by advancing the watermark far ahead
+        _write_chunk(spark, tdir, [(9, _ts("2024-01-02 00:00:00"), 8, 1.0)])
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {name} WHERE user_id = 7").collect()
+        ns = sorted(r["n"] for r in rows)
+        assert ns == [1, 2]  # two sessions: {e1,e2} and {e3}
+    finally:
+        q.stop()
+
+
+def test_stateful_running_aggregate(spark, tdir):
+    name = f"r_{uuid.uuid4().hex[:8]}"
+    _write_chunk(spark, tdir, [(1, _ts("2024-01-01 10:00:00"), 5, 10.0)])
+    run = running_aggregate(_stream(spark, tdir), "user_id", "value")
+    q = _run_query(run, "update", name)
+    try:
+        q.processAllAvailable()
+        _write_chunk(spark, tdir, [(2, _ts("2024-01-01 10:01:00"), 5, 32.0)])
+        q.processAllAvailable()
+        rows = spark.sql(
+            f"SELECT * FROM {name} ORDER BY run_count"
+        ).collect()
+        # state carried across micro-batches: 1 row then cumulative 2
+        assert [(r["run_count"], r["run_sum"]) for r in rows] == [
+            (1, 10.0),
+            (2, 42.0),
+        ]
+        assert rows[-1]["run_max"] == 32.0
+    finally:
+        q.stop()
+
+
+def test_batch_fallbacks_match_streaming_shapes(spark):
+    """The same builders run on batch frames (TestClient path)."""
+    rows = [
+        (1, _ts("2024-01-01 10:00:00"), 1, 1.0),
+        (1, _ts("2024-01-01 10:00:00"), 1, 1.0),
+        (2, _ts("2024-01-01 11:00:00"), 1, 3.0),
+    ]
+    df = spark.createDataFrame(rows, EVENTS_DDL)
+    t = tumbling(df, "ts", "1 hour", keys=["user_id"])
+    assert {c for c in t.columns} == {"window_start", "window_end", "user_id", "n"}
+    assert sorted(r["n"] for r in t.collect()) == [1, 2]
+    d = dedup_within_watermark(df, ["event_id"], "ts")
+    assert d.count() == 2
+    r = running_aggregate(df, "user_id", "value").collect()
+    assert (r[0]["run_count"], r[0]["run_sum"], r[0]["run_max"]) == (3, 5.0, 3.0)
+
+
+def test_app_micro_batch_body(spark, tmp_path):
+    """The app's foreachBatch body over a real envelope stream: file
+    stream of envelope rows -> process_batch -> outputs collected per
+    micro-batch (what run_stream does against Kafka)."""
+    app = App(name="stream-app")
+
+    @app.consume(topic="in", sink_topics=("out",))
+    def upper(v: FromValue[Str]) -> Message:
+        return Message(value=v.upper().encode())
+
+    env_dir = str(tmp_path / "env")
+    ts = _ts("2024-01-01 10:00:00")
+    spark.createDataFrame(
+        [("in", 0, 0, ts, 0, None, b"hello", None),
+         ("in", 0, 1, ts, 0, None, b"world", None)],
+        M.ENVELOPE_DDL,
+    ).write.mode("append").parquet(env_dir)
+
+    stream = (
+        spark.readStream.schema(M.ENVELOPE_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(env_dir)
+    )
+    collected: list = []
+
+    def body(batch_df, batch_id: int) -> None:
+        out, dlq = app.process_batch(batch_df)
+        collected.extend(out.collect())
+
+    q = stream.writeStream.foreachBatch(body).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(bytes(r["value"]) for r in collected)
+    assert got == [b"HELLO", b"WORLD"]
+    assert all(r["topic"] == "out" for r in collected)
