@@ -56,31 +56,44 @@ def char_shingles(text_col: str, k: int = 5) -> F.Column:
     )
 
 
+def _shingles_sql(text_col: str, k: int) -> str:
+    t = f"`{text_col}`"
+    return (
+        f"array_distinct(transform(sequence(1, greatest(length({t})-{k - 1}, 1)),"
+        f" i -> xxhash64(substring({t}, i, {k}))))"
+    )
+
+
 def minhash_signature(
-    shingle_hashes: F.Column, num_hashes: int = 64, seed: int = 42
+    text_col: str, shingle_k: int = 5, num_hashes: int = 64, seed: int = 42
 ) -> F.Column:
     """MinHash signature: for each of ``num_hashes`` universal hash
     functions h_j(x) = (a_j·x + b_j) mod p, take the min over the
     shingle set. Coefficients are seeded driver-side constants baked
-    into the plan (deterministic across runs and executors)."""
+    into the plan (deterministic across runs and executors).
+
+    Built as ONE fold over the shingle array updating all 64 minima
+    per step (zip_with against literal coefficient arrays) — 64
+    separate array_min passes blow up codegen and run ~30x slower.
+    """
     rng = random.Random(seed)
-    # reduce shingle hashes into [0, p) once so products stay < 2^62
-    reduced = F.transform(shingle_hashes, lambda x: F.pmod(x, F.lit(_MERSENNE)))
-
-    def perm_min(a: int, b: int) -> F.Column:
-        # NB: coefficients must bind via closure, not lambda defaults —
-        # pyspark treats every lambda parameter as a lambda variable.
-        return F.array_min(
-            F.transform(
-                reduced, lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE))
-            )
-        )
-
-    sig = [
-        perm_min(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
-        for _ in range(num_hashes)
-    ]
-    return F.array(*sig)
+    a = [rng.randrange(1, _MERSENNE) for _ in range(num_hashes)]
+    b = [rng.randrange(0, _MERSENNE) for _ in range(num_hashes)]
+    a_sql = "array(" + ",".join(f"{x}L" for x in a) + ")"
+    b_sql = "array(" + ",".join(f"{x}L" for x in b) + ")"
+    p = _MERSENNE
+    sh = _shingles_sql(text_col, shingle_k)
+    return F.expr(
+        f"""
+        aggregate(
+          transform({sh}, x -> pmod(x, {p}L)),
+          array_repeat({p}L, {num_hashes}),
+          (acc, x) -> zip_with(
+              acc,
+              zip_with({a_sql}, {b_sql}, (ca, cb) -> pmod(ca * x + cb, {p}L)),
+              (m, h) -> least(m, h)))
+        """
+    )
 
 
 def minhash_lsh_candidates(
@@ -107,9 +120,7 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(char_shingles(text_col, shingle_k), num_hashes, seed).alias(
-            "_sig"
-        ),
+        minhash_signature(text_col, shingle_k, num_hashes, seed).alias("_sig"),
     )
     band_structs = [
         F.struct(
@@ -185,26 +196,33 @@ def ngram_jaccard_pairs(
 def simhash(text_col: str, ngram: int = 3) -> F.Column:
     """64-bit SimHash over character n-gram hashes: per bit position,
     sum +1/-1 votes across n-gram hashes; bit set iff the vote is
-    positive. Pure expression algebra (64 aggregates over the n-gram
-    array, fused by codegen)."""
-    hashes = char_shingles(text_col, ngram)
+    positive.
 
-    def bit_vote(i: int) -> F.Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bits = [
-        F.when(bit_vote(i) > 0, F.lit(1).cast("bigint")).otherwise(0)
-        for i in range(64)
-    ]
-    out = F.lit(0).cast("bigint")
-    for i, b in enumerate(bits):
-        out = out + F.shiftleft(b, i)
-    return out
+    ONE fold over the n-gram array maintaining all 64 vote counters
+    (zip_with), then one pass packing sign bits into a BIGINT — the
+    64-separate-aggregates formulation generates pathological codegen.
+    SQL expr because shiftright's python wrapper rejects column bit
+    indices while the underlying expression supports them.
+    """
+    sh = _shingles_sql(text_col, ngram)
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              {sh},
+              array_repeat(0, 64),
+              (acc, h) -> zip_with(
+                  acc,
+                  transform(sequence(0, 63),
+                            i -> IF((shiftright(h, i) & 1L) = 1L, 1, -1)),
+                  (a, b) -> a + b)),
+            sequence(0, 63),
+            (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)),
+          0L,
+          (acc, b) -> acc + b)
+        """
+    )
 
 
 def hamming64(a: F.Column, b: F.Column) -> F.Column:

@@ -1,0 +1,54 @@
+"""Physical-plan contracts: the scale promises every declared query
+makes (pushdown, pruning, broadcast, partial agg, top-k) are asserted
+against the actual Catalyst output — a plan regression fails CI."""
+
+from __future__ import annotations
+
+from kaflow_spark.plans import (
+    has_broadcast_join,
+    has_partial_aggregate,
+    has_top_k,
+    pushed_filters,
+    scan_read_schema,
+)
+from kaflow_spark.queries import REGISTRY
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = REGISTRY["q02_filter_project"].spark(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderstatus" in pushed and "o_totalprice" in pushed
+
+
+def test_in_between_pushdown(spark, sf_dir):
+    df = REGISTRY["q03_in_between_like"].spark(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_returnflag" in pushed and "l_quantity" in pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    df = REGISTRY["q01_scan_project"].spark(spark, sf_dir)
+    assert set(scan_read_schema(df)) == {"r_regionkey", "r_name"}
+    # q21 projects 2 of 6 orders columns; scan must not read the rest
+    df21 = REGISTRY["q21_topk"].spark(spark, sf_dir)
+    assert set(scan_read_schema(df21, "orders")) == {"o_orderkey", "o_totalprice"}
+
+
+def test_dim_chain_broadcasts(spark, sf_dir):
+    df = REGISTRY["q05_join_dim_chain"].spark(spark, sf_dir)
+    assert has_broadcast_join(df, count=2)  # nation AND region broadcast
+
+
+def test_range_join_broadcasts_small_side(spark, sf_dir):
+    df = REGISTRY["q10_range_theta_join"].spark(spark, sf_dir)
+    assert has_broadcast_join(df, count=1)  # BNLJ over broadcast supplier
+
+
+def test_agg_is_two_phase(spark, sf_dir):
+    df = REGISTRY["q12_tpch_q1_agg"].spark(spark, sf_dir)
+    assert has_partial_aggregate(df)  # map-side combine before shuffle
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    df = REGISTRY["q21_topk"].spark(spark, sf_dir)
+    assert has_top_k(df)
