@@ -672,17 +672,42 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
 @declare(
     "q27_json_funcs",
     oracle="""
-    SELECT event_id, json_extract_string(props, '$.device') AS device
+    SELECT event_id, json_extract_string(props, '$.device') AS device,
+           json_extract_string(props, '$.k') AS kstr
     FROM events ORDER BY event_id
     """,
-    doc="JSON point extraction from a string column.",
+    doc="JSON point extraction from a string column (present and "
+    "missing paths).",
     tags=("scalar", "json"),
 )
 def q27(spark: SparkSession, sf: str) -> DataFrame:
     return (
         load(spark, sf, "events")
         .select(
-            "event_id", F.get_json_object("props", "$.device").alias("device")
+            "event_id",
+            F.get_json_object("props", "$.device").alias("device"),
+            F.get_json_object("props", "$.k").alias("kstr"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@declare(
+    "q45_json_typed_struct",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events ORDER BY event_id
+    """,
+    doc="Schema-typed JSON decode (from_json with a declared struct — "
+    "the engine's serde fast path) vs point extraction + cast.",
+    tags=("scalar", "json"),
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "events")
+        .select(
+            "event_id",
+            F.from_json(F.col("props"), "k INT")["k"].alias("k"),
         )
         .orderBy("event_id")
     )
