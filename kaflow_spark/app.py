@@ -110,12 +110,18 @@ class App:
     brokers: str | None = None
     kafka_options: dict[str, str] = field(default_factory=dict)
     dlq_topic: str | None = None
+    #: optional (async) context-manager factory run around the whole
+    #: app lifetime (parity: kaflow/applications.py:218-242)
+    lifespan: Callable | None = None
 
     def __post_init__(self) -> None:
         self._consumers: dict[str, _Consumer | _Transform] = {}
         self._exception_handlers: dict[type, Callable] = {}
         self._deser_error_handler: Callable | None = None
         self._produced: list[tuple[str, Message]] = []
+        #: test seam: substitute dependency factories
+        #: (parity: kaflow/_utils/overrides.py:27-72)
+        self.dependency_overrides: dict[Callable, Callable] = {}
 
     # ------------------------------------------------------ registration
 
@@ -149,13 +155,13 @@ class App:
         """
         from kaflow_spark.params import _unpack
 
-        _, vserde, _ = _unpack(value) if value is not None else (None, None, None)
+        vserde = _unpack(value)[1] if value is not None else None
         if vserde is None or vserde.decode_col(F.col("value")) is None:
             raise TypeError(
                 "transform() needs a value serde with a JVM column codec "
                 "(Json[Model], Str, bytes)"
             )
-        _, kserde, _ = _unpack(key) if key is not None else (None, None, None)
+        kserde = _unpack(key)[1] if key is not None else None
 
         def deco(fn: Callable[[DataFrame], DataFrame]) -> Callable:
             self._consumers[topic] = _Transform(
@@ -223,6 +229,28 @@ class App:
         spec = con.spec
         exc_table = dict(self._exception_handlers)
         deser_handler = self._deser_error_handler
+        # dependency factories, with test overrides applied at compile
+        # time (kaflow/_utils/overrides.py:27-72); app-scoped ones are
+        # cached per python worker process (the executor analog of the
+        # reference's "app" DI scope)
+        overrides = dict(self.dependency_overrides)
+        dep_specs = [
+            (d.param, overrides.get(d.factory, d.factory), d.scope, d.use_cache)
+            for d in spec.depends
+        ]
+        app_cache: dict[int, Any] = {}
+
+        def resolve_deps() -> dict[str, Any]:
+            out: dict[str, Any] = {}
+            for pname, factory, scope, use_cache in dep_specs:
+                if scope == "app" and use_cache:
+                    key = id(factory)
+                    if key not in app_cache:
+                        app_cache[key] = factory()
+                    out[pname] = app_cache[key]
+                else:
+                    out[pname] = factory()
+            return out
 
         def lookup_exc_handler(exc: Exception) -> Callable | None:
             # MRO walk, most-specific first (kaflow/_consumer.py:192-198)
@@ -304,6 +332,7 @@ class App:
                             }
                         )
                         continue
+                    kwargs.update(resolve_deps())
                     if spec.offset_param:
                         kwargs[spec.offset_param] = row.offset
                     if spec.partition_param:
@@ -516,17 +545,51 @@ class App:
                 .save()
             )
 
+    def run_context(self):
+        """Enter the user lifespan (sync or async context manager) —
+        wrapped around query start/termination and around TestClient
+        sessions. Returns a sync contextmanager either way."""
+        import contextlib
+
+        app = self
+
+        @contextlib.contextmanager
+        def ctx():
+            if app.lifespan is None:
+                yield
+                return
+            cm = app.lifespan(app)
+            if hasattr(cm, "__aenter__"):
+                loop = asyncio.new_event_loop()
+                try:
+                    loop.run_until_complete(cm.__aenter__())
+                    try:
+                        yield
+                    finally:
+                        loop.run_until_complete(cm.__aexit__(None, None, None))
+                finally:
+                    loop.close()
+            else:
+                with cm:
+                    yield
+
+        return ctx()
+
     def run_stream(self, spark: SparkSession, checkpoint: str):
         """Start the streaming query: one Kafka scan shared by every
         topic pipeline, fan-out inside foreachBatch (exactly-once via
         checkpoint + idempotent/at-least-once Kafka sink — documented
-        delta vs the reference's transactional pass-through)."""
+        delta vs the reference's transactional pass-through). The user
+        lifespan wraps the query's lifetime."""
         stream = self.source_stream(spark)
-        return (
-            stream.writeStream.foreachBatch(self.process_stream(stream))
-            .option("checkpointLocation", checkpoint)
-            .start()
-        )
+        with self.run_context():
+            query = (
+                stream.writeStream.foreachBatch(self.process_stream(stream))
+                .option("checkpointLocation", checkpoint)
+                .start()
+            )
+            query.awaitTermination()
+        return query
 
 
 def _is_binary(df: DataFrame, col: str) -> bool:

@@ -74,6 +74,27 @@ MessagePartition = _t.Annotated[int, _Marker("partition")]
 MessageTimestamp = _t.Annotated[int, _Marker("timestamp")]
 
 
+class _DependsMarker:
+    """Dependency-injection marker (parity: kaflow/dependencies.py:7-23).
+
+    ``scope='app'``: the factory runs once per executor python worker
+    and the instance is cached (the Spark analog of the reference's
+    app-scoped DI — per-process singletons on executors).
+    ``scope='consumer'``: the factory runs per record.
+    """
+
+    def __init__(self, factory, scope: str = "consumer", use_cache: bool = True):
+        if scope not in ("app", "consumer"):
+            raise ValueError("Depends scope must be 'app' or 'consumer'")
+        self.factory = factory
+        self.scope = scope
+        self.use_cache = use_cache
+
+
+def Depends(factory, *, scope: str = "consumer", use_cache: bool = True) -> object:
+    return _t.Annotated[object, _DependsMarker(factory, scope, use_cache)]
+
+
 # ------------------------------------------------------- serde shorthand
 
 
@@ -118,21 +139,33 @@ class ParamBinding:
 
 
 @dataclass
+class DependsBinding:
+    param: str
+    factory: object
+    scope: str
+    use_cache: bool
+
+
+@dataclass
 class HandlerSpec:
     func: object
     value: ParamBinding | None = None
     key: ParamBinding | None = None
     headers: list[ParamBinding] = field(default_factory=list)
+    depends: list[DependsBinding] = field(default_factory=list)
     offset_param: str | None = None
     partition_param: str | None = None
     timestamp_param: str | None = None
     is_async: bool = False
 
 
-def _unpack(annotation: object) -> tuple[object, Serde | None, _Marker | None]:
-    """Flatten Annotated metadata into (base type, serde, marker)."""
+def _unpack(
+    annotation: object,
+) -> tuple[object, Serde | None, _Marker | None, "_DependsMarker | None"]:
+    """Flatten Annotated metadata into (base, serde, marker, depends)."""
     serde: Serde | None = None
     marker: _Marker | None = None
+    depends: _DependsMarker | None = None
     base = annotation
     while _t.get_origin(base) is _t.Annotated:
         args = _t.get_args(base)
@@ -142,7 +175,9 @@ def _unpack(annotation: object) -> tuple[object, Serde | None, _Marker | None]:
                 serde = serde or m
             elif isinstance(m, _Marker):
                 marker = marker or m
-    return base, serde, marker
+            elif isinstance(m, _DependsMarker):
+                depends = depends or m
+    return base, serde, marker, depends
 
 
 def get_handler_spec(func) -> HandlerSpec:
@@ -161,7 +196,12 @@ def get_handler_spec(func) -> HandlerSpec:
                 f"handler parameter {name!r} needs a FromValue/FromKey/"
                 f"FromHeader/Message* annotation"
             )
-        base, serde, marker = _unpack(annotation)
+        base, serde, marker, depends = _unpack(annotation)
+        if depends is not None:
+            spec.depends.append(
+                DependsBinding(name, depends.factory, depends.scope, depends.use_cache)
+            )
+            continue
         if marker is None:
             raise TypeError(
                 f"handler parameter {name!r}: no injection marker found in "

@@ -44,6 +44,14 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Quiet progress bars in test output.
     "spark.ui.showConsoleProgress": "false",
+    # Local mode is driver-only: driver memory is the only memory knob
+    # that matters (ignored under a cluster manager's spark-submit).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    # RocksDB state store: bounded-memory streaming state at scale.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
 }
 
 
