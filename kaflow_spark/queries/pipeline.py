@@ -99,6 +99,52 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "q46_sliding_window_batch",
+    oracle="""
+    WITH ev AS (
+        SELECT (epoch_us(ts) // 1800000000) * 1800 AS b FROM events),
+    grid AS (SELECT b AS s FROM ev UNION ALL SELECT b - 1800 AS s FROM ev)
+    SELECT make_timestamp(s * 1000000) AS window_start, COUNT(*) AS n
+    FROM grid GROUP BY s ORDER BY window_start
+    """,
+    doc="Sliding-window batch analog via the native window(ts, '1 hour',"
+    " '30 minutes') operator (each event lands in 2 windows); the "
+    "oracle states the same grid arithmetic explicitly.",
+    tags=("window-agg",),
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "n")
+        .orderBy("window_start")
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g1,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g2,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY g1, g2, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@declare(
+    "q47_grouping_sets",
+    oracle=_GROUPING_SETS_SQL,
+    doc="Explicit GROUPING SETS (beyond rollup/cube shapes of q15/q16).",
+    tags=("agg",),
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@declare(
     "q32_text_stats",
     oracle="""
     SELECT doc_id, CAST(LENGTH(text) AS INT) AS nch,

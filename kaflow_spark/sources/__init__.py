@@ -1,0 +1,17 @@
+from kaflow_spark.sources.files import (
+    read_binary_files,
+    read_csv,
+    read_json,
+    read_parquet,
+    stream_files,
+    write_partitioned,
+)
+
+__all__ = [
+    "read_parquet",
+    "read_json",
+    "read_csv",
+    "read_binary_files",
+    "stream_files",
+    "write_partitioned",
+]

@@ -1,0 +1,90 @@
+"""File source/sink round-trips (partition pruning included) and
+skew-mitigation utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaflow_spark.operators.skew import key_histogram, salted_aggregate, salted_join
+from kaflow_spark.plans.explain import explain_str
+from kaflow_spark.sources import (
+    read_binary_files,
+    read_json,
+    read_parquet,
+    write_partitioned,
+)
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    path = str(tmp_path / "part")
+    df = spark.createDataFrame(
+        [(i, "us" if i % 2 else "eu", float(i)) for i in range(100)],
+        "id bigint, region string, v double",
+    )
+    write_partitioned(df, path, partition_by=["region"])
+    back = read_parquet(spark, path).filter(F.col("region") == "eu")
+    assert back.count() == 50
+    # partition pruning: only the eu directory is scanned
+    txt = explain_str(back)
+    assert "region=eu" in txt or "PartitionFilters" in txt
+
+
+def test_json_roundtrip_with_schema(spark, tmp_path):
+    path = str(tmp_path / "json")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string").write.json(path)
+    back = read_json(spark, path, schema="id bigint, s string")
+    assert sorted((r["id"], r["s"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_binary_file_source(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02")
+    (tmp_path / "b.txt").write_bytes(b"xyz")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["content"]) == b"\x00\x01\x02"
+    assert rows[0]["length"] == 3
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    from kaflow_spark.catalog import load
+
+    e = load(spark, sf_dir, "events")
+    plain = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    salted = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in salted_aggregate(
+            e, ["user_id"], {"n": ("count", "*"), "total": ("sum", "value")}
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k][0] == salted[k][0]
+        assert abs(plain[k][1] - salted[k][1]) < 1e-6
+
+
+def test_salted_join_matches_plain(spark):
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, 99)], "k bigint, v bigint"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold")], "k bigint, label string")
+    plain = sorted(
+        (r["k"], r["v"], r["label"]) for r in fact.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["label"]) for r in salted_join(fact, dim, "k").collect()
+    )
+    assert plain == salted
+
+
+def test_key_histogram_flags_hot_key(spark):
+    df = spark.createDataFrame(
+        [(1,)] * 90 + [(2,)] * 10, "k bigint"
+    )
+    hist = key_histogram(df, "k", top=2).collect()
+    assert hist[0]["k"] == 1 and abs(hist[0]["share"] - 0.9) < 1e-9
