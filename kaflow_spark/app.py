@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kaflow_spark.exceptions import DeserializationError
+from kaflow_spark.serde.serializers import BytesSerde
 from kaflow_spark.message import (
     ENVELOPE_DDL,
     Message,
@@ -94,6 +95,24 @@ class _Consumer:
 
 
 @dataclass
+class _BatchConsumer:
+    """Vectorized handler: fn(pandas.DataFrame) -> pandas.DataFrame.
+
+    Input columns: ``value``/``key`` (decoded python objects),
+    ``headers`` (dict), ``offset``/``partition``/``timestamp``.
+    Output columns: ``value`` (bytes) and optionally ``key``/
+    ``headers``. The scale-preferred shape for custom Python logic —
+    one python call per Arrow batch instead of per record.
+    """
+
+    topic: str
+    sink_topics: tuple[str, ...]
+    fn: Callable[[pd.DataFrame], pd.DataFrame]
+    value_serde: Any
+    key_serde: Any | None = None
+
+
+@dataclass
 class _Transform:
     topic: str
     sink_topics: tuple[str, ...]
@@ -138,6 +157,29 @@ class App:
 
         return deco
 
+    def consume_batches(
+        self,
+        topic: str,
+        sink_topics: Sequence[str] = (),
+        value: object = None,
+        key: object = None,
+    ) -> Callable[[Callable], Callable]:
+        """Register a vectorized handler fn(pd.DataFrame)->pd.DataFrame
+        (decoded values in, bytes out). Same dead-letter semantics as
+        @consume; the handler runs once per Arrow batch."""
+        from kaflow_spark.params import resolve_serde
+
+        vserde = resolve_serde(value) or BytesSerde()
+        kserde = resolve_serde(key)
+
+        def deco(fn: Callable[[pd.DataFrame], pd.DataFrame]) -> Callable:
+            self._consumers[topic] = _BatchConsumer(
+                topic, tuple(sink_topics), fn, vserde, kserde
+            )
+            return fn
+
+        return deco
+
     def transform(
         self,
         topic: str,
@@ -153,15 +195,15 @@ class App:
         (typed) is encoded back with the same serde unless it is
         already binary.
         """
-        from kaflow_spark.params import _unpack
+        from kaflow_spark.params import resolve_serde
 
-        vserde = _unpack(value)[1] if value is not None else None
+        vserde = resolve_serde(value)
         if vserde is None or vserde.decode_col(F.col("value")) is None:
             raise TypeError(
                 "transform() needs a value serde with a JVM column codec "
                 "(Json[Model], Str, bytes)"
             )
-        kserde = _unpack(key)[1] if key is not None else None
+        kserde = resolve_serde(key)
 
         def deco(fn: Callable[[DataFrame], DataFrame]) -> Callable:
             self._consumers[topic] = _Transform(
@@ -386,6 +428,90 @@ class App:
 
         return stage
 
+    def _compile_batch_consumer(self, con: _BatchConsumer) -> Callable:
+        """mapInPandas stage for a vectorized handler: decode the whole
+        Arrow batch, call fn once, encode its output frame."""
+        fn = con.fn
+        vserde = con.value_serde
+        kserde = con.key_serde
+
+        def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cols = [
+                "error",
+                "out_value",
+                "out_key",
+                "out_headers",
+                "topic",
+                "partition",
+                "offset",
+                "timestamp",
+                "raw_value",
+                "raw_key",
+            ]
+            for pdf in batches:
+                decoded: list[dict[str, Any]] = []
+                out_rows: list[dict[str, Any]] = []
+                for row in pdf.itertuples(index=False):
+                    raw_value = None if row.value is None else bytes(row.value)
+                    raw_key = None if row.key is None else bytes(row.key)
+                    try:
+                        decoded.append(
+                            {
+                                "value": None
+                                if raw_value is None
+                                else vserde.loads(raw_value),
+                                "key": raw_key
+                                if kserde is None or raw_key is None
+                                else kserde.loads(raw_key),
+                                "headers": _headers_to_dict(row.headers),
+                                "offset": row.offset,
+                                "partition": row.partition,
+                                "timestamp": _ts_ms(row.timestamp),
+                            }
+                        )
+                    except Exception as exc:  # noqa: BLE001
+                        out_rows.append(
+                            {
+                                "error": f"deserialization:value: {exc}",
+                                "out_value": None,
+                                "out_key": None,
+                                "out_headers": None,
+                                "topic": row.topic,
+                                "partition": row.partition,
+                                "offset": row.offset,
+                                "timestamp": row.timestamp,
+                                "raw_value": raw_value,
+                                "raw_key": raw_key,
+                            }
+                        )
+                if decoded:
+                    out_pdf = fn(pd.DataFrame(decoded))
+                    for r in out_pdf.itertuples(index=False):
+                        val = getattr(r, "value", None)
+                        if val is not None and not isinstance(val, (bytes, bytearray)):
+                            val = vserde.dumps(val)
+                        key = getattr(r, "key", None)
+                        if key is not None and not isinstance(key, (bytes, bytearray)):
+                            key = (kserde or vserde).dumps(key)
+                        hdrs = getattr(r, "headers", None)
+                        out_rows.append(
+                            {
+                                "error": None,
+                                "out_value": val,
+                                "out_key": key,
+                                "out_headers": _headers_to_rows(hdrs),
+                                "topic": con.topic,
+                                "partition": None,
+                                "offset": None,
+                                "timestamp": None,
+                                "raw_value": None,
+                                "raw_key": None,
+                            }
+                        )
+                yield pd.DataFrame(out_rows, columns=cols)
+
+        return stage
+
     # --------------------------------------------------------- execution
 
     def process_batch(self, envelope: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -402,7 +528,12 @@ class App:
             if isinstance(reg, _Transform):
                 ok, dlq = self._run_transform(reg, src)
             else:
-                staged = src.mapInPandas(self._compile_consumer(reg), _STAGE_DDL)
+                compiler = (
+                    self._compile_batch_consumer
+                    if isinstance(reg, _BatchConsumer)
+                    else self._compile_consumer
+                )
+                staged = src.mapInPandas(compiler(reg), _STAGE_DDL)
                 ok = staged.filter(F.col("error").isNull())
                 dlq = staged.filter(F.col("error").isNotNull()).select(
                     "topic",

@@ -180,6 +180,18 @@ def _unpack(
     return base, serde, marker, depends
 
 
+def resolve_serde(annotation: object) -> Serde | None:
+    """Serde from an annotation — accepts bare aliases (``Json``) and
+    subscripted forms (``Json[Model]``, ``Str``)."""
+    if annotation is None:
+        return None
+    if isinstance(annotation, _SerdeAlias):
+        annotation = annotation.bare
+    if annotation is bytes:
+        return BytesSerde()
+    return _unpack(annotation)[1]
+
+
 def get_handler_spec(func) -> HandlerSpec:
     spec = HandlerSpec(func=func, is_async=inspect.iscoroutinefunction(func))
     sig = inspect.signature(func)
