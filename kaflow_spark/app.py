@@ -676,6 +676,44 @@ class App:
                 .save()
             )
 
+    def describe(self) -> dict[str, Any]:
+        """Topic->pipeline schema catalog: the engine's answer to the
+        reference's AsyncAPI builder (which is dead code there —
+        kaflow/applications.py:446-460 raises NotImplementedError).
+        Returns, per topic: handler kind, sink topics, and the declared
+        value/key schemas (pydantic-derived Spark DDL when available).
+        """
+        out: dict[str, Any] = {}
+        for topic, reg in self._consumers.items():
+            entry: dict[str, Any] = {"sink_topics": list(reg.sink_topics)}
+            if isinstance(reg, _Consumer):
+                entry["kind"] = "record_handler"
+                spec = reg.spec
+                if spec.value and spec.value.serde is not None:
+                    schema = getattr(spec.value.serde, "spark_schema", lambda: None)()
+                    entry["value_schema"] = (
+                        schema.simpleString() if schema is not None else None
+                    )
+                    entry["value_type"] = getattr(
+                        spec.value.target_type, "__name__", None
+                    )
+                if spec.key and spec.key.serde is not None:
+                    schema = getattr(spec.key.serde, "spark_schema", lambda: None)()
+                    entry["key_schema"] = (
+                        schema.simpleString() if schema is not None else None
+                    )
+                entry["headers"] = [h.alias for h in spec.headers]
+            elif isinstance(reg, _BatchConsumer):
+                entry["kind"] = "batch_handler"
+            else:
+                entry["kind"] = "dataframe_transform"
+                schema = getattr(reg.value_serde, "spark_schema", lambda: None)()
+                entry["value_schema"] = (
+                    schema.simpleString() if schema is not None else None
+                )
+            out[topic] = entry
+        return out
+
     def run_context(self):
         """Enter the user lifespan (sync or async context manager) —
         wrapped around query start/termination and around TestClient

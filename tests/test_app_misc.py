@@ -1,0 +1,70 @@
+"""App error paths + the schema catalog (AsyncAPI analog)."""
+
+from __future__ import annotations
+
+import pytest
+from pydantic import BaseModel
+
+from kaflow_spark.app import App
+from kaflow_spark.message import Message
+from kaflow_spark.params import FromHeader, FromKey, FromValue, Json, Str
+
+
+class Click(BaseModel):
+    user_id: int
+    url: str
+
+
+def test_streaming_requires_brokers(spark):
+    app = App()
+
+    @app.consume(topic="t", sink_topics=("o",))
+    def h(v: FromValue[Str]) -> Message:
+        return Message(value=b"x")
+
+    with pytest.raises(ValueError, match="brokers"):
+        app.source_stream(spark)
+
+
+def test_describe_catalog(spark):
+    app = App()
+
+    @app.consume(topic="clicks", sink_topics=("out1", "out2"))
+    def h(
+        v: FromValue[Json[Click]], k: FromKey[Str], corr: FromHeader[Str]
+    ) -> Message:
+        return Message(value=b"x")
+
+    @app.transform(topic="clicks2", sink_topics=("big",), value=Json[Click])
+    def t(df):
+        return df
+
+    d = app.describe()
+    assert d["clicks"]["kind"] == "record_handler"
+    assert d["clicks"]["sink_topics"] == ["out1", "out2"]
+    assert "user_id:bigint" in d["clicks"]["value_schema"]
+    assert d["clicks"]["value_type"] == "Click"
+    assert d["clicks"]["headers"] == ["corr"]
+    assert d["clicks2"]["kind"] == "dataframe_transform"
+    assert "url:string" in d["clicks2"]["value_schema"]
+
+
+def test_topic_reregistration_replaces(spark):
+    """One handler per topic, last registration wins (parity with the
+    reference's dict registry, kaflow/applications.py:262-276)."""
+    app = App()
+
+    @app.consume(topic="t", sink_topics=("a",))
+    def h1(v: FromValue[Str]) -> Message:
+        return Message(value=b"1")
+
+    @app.consume(topic="t", sink_topics=("b",))
+    def h2(v: FromValue[Str]) -> Message:
+        return Message(value=b"2")
+
+    from kaflow_spark.testclient import TestClient
+
+    client = TestClient(app, spark)
+    msg = client.publish("t", b"x")
+    assert msg.value == b"2"
+    assert [r["topic"] for r in client.last_outputs] == ["b"]
