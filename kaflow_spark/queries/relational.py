@@ -160,6 +160,38 @@ def q06(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "q48_right_full_outer",
+    oracle="""
+    SELECT 'right' AS side, c_custkey, o_orderkey
+    FROM (SELECT * FROM customer WHERE c_custkey <= 50) c
+    RIGHT JOIN orders o ON c_custkey = o_custkey
+    UNION ALL
+    SELECT 'full' AS side, c_custkey, o_orderkey
+    FROM (SELECT * FROM customer WHERE c_custkey <= 50) c
+    FULL JOIN orders o ON c_custkey = o_custkey
+    ORDER BY side, c_custkey NULLS FIRST, o_orderkey NULLS FIRST
+    """,
+    doc="Right and full outer joins with unmatched rows on both sides "
+    "(customer subset vs all orders).",
+    tags=("join",),
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    c50 = load(spark, sf, "customer").filter(F.col("c_custkey") <= 50)
+    right = c50.join(o, c50.c_custkey == o.o_custkey, "right").select(
+        F.lit("right").alias("side"), "c_custkey", "o_orderkey"
+    )
+    full = c50.join(o, c50.c_custkey == o.o_custkey, "full").select(
+        F.lit("full").alias("side"), "c_custkey", "o_orderkey"
+    )
+    return right.unionAll(full).orderBy(
+        "side",
+        F.col("c_custkey").asc_nulls_first(),
+        F.col("o_orderkey").asc_nulls_first(),
+    )
+
+
+@declare(
     "q07_semi_join",
     oracle="""
     SELECT c_custkey FROM customer
@@ -415,7 +447,9 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_mktsegment,
            CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
-           CAST(RANK() OVER w AS BIGINT) AS rk
+           CAST(RANK() OVER w AS BIGINT) AS rk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS nt
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
     ORDER BY c_mktsegment, rn
@@ -433,6 +467,8 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
             "c_mktsegment",
             F.row_number().over(w).cast("bigint").alias("rn"),
             F.rank().over(w).cast("bigint").alias("rk"),
+            F.dense_rank().over(w).cast("bigint").alias("drk"),
+            F.ntile(4).over(w).cast("bigint").alias("nt"),
         )
         .orderBy("c_mktsegment", "rn")
     )
@@ -442,18 +478,31 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
     "q19_lag",
     oracle="""
     SELECT event_id, user_id,
-           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-    FROM events ORDER BY user_id, event_id
+           LAG(event_type) OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS final_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
     """,
-    doc="Analytic LAG with unique tie-break.",
+    doc="Analytic lag/lead/first_value/last_value with unique tie-break"
+    " (last_value over the full-partition frame).",
     tags=("window",),
 )
 def q19(spark: SparkSession, sf: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return (
         load(spark, sf, "events")
         .select(
-            "event_id", "user_id", F.lag("event_type").over(w).alias("prev_type")
+            "event_id",
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w_full).alias("final_type"),
         )
         .orderBy("user_id", "event_id")
     )
@@ -566,8 +615,13 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
 @declare(
     "q23_string_funcs",
     oracle="""
-    SELECT p_partkey, UPPER(p_brand) AS b, CAST(LENGTH(p_name) AS INT) AS ln,
-           SUBSTRING(p_type, 1, 5) AS t5, REPLACE(p_name, ' ', '_') AS nm
+    SELECT p_partkey, UPPER(p_brand) AS b, LOWER(p_type) AS lo,
+           CAST(LENGTH(p_name) AS INT) AS ln,
+           SUBSTRING(p_type, 1, 5) AS t5, REPLACE(p_name, ' ', '_') AS nm,
+           TRIM(CONCAT(' ', p_name, ' ')) AS tr,
+           LPAD(p_brand, 12, '*') AS lp,
+           CONCAT(p_brand, '#', p_type) AS cc,
+           CAST(INSTR(p_name, 'green') AS INT) AS ix
     FROM part WHERE p_name LIKE '%green%' ORDER BY p_partkey
     """,
     doc="String function family over a LIKE-filtered scan.",
@@ -580,9 +634,14 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "p_partkey",
             F.upper("p_brand").alias("b"),
+            F.lower("p_type").alias("lo"),
             F.length("p_name").cast("int").alias("ln"),
             F.substring("p_type", 1, 5).alias("t5"),
             F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("nm"),
+            F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("tr"),
+            F.lpad("p_brand", 12, "*").alias("lp"),
+            F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("cc"),
+            F.instr(F.col("p_name"), "green").cast("int").alias("ix"),
         )
         .orderBy("p_partkey")
     )
@@ -594,11 +653,15 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
     SELECT o_orderkey,
            CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
            CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
-           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mth
+           CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS d,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mth,
+           CAST(o_orderdate AS DATE) AS dt,
+           CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS ep
     FROM orders ORDER BY o_orderkey
     """,
-    doc="Date/time extraction + truncation (month-truncate as DATE — "
-    "both dialects agree on the day grain).",
+    doc="Date/time extraction + truncation + to_date + epoch seconds "
+    "(month-truncate as DATE — both dialects agree at the day grain; "
+    "epoch via exact integer micros, session TZ is UTC).",
     tags=("scalar",),
 )
 def q24(spark: SparkSession, sf: str) -> DataFrame:
@@ -608,7 +671,10 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
             "o_orderkey",
             F.year("o_orderdate").cast("int").alias("y"),
             F.month("o_orderdate").cast("int").alias("m"),
+            F.dayofmonth("o_orderdate").cast("int").alias("d"),
             F.trunc(F.col("o_orderdate"), "month").alias("mth"),
+            F.to_date("o_orderdate").alias("dt"),
+            F.unix_timestamp(F.col("o_orderdate")).alias("ep"),
         )
         .orderBy("o_orderkey")
     )
@@ -622,7 +688,8 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
            CAST(CEIL(p_retailprice) AS BIGINT) AS c,
            CAST(FLOOR(p_retailprice) AS BIGINT) AS f,
            CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS r,
-           CAST(POW(2, p_size % 10) AS BIGINT) AS p
+           CAST(POW(2, p_size % 10) AS BIGINT) AS p,
+           CAST(ROUND(SQRT(p_retailprice), 6) AS DECIMAL(18,6)) AS sq
     FROM part ORDER BY p_partkey
     """,
     doc="Math family. ROUND goes through DECIMAL so half-up semantics "
@@ -639,6 +706,7 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
             F.floor("p_retailprice").cast("bigint").alias("f"),
             F.round(dec("p_retailprice"), 1).cast(DecimalType(18, 1)).alias("r"),
             F.pow(F.lit(2), F.col("p_size") % 10).cast("bigint").alias("p"),
+            F.round(F.sqrt("p_retailprice"), 6).cast(DecimalType(18, 6)).alias("sq"),
         )
         .orderBy("p_partkey")
     )
@@ -648,11 +716,14 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
     "q26_array_funcs",
     oracle="""
     SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
-           CAST(ROUND(CAST(embedding[1] AS DOUBLE), 4) AS DECIMAL(10,4)) AS e1
+           CAST(ROUND(CAST(embedding[1] AS DOUBLE), 4) AS DECIMAL(10,4)) AS e1,
+           CAST(ROUND(CAST(list_aggregate(embedding[1:3], 'min') AS DOUBLE), 4)
+                AS DECIMAL(10,4)) AS m3,
+           list_contains(embedding, 0.0) AS z
     FROM embeddings ORDER BY vec_id
     """,
     doc="Array functions over array<float> embeddings (1-based "
-    "element_at in both dialects).",
+    "element_at, slice+sort-min, membership in both dialects).",
     tags=("scalar", "array"),
 )
 def q26(spark: SparkSession, sf: str) -> DataFrame:
@@ -664,6 +735,12 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.element_at("embedding", 1).cast("double"), 4)
             .cast(DecimalType(10, 4))
             .alias("e1"),
+            F.round(
+                F.array_min(F.slice("embedding", 1, 3)).cast("double"), 4
+            )
+            .cast(DecimalType(10, 4))
+            .alias("m3"),
+            F.array_contains("embedding", F.lit(0.0).cast("float")).alias("z"),
         )
         .orderBy("vec_id")
     )
