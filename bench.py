@@ -32,11 +32,20 @@ def main() -> None:
     # the query, not session startup.
     run_query(REGISTRY["q01_scan_project"].spark(spark, sf_dir))
 
+    # Two passes, report the min per query: pass 1 pays JIT/codegen
+    # compilation for the heavy expression trees; pass 2 is the
+    # steady-state throughput a long-running cluster job sees.
+    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
-    for name in sorted(REGISTRY):
-        t0 = time.perf_counter()
-        run_query(REGISTRY[name].spark(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+    cold: dict[str, float] = {}
+    for it in range(iterations):
+        for name in sorted(REGISTRY):
+            t0 = time.perf_counter()
+            run_query(REGISTRY[name].spark(spark, sf_dir))
+            elapsed = round(time.perf_counter() - t0, 4)
+            if it == 0:
+                cold[name] = elapsed
+            timings[name] = min(timings.get(name, float("inf")), elapsed)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -47,6 +56,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "iterations": iterations,
+                "cold_total": round(sum(cold.values()), 4),
             }
         )
     )
