@@ -793,6 +793,27 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
 # ----------------------------------------------------------- subquery
 
 
+_Q49_SQL = """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 2 * (
+        SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,6))
+        FROM orders)
+    ORDER BY o_orderkey
+"""
+
+
+@declare(
+    "q49_scalar_subquery",
+    oracle=_Q49_SQL,
+    doc="Uncorrelated scalar subquery: the global average computes "
+    "once and broadcasts into the filter (no per-row work).",
+    tags=("subquery",),
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q49_SQL)
+
+
 @declare(
     "q28_correlated_scalar_subquery",
     oracle="""

@@ -273,6 +273,27 @@ class AvroSerde(Serde):
             raise ValueError("trailing bytes after Avro record")
         return self.model(**obj) if self.model is not None else obj
 
+    # -- JVM path: available when the spark-avro package is on the
+    # classpath (not bundled with stock PySpark); falls back to the
+    # python codec above otherwise.
+    def decode_col(self, col: Column) -> Column | None:
+        try:
+            import json as _json
+
+            from pyspark.sql.avro.functions import from_avro
+
+            return from_avro(col, _json.dumps(self.schema))
+        except Exception:  # noqa: BLE001 - jar absent
+            return None
+
+    def encode_col(self, col: Column) -> Column | None:
+        try:
+            from pyspark.sql.avro.functions import to_avro
+
+            return to_avro(col)
+        except Exception:  # noqa: BLE001
+            return None
+
     def dumps(self, obj: Any) -> bytes:
         if not isinstance(obj, dict):
             dump = getattr(obj, "model_dump", None) or getattr(obj, "dict", None)
