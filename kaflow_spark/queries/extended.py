@@ -1,0 +1,125 @@
+"""Extended declared queries q50+ — operator families beyond the core
+SURVEY tables that a reference user would expect from an analytics
+engine: ordered array aggregation, lateral explode, pivot, exact
+percentiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from kaflow_spark.catalog import load
+from kaflow_spark.queries.base import declare
+
+
+@declare(
+    "q50_array_agg_sorted",
+    oracle="""
+    SELECT c_mktsegment, list_sort(list(c_name)) AS names, COUNT(*) AS n
+    FROM customer
+    WHERE c_custkey <= 40
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="Ordered array aggregation: collect_list is shuffle-order-"
+    "nondeterministic, so the declared form sorts the result array "
+    "(deterministic set semantics).",
+    tags=("agg", "array"),
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "customer")
+        .filter(F.col("c_custkey") <= 40)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sort_array(F.collect_list("c_name")).alias("names"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@declare(
+    "q51_posexplode",
+    oracle="""
+    SELECT doc_id, tok, CAST(ord AS INT) AS pos
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                 generate_subscripts(string_split(text, ' '), 1) AS ord
+          FROM documents WHERE doc_id <= 20)
+    ORDER BY doc_id, pos
+    """,
+    doc="Lateral explode with position (UDTF-shaped 1->N operator; "
+    "posexplode is 0-based in Spark, normalized to 1-based here).",
+    tags=("udtf", "array"),
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").filter(F.col("doc_id") <= 20)
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ", -1)).alias("pos0", "tok"),
+        )
+        .select("doc_id", "tok", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+@declare(
+    "q52_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Pivot (long->wide): Spark's native pivot with explicit value "
+    "list (one aggregation pass, no per-value scans); oracle states "
+    "it as conditional aggregation.",
+    tags=("agg", "pivot"),
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    pivoted = (
+        load(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        pivoted.select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("f_cnt"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("o_cnt"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@declare(
+    "q53_percentile_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.5), 4) AS DECIMAL(18,4)) AS med,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.9), 4) AS DECIMAL(18,4)) AS p90
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles (sort-based, deterministic — "
+    "unlike approx_percentile which stays engine-only).",
+    tags=("agg",),
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4)
+            .cast(DecimalType(18, 4))
+            .alias("med"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4)
+            .cast(DecimalType(18, 4))
+            .alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
