@@ -1,0 +1,103 @@
+"""Side-by-side migration guide: the reference's README application
+(gabrielmbmb/kaflow README.md:50-90) rewritten on kaflow_spark.
+
+Reference (kaflow):
+
+    from kaflow import FromHeader, FromKey, FromValue, Json, Kaflow, Message
+    from pydantic import BaseModel
+
+    class UserClick(BaseModel):
+        user_id: int
+        url: str
+        timestamp: int
+
+    class Key(BaseModel):
+        environment: str
+
+    app = Kaflow(name="AwesomeKafkaApp", brokers="localhost:9092")
+
+    @app.consume(topic="user_clicks", sink_topics=["user_clicks_json"])
+    async def consume_user_clicks(
+        message: FromValue[Json[UserClick]],
+        key: FromKey[Json[Key]],
+        x_correlation_id: FromHeader[str],
+    ) -> Message:
+        return Message(value=b"...")
+
+    app.run()
+
+Engine (kaflow_spark) — this file, runnable:
+    PYTHONPATH=/root/repo python examples/kaflow_migration.py
+
+Differences a migrating user sees:
+- ``Kaflow(...)`` -> ``App(...)``; ``app.run()`` -> ``app.run_stream(
+  spark, checkpoint)`` (needs the spark-sql-kafka package) or the
+  batch/test path below.
+- handlers may be sync or async; same Message/None contract.
+- deserialization failures dead-letter instead of raising (the raw
+  record is preserved); header decode failures included (the
+  reference's _consumer.py:188 bug is fixed here).
+- at 100 TB, prefer ``@app.transform`` (pure JVM) or
+  ``@app.consume_batches`` (vectorized) over per-record handlers.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pydantic import BaseModel
+
+from kaflow_spark import get_spark
+from kaflow_spark.app import App
+from kaflow_spark.message import Message
+from kaflow_spark.params import FromHeader, FromKey, FromValue, Header, Json
+from kaflow_spark.testclient import TestClient
+
+
+class UserClick(BaseModel):
+    user_id: int
+    url: str
+    timestamp: int
+
+
+class Key(BaseModel):
+    environment: str
+
+
+app = App(name="AwesomeKafkaApp", brokers=None)  # brokers="host:9092" for Kafka
+
+
+@app.consume(topic="user_clicks", sink_topics=("user_clicks_json",))
+async def consume_user_clicks(
+    message: FromValue[Json[UserClick]],
+    key: FromKey[Json[Key]],
+    x_correlation_id: Header(alias="x-correlation-id"),
+) -> Message:
+    out = {
+        "user": message.user_id,
+        "url": message.url,
+        "env": key.environment,
+        "corr": x_correlation_id,
+    }
+    return Message(value=json.dumps(out).encode())
+
+
+def main() -> None:
+    spark = get_spark("kaflow-migration-demo", master="local[4]")
+    client = TestClient(app, spark)  # same role as kaflow's TestClient
+    msg = client.publish(
+        topic="user_clicks",
+        value=json.dumps(
+            {"user_id": 7, "url": "https://spark.apache.org", "timestamp": 1}
+        ).encode(),
+        key=json.dumps({"environment": "prod"}).encode(),
+        headers={"x-correlation-id": b"abc-123"},
+    )
+    print("produced:", msg.value.decode())
+    bad = client.publish("user_clicks", value=b"{broken json")
+    print("malformed record -> dead letter:", bad is None, client.last_dlq[0]["error"])
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
