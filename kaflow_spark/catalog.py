@@ -34,6 +34,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is parquet TIMESTAMP(NANOS) which Spark reads as
         # INT64 nanos (legacy.parquet.nanosAsLong); truncate to micros
         # exactly like DuckDB's python fetch does.
+        #
+        # Scale caveat: predicates on the converted column cannot reach
+        # the parquet row-group stats (the scan sees only the raw
+        # int64). A production events table should be WRITTEN with
+        # micros precision — this conversion exists only because the
+        # driver-generated fixture uses nanos. Filters still prune
+        # post-scan and the conversion is a free codegen projection.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
