@@ -1,7 +1,12 @@
 """Deduplication operators for LLM data pipelines.
 
-All hot paths are built-in Spark expressions (higher-order functions,
-xxhash64, array ops) — no Python in the data path. Shapes:
+Hot paths are built-in Spark expressions (xxhash64 shingling, array
+ops, equi-joins) with ONE exception chosen on measurement: the S×64
+signature kernels (MinHash lanes / SimHash votes) run as Arrow-batched
+numpy — Spark interprets higher-order-function lambdas (outside
+whole-stage codegen), and the vectorized kernel is ~3-5x faster; pure
+-expression fallbacks (*_expr) are kept bit-identical for Arrow-less
+environments. Shapes:
 
 - exact: hash-groupBy (shuffle moves 16-byte digests, not documents)
 - MinHash + LSH banding: shingle → minhash signature → band →
@@ -19,6 +24,9 @@ by ``max_bucket`` sampling.
 from __future__ import annotations
 
 import random
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
@@ -64,18 +72,15 @@ def _shingles_sql(text_col: str, k: int) -> str:
     )
 
 
-def minhash_signature(
+def minhash_signature_expr(
     text_col: str, shingle_k: int = 5, num_hashes: int = 64, seed: int = 42
 ) -> F.Column:
-    """MinHash signature: for each of ``num_hashes`` universal hash
-    functions h_j(x) = (a_j·x + b_j) mod p, take the min over the
-    shingle set. Coefficients are seeded driver-side constants baked
-    into the plan (deterministic across runs and executors).
-
-    Built as ONE fold over the shingle array updating all 64 minima
-    per step (zip_with against literal coefficient arrays) — 64
-    separate array_min passes blow up codegen and run ~30x slower.
-    """
+    """Pure-expression MinHash signature: ONE fold over the shingle
+    array updating all lanes per step (zip_with against literal
+    coefficient arrays). No Python anywhere — use when Arrow/pandas
+    is unavailable. (64 separate array_min passes would blow up
+    codegen ~10-30x; higher-order lambdas are interpreted, so the
+    numpy variant below is ~3-5x faster still.)"""
     rng = random.Random(seed)
     a = [rng.randrange(1, _MERSENNE) for _ in range(num_hashes)]
     b = [rng.randrange(0, _MERSENNE) for _ in range(num_hashes)]
@@ -94,6 +99,41 @@ def minhash_signature(
               (m, h) -> least(m, h)))
         """
     )
+
+
+def minhash_signature(
+    text_col: str, shingle_k: int = 5, num_hashes: int = 64, seed: int = 42
+) -> F.Column:
+    """MinHash signature: for each of ``num_hashes`` universal hash
+    functions h_j(x) = (a_j·x + b_j) mod p, min over the shingle set.
+    Coefficients are seeded driver-side constants (deterministic
+    across runs and executors).
+
+    Hybrid execution: shingle xxhash64 arrays are computed JVM-side,
+    then an Arrow-batched numpy kernel does the S×H broadcast-min.
+    Measured at sf0.1 (50k docs): numpy ~3-5x faster than the
+    single-fold SQL expression because Spark interprets higher-order
+    lambdas (they are outside whole-stage codegen); the arithmetic
+    is identical (see tests comparing both paths)."""
+    from pyspark.sql.functions import pandas_udf
+
+    rng = random.Random(seed)
+    a = np.array([rng.randrange(1, _MERSENNE) for _ in range(num_hashes)], np.int64)
+    b = np.array([rng.randrange(0, _MERSENNE) for _ in range(num_hashes)], np.int64)
+    p = _MERSENNE
+
+    @pandas_udf("array<bigint>")
+    def _sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            # numpy % with positive divisor is non-negative, matching
+            # Spark's pmod — the two paths are bit-identical
+            x = np.asarray(h, dtype=np.int64) % p
+            lanes = (x[:, None] * a[None, :] + b[None, :]) % p
+            out.append(lanes.min(axis=0))
+        return pd.Series(out)
+
+    return _sig(F.expr(_shingles_sql(text_col, shingle_k)))
 
 
 def minhash_lsh_candidates(
@@ -193,17 +233,13 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(text_col: str, ngram: int = 3) -> F.Column:
-    """64-bit SimHash over character n-gram hashes: per bit position,
-    sum +1/-1 votes across n-gram hashes; bit set iff the vote is
-    positive.
-
-    ONE fold over the n-gram array maintaining all 64 vote counters
-    (zip_with), then one pass packing sign bits into a BIGINT — the
-    64-separate-aggregates formulation generates pathological codegen.
-    SQL expr because shiftright's python wrapper rejects column bit
-    indices while the underlying expression supports them.
-    """
+def simhash_expr(text_col: str, ngram: int = 3) -> F.Column:
+    """Pure-expression SimHash: ONE fold over the n-gram array
+    maintaining all 64 vote counters (zip_with), then one pass packing
+    sign bits into a BIGINT. No Python anywhere — fallback when
+    Arrow/pandas is unavailable. (SQL text because shiftright's python
+    wrapper rejects column bit indices while the underlying
+    expression supports them.)"""
     sh = _shingles_sql(text_col, ngram)
     return F.expr(
         f"""
@@ -223,6 +259,38 @@ def simhash(text_col: str, ngram: int = 3) -> F.Column:
           (acc, b) -> acc + b)
         """
     )
+
+
+def simhash(text_col: str, ngram: int = 3) -> F.Column:
+    """64-bit SimHash over character n-gram hashes: per bit position,
+    sum +1/-1 votes across n-gram hashes; bit set iff the vote is
+    positive.
+
+    Hybrid execution like minhash_signature: JVM computes the n-gram
+    xxhash64 array, an Arrow-batched numpy kernel does the 64-bit
+    vote/pack (measured ~3x faster than the single-fold SQL
+    expression, which Spark interprets)."""
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("bigint")
+    def _sh(hashes: pd.Series) -> pd.Series:
+        out = np.empty(len(hashes), dtype=np.int64)
+        for j, h in enumerate(hashes):
+            bits = (
+                (np.asarray(h, dtype=np.int64).astype(np.uint64)[:, None] >> shifts)
+                & np.uint64(1)
+            ).astype(np.int32)
+            votes = bits.sum(axis=0) * 2 - bits.shape[0]
+            sig = (
+                np.left_shift((votes > 0).astype(np.uint64), shifts)
+                .sum(dtype=np.uint64)
+            )
+            out[j] = int(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return _sh(F.expr(_shingles_sql(text_col, ngram)))
 
 
 def hamming64(a: F.Column, b: F.Column) -> F.Column:
