@@ -132,6 +132,39 @@ class App:
     #: optional (async) context-manager factory run around the whole
     #: app lifetime (parity: kaflow/applications.py:218-242)
     lifespan: Callable | None = None
+    # -- delivery-semantics passthrough (parity with the reference's
+    # client-config surface, kaflow/applications.py:54-196). These map
+    # onto the Kafka client options of the source/sink; exactly-once
+    # end-to-end additionally needs checkpointing + an idempotent
+    # downstream (streaming/exactly_once.py).
+    acks: str | int | None = None
+    enable_idempotence: bool | None = None
+    transactional_id: str | None = None
+    isolation_level: str | None = None
+    auto_offset_reset: str | None = None
+    compression_type: str | None = None
+    max_offsets_per_trigger: int | None = None
+
+    def _client_options(self) -> dict[str, str]:
+        """Materialize the delivery-semantics kwargs as Kafka options."""
+        opts = dict(self.kafka_options)
+        mapping = {
+            "kafka.acks": self.acks,
+            "kafka.enable.idempotence": self.enable_idempotence,
+            "kafka.transactional.id": self.transactional_id,
+            "kafka.isolation.level": self.isolation_level,
+            "startingOffsets": {
+                "earliest": "earliest",
+                "latest": "latest",
+                None: None,
+            }.get(self.auto_offset_reset, self.auto_offset_reset),
+            "kafka.compression.type": self.compression_type,
+            "maxOffsetsPerTrigger": self.max_offsets_per_trigger,
+        }
+        for k, v in mapping.items():
+            if v is not None and k not in opts:
+                opts[k] = str(v).lower() if isinstance(v, bool) else str(v)
+        return opts
 
     def __post_init__(self) -> None:
         self._consumers: dict[str, _Consumer | _Transform] = {}
@@ -641,7 +674,7 @@ class App:
             .option("subscribe", ",".join(self._consumers))
             .option("includeHeaders", "true")
         )
-        for k, v in self.kafka_options.items():
+        for k, v in self._client_options().items():
             reader = reader.option(k, v)
         return reader.load().withColumnRenamed("timestampType", "timestamp_type")
 

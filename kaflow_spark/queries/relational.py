@@ -758,12 +758,13 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
     tags=("scalar", "json"),
 )
 def q27(spark: SparkSession, sf: str) -> DataFrame:
+    # json_tuple parses the document ONCE for both paths (two
+    # get_json_object calls would parse twice)
     return (
         load(spark, sf, "events")
         .select(
             "event_id",
-            F.get_json_object("props", "$.device").alias("device"),
-            F.get_json_object("props", "$.k").alias("kstr"),
+            F.json_tuple(F.col("props"), "device", "k").alias("device", "kstr"),
         )
         .orderBy("event_id")
     )
