@@ -98,6 +98,116 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "q54_topn_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, rn FROM (
+        SELECT c_mktsegment, c_custkey,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        FROM customer) t
+    WHERE rn <= 3 ORDER BY c_mktsegment, rn
+    """,
+    doc="Top-N per group (window rank + filter): the rank filter "
+    "pushes through so only N rows per partition survive the sort.",
+    tags=("window", "topk"),
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    return (
+        load(spark, sf, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@declare(
+    "q55_string_agg",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    doc="Ordered string aggregation (listagg): sort-then-join is the "
+    "deterministic declared form.",
+    tags=("agg",),
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("names")
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@declare(
+    "q56_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT)
+               AS days_left,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom
+    FROM orders ORDER BY o_orderkey
+    """,
+    doc="Date arithmetic: add-interval, day difference, end-of-month.",
+    tags=("scalar",),
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.to_date("o_orderdate")
+    return (
+        load(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            F.date_add(d, 30).alias("due"),
+            F.datediff(F.lit("1998-01-01").cast("date"), d).cast("int").alias(
+                "days_left"
+            ),
+            F.last_day(d).alias("eom"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@declare(
+    "q57_regexp",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(text, 'data|spark') AS has_kw
+    FROM documents WHERE doc_id <= 50 ORDER BY doc_id
+    """,
+    doc="Regexp family. Dialect: Spark regexp_replace is global by "
+    "default, DuckDB needs the 'g' flag; Spark rlike == DuckDB "
+    "regexp_matches.",
+    tags=("scalar",),
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("doc_id") <= 50)
+        .select(
+            "doc_id",
+            F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+            F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
+            F.col("text").rlike("data|spark").alias("has_kw"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declare(
     "q53_percentile_exact",
     oracle="""
     SELECT o_orderpriority,
