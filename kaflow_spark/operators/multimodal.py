@@ -128,6 +128,57 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     raise NotImplementedError("wire PIL.Image.open into fake_decode's stage")
 
 
+def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real audio decode — requires an audio library (soundfile /
+    librosa) that is NOT in this container. Same stage shape as
+    ``fake_decode``."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "audio decoding needs soundfile; use audio_features for "
+            "plumbing tests in this environment"
+        ) from exc
+    raise NotImplementedError("wire soundfile.read into fake_decode's stage")
+
+
+AUDIO_FEATURES_DDL = "media_id bigint, n_windows int, energy array<double>"
+
+
+def audio_features(
+    df: DataFrame, payload_col: str = "payload", window_bytes: int = 64
+) -> DataFrame:
+    """Audio feature-extraction plumbing: windows the payload body and
+    emits a per-window energy-like statistic (deterministic byte mean
+    standing in for RMS over PCM frames). The batching, schema, and
+    array-column output match what a real mel/RMS extractor produces.
+    """
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_rows = []
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                body = bytes(getattr(r, payload_col))[28:]
+                wins = [
+                    body[i : i + window_bytes]
+                    for i in range(0, max(len(body), 1), window_bytes)
+                ]
+                energy = [
+                    (sum(w) / len(w)) if w else 0.0 for w in wins
+                ]
+                out_rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "n_windows": len(wins),
+                        "energy": energy,
+                    }
+                )
+            yield pd.DataFrame(out_rows, columns=["media_id", "n_windows", "energy"])
+            out_rows = []
+
+    return df.mapInPandas(stage, AUDIO_FEATURES_DDL)
+
+
 def frame_sample(df: DataFrame, payload_col: str = "payload", n_frames: int = 4) -> DataFrame:
     """Deterministic frame sampling: slices the payload body into
     ``n_frames`` equal windows and fingerprints each — the shape of a

@@ -171,6 +171,21 @@ def test_multimodal_plumbing(spark):
     assert sorted(map(str, fr)) == sorted(map(str, fr2))
 
 
+def test_audio_features_plumbing(spark):
+    from kaflow_spark.operators.multimodal import audio_features
+
+    base = spark.range(1, 5).withColumnRenamed("id", "media_id")
+    media = attach_fake_media(base, "media_id")
+    feats = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert len(feats) == 4
+    for r in feats.values():
+        assert r["n_windows"] == len(r["energy"]) > 0
+        assert all(0.0 <= e <= 255.0 for e in r["energy"])
+    # deterministic across runs
+    again = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert all(feats[k]["energy"] == again[k]["energy"] for k in feats)
+
+
 def test_decode_image_stub_raises(spark):
     base = spark.range(1, 3).withColumnRenamed("id", "media_id")
     media = attach_fake_media(base, "media_id")
