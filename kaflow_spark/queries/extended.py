@@ -208,6 +208,96 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "q58_dist_windows",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(PERCENT_RANK() OVER w, 10) AS pr,
+           ROUND(CUME_DIST() OVER w, 10) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="Distribution window functions (percent_rank/cume_dist); the "
+    "k/n divisions are identical IEEE ops in both engines, rounded "
+    "for safety.",
+    tags=("window",),
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        load(spark, sf, "customer")
+        .select(
+            "c_custkey",
+            F.round(F.percent_rank().over(w), 10).alias("pr"),
+            F.round(F.cume_dist().over(w), 10).alias("cd"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@declare(
+    "q59_bitwise_least_greatest",
+    oracle="""
+    SELECT n_nationkey,
+           n_nationkey & 12 AS ba, n_nationkey | 3 AS bo,
+           xor(n_nationkey, 5) AS bx,
+           n_nationkey << 2 AS shl, n_nationkey >> 1 AS shr,
+           LEAST(n_nationkey, n_regionkey) AS lo,
+           GREATEST(n_nationkey, n_regionkey) AS hi
+    FROM nation ORDER BY n_nationkey
+    """,
+    doc="Bitwise family + least/greatest (dialect: Spark infix ^ is "
+    "XOR while DuckDB spells it xor()).",
+    tags=("scalar",),
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    k = F.col("n_nationkey")
+    return (
+        load(spark, sf, "nation")
+        .select(
+            "n_nationkey",
+            k.bitwiseAND(F.lit(12)).alias("ba"),
+            k.bitwiseOR(F.lit(3)).alias("bo"),
+            k.bitwiseXOR(F.lit(5)).alias("bx"),
+            F.shiftleft(k, 2).alias("shl"),
+            F.shiftright(k, 1).alias("shr"),
+            F.least(k, F.col("n_regionkey")).alias("lo"),
+            F.greatest(k, F.col("n_regionkey")).alias("hi"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@declare(
+    "q60_try_cast",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(lang AS INT) AS lang_int,
+           TRY_CAST(n_chars AS SMALLINT) AS nch_small,
+           TRY_CAST(CAST(doc_id AS VARCHAR) AS INT) AS id_round
+    FROM documents WHERE doc_id <= 100 ORDER BY doc_id
+    """,
+    doc="try_cast semantics: invalid conversions yield NULL instead of "
+    "errors (engine runs ANSI mode, so plain CAST would throw).",
+    tags=("scalar",),
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("doc_id") <= 100)
+        .select(
+            "doc_id",
+            F.col("lang").try_cast("int").alias("lang_int"),
+            F.col("n_chars").try_cast("smallint").alias("nch_small"),
+            F.col("doc_id").cast("string").try_cast("int").alias("id_round"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declare(
     "q53_percentile_exact",
     oracle="""
     SELECT o_orderpriority,
