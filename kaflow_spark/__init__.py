@@ -19,8 +19,53 @@ expressions first, Arrow-vectorized pandas UDFs only where semantics
 require, broadcast hints for dimension joins, AQE for skew.
 """
 
+from kaflow_spark.app import App
+from kaflow_spark.exceptions import DeserializationError, KaflowSparkException
+from kaflow_spark.message import Message, ReadMessage
+from kaflow_spark.params import (
+    Avro,
+    Depends,
+    FromHeader,
+    FromKey,
+    FromValue,
+    Header,
+    Json,
+    MessageOffset,
+    MessagePartition,
+    MessageTimestamp,
+    Protobuf,
+    Str,
+)
 from kaflow_spark.session import get_spark, stop_spark
+from kaflow_spark.testclient import TestClient
+
+#: drop-in import parity with the reference: ``from kaflow import Kaflow``
+#: becomes ``from kaflow_spark import Kaflow``
+Kaflow = App
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "stop_spark", "__version__"]
+__all__ = [
+    "App",
+    "Kaflow",
+    "Message",
+    "ReadMessage",
+    "TestClient",
+    "FromValue",
+    "FromKey",
+    "FromHeader",
+    "Header",
+    "Json",
+    "Str",
+    "Avro",
+    "Protobuf",
+    "Depends",
+    "MessageOffset",
+    "MessagePartition",
+    "MessageTimestamp",
+    "DeserializationError",
+    "KaflowSparkException",
+    "get_spark",
+    "stop_spark",
+    "__version__",
+]

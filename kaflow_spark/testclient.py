@@ -37,6 +37,10 @@ class TestClient:
         offset: int = 0,
         timestamp: int | None = None,
     ) -> Message | None:
+        if topic not in self.app._consumers:
+            # parity: the reference's dispatch KeyErrors on unknown
+            # topics (kaflow/applications.py:492-493)
+            raise KeyError(f"no handler registered for topic {topic!r}")
         ts = (
             _dt.datetime.fromtimestamp(timestamp / 1000, _dt.timezone.utc)
             if timestamp is not None

@@ -49,6 +49,36 @@ def test_describe_catalog(spark):
     assert "url:string" in d["clicks2"]["value_schema"]
 
 
+def test_root_package_drop_in_imports():
+    """A reference user's import line works with the package swapped."""
+    from kaflow_spark import (  # noqa: F401
+        FromHeader,
+        FromKey,
+        FromValue,
+        Json,
+        Kaflow,
+        Message,
+        TestClient,
+    )
+
+    app = Kaflow(name="drop-in", brokers="localhost:9092")
+    assert isinstance(app, App)
+
+
+def test_publish_to_unregistered_topic_raises(spark):
+    from kaflow_spark.testclient import TestClient
+
+    app = App()
+
+    @app.consume(topic="known", sink_topics=("o",))
+    def h(v: FromValue[Str]) -> Message:
+        return Message(value=b"x")
+
+    client = TestClient(app, spark)
+    with pytest.raises(KeyError, match="unknown"):
+        client.publish("unknown", b"x")
+
+
 def test_topic_reregistration_replaces(spark):
     """One handler per topic, last registration wins (parity with the
     reference's dict registry, kaflow/applications.py:262-276)."""
