@@ -47,11 +47,16 @@ import json
 
 from pydantic import BaseModel
 
-from kaflow_spark import get_spark
-from kaflow_spark.app import App
-from kaflow_spark.message import Message
-from kaflow_spark.params import FromHeader, FromKey, FromValue, Header, Json
-from kaflow_spark.testclient import TestClient
+from kaflow_spark import (
+    FromKey,
+    FromValue,
+    Header,
+    Json,
+    Kaflow,
+    Message,
+    TestClient,
+    get_spark,
+)
 
 
 class UserClick(BaseModel):
@@ -64,7 +69,7 @@ class Key(BaseModel):
     environment: str
 
 
-app = App(name="AwesomeKafkaApp", brokers=None)  # brokers="host:9092" for Kafka
+app = Kaflow(name="AwesomeKafkaApp", brokers=None)  # brokers="host:9092" for Kafka
 
 
 @app.consume(topic="user_clicks", sink_topics=("user_clicks_json",))

@@ -158,10 +158,14 @@ def minhash_lsh_candidates(
     produce quadratic blowup.
     """
     rows_per_band = num_hashes // bands
+    # signatures computed ONCE (the expensive S x H kernel) and
+    # persisted: the plan reads them three times (banding + both pair
+    # sides) and recomputation would triple the kernel cost. 512 B x
+    # n_docs spills to disk gracefully at scale.
     sig = df.select(
         F.col(id_col).alias("_id"),
         minhash_signature(text_col, shingle_k, num_hashes, seed).alias("_sig"),
-    )
+    ).persist()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -171,25 +175,28 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
+    # band rows carry ONLY (id, band, bucket) — at 100 TB the bucket
+    # self-join shuffles 24-byte rows, not 512-byte signatures
+    # replicated `bands` times
     banded = sig.select(
-        "_id", "_sig", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("_id", "_sig", "bb.band", "bb.bucket")
+        "_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("_id", "bb.band", "bb.bucket")
     # bound pathological buckets before the self-join
     counted = banded.withColumn(
         "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
     ).filter(F.col("_bn") <= max_bucket)
-    left = counted.select(
-        F.col("band"), F.col("bucket"), F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")
-    )
-    right = counted.select(
-        F.col("band"), F.col("bucket"), F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")
-    )
+    left = counted.select("band", "bucket", F.col("_id").alias("id_a"))
+    right = counted.select("band", "bucket", F.col("_id").alias("id_b"))
     pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # re-attach signatures to the (much smaller) surviving pair set
+    sig_a = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    sig_b = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    paired = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     # estimated jaccard = fraction of agreeing signature positions
     agree = F.aggregate(
         F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
@@ -197,7 +204,7 @@ def minhash_lsh_candidates(
         lambda acc, v: acc + v,
     )
     num_hashes_lit = F.lit(num_hashes).cast("double")
-    return pairs.select(
+    return paired.select(
         "id_a",
         "id_b",
         (agree.cast("double") / num_hashes_lit).alias("est_jaccard"),
