@@ -317,7 +317,10 @@ def simhash_near_dups(
     """SimHash near-dup pairs. Candidate generation blocks on each of
     four 16-bit chunks (pigeonhole: any pair within hamming distance 3
     agrees on at least one chunk), so the join stays equi-keyed."""
-    sigs = df.select(F.col(id_col).alias("_id"), simhash(text_col, ngram).alias("_sh"))
+    # persisted: both join sides read the signatures (kernel runs once)
+    sigs = df.select(
+        F.col(id_col).alias("_id"), simhash(text_col, ngram).alias("_sh")
+    ).persist()
     mask = (1 << block_bits) - 1
     chunk_structs = [
         F.struct(

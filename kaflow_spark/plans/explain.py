@@ -67,8 +67,7 @@ def has_top_k(df: DataFrame) -> bool:
 
 def count_exchanges(df: DataFrame) -> int:
     """Shuffle count in the plan (Exchange nodes, excluding broadcast
-    exchanges which move only the small side)."""
+    exchanges which move only the small side). Formatted mode lists
+    each node once as '(n) Exchange' in the details section."""
     txt = explain_str(df)
-    return len(re.findall(r"Exchange (?:hash|range|rangepartitioning|hashpartitioning)", txt)) or len(
-        [m for m in re.finditer(r"Exchange (\w+)", txt) if "Broadcast" not in m.group(1)]
-    )
+    return len(re.findall(r"\(\d+\) Exchange\b", txt))

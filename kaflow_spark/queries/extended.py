@@ -298,6 +298,56 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "q61_salted_aggregate",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n, MIN(event_id) AS first_e,
+           MAX(event_id) AS last_e
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Skew-safe two-phase salted aggregation (operators.skew): the "
+    "salt only routes rows, so count/min/max results are EXACTLY the "
+    "plain GROUP BY — which is the oracle.",
+    tags=("agg", "skew"),
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.skew import salted_aggregate
+
+    return salted_aggregate(
+        load(spark, sf, "events"),
+        ["user_id"],
+        {
+            "n": ("count", "*"),
+            "first_e": ("min", "event_id"),
+            "last_e": ("max", "event_id"),
+        },
+        salt=8,
+    ).orderBy("user_id")
+
+
+@declare(
+    "q62_salted_join",
+    oracle="""
+    SELECT o_orderkey, c_name FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_orderkey
+    """,
+    doc="Skew-safe salted equi-join (operators.skew): dim replicated "
+    "salt x, fact salted — the result set is EXACTLY the plain join.",
+    tags=("join", "skew"),
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.skew import salted_join
+
+    o = load(spark, sf, "orders").withColumnRenamed("o_custkey", "k")
+    c = load(spark, sf, "customer").withColumnRenamed("c_custkey", "k")
+    return (
+        salted_join(o, c.select("k", "c_name"), "k", salt=4)
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+@declare(
     "q53_percentile_exact",
     oracle="""
     SELECT o_orderpriority,

@@ -20,8 +20,13 @@ os.environ["PYTHONPATH"] = os.pathsep.join(
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("kaflow_spark-tests", master="local[4]")
+def spark(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark(
+        "kaflow_spark-tests",
+        master="local[4]",
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
 
 
