@@ -606,9 +606,19 @@ class App:
     ) -> tuple[DataFrame, DataFrame]:
         """JVM fast path: decode via column codec, apply the user's
         DataFrame function, re-encode. Malformed payloads (decoded
-        struct null while raw bytes non-null) dead-letter."""
-        parsed_col, bad = reg.value_serde.decode_with_errors(F.col("value"))
-        decoded = src.withColumn("_parsed", parsed_col)
+        struct null while raw bytes non-null) dead-letter.
+
+        The decode probe is evaluated ONCE behind a Generate barrier
+        (explode of a 1-element array): from_json is CodegenFallback,
+        so without the barrier CollapseProject re-inlines the parse
+        into every consumer — measured 6 parses/row, ~10x slower.
+        """
+        probe = reg.value_serde.probe_col(F.col("value"))
+        serde = reg.value_serde
+        decoded = src.select(
+            "*", F.explode(F.array(probe)).alias("_probe")
+        ).withColumn("_parsed", serde.probe_clean(F.col("_probe")))
+        bad = serde.probe_bad(F.col("_probe"), F.col("value"))
         if reg.key_serde is not None:
             decoded = decoded.withColumn(
                 "_key_parsed", reg.key_serde.decode_col(F.col("key"))

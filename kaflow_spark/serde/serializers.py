@@ -63,6 +63,23 @@ class Serde(ABC):
             return None
         return parsed, col.isNotNull() & parsed.isNull()
 
+    # -- probe API: lets the pipeline evaluate the (possibly expensive,
+    # non-codegen) decode expression ONCE behind a Generate barrier and
+    # derive error/clean views from the materialized result. Without
+    # this, project-collapsing re-inlines from_json into every
+    # consumer (6x parse per row measured).
+    def probe_col(self, col: Column) -> Column | None:
+        """Decode probe (may carry error metadata); None => no JVM path."""
+        return self.decode_col(col)
+
+    def probe_bad(self, probe: Column, raw: Column) -> Column:
+        """Malformed predicate over the MATERIALIZED probe column."""
+        return raw.isNotNull() & probe.isNull()
+
+    def probe_clean(self, probe: Column) -> Column:
+        """The typed value from the materialized probe column."""
+        return probe
+
 
 class BytesSerde(Serde):
     """Identity passthrough (the reference's no-serializer case,
@@ -141,23 +158,38 @@ class JsonSerde(Serde):
             return None
         return F.from_json(col.cast("string"), schema)
 
-    def decode_with_errors(self, col: Column) -> tuple[Column, Column] | None:
-        """from_json in PERMISSIVE mode yields an all-null struct (not
-        NULL) on malformed input, so detect corruption explicitly via
-        columnNameOfCorruptRecord."""
+    def _probe_schema(self) -> StructType | None:
         schema = self.spark_schema()
         if schema is None:
             return None
         from pyspark.sql.types import StringType, StructField
 
-        probe = StructType([*schema.fields, StructField("_corrupt_rec", StringType())])
-        parsed = F.from_json(
+        return StructType([*schema.fields, StructField("_corrupt_rec", StringType())])
+
+    def decode_with_errors(self, col: Column) -> tuple[Column, Column] | None:
+        """from_json in PERMISSIVE mode yields an all-null struct (not
+        NULL) on malformed input, so detect corruption explicitly via
+        columnNameOfCorruptRecord."""
+        parsed = self.probe_col(col)
+        if parsed is None:
+            return None
+        return self.probe_clean(parsed), self.probe_bad(parsed, col)
+
+    def probe_col(self, col: Column) -> Column | None:
+        probe = self._probe_schema()
+        if probe is None:
+            return None
+        return F.from_json(
             col.cast("string"),
             probe,
             {"columnNameOfCorruptRecord": "_corrupt_rec", "mode": "PERMISSIVE"},
         )
-        bad = (col.isNotNull() & parsed.isNull()) | parsed["_corrupt_rec"].isNotNull()
-        return parsed.dropFields("_corrupt_rec"), bad
+
+    def probe_bad(self, probe: Column, raw: Column) -> Column:
+        return (raw.isNotNull() & probe.isNull()) | probe["_corrupt_rec"].isNotNull()
+
+    def probe_clean(self, probe: Column) -> Column:
+        return probe.dropFields("_corrupt_rec")
 
     def encode_col(self, col: Column) -> Column:
         return F.to_json(col).cast("binary")
