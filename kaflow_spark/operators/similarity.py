@@ -17,6 +17,9 @@ from __future__ import annotations
 import itertools
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 from kaflow_spark.functions.vectors import cosine, hyperplane_sign_bits
@@ -85,6 +88,83 @@ def ann_topk(
             probes.add(flipped)
     bucketed = df.withColumn("_bucket", hyperplane_sign_bits(vec_col, planes))
     pruned = bucketed.filter(F.col("_bucket").isin(*sorted(probes)))
+    return cosine_topk(pruned, vec_col, id_col, query, k)
+
+
+def ivf_fit(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    n_lists: int = 16,
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Fit an IVF coarse quantizer: plain k-means on a driver-side
+    sample (numpy, seeded — the sample is tiny next to the corpus; the
+    expensive part, assignment, stays distributed)."""
+    total = df.count()
+    frac = min(1.0, sample / max(total, 1))
+    rows = df.select(vec_col).sample(frac, seed=seed).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        # cosine k-means: normalize then nearest-by-dot
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        assign = (xn @ cn.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [list(map(float, c)) for c in cents]
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Assign each vector to its nearest centroid (cosine) — Arrow-batched
+    numpy, one matmul per batch. Adds an ``_ivf_list`` column; at rest
+    the table would be partitioned by it for pruning."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array(centroids, dtype=np.float64)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        x = np.array(list(vecs), dtype=np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((xn @ cn.T).argmax(axis=1).astype("int32"))
+
+    return df.withColumn("_ivf_list", nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    *,
+    centroids: list[list[float]] | None = None,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` centroid lists
+    nearest to the query, exact-rerank inside them. The list filter is
+    an IN predicate — partition-prunable when the table is stored
+    partitioned by ``_ivf_list`` (scan reads nprobe/n_lists of data).
+    """
+    if centroids is None:
+        centroids = ivf_fit(df, vec_col, n_lists=n_lists, seed=seed)
+    cents = np.array(centroids, dtype=np.float64)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    q = np.array(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = (qn @ cn.T).argsort()[::-1][:nprobe].tolist()
+    assigned = ivf_assign(df, vec_col, centroids)
+    pruned = assigned.filter(F.col("_ivf_list").isin(*[int(p) for p in probes]))
     return cosine_topk(pruned, vec_col, id_col, query, k)
 
 

@@ -273,3 +273,22 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
     query = [float(x) for x in e.filter(F.col("vec_id") == 1).first()["embedding"]]
     return ann_topk(e, "embedding", "vec_id", query, k=10, num_planes=10)
+
+
+@declare(
+    "q63_ivf_topk",
+    oracle=None,
+    doc="IVF approximate nearest neighbours: k-means coarse quantizer "
+    "(sampled, driver-side) + nprobe-list pruned exact rerank; the "
+    "scale path when the corpus is stored partitioned by list id. "
+    "Approx => rows-only.",
+    tags=("similarity", "approx"),
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.similarity import ivf_topk
+
+    e = load(spark, sf, "embeddings")
+    query = [float(x) for x in e.filter(F.col("vec_id") == 1).first()["embedding"]]
+    return ivf_topk(
+        e, "embedding", "vec_id", query, k=10, n_lists=8, nprobe=3
+    )

@@ -119,6 +119,31 @@ def test_ann_recall_on_planted_neighbours(spark):
     assert len(set(exact) & set(approx)) >= 8
 
 
+def test_ivf_topk_recall_on_planted_neighbours(spark):
+    """IVF ANN: planted near-neighbours share the query's centroid
+    list, so nprobe search recovers them."""
+    import random as _r
+
+    from kaflow_spark.operators.similarity import ivf_fit, ivf_topk
+
+    rng = _r.Random(11)
+    dim = 16
+    query = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = [(i, [q + rng.gauss(0, 0.05) for q in query]) for i in range(10)]
+    rows += [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(10, 310)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = ivf_fit(df, "embedding", n_lists=8, sample=400, seed=3)
+    assert len(cents) == 8 and all(len(c) == dim for c in cents)
+    exact = [r["vec_id"] for r in cosine_topk(df, "embedding", "vec_id", query, 10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(
+            df, "embedding", "vec_id", query, 10, centroids=cents, nprobe=2
+        ).collect()
+    ]
+    assert len(set(exact) & set(approx)) >= 8
+
+
 def _ts(s: str) -> dt.datetime:
     return dt.datetime.fromisoformat(s)
 
