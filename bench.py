@@ -24,7 +24,10 @@ def run_query(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0  # non-sf-named dir: report it rather than crash
     spark = get_spark("kaflow_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -42,6 +42,13 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # --- Broadcast threshold: dims up to 64 MiB go broadcast ---
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # --- Runtime bloom filters: inject a bloom of the selective join
+    #     side into the other side's scan (shuffle-join analog of DPP;
+    #     size-thresholded so it only fires on genuinely large scans).
+    #     NB: semiJoinReduction deliberately NOT enabled — measured to
+    #     add a subquery + shuffle to every join, a large regression at
+    #     small-to-mid scale for a marginal big-scan win.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Quiet progress bars in test output.
     "spark.ui.showConsoleProgress": "false",
     # Local mode is driver-only: driver memory is the only memory knob
