@@ -348,6 +348,34 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "q64_binned_range_join",
+    oracle="""
+    SELECT s_suppkey, p_partkey FROM supplier
+    JOIN part ON p_retailprice BETWEEN s_acctbal - 10 AND s_acctbal + 10
+    ORDER BY s_suppkey, p_partkey
+    """,
+    doc="Binned range join (operators.rangejoin): the large-x-large "
+    "rewrite of q10's broadcast-NLJ range join — equi-join on bin id "
+    "+ residual filter. Same semantics, so q10's oracle applies.",
+    tags=("join",),
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.rangejoin import binned_range_join
+
+    s = load(spark, sf, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 10).alias("lo"),
+        (F.col("s_acctbal") + 10).alias("hi"),
+    )
+    p = load(spark, sf, "part").select("p_partkey", "p_retailprice")
+    return (
+        binned_range_join(p, s, "p_retailprice", "lo", "hi", bin_width=20.0)
+        .select("s_suppkey", "p_partkey")
+        .orderBy("s_suppkey", "p_partkey")
+    )
+
+
+@declare(
     "q53_percentile_exact",
     oracle="""
     SELECT o_orderpriority,
