@@ -40,6 +40,10 @@ class IdempotentBatchWriter:
     def __init__(
         self, commit_dir: str, write_fn: Callable[[DataFrame, int], None]
     ) -> None:
+        # NB: markers use local-filesystem semantics. foreachBatch runs
+        # on the DRIVER, so on a cluster point commit_dir at driver-
+        # durable storage (or a fuse-mounted object store / NFS path,
+        # e.g. next to the checkpoint dir).
         self.commit_dir = commit_dir
         self.write_fn = write_fn
         os.makedirs(commit_dir, exist_ok=True)
