@@ -24,6 +24,20 @@ def test_minhash_paths_identical(spark):
     assert [r["s"] for r in a] == [r["s"] for r in b]
 
 
+def test_fingerprint_paths_identical(spark):
+    from kaflow_spark.functions.textstats import fingerprint, fingerprint_expr
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "short"),
+         (3, "exactly8")],
+        "id bigint, text string",
+    )
+    a = [r["fp"] for r in df.select(fingerprint("text").alias("fp")).collect()]
+    b = [r["fp"] for r in df.select(fingerprint_expr("text").alias("fp")).collect()]
+    assert a == b
+
+
 def test_simhash_paths_identical(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog"),
