@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 import kaflow_spark.message as M
 from kaflow_spark.app import App
 from kaflow_spark.message import Message
-from kaflow_spark.params import FromValue, Str
+from kaflow_spark.params import FromValue, Json, Str
 from kaflow_spark.streaming.dedup import dedup_within_watermark
 from kaflow_spark.streaming.stateful import running_aggregate
 from kaflow_spark.streaming.windows import session, tumbling
@@ -241,3 +241,44 @@ def test_app_micro_batch_body(spark, tmp_path):
     got = sorted(bytes(r["value"]) for r in collected)
     assert got == [b"HELLO", b"WORLD"]
     assert all(r["topic"] == "out" for r in collected)
+
+
+def test_app_micro_batch_dlq(spark, tmp_path):
+    """Malformed payloads dead-letter inside the streaming micro-batch
+    body, raw bytes preserved — the stream never crashes."""
+    app = App(name="dlq-stream-app")
+
+    @app.consume(topic="in", sink_topics=("out",))
+    def parse(v: FromValue[Json]) -> Message:
+        return Message(value=b"ok")
+
+    env_dir = str(tmp_path / "env2")
+    ts = _ts("2024-01-01 10:00:00")
+    spark.createDataFrame(
+        [("in", 0, 0, ts, 0, None, b'{"fine": 1}', None),
+         ("in", 0, 1, ts, 0, None, b"{broken", None)],
+        M.ENVELOPE_DDL,
+    ).write.mode("append").parquet(env_dir)
+
+    oks: list = []
+    dlqs: list = []
+
+    def body(batch_df, batch_id: int) -> None:
+        out, dlq = app.process_batch(batch_df)
+        oks.extend(out.collect())
+        dlqs.extend(dlq.collect())
+
+    q = (
+        spark.readStream.schema(M.ENVELOPE_DDL)
+        .parquet(env_dir)
+        .writeStream.foreachBatch(body)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [bytes(r["value"]) for r in oks] == [b"ok"]
+    assert len(dlqs) == 1
+    assert bytes(dlqs[0]["value"]) == b"{broken"
+    assert dlqs[0]["error"].startswith("deserialization:value")
