@@ -42,11 +42,7 @@ from pyspark.sql import functions as F
 
 from kaflow_spark.exceptions import DeserializationError
 from kaflow_spark.serde.serializers import BytesSerde
-from kaflow_spark.message import (
-    ENVELOPE_DDL,
-    Message,
-    OUTPUT_DDL,
-)
+from kaflow_spark.message import Message, OUTPUT_DDL
 from kaflow_spark.params import HandlerSpec, get_handler_spec
 
 # mapInPandas output: handler result + error channel + raw passthrough

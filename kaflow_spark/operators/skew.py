@@ -15,7 +15,7 @@ the session posture); these helpers cover the two patterns AQE can't:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
