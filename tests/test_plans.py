@@ -52,3 +52,26 @@ def test_agg_is_two_phase(spark, sf_dir):
 def test_topk_avoids_global_sort(spark, sf_dir):
     df = REGISTRY["q21_topk"].spark(spark, sf_dir)
     assert has_top_k(df)
+
+
+def test_binned_range_join_is_equi_join(spark, sf_dir):
+    """q64 must plan as a hash/sort-merge EQUI-join on the bin id —
+    if it regresses to BroadcastNestedLoopJoin the large-x-large
+    guarantee is gone."""
+    from kaflow_spark.plans.explain import explain_str
+
+    txt = explain_str(REGISTRY["q64_binned_range_join"].spark(spark, sf_dir))
+    assert "NestedLoop" not in txt
+    assert "SortMergeJoin" in txt or "ShuffledHashJoin" in txt or "BroadcastHashJoin" in txt
+
+
+def test_asof_join_single_key_shuffle(spark, sf_dir):
+    """The as-of join (q40) is union+window: exactly ONE shuffle on
+    the join key feeds the window sort — no range fan-out joins."""
+    from kaflow_spark.plans.explain import count_exchanges, explain_str
+
+    df = REGISTRY["q40_asof_join"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    # window machinery present, no join operator at all
+    assert "Window" in txt
+    assert "SortMergeJoin" not in txt and "NestedLoop" not in txt
