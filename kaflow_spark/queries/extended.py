@@ -376,6 +376,36 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "q65_map_funcs",
+    oracle="""
+    SELECT n_nationkey,
+           list_sort(map_keys(MAP(['x','y'], [n_nationkey, n_regionkey]))) AS ks,
+           CAST(map_extract(MAP(['x','y'], [n_nationkey, n_regionkey]), 'x')[1] AS INT) AS vx,
+           CAST(len(map_entries(MAP(['x','y'], [n_nationkey, n_regionkey]))) AS INT) AS n
+    FROM nation ORDER BY n_nationkey
+    """,
+    doc="Map family (construction, keys, point lookup, cardinality) — "
+    "the Kafka-headers shape. Keys sorted for cross-engine "
+    "determinism (dialect: DuckDB map_extract returns a list).",
+    tags=("scalar", "map"),
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    m = F.create_map(
+        F.lit("x"), F.col("n_nationkey"), F.lit("y"), F.col("n_regionkey")
+    )
+    return (
+        load(spark, sf, "nation")
+        .select(
+            "n_nationkey",
+            F.sort_array(F.map_keys(m)).alias("ks"),
+            F.element_at(m, "x").cast("int").alias("vx"),
+            F.size(F.map_entries(m)).cast("int").alias("n"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@declare(
     "q53_percentile_exact",
     oracle="""
     SELECT o_orderpriority,
