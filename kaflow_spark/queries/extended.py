@@ -406,6 +406,61 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @declare(
+    "q66_ts_interval",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 90 MINUTE AS later,
+           ts - INTERVAL 1 DAY AS yesterday,
+           CAST(date_trunc('minute', ts) AS TIMESTAMP) AS m
+    FROM events WHERE event_id <= 200 ORDER BY event_id
+    """,
+    doc="Timestamp interval arithmetic + minute truncation.",
+    tags=("scalar",),
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "events")
+        .filter(F.col("event_id") <= 200)
+        .select(
+            "event_id",
+            (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("later"),
+            (F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("yesterday"),
+            F.date_trunc("minute", F.col("ts")).alias("m"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@declare(
+    "q67_range_interval_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+             AS DECIMAL(18,4)) AS mv30
+    FROM events ORDER BY user_id, event_id
+    """,
+    doc="Time-based RANGE frame: per-user 30-minute trailing sum "
+    "(decimal-cast; RANGE frames include ALL peers at equal ts, so "
+    "no tie-break is needed for determinism).",
+    tags=("window",),
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)
+                 AS DECIMAL(18,4)) AS mv30
+        FROM events ORDER BY user_id, event_id
+        """
+    )
+
+
+@declare(
     "q53_percentile_exact",
     oracle="""
     SELECT o_orderpriority,
