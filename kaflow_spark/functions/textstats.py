@@ -136,6 +136,12 @@ def fingerprint(text: Column | str, k: int = 8) -> Column:
                 out.append(None)
             elif len(t) < k:
                 out.append(md5(t.encode()).hexdigest())
+            elif t.isascii():
+                # byte slices == char slices for ASCII: encode once
+                b = t.encode()
+                out.append(
+                    min(md5(b[i : i + k]).hexdigest() for i in range(len(b) - (k - 1)))
+                )
             else:
                 out.append(
                     min(
