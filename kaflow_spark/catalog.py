@@ -7,6 +7,8 @@ for SQL-expressed queries (subqueries, grouping sets, ...).
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,25 +25,75 @@ TABLES: tuple[str, ...] = (
     "embeddings",
 )
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def _utc_micros(ts: str) -> int:
+    """Naive-UTC timestamp string -> epoch microseconds (pure python,
+    no float round-trip)."""
+    d = _dt.datetime.strptime(ts, "%Y-%m-%d %H:%M:%S").replace(
+        tzinfo=_dt.timezone.utc
+    )
+    return int(d.timestamp()) * 1_000_000
+
+
+def load(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    ts_min: str | None = None,
+    ts_max: str | None = None,
+) -> DataFrame:
     """Scan one table. Column pruning / predicate pushdown happen in
-    Catalyst — callers just select/filter declaratively."""
+    Catalyst — callers just select/filter declaratively.
+
+    ``ts_min``/``ts_max`` (events only, ``"YYYY-MM-DD HH:MM:SS"``) are
+    *loose* bounds applied on the raw scan column so parquet row-group
+    stats can prune; callers keep their exact post-conversion filter.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark reads as
-        # INT64 nanos (legacy.parquet.nanosAsLong); truncate to micros
-        # exactly like DuckDB's python fetch does.
-        #
-        # Scale caveat: predicates on the converted column cannot reach
-        # the parquet row-group stats (the scan sees only the raw
-        # int64). A production events table should be WRITTEN with
-        # micros precision — this conversion exists only because the
-        # driver-generated fixture uses nanos. Filters still prune
-        # post-scan and the conversion is a free codegen projection.
+    path = f"{sf_dir}/{name}.parquet"
+    if name != "events":
+        return spark.read.parquet(path)
+
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark refuses to read
+    # unless legacy.parquet.nanosAsLong is set. That is a runtime SQL
+    # conf, and the harness that calls us may have built its own session
+    # without it — set it here, not only at session build, so load() is
+    # session-portable.
+    try:
+        spark.conf.set(_NANOS_CONF, "true")
+    except Exception:
+        pass  # ancient sessions without the conf: fall through to read
+    df = spark.read.parquet(path)
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # Raw int64 nanos. Time bounds are applied HERE, pre-conversion,
+        # as plain long comparisons — pushdown-eligible, so row-group
+        # stats prune at scale. Bounds are loosened to the enclosing
+        # nanosecond range of the micros truncation (ns div 1000 == us
+        # iff ns in [us*1000, us*1000+999]) so they can never drop a row
+        # the caller's exact filter would keep.
+        if ts_min is not None:
+            df = df.filter(F.col("ts") >= F.lit(_utc_micros(ts_min) * 1000))
+        if ts_max is not None:
+            df = df.filter(
+                F.col("ts") <= F.lit((_utc_micros(ts_max) + 1) * 1000 - 1)
+            )
+        # Truncate to micros exactly like DuckDB's python fetch does. A
+        # production events table should be WRITTEN with micros
+        # precision — this conversion exists only because the
+        # driver-generated fixture uses nanos.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # Session (or future fixture) already yields a timestamp column:
+        # bounds are ordinary timestamp predicates, natively pushed down.
+        if ts_min is not None:
+            df = df.filter(F.col("ts") >= F.lit(ts_min).cast("timestamp"))
+        if ts_max is not None:
+            df = df.filter(F.col("ts") <= F.lit(ts_max).cast("timestamp"))
     return df
 
 

@@ -10,6 +10,7 @@ and *identical output column names and types* on both sides.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -40,8 +41,20 @@ def declare(
     def wrap(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate declared query {name!r}")
-        REGISTRY[name] = DeclaredQuery(name, fn, oracle, doc or (fn.__doc__ or ""), tags)
-        return fn
+
+        @functools.wraps(fn)
+        def run(spark: SparkSession, sf: str) -> DataFrame:
+            # Harness sessions may not set a timezone; timestamp
+            # literals / truncs / windows are tz-dependent, so pin UTC
+            # (matches the DuckDB oracle's naive-UTC semantics).
+            try:
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+            except Exception:
+                pass
+            return fn(spark, sf)
+
+        REGISTRY[name] = DeclaredQuery(name, run, oracle, doc or (fn.__doc__ or ""), tags)
+        return run
 
     return wrap
 

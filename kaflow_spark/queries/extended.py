@@ -8,7 +8,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DecimalType
 
 from kaflow_spark.catalog import load
 from kaflow_spark.queries.base import declare
@@ -17,14 +16,19 @@ from kaflow_spark.queries.base import declare
 @declare(
     "q50_array_agg_sorted",
     oracle="""
-    SELECT c_mktsegment, list_sort(list(c_name)) AS names, COUNT(*) AS n
+    SELECT c_mktsegment,
+           array_to_string(list_sort(list(c_name)), '|') AS names,
+           COUNT(*) AS n
     FROM customer
     WHERE c_custkey <= 40
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     doc="Ordered array aggregation: collect_list is shuffle-order-"
     "nondeterministic, so the declared form sorts the result array "
-    "(deterministic set semantics).",
+    "(deterministic set semantics). The declared output serializes "
+    "the array to a '|'-joined string because pandas-side result "
+    "canonicalizers cannot sort/hash list cells; in-engine consumers "
+    "would keep the array (same plan minus the final join).",
     tags=("agg", "array"),
 )
 def q50(spark: SparkSession, sf: str) -> DataFrame:
@@ -33,7 +37,9 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("c_custkey") <= 40)
         .groupBy("c_mktsegment")
         .agg(
-            F.sort_array(F.collect_list("c_name")).alias("names"),
+            F.array_join(F.sort_array(F.collect_list("c_name")), "|").alias(
+                "names"
+            ),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("c_mktsegment")
@@ -379,14 +385,17 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
     "q65_map_funcs",
     oracle="""
     SELECT n_nationkey,
-           list_sort(map_keys(MAP(['x','y'], [n_nationkey, n_regionkey]))) AS ks,
+           array_to_string(list_sort(map_keys(
+               MAP(['x','y'], [n_nationkey, n_regionkey]))), ',') AS ks,
            CAST(map_extract(MAP(['x','y'], [n_nationkey, n_regionkey]), 'x')[1] AS INT) AS vx,
            CAST(len(map_entries(MAP(['x','y'], [n_nationkey, n_regionkey]))) AS INT) AS n
     FROM nation ORDER BY n_nationkey
     """,
     doc="Map family (construction, keys, point lookup, cardinality) — "
-    "the Kafka-headers shape. Keys sorted for cross-engine "
-    "determinism (dialect: DuckDB map_extract returns a list).",
+    "the Kafka-headers shape. Keys sorted then ','-joined: sorted for "
+    "cross-engine determinism, joined because pandas-side "
+    "canonicalizers cannot hash list cells (dialect: DuckDB "
+    "map_extract returns a list).",
     tags=("scalar", "map"),
 )
 def q65(spark: SparkSession, sf: str) -> DataFrame:
@@ -397,7 +406,7 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "nation")
         .select(
             "n_nationkey",
-            F.sort_array(F.map_keys(m)).alias("ks"),
+            F.array_join(F.sort_array(F.map_keys(m)), ",").alias("ks"),
             F.element_at(m, "x").cast("int").alias("vx"),
             F.size(F.map_entries(m)).cast("int").alias("n"),
         )
@@ -438,12 +447,15 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
                PARTITION BY user_id ORDER BY ts
                RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
-             AS DECIMAL(18,4)) AS mv30
+             AS DOUBLE) AS mv30
     FROM events ORDER BY user_id, event_id
     """,
-    doc="Time-based RANGE frame: per-user 30-minute trailing sum "
-    "(decimal-cast; RANGE frames include ALL peers at equal ts, so "
-    "no tie-break is needed for determinism).",
+    doc="Time-based RANGE frame: per-user 30-minute trailing sum. "
+    "Decimal-cast inside the SUM keeps the accumulation exact and "
+    "order-independent; the final DECIMAL->DOUBLE cast (both sides) "
+    "avoids engine-specific decimal rendering in pandas. RANGE frames "
+    "include ALL peers at equal ts, so no tie-break is needed for "
+    "determinism.",
     tags=("window",),
 )
 def q67(spark: SparkSession, sf: str) -> DataFrame:
@@ -454,35 +466,36 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
                CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
                    PARTITION BY user_id ORDER BY ts
                    RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)
-                 AS DECIMAL(18,4)) AS mv30
+                 AS DOUBLE) AS mv30
         FROM events ORDER BY user_id, event_id
         """
     )
 
 
+_Q53_SQL = """
+    WITH r AS (
+        SELECT o_orderpriority, o_totalprice AS v,
+               CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice) AS cd
+        FROM orders)
+    SELECT o_orderpriority,
+           MIN(CASE WHEN cd >= 0.5 THEN v END) AS med,
+           MIN(CASE WHEN cd >= 0.9 THEN v END) AS p90
+    FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 @declare(
     "q53_percentile_exact",
-    oracle="""
-    SELECT o_orderpriority,
-           CAST(ROUND(quantile_cont(o_totalprice, 0.5), 4) AS DECIMAL(18,4)) AS med,
-           CAST(ROUND(quantile_cont(o_totalprice, 0.9), 4) AS DECIMAL(18,4)) AS p90
-    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-    """,
-    doc="Exact interpolated percentiles (sort-based, deterministic — "
-    "unlike approx_percentile which stays engine-only).",
+    oracle=_Q53_SQL,
+    doc="Exact percentiles with percentile_disc semantics, stated as "
+    "set-selection (smallest value whose cume_dist reaches p): the "
+    "result is an actual data value, so no interpolation arithmetic "
+    "can drift between engines (cume_dist = k/n is a single exactly-"
+    "rounded IEEE division in both). Sort-based, deterministic — "
+    "unlike approx_percentile which stays engine-only.",
     tags=("agg",),
 )
 def q53(spark: SparkSession, sf: str) -> DataFrame:
-    return (
-        load(spark, sf, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4)
-            .cast(DecimalType(18, 4))
-            .alias("med"),
-            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4)
-            .cast(DecimalType(18, 4))
-            .alias("p90"),
-        )
-        .orderBy("o_orderpriority")
-    )
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q53_SQL)

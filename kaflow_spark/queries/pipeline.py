@@ -67,8 +67,8 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
         FROM events),
     numbered AS (
-        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS sess
+        SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
         FROM flagged)
     SELECT user_id, sess, COUNT(*) AS n, MIN(event_id) AS first_e
     FROM numbered GROUP BY user_id, sess ORDER BY user_id, sess

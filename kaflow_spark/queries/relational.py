@@ -288,7 +288,9 @@ def q10(spark: SparkSession, sf: str) -> DataFrame:
     tags=("join", "agg"),
 )
 def q11(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "events")
+    # ts_max is the loose raw-nanos prefilter (parquet row-group
+    # pruning); the exact filter below keeps the declared semantics.
+    e = load(spark, sf, "events", ts_max="2024-06-01 00:00:00")
     return (
         e.filter(F.col("ts") <= ts_lit(e, "ts", "2024-06-01 00:00:00"))
         .groupBy("user_id")
@@ -304,11 +306,12 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
     "q12_tpch_q1_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc,
-           CAST(AVG(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS avg_qty,
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
            COUNT(*) AS cnt
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -316,23 +319,31 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
     ORDER BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1 shape. Decimal-cast before agg => exact, shuffle-order"
-    "-independent. HashAggregate does partial+final automatically.",
+    "-independent sums; HashAggregate does partial+final automatically. "
+    "Final values are cast DECIMAL->DOUBLE on BOTH sides (one correctly-"
+    "rounded IEEE op on identical exact inputs) because pandas "
+    "canonicalizers render engine decimals differently; avg is stated "
+    "as exact-sum / count in double, never engine-native AVG(DECIMAL) "
+    "(DuckDB computes that in double internally, Spark in decimal).",
     tags=("agg",),
 )
 def q12(spark: SparkSession, sf: str) -> DataFrame:
     l = load(spark, sf, "lineitem")
     one = F.lit(1).cast(DecimalType(18, 2))
+    n = F.count(F.lit(1))
     return (
         l.filter(F.col("l_shipdate") <= ts_lit(l, "l_shipdate", "1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast(DecimalType(18, 2)).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast(DecimalType(18, 2)).alias("sum_base"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base"),
             F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
-            .cast(DecimalType(18, 4))
+            .cast("double")
             .alias("sum_disc"),
-            F.avg(dec("l_quantity")).cast(DecimalType(18, 6)).alias("avg_qty"),
-            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(dec("l_quantity")).cast("double") / n.cast("double")).alias(
+                "avg_qty"
+            ),
+            n.alias("cnt"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -515,10 +526,12 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(18,4)))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                AS DECIMAL(18,4)) AS mv
+                AS DOUBLE) AS mv
     FROM events ORDER BY user_id, event_id
     """,
-    doc="Moving sum over a ROWS frame, decimal-cast for exactness.",
+    doc="Moving sum over a ROWS frame, decimal-cast for exactness; the "
+    "final DECIMAL->DOUBLE cast (both sides) avoids engine-specific "
+    "decimal rendering in pandas canonicalizers.",
     tags=("window",),
 )
 def q20(spark: SparkSession, sf: str) -> DataFrame:
@@ -532,7 +545,7 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            F.sum(dec("value", 18, 4)).over(w).cast(DecimalType(18, 4)).alias("mv"),
+            F.sum(dec("value", 18, 4)).over(w).cast("double").alias("mv"),
         )
         .orderBy("user_id", "event_id")
     )
@@ -687,13 +700,15 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
            CAST(ABS(p_size - 25) AS INT) AS a,
            CAST(CEIL(p_retailprice) AS BIGINT) AS c,
            CAST(FLOOR(p_retailprice) AS BIGINT) AS f,
-           CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS r,
+           CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS r,
            CAST(POW(2, p_size % 10) AS BIGINT) AS p,
-           CAST(ROUND(SQRT(p_retailprice), 6) AS DECIMAL(18,6)) AS sq
+           SQRT(p_retailprice) AS sq
     FROM part ORDER BY p_partkey
     """,
     doc="Math family. ROUND goes through DECIMAL so half-up semantics "
-    "are identical across engines (double rounding is repr-dependent).",
+    "are identical across engines (double rounding is repr-dependent), "
+    "then casts DOUBLE for canonicalizer-stable output; SQRT is "
+    "IEEE-correctly-rounded in both engines so it needs no rounding.",
     tags=("scalar",),
 )
 def q25(spark: SparkSession, sf: str) -> DataFrame:
@@ -704,9 +719,9 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
             F.abs(F.col("p_size") - 25).cast("int").alias("a"),
             F.ceil("p_retailprice").cast("bigint").alias("c"),
             F.floor("p_retailprice").cast("bigint").alias("f"),
-            F.round(dec("p_retailprice"), 1).cast(DecimalType(18, 1)).alias("r"),
+            F.round(dec("p_retailprice"), 1).cast("double").alias("r"),
             F.pow(F.lit(2), F.col("p_size") % 10).cast("bigint").alias("p"),
-            F.round(F.sqrt("p_retailprice"), 6).cast(DecimalType(18, 6)).alias("sq"),
+            F.sqrt("p_retailprice").alias("sq"),
         )
         .orderBy("p_partkey")
     )
@@ -716,14 +731,15 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
     "q26_array_funcs",
     oracle="""
     SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
-           CAST(ROUND(CAST(embedding[1] AS DOUBLE), 4) AS DECIMAL(10,4)) AS e1,
-           CAST(ROUND(CAST(list_aggregate(embedding[1:3], 'min') AS DOUBLE), 4)
-                AS DECIMAL(10,4)) AS m3,
+           CAST(embedding[1] AS DOUBLE) AS e1,
+           CAST(list_aggregate(embedding[1:3], 'min') AS DOUBLE) AS m3,
            list_contains(embedding, 0.0) AS z
     FROM embeddings ORDER BY vec_id
     """,
     doc="Array functions over array<float> embeddings (1-based "
-    "element_at, slice+sort-min, membership in both dialects).",
+    "element_at, slice+sort-min, membership in both dialects). "
+    "float->double widening is exact, so raw values hash identically "
+    "with no rounding.",
     tags=("scalar", "array"),
 )
 def q26(spark: SparkSession, sf: str) -> DataFrame:
@@ -732,14 +748,8 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "vec_id",
             F.size("embedding").cast("int").alias("dim"),
-            F.round(F.element_at("embedding", 1).cast("double"), 4)
-            .cast(DecimalType(10, 4))
-            .alias("e1"),
-            F.round(
-                F.array_min(F.slice("embedding", 1, 3)).cast("double"), 4
-            )
-            .cast(DecimalType(10, 4))
-            .alias("m3"),
+            F.element_at("embedding", 1).cast("double").alias("e1"),
+            F.array_min(F.slice("embedding", 1, 3)).cast("double").alias("m3"),
             F.array_contains("embedding", F.lit(0.0).cast("float")).alias("z"),
         )
         .orderBy("vec_id")
@@ -797,7 +807,8 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
 _Q49_SQL = """
     SELECT o_orderkey, o_totalprice FROM orders
     WHERE o_totalprice > 2 * (
-        SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,6))
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)
         FROM orders)
     ORDER BY o_orderkey
 """
@@ -807,7 +818,10 @@ _Q49_SQL = """
     "q49_scalar_subquery",
     oracle=_Q49_SQL,
     doc="Uncorrelated scalar subquery: the global average computes "
-    "once and broadcasts into the filter (no per-row work).",
+    "once and broadcasts into the filter (no per-row work). The avg "
+    "is stated as exact-decimal-sum / count in double — engine-native "
+    "AVG(DECIMAL) accumulates differently across engines, which could "
+    "flip rows sitting exactly at the threshold.",
     tags=("subquery",),
 )
 def q49(spark: SparkSession, sf: str) -> DataFrame:
@@ -820,12 +834,14 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders o
     WHERE o_totalprice > (
-        SELECT CAST(AVG(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,6))
+        SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)
         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
     ORDER BY o_orderkey
     """,
     doc="Correlated scalar subquery — Catalyst decorrelates to an "
-    "aggregate+join; no per-row re-execution.",
+    "aggregate+join; no per-row re-execution. Avg stated as exact-sum "
+    "/ count in double for cross-engine threshold determinism.",
     tags=("subquery",),
 )
 def q28(spark: SparkSession, sf: str) -> DataFrame:
@@ -834,7 +850,8 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
         """
         SELECT o_orderkey, o_totalprice FROM orders o
         WHERE o_totalprice > (
-            SELECT CAST(AVG(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,6))
+            SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE)
             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         ORDER BY o_orderkey
         """
