@@ -484,15 +484,23 @@ class App:
                     raw_value = None if row.value is None else bytes(row.value)
                     raw_key = None if row.key is None else bytes(row.key)
                     try:
+                        part = "value"
+                        value = (
+                            None if raw_value is None else vserde.loads(raw_value)
+                        )
+                        part = "key"
+                        key = (
+                            raw_key
+                            if kserde is None or raw_key is None
+                            else kserde.loads(raw_key)
+                        )
+                        part = "headers"
+                        headers = _headers_to_dict(row.headers)
                         decoded.append(
                             {
-                                "value": None
-                                if raw_value is None
-                                else vserde.loads(raw_value),
-                                "key": raw_key
-                                if kserde is None or raw_key is None
-                                else kserde.loads(raw_key),
-                                "headers": _headers_to_dict(row.headers),
+                                "value": value,
+                                "key": key,
+                                "headers": headers,
                                 "offset": row.offset,
                                 "partition": row.partition,
                                 "timestamp": _ts_ms(row.timestamp),
@@ -501,7 +509,7 @@ class App:
                     except Exception as exc:  # noqa: BLE001
                         out_rows.append(
                             {
-                                "error": f"deserialization:value: {exc}",
+                                "error": f"deserialization:{part}: {exc}",
                                 "out_value": None,
                                 "out_key": None,
                                 "out_headers": None,
@@ -703,17 +711,43 @@ class App:
         )
         if self.dlq_topic is not None:
             (
-                dlq.selectExpr(
-                    f"'{self.dlq_topic}' AS topic",
-                    "value",
-                    "key",
-                    "to_json(struct(error, offset, partition)) AS headers_json",
-                )
-                .select("topic", "value", "key")
+                self._dlq_records(dlq)
                 .write.format("kafka")
                 .option("kafka.bootstrap.servers", self.brokers)
+                .option("includeHeaders", "true")
                 .save()
             )
+
+    def _dlq_records(self, dlq: DataFrame) -> DataFrame:
+        """Shape failed records for the DLQ topic. Failure metadata
+        rides as real Kafka headers so DLQ consumers can see WHY a
+        record failed without parsing the (possibly binary/garbled)
+        value."""
+        return dlq.select(
+            F.lit(self.dlq_topic).alias("topic"),
+            "value",
+            "key",
+            F.array(
+                F.struct(
+                    F.lit("error").alias("key"),
+                    F.encode(
+                        F.coalesce(F.col("error"), F.lit("")), "utf-8"
+                    ).alias("value"),
+                ),
+                F.struct(
+                    F.lit("source_offset").alias("key"),
+                    F.encode(F.col("offset").cast("string"), "utf-8").alias(
+                        "value"
+                    ),
+                ),
+                F.struct(
+                    F.lit("source_partition").alias("key"),
+                    F.encode(F.col("partition").cast("string"), "utf-8").alias(
+                        "value"
+                    ),
+                ),
+            ).alias("headers"),
+        )
 
     def describe(self) -> dict[str, Any]:
         """Topic->pipeline schema catalog: the engine's answer to the

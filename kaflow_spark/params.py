@@ -65,8 +65,10 @@ FromHeader = _RoleAlias("header")
 def Header(alias: str | None = None, serde: Serde | None = None) -> object:
     """Header injection with an explicit header-name alias
     (kaflow/parameters.py:186-199 supports the same)."""
+    # tuple-subscript form: `Annotated[str, *meta, marker]` is 3.11+
+    # syntax (PEP 646) and we support 3.10
     meta = [m for m in (serde,) if m is not None]
-    return _t.Annotated[str, *meta, _Marker("header", alias=alias)]
+    return _t.Annotated[tuple([str, *meta, _Marker("header", alias=alias)])]
 
 
 MessageOffset = _t.Annotated[int, _Marker("offset")]

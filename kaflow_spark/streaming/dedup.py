@@ -20,8 +20,16 @@ from pyspark.sql import DataFrame
 def dedup_exact_keys(
     df: DataFrame, keys: list[str], ts_col: str | None = None, watermark: str = "10 minutes"
 ) -> DataFrame:
-    """Keep the first delivery per key. With ``ts_col``, the watermark
-    bounds state (required for unbounded key spaces at scale)."""
+    """Drop duplicate deliveries of the same row.
+
+    Without ``ts_col``: keep the first delivery per key (state is
+    unbounded — batch or short-lived streams only). With ``ts_col``
+    the dedup key becomes ``(keys, ts_col)`` so the watermark can
+    bound state — the same key arriving with a DIFFERENT event
+    timestamp is kept (that is what makes eviction sound; Spark
+    cannot evict per-key state it might still need). Callers needing
+    true per-key suppression with bounded state want
+    ``dedup_within_watermark`` instead."""
     if df.isStreaming and ts_col is not None:
         df = df.withWatermark(ts_col, watermark)
         return df.dropDuplicates([*keys, ts_col])

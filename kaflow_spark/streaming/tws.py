@@ -25,17 +25,26 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql.streaming.stateful_processor import (
-    StatefulProcessor,
-    StatefulProcessorHandle,
-)
+
+try:
+    # the module exists on pyspark >= 4.0 only; import lazily-ish so
+    # pyspark 3.5 (our declared minimum) gets require_tws()'s guidance
+    # instead of a bare ModuleNotFoundError at import time
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+except ImportError:  # pragma: no cover - pyspark < 4.0
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = None  # type: ignore[assignment,misc]
+
 from pyspark.sql.types import LongType, StructField, StructType
 
 
 class _SeenOnceProcessor(StatefulProcessor):
     """Emits each key's first-seen row count once; counts drops."""
 
-    def init(self, handle: StatefulProcessorHandle) -> None:
+    def init(self, handle: "StatefulProcessorHandle") -> None:
         schema = StructType([StructField("n", LongType(), True)])
         self._seen = handle.getValueState("seen", schema, ttlDurationMs=self._ttl_ms)
 
@@ -58,6 +67,8 @@ class _SeenOnceProcessor(StatefulProcessor):
 
 
 def tws_available() -> bool:
+    if StatefulProcessorHandle is None:
+        return False
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -69,9 +80,10 @@ def tws_available() -> bool:
 def require_tws() -> None:
     if not tws_available():
         raise NotImplementedError(
-            "transformWithStateInPandas needs the google.protobuf python "
-            "package (not in this environment); use "
-            "kaflow_spark.streaming.stateful (applyInPandasWithState)"
+            "transformWithStateInPandas needs pyspark >= 4.0 and the "
+            "google.protobuf python package (one of them is missing in "
+            "this environment); use kaflow_spark.streaming.stateful "
+            "(applyInPandasWithState) instead"
         )
 
 

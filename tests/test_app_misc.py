@@ -98,3 +98,25 @@ def test_topic_reregistration_replaces(spark):
     msg = client.publish("t", b"x")
     assert msg.value == b"2"
     assert [r["topic"] for r in client.last_outputs] == ["b"]
+
+
+def test_dlq_records_carry_error_headers(spark):
+    """DLQ records expose error/offset/partition as real Kafka headers
+    (array<struct<key,value>>), so consumers can diagnose failures
+    without parsing the possibly-garbled value bytes."""
+    app = App(name="t", dlq_topic="dead")
+
+    dlq = spark.createDataFrame(
+        [("clicks", 3, 42, None, b"\xff{bad", b"k1", "deserialization:value: boom")],
+        "topic string, partition int, offset bigint, timestamp timestamp, "
+        "value binary, key binary, error string",
+    )
+    rows = app._dlq_records(dlq).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.topic == "dead"
+    assert bytes(r.value) == b"\xff{bad"
+    hdrs = {h.key: bytes(h.value).decode() for h in r.headers}
+    assert hdrs["error"] == "deserialization:value: boom"
+    assert hdrs["source_offset"] == "42"
+    assert hdrs["source_partition"] == "3"
