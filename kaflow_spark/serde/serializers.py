@@ -12,10 +12,13 @@ Every serde exposes two levels:
 
 Avro and Protobuf: the connector jars (spark-avro / spark-protobuf)
 are not bundled with stock PySpark; when absent we fall back to a
-minimal pure-Python binary codec covering flat record schemas —
-enough for the reference's golden-bytes fixtures
-(/root/reference/tests/test_serializers.py:33-88). The fallback is
-Arrow-batched, never per-row JVM round-trips.
+pure-Python binary codec. The Avro fallback covers the full recursive
+schema language (nested records, arrays, maps, enums, fixed, unions,
+named-type references — the reference accepts arbitrary user schemas,
+kaflow/serializers.py:76-106); the Protobuf fallback covers scalar and
+arbitrarily nested message fields. Golden-bytes fixtures mirror the
+reference's (/root/reference/tests/test_serializers.py:33-88). The
+fallback is Arrow-batched, never per-row JVM round-trips.
 """
 
 from __future__ import annotations
@@ -230,15 +233,27 @@ def _zigzag_decode(buf: io.BytesIO) -> int:
     return (acc >> 1) ^ -(acc & 1)
 
 
+def _as_dict(obj: Any) -> dict[str, Any]:
+    if isinstance(obj, dict):
+        return obj
+    dump = getattr(obj, "model_dump", None) or getattr(obj, "dict", None)
+    return dump() if dump else vars(obj)
+
+
 class AvroSerde(Serde):
     """Schemaless Avro binary records (kaflow/serializers.py:76-108).
 
-    ``schema`` is a standard Avro record schema dict. Supports the
-    primitive field types string/bytes/int/long/float/double/boolean/
-    null and nullable unions like ["null", "string"].
+    ``schema`` is a standard Avro record schema dict. Covers the full
+    recursive schema language per the Avro 1.x binary spec: primitives
+    (string/bytes/int/long/float/double/boolean/null), arbitrarily
+    nested records, arrays and maps (block-encoded), enums, fixed,
+    unions (any branch set, not just nullable), and references to
+    previously defined named types.
     """
 
-    _SUPPORTED = {"string", "bytes", "int", "long", "float", "double", "boolean", "null"}
+    _PRIMITIVES = {
+        "string", "bytes", "int", "long", "float", "double", "boolean", "null",
+    }
 
     def __init__(self, schema: dict[str, Any], model: type | None = None) -> None:
         if schema.get("type") != "record":
@@ -246,21 +261,143 @@ class AvroSerde(Serde):
         self.schema = schema
         self.model = model
         self.target_type = model if model is not None else dict
+        self._named: dict[str, dict[str, Any]] = {}
+        self._collect_names(schema)
         self.fields: list[tuple[str, Any]] = [
             (f["name"], f["type"]) for f in schema["fields"]
         ]
         for _, t in self.fields:
-            base = set(t) - {"null"} if isinstance(t, list) else {t}
-            if not base <= self._SUPPORTED:
-                raise ValueError(f"unsupported Avro field type {t!r}")
+            self._validate(t)
 
+    # -- schema walking ------------------------------------------------
+    def _collect_names(self, typ: Any) -> None:
+        """Register named types (record/enum/fixed) so later fields can
+        reference them by name, as the spec allows."""
+        if isinstance(typ, list):
+            for t in typ:
+                self._collect_names(t)
+        elif isinstance(typ, dict):
+            kind = typ.get("type")
+            if kind in ("record", "enum", "fixed") and "name" in typ:
+                self._named[typ["name"]] = typ
+            if kind == "record":
+                for f in typ.get("fields", []):
+                    self._collect_names(f["type"])
+            elif kind == "array":
+                self._collect_names(typ["items"])
+            elif kind == "map":
+                self._collect_names(typ["values"])
+
+    def _resolve(self, typ: Any) -> Any:
+        if isinstance(typ, str) and typ in self._named:
+            return self._named[typ]
+        return typ
+
+    def _validate(self, typ: Any) -> None:
+        typ = self._resolve(typ)
+        if isinstance(typ, list):
+            for t in typ:
+                self._validate(t)
+            return
+        if isinstance(typ, dict):
+            kind = typ.get("type")
+            if kind == "record":
+                for f in typ.get("fields", []):
+                    self._validate(f["type"])
+            elif kind == "array":
+                self._validate(typ["items"])
+            elif kind == "map":
+                self._validate(typ["values"])
+            elif kind == "enum":
+                if not typ.get("symbols"):
+                    raise ValueError("Avro enum needs symbols")
+            elif kind == "fixed":
+                if not isinstance(typ.get("size"), int):
+                    raise ValueError("Avro fixed needs integer size")
+            elif kind in self._PRIMITIVES:  # {"type": "string"} wrapper
+                pass
+            else:
+                raise ValueError(f"unsupported Avro type {typ!r}")
+            return
+        if typ not in self._PRIMITIVES:
+            raise ValueError(f"unsupported Avro field type {typ!r}")
+
+    def _union_branch(self, typ: list[Any], v: Any) -> int:
+        """Pick the union branch whose type accepts the python value
+        (writers choose the branch; None always takes 'null')."""
+        kinds = [
+            self._resolve(t).get("type") if isinstance(self._resolve(t), dict)
+            else self._resolve(t)
+            for t in typ
+        ]
+        if v is None:
+            if "null" in kinds:
+                return kinds.index("null")
+            raise ValueError("None for non-nullable union")
+        accepts = {
+            bool: ("boolean",),
+            int: ("long", "int"),
+            float: ("double", "float"),
+            str: ("string", "enum"),
+            bytes: ("bytes", "fixed"),
+            bytearray: ("bytes", "fixed"),
+            list: ("array",),
+        }
+        want = accepts.get(type(v), ("record", "map"))
+        for pref in want:
+            for i, k in enumerate(kinds):
+                if k == pref:
+                    return i
+        # fall back to the sole non-null branch (nullable-union shape)
+        non_null = [i for i, k in enumerate(kinds) if k != "null"]
+        if len(non_null) == 1:
+            return non_null[0]
+        raise ValueError(f"no union branch in {typ!r} accepts {type(v)}")
+
+    # -- binary codec --------------------------------------------------
     def _write(self, out: bytearray, typ: Any, v: Any) -> None:
-        if isinstance(typ, list):  # nullable union: branch index first
-            branch = 0 if v is None else next(
-                i for i, t in enumerate(typ) if t != "null"
-            )
+        typ = self._resolve(typ)
+        if isinstance(typ, list):  # union: branch index first
+            branch = self._union_branch(typ, v)
             out += _zigzag_encode(branch)
-            typ = typ[branch]
+            typ = self._resolve(typ[branch])
+        if isinstance(typ, dict):
+            kind = typ.get("type")
+            if kind == "record":
+                rec = _as_dict(v)
+                for f in typ["fields"]:
+                    self._write(out, f["type"], rec.get(f["name"]))
+                return
+            if kind == "array":
+                items = list(v or [])
+                if items:
+                    out += _zigzag_encode(len(items))
+                    for item in items:
+                        self._write(out, typ["items"], item)
+                out += _zigzag_encode(0)
+                return
+            if kind == "map":
+                entries = dict(v or {})
+                if entries:
+                    out += _zigzag_encode(len(entries))
+                    for mk, mv in entries.items():
+                        enc = str(mk).encode("utf-8")
+                        out += _zigzag_encode(len(enc)) + enc
+                        self._write(out, typ["values"], mv)
+                out += _zigzag_encode(0)
+                return
+            if kind == "enum":
+                out += _zigzag_encode(typ["symbols"].index(v))
+                return
+            if kind == "fixed":
+                raw = bytes(v)
+                if len(raw) != typ["size"]:
+                    raise ValueError(
+                        f"fixed({typ['size']}) got {len(raw)} bytes"
+                    )
+                out += raw
+                return
+            typ = kind  # {"type": "string"} wrapper -> primitive
         if typ == "null":
             return
         if typ == "string":
@@ -277,9 +414,49 @@ class AvroSerde(Serde):
         elif typ == "boolean":
             out.append(1 if v else 0)
 
+    def _read_block_count(self, buf: io.BytesIO) -> int:
+        """Array/map block header: a negative count means |count| items
+        preceded by a block byte size (spec allows writers to emit it
+        for skippability) — read and discard the size."""
+        n = _zigzag_decode(buf)
+        if n < 0:
+            _zigzag_decode(buf)  # block size in bytes, unused here
+            n = -n
+        return n
+
     def _read(self, buf: io.BytesIO, typ: Any) -> Any:
+        typ = self._resolve(typ)
         if isinstance(typ, list):
-            typ = typ[_zigzag_decode(buf)]
+            typ = self._resolve(typ[_zigzag_decode(buf)])
+        if isinstance(typ, dict):
+            kind = typ.get("type")
+            if kind == "record":
+                return {
+                    f["name"]: self._read(buf, f["type"]) for f in typ["fields"]
+                }
+            if kind == "array":
+                items: list[Any] = []
+                while (n := self._read_block_count(buf)) != 0:
+                    items.extend(
+                        self._read(buf, typ["items"]) for _ in range(n)
+                    )
+                return items
+            if kind == "map":
+                entries: dict[str, Any] = {}
+                while (n := self._read_block_count(buf)) != 0:
+                    for _ in range(n):
+                        klen = _zigzag_decode(buf)
+                        mk = buf.read(klen).decode("utf-8")
+                        entries[mk] = self._read(buf, typ["values"])
+                return entries
+            if kind == "enum":
+                return typ["symbols"][_zigzag_decode(buf)]
+            if kind == "fixed":
+                raw = buf.read(typ["size"])
+                if len(raw) != typ["size"]:
+                    raise ValueError("truncated Avro fixed")
+                return raw
+            typ = kind
         if typ == "null":
             return None
         if typ in ("string", "bytes"):
@@ -372,10 +549,16 @@ def _uvarint_decode(buf: io.BytesIO) -> int:
 class ProtobufSerde(Serde):
     """Proto3 messages (kaflow/serializers.py:112-131).
 
-    ``fields`` maps field number -> (name, type) with type in
-    {"string","bytes","int64","int32","bool","double","float"}.
-    Proto3 default-value semantics: defaults are omitted on encode and
-    filled on decode.
+    ``fields`` maps field number -> (name, type) with type either a
+    scalar in {"string","bytes","int64","int32","bool","double",
+    "float"} or a nested fields dict of the same shape (a proto3
+    message field, encoded length-delimited and parsed recursively;
+    nesting depth is unlimited).
+
+    Proto3 default-value semantics: scalar defaults are omitted on
+    encode and filled on decode; message fields have presence (absent
+    => None), and an empty-dict value still emits the (empty)
+    length-delimited field, exactly like upstream proto3.
     """
 
     _DEFAULTS = {
@@ -389,18 +572,29 @@ class ProtobufSerde(Serde):
     }
 
     def __init__(
-        self, fields: dict[int, tuple[str, str]], model: type | None = None
+        self,
+        fields: dict[int, tuple[str, Any]],
+        model: type | None = None,
     ) -> None:
+        self.fields: dict[int, tuple[str, Any]] = {}
         for num, (name, typ) in fields.items():
-            if typ not in self._DEFAULTS:
+            if isinstance(typ, dict):
+                typ = ProtobufSerde(typ)  # nested message spec
+            elif isinstance(typ, ProtobufSerde):
+                pass
+            elif typ not in self._DEFAULTS:
                 raise ValueError(f"unsupported protobuf type {typ!r} for {name}")
-        self.fields = fields
+            self.fields[num] = (name, typ)
         self.model = model
         self.target_type = model if model is not None else dict
 
+    def _default(self, typ: Any) -> Any:
+        # message fields have presence in proto3: absent means None
+        return None if isinstance(typ, ProtobufSerde) else self._DEFAULTS[typ]
+
     def loads(self, data: bytes) -> Any:
         buf = io.BytesIO(data)
-        obj = {name: self._DEFAULTS[typ] for name, typ in self.fields.values()}
+        obj = {name: self._default(typ) for name, typ in self.fields.values()}
         while True:
             start = buf.tell()
             first = buf.read(1)
@@ -417,7 +611,12 @@ class ProtobufSerde(Serde):
                     raise ValueError("truncated protobuf field")
                 if spec:
                     name, typ = spec
-                    obj[name] = raw.decode("utf-8") if typ == "string" else raw
+                    if isinstance(typ, ProtobufSerde):
+                        obj[name] = typ.loads(raw)
+                    else:
+                        obj[name] = (
+                            raw.decode("utf-8") if typ == "string" else raw
+                        )
             elif wire == 0:  # varint
                 v = _uvarint_decode(buf)
                 if spec:
@@ -442,6 +641,14 @@ class ProtobufSerde(Serde):
         out = bytearray()
         for num in sorted(self.fields):
             name, typ = self.fields[num]
+            if isinstance(typ, ProtobufSerde):
+                v = obj.get(name)
+                if v is None:
+                    continue  # message absent
+                raw = typ.dumps(v)
+                out += _uvarint_encode((num << 3) | 2)
+                out += _uvarint_encode(len(raw)) + raw
+                continue
             v = obj.get(name, self._DEFAULTS[typ])
             if v == self._DEFAULTS[typ]:
                 continue  # proto3: defaults omitted

@@ -103,3 +103,121 @@ def test_malformed_payloads_raise():
         JsonSerde().loads(b'{"key": ')  # truncated JSON (FIXTURES A4)
     with pytest.raises(Exception):
         AvroSerde(AVRO_SCHEMA).loads(b"\xff")  # truncated varint/string
+
+
+NESTED_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {
+            "name": "meta",
+            "type": {
+                "type": "record",
+                "name": "Meta",
+                "fields": [
+                    {"name": "lang", "type": "string"},
+                    {
+                        "name": "quality",
+                        "type": {
+                            "type": "enum",
+                            "name": "Q",
+                            "symbols": ["LOW", "MED", "HIGH"],
+                        },
+                    },
+                ],
+            },
+        },
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "scores", "type": {"type": "map", "values": "long"}},
+        {"name": "parent", "type": ["null", "Meta"]},
+        {"name": "digest", "type": {"type": "fixed", "name": "D4", "size": 4}},
+    ],
+}
+
+
+def test_avro_nested_golden_bytes():
+    """Hand-computed Avro binary spec bytes: nested record fields are
+    inlined in order; arrays/maps are block-encoded (count, items,
+    zero terminator); enum is the zigzag symbol index; a named-type
+    union branch references the earlier record definition."""
+    s = AvroSerde(NESTED_AVRO_SCHEMA)
+    obj = {
+        "id": 3,
+        "meta": {"lang": "en", "quality": "HIGH"},
+        "tags": ["a", "bc"],
+        "scores": {"k": 1},
+        "parent": None,
+        "digest": b"\x01\x02\x03\x04",
+    }
+    expect = (
+        b"\x06"  # id: zigzag(3)
+        b"\x04en\x04"  # meta.lang ("en"), meta.quality enum idx 2
+        b"\x04\x02a\x04bc\x00"  # tags: block of 2, "a", "bc", end
+        b"\x02\x02k\x02\x00"  # scores: block of 1, "k"->1, end
+        b"\x00"  # parent: union branch 0 (null)
+        b"\x01\x02\x03\x04"  # digest: fixed(4) raw
+    )
+    assert s.dumps(obj) == expect
+    assert s.loads(expect) == obj
+
+
+def test_avro_nested_union_branch_roundtrip():
+    s = AvroSerde(NESTED_AVRO_SCHEMA)
+    obj = {
+        "id": -1,
+        "meta": {"lang": "fr", "quality": "LOW"},
+        "tags": [],
+        "scores": {},
+        "parent": {"lang": "de", "quality": "MED"},
+        "digest": b"\xff\xff\xff\xff",
+    }
+    assert s.loads(s.dumps(obj)) == obj
+
+
+def test_avro_negative_block_count_decodes():
+    """Spec: a negative array block count means |count| items preceded
+    by a byte-size long (writers may emit it for skippability)."""
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "xs", "type": {"type": "array", "items": "long"}}],
+    }
+    s = AvroSerde(schema)
+    # zigzag(-2)=0x03, zigzag(2 bytes)=0x04, items 1,2 -> 0x02 0x04, end 0x00
+    assert s.loads(b"\x03\x04\x02\x04\x00") == {"xs": [1, 2]}
+
+
+def test_avro_unsupported_schema_rejected_eagerly():
+    with pytest.raises(ValueError):
+        AvroSerde(
+            {
+                "type": "record",
+                "name": "t",
+                "fields": [{"name": "x", "type": "decimal"}],
+            }
+        )
+
+
+def test_protobuf_nested_message_golden_bytes():
+    """Nested proto3 message: wire type 2, recursively encoded; message
+    fields have presence (absent => None), empty dict still emits the
+    empty length-delimited field."""
+    s = ProtobufSerde(
+        {
+            1: ("id", "int64"),
+            2: ("meta", {1: ("lang", "string"), 2: ("score", "int64")}),
+        }
+    )
+    obj = {"id": 5, "meta": {"lang": "en", "score": 9}}
+    # field1 varint 5; field2 len-delim: [field1 "en"] [field2 9]
+    expect = b"\x08\x05\x12\x06\n\x02en\x10\x09"
+    assert s.dumps(obj) == expect
+    assert s.loads(expect) == obj
+    assert s.loads(b"\x08\x05") == {"id": 5, "meta": None}  # presence
+    assert s.dumps({"id": 0, "meta": {}}) == b"\x12\x00"
+    # two levels deep
+    deep = ProtobufSerde({1: ("a", {1: ("b", {1: ("c", "string")})})})
+    assert deep.loads(deep.dumps({"a": {"b": {"c": "x"}}})) == {
+        "a": {"b": {"c": "x"}}
+    }
