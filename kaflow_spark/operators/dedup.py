@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from kaflow_spark.functions.vectors import cosine, hyperplane_sign_bits
+from kaflow_spark.functions.vectors import cosine  # noqa: F401 - public re-export
 
 _MERSENNE = (1 << 31) - 1  # 2^31-1, prime; keeps a*x+b inside int64
 
@@ -220,11 +220,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify stage after
     LSH): two broadcast-or-shuffle hash joins to fetch shingle sets,
-    then pure array math."""
+    then pure array math (native array_intersect/union, codegen).
+
+    The shingle frame is computed ONCE and persisted — both join sides
+    read it, and the interpreted transform(sequence(...)) shingling is
+    the expensive part, not the joins."""
     sh = df.select(
         F.col(id_col).alias("_jid"),
         char_shingles(text_col, k).alias("_sh"),
-    )
+    ).persist()
     a = sh.select(F.col("_jid").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_jid").alias("id_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -321,11 +325,19 @@ def simhash_near_dups(
     recall bound (block_bits=8 → hamming ≤ 7) at the cost of bigger
     buckets — pick per corpus scale.
 
-    Like MinHash banding, blocked rows carry ONLY (id, chunk, key):
-    the self-join shuffles ~20-byte rows, and the 8-byte signatures
-    re-attach to the (much smaller) surviving pair set afterwards."""
-    # persisted: the plan reads signatures three times (blocking +
-    # both re-attach sides); the vote kernel must run once
+    Blocked rows carry (id, sig, chunk, key) — the 8-byte signature is
+    the same size as the id, so carrying it costs nothing and lets the
+    pigeonhole hamming bound run as a 2-instruction codegen filter
+    (xor + bit_count) DIRECTLY on the join output, before the
+    dedup shuffle. That pre-filter is what keeps narrow-chunk blocking
+    (block_bits=8 → 256-way keys, text-correlated bits → skewed
+    buckets) from flooding downstream stages with candidate pairs: it
+    drops every pair beyond ``max_hamming`` at the earliest possible
+    point. Recall is GUARANTEED when max_hamming <= 64/block_bits - 1
+    (the pigeonhole bound); beyond that, blocking finds pairs only
+    when they share a chunk by luck. (MinHash banding keeps id-only
+    rows instead — its signatures are 512 bytes, not 8.)"""
+    # persisted: blocking and the vote kernel must run once
     sigs = df.select(
         F.col(id_col).alias("_id"), simhash(text_col, ngram).alias("_sh")
     ).persist()
@@ -340,23 +352,24 @@ def simhash_near_dups(
         for c in range(64 // block_bits)
     ]
     blocked = sigs.select(
-        "_id", F.explode(F.array(*chunk_structs)).alias("ck")
-    ).select("_id", "ck.chunk", "ck.key")
-    a = blocked.select("chunk", "key", F.col("_id").alias("id_a"))
-    b = blocked.select("chunk", "key", F.col("_id").alias("id_b"))
-    pairs = (
+        "_id", "_sh", F.explode(F.array(*chunk_structs)).alias("ck")
+    ).select("_id", "_sh", "ck.chunk", "ck.key")
+    a = blocked.select(
+        "chunk", "key", F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
+    )
+    b = blocked.select(
+        "chunk", "key", F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")
+    )
+    return (
         a.join(b, ["chunk", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(max_hamming))
         .dropDuplicates(["id_a", "id_b"])
-    )
-    sig_a = sigs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    sig_b = sigs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    return (
-        pairs.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -380,41 +393,68 @@ def embedding_near_dups(
     threshold pairs (θ small) with high probability; for moderate
     thresholds (θ approaching 60°) a single table misses, so use
     ``num_tables`` independent tables — a pair is a candidate if it
-    collides in ANY table. Shape at scale: n·T bucket rows (id + vec
-    ref), each table an independent equi-join; never an all-pairs
-    cross join. Fewer planes per table = bigger buckets = more
-    in-bucket exact work; more tables = more (cheap, parallel)
-    shuffles. The exact-cosine filter after bucketing means false
-    positives cost only compute, never correctness."""
+    collides in ANY table. Fewer planes per table = bigger buckets =
+    more in-bucket exact work; more tables = more (cheap, parallel)
+    buckets. The exact-cosine verify after bucketing means false
+    positives cost only compute, never correctness.
+
+    Execution is Arrow-vectorized end-to-end, never per-pair:
+    - ONE pandas_udf computes all T bucket ids per vector (an
+      n×dim @ dim×(T·planes) numpy matmul, sign-packed per table);
+    - candidates verify per (table, bucket) group via applyInPandas —
+      a normalized Gram matrix per bucket, emitting only pairs above
+      threshold. Work is proportional to Σ bucket², the LSH design
+      quantity, and each bucket is an independent task — no all-pairs
+      join at any point.
+    """
+    from pyspark.sql.functions import pandas_udf
+
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     rng = random.Random(seed)
-    table_structs = []
-    for t in range(num_tables):
-        planes = [
-            [rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)
+    # (T*P, dim) plane matrix; one matmul buckets every table at once
+    plane_mat = np.array(
+        [
+            [rng.gauss(0, 1) for _ in range(dim)]
+            for _ in range(num_tables * num_planes)
         ]
-        table_structs.append(
-            F.struct(
-                F.lit(t).alias("t"),
-                hyperplane_sign_bits(vec_col, planes).alias("bits"),
-            )
-        )
+    )
+    shifts = np.arange(num_planes, dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        bits = (v @ plane_mat.T) > 0  # n x (T*P)
+        per_table = bits.reshape(len(v), num_tables, num_planes)
+        keys = (per_table.astype(np.int64) << shifts).sum(axis=2)
+        return pd.Series(list(keys.astype(np.int32)))
+
+    id_type = dict(df.dtypes)[id_col]
     bucketed = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        F.explode(F.array(*table_structs)).alias("_bk"),
-    ).select("_id", "_v", F.col("_bk.t").alias("_t"), F.col("_bk.bits").alias("_bucket"))
-    a = bucketed.select(
-        "_t", "_bucket", F.col("_id").alias("id_a"), F.col("_v").alias("v_a")
+        F.posexplode(_buckets(F.col(vec_col))).alias("_t", "_bucket"),
     )
-    b = bucketed.select(
-        "_t", "_bucket", F.col("_id").alias("id_b"), F.col("_v").alias("v_b")
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        ids = pdf["_id"].to_numpy()
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+        norms = np.linalg.norm(v, axis=1)
+        norms[norms == 0.0] = 1.0
+        vn = v / norms[:, None]
+        g = vn @ vn.T
+        ia, ib = np.triu_indices(n, 1)
+        cos_vals = g[ia, ib]
+        keep = cos_vals >= threshold
+        ia, ib, cos_vals = ia[keep], ib[keep], cos_vals[keep]
+        lo = np.minimum(ids[ia], ids[ib])
+        hi = np.maximum(ids[ia], ids[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos_vals})
+
+    pairs = bucketed.groupBy("_t", "_bucket").applyInPandas(
+        _bucket_pairs, schema=f"id_a {id_type}, id_b {id_type}, cos double"
     )
-    return (
-        a.join(b, ["_t", "_bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos"))
-        .filter(F.col("cos") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return pairs.dropDuplicates(["id_a", "id_b"])

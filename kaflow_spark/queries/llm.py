@@ -275,11 +275,14 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
     "q42_simhash_near_dup",
     oracle=_EXACT_JACCARD_SQL,
     doc="SimHash near-duplicate pipeline, end-to-end: 64-bit 3-gram "
-    "vote signatures, 8-bit-chunk pigeonhole blocking (guarantees any "
-    "pair within hamming 7 shares a chunk; fixture true pairs max out "
-    "at hamming 6), exact n-gram-Jaccard verify >= 0.9. Same exact "
-    "output contract as q41 — deliberately: two independent candidate "
-    "generators attested against one brute-force oracle.",
+    "vote signatures, 8-bit-chunk pigeonhole blocking + hamming <= 10 "
+    "pre-filter, exact n-gram-Jaccard verify >= 0.9. Blocking "
+    "GUARANTEES recall up to hamming 64/block_bits - 1 = 7; fixture "
+    "true pairs reach hamming 9, and a 9-bit flip spread over eight "
+    "chunks still leaves ~2.4 chunks clean in expectation — verified "
+    "0 misses at sf0.001/0.01/0.1. Same exact output contract as q41 "
+    "— deliberately: two independent candidate generators attested "
+    "against one brute-force oracle.",
     tags=("dedup",),
 )
 def q42(spark: SparkSession, sf: str) -> DataFrame:
@@ -287,7 +290,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents")
     cand = simhash_near_dups(
-        d, "doc_id", "text", max_hamming=64, block_bits=8
+        d, "doc_id", "text", max_hamming=10, block_bits=8
     ).select("id_a", "id_b")
     return (
         ngram_jaccard_pairs(d, cand, "doc_id", "text")
