@@ -72,6 +72,32 @@ def _shingles_sql(text_col: str, k: int) -> str:
     )
 
 
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, eager: bool = True
+) -> DataFrame:
+    """Persisted ``(_sid, _sh)`` frame of distinct shingle hashes.
+
+    The interpreted ``transform(sequence(...))`` shingling is the
+    single most expensive expression in the near-dup pipelines, so a
+    pipeline that needs shingles twice (LSH signatures + exact
+    verify) should compute this frame ONCE and pass it to both
+    stages — at 100 TB the frame is ~8 B x shingles per doc, far
+    smaller than re-reading and re-shingling the corpus.
+
+    ``eager`` materializes the cache before returning: the consumers
+    fan out into stages that run CONCURRENTLY, and concurrent stages
+    race on not-yet-cached partitions — each recomputes them, which
+    silently doubles the shingling cost. One count() up front makes
+    every consumer a cache read (applies on clusters, not just
+    local mode)."""
+    sh = df.select(
+        F.col(id_col).alias("_sid"), char_shingles(text_col, k).alias("_sh")
+    ).persist()
+    if eager:
+        sh.count()
+    return sh
+
+
 def minhash_signature_expr(
     text_col: str, shingle_k: int = 5, num_hashes: int = 64, seed: int = 42
 ) -> F.Column:
@@ -115,6 +141,17 @@ def minhash_signature(
     single-fold SQL expression because Spark interprets higher-order
     lambdas (they are outside whole-stage codegen); the arithmetic
     is identical (see tests comparing both paths)."""
+    return minhash_signature_from_shingles(
+        F.expr(_shingles_sql(text_col, shingle_k)), num_hashes, seed
+    )
+
+
+def minhash_signature_from_shingles(
+    shingle_col: F.Column | str, num_hashes: int = 64, seed: int = 42
+) -> F.Column:
+    """The MinHash Arrow kernel applied to an already-computed
+    shingle-hash array column (e.g. from :func:`shingle_frame`)
+    instead of re-shingling the text."""
     from pyspark.sql.functions import pandas_udf
 
     rng = random.Random(seed)
@@ -133,7 +170,7 @@ def minhash_signature(
             out.append(lanes.min(axis=0))
         return pd.Series(out)
 
-    return _sig(F.expr(_shingles_sql(text_col, shingle_k)))
+    return _sig(F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col)
 
 
 def minhash_lsh_candidates(
@@ -146,6 +183,8 @@ def minhash_lsh_candidates(
     bands: int = 16,
     seed: int = 42,
     max_bucket: int = 1000,
+    min_bands: int = 1,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -156,16 +195,37 @@ def minhash_lsh_candidates(
     The only shuffle is the band-bucket equi-join; ``max_bucket``
     drops degenerate buckets (e.g. empty-string shingles) that would
     produce quadratic blowup.
+
+    ``min_bands`` screens pairs by how many bands they collided in —
+    a pure-JVM groupBy count that replaces dropDuplicates. At
+    similarity s each band matches with prob s^(rows/band); for
+    s=0.9, 16 bands of 4 the expected match count is ~10.5, so
+    ``min_bands=2`` keeps every real near-dup (P(miss) ~1e-7) while
+    dropping the single-band flukes that dominate candidate volume —
+    BEFORE the interpreted est_jaccard expression and the signature
+    re-attach joins run.
+
+    ``shingles`` takes a precomputed :func:`shingle_frame` so a
+    pipeline with an exact-verify stage shingleizes the corpus once.
     """
     rows_per_band = num_hashes // bands
     # signatures computed ONCE (the expensive S x H kernel) and
     # persisted: the plan reads them three times (banding + both pair
     # sides) and recomputation would triple the kernel cost. 512 B x
     # n_docs spills to disk gracefully at scale.
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(text_col, shingle_k, num_hashes, seed).alias("_sig"),
-    ).persist()
+    if shingles is not None:
+        sig = shingles.select(
+            F.col("_sid").alias("_id"),
+            minhash_signature_from_shingles("_sh", num_hashes, seed).alias("_sig"),
+        ).persist()
+    else:
+        sig = df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(text_col, shingle_k, num_hashes, seed).alias("_sig"),
+        ).persist()
+    # materialize before the fan-out: banding and both re-attach sides
+    # run as concurrent stages and would race-recompute the kernel
+    sig.count()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -190,8 +250,10 @@ def minhash_lsh_candidates(
     pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_nbands"))
+        .filter(F.col("_nbands") >= F.lit(min_bands))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     # re-attach signatures to the (much smaller) surviving pair set
     sig_a = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
@@ -217,6 +279,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     text_col: str,
     k: int = 5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify stage after
     LSH): two broadcast-or-shuffle hash joins to fetch shingle sets,
@@ -224,13 +287,15 @@ def ngram_jaccard_pairs(
 
     The shingle frame is computed ONCE and persisted — both join sides
     read it, and the interpreted transform(sequence(...)) shingling is
-    the expensive part, not the joins."""
-    sh = df.select(
-        F.col(id_col).alias("_jid"),
-        char_shingles(text_col, k).alias("_sh"),
-    ).persist()
-    a = sh.select(F.col("_jid").alias("id_a"), F.col("_sh").alias("sh_a"))
-    b = sh.select(F.col("_jid").alias("id_b"), F.col("_sh").alias("sh_b"))
+    the expensive part, not the joins. Pass ``shingles`` (a
+    :func:`shingle_frame`) to share it with the candidate generator."""
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_frame(df, id_col, text_col, k)
+    )
+    a = sh.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
@@ -281,6 +346,12 @@ def simhash(text_col: str, ngram: int = 3) -> F.Column:
     xxhash64 array, an Arrow-batched numpy kernel does the 64-bit
     vote/pack (measured ~3x faster than the single-fold SQL
     expression, which Spark interprets)."""
+    return simhash_from_shingles(F.expr(_shingles_sql(text_col, ngram)))
+
+
+def simhash_from_shingles(shingle_col: F.Column | str) -> F.Column:
+    """The SimHash vote/pack Arrow kernel applied to an
+    already-computed shingle-hash array column."""
     from pyspark.sql.functions import pandas_udf
 
     shifts = np.arange(64, dtype=np.uint64)
@@ -301,7 +372,7 @@ def simhash(text_col: str, ngram: int = 3) -> F.Column:
             out[j] = int(sig.astype(np.int64))
         return pd.Series(out)
 
-    return _sh(F.expr(_shingles_sql(text_col, ngram)))
+    return _sh(F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col)
 
 
 def hamming64(a: F.Column, b: F.Column) -> F.Column:
@@ -317,6 +388,7 @@ def simhash_near_dups(
     ngram: int = 3,
     max_hamming: int = 3,
     block_bits: int = 16,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs. Candidate generation blocks on each
     ``block_bits``-wide signature chunk (pigeonhole: any pair within
@@ -336,11 +408,22 @@ def simhash_near_dups(
     point. Recall is GUARANTEED when max_hamming <= 64/block_bits - 1
     (the pigeonhole bound); beyond that, blocking finds pairs only
     when they share a chunk by luck. (MinHash banding keeps id-only
-    rows instead — its signatures are 512 bytes, not 8.)"""
-    # persisted: blocking and the vote kernel must run once
-    sigs = df.select(
-        F.col(id_col).alias("_id"), simhash(text_col, ngram).alias("_sh")
-    ).persist()
+    rows instead — its signatures are 512 bytes, not 8.)
+
+    ``shingles`` takes a precomputed :func:`shingle_frame` (its k
+    overrides ``ngram``) so a pipeline with an exact-verify stage
+    shingleizes the corpus once."""
+    # persisted + materialized: blocking consumes the signatures from
+    # concurrent stages; the vote kernel must run once
+    if shingles is not None:
+        sigs = shingles.select(
+            F.col("_sid").alias("_id"), simhash_from_shingles("_sh").alias("_sh")
+        ).persist()
+    else:
+        sigs = df.select(
+            F.col(id_col).alias("_id"), simhash(text_col, ngram).alias("_sh")
+        ).persist()
+    sigs.count()
     mask = (1 << block_bits) - 1
     chunk_structs = [
         F.struct(

@@ -260,12 +260,23 @@ _EXACT_JACCARD_SQL = """
     tags=("dedup",),
 )
 def q41(spark: SparkSession, sf: str) -> DataFrame:
-    from kaflow_spark.operators.dedup import ngram_jaccard_pairs
+    from kaflow_spark.operators.dedup import ngram_jaccard_pairs, shingle_frame
 
     d = load(spark, sf, "documents")
-    cand = minhash_lsh_candidates(d, "doc_id", "text").select("id_a", "id_b")
+    # ONE shingle pass feeds both the signature kernel and the exact
+    # verify. min_bands=2 (JVM groupBy count) plus est_jaccard >= 0.7
+    # (>5 sigma below any true 0.9-Jaccard pair, P(miss) ~3e-7;
+    # verified 0 misses at sf0.001/0.01/0.1) screen the ~200k
+    # single-band flukes down to ~the true pairs before the exact
+    # verify joins run.
+    sh = shingle_frame(d, "doc_id", "text", 5)
+    cand = (
+        minhash_lsh_candidates(d, "doc_id", "text", min_bands=2, shingles=sh)
+        .filter(F.col("est_jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
     return (
-        ngram_jaccard_pairs(d, cand, "doc_id", "text")
+        ngram_jaccard_pairs(d, cand, "doc_id", "text", shingles=sh)
         .filter(F.col("jaccard") >= 0.9)
         .orderBy("id_a", "id_b")
     )
@@ -274,26 +285,31 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
 @declare(
     "q42_simhash_near_dup",
     oracle=_EXACT_JACCARD_SQL,
-    doc="SimHash near-duplicate pipeline, end-to-end: 64-bit 3-gram "
+    doc="SimHash near-duplicate pipeline, end-to-end: 64-bit 5-gram "
     "vote signatures, 8-bit-chunk pigeonhole blocking + hamming <= 10 "
-    "pre-filter, exact n-gram-Jaccard verify >= 0.9. Blocking "
+    "pre-filter, exact n-gram-Jaccard verify >= 0.9. The signature "
+    "features are the SAME 5-gram family the verify/oracle use — "
+    "3-gram features have so little discrimination on English-like "
+    "text (every doc shares most trigrams) that sf0.1 floods 157k "
+    "candidates; 5-grams give ~273 for 255 true pairs. Blocking "
     "GUARANTEES recall up to hamming 64/block_bits - 1 = 7; fixture "
-    "true pairs reach hamming 9, and a 9-bit flip spread over eight "
-    "chunks still leaves ~2.4 chunks clean in expectation — verified "
-    "0 misses at sf0.001/0.01/0.1. Same exact output contract as q41 "
-    "— deliberately: two independent candidate generators attested "
+    "true pairs reach hamming 8, and 8 flips over eight chunks leave "
+    "~2.9 chunks clean in expectation — verified 0 misses at "
+    "sf0.001/0.01/0.1. Same exact output contract as q41 — "
+    "deliberately: two independent candidate generators attested "
     "against one brute-force oracle.",
     tags=("dedup",),
 )
 def q42(spark: SparkSession, sf: str) -> DataFrame:
-    from kaflow_spark.operators.dedup import ngram_jaccard_pairs
+    from kaflow_spark.operators.dedup import ngram_jaccard_pairs, shingle_frame
 
     d = load(spark, sf, "documents")
+    sh = shingle_frame(d, "doc_id", "text", 5)
     cand = simhash_near_dups(
-        d, "doc_id", "text", max_hamming=10, block_bits=8
+        d, "doc_id", "text", ngram=5, max_hamming=10, block_bits=8, shingles=sh
     ).select("id_a", "id_b")
     return (
-        ngram_jaccard_pairs(d, cand, "doc_id", "text")
+        ngram_jaccard_pairs(d, cand, "doc_id", "text", shingles=sh)
         .filter(F.col("jaccard") >= 0.9)
         .orderBy("id_a", "id_b")
     )
