@@ -1,0 +1,170 @@
+"""Declared dataset-curation queries (q68-q72).
+
+The curation stages a training-data pipeline runs between raw corpus
+and tokenizer: benchmark-contamination screening, per-domain quota
+caps, deterministic train/val/test splitting, sequence packing, and
+PII scrubbing. All five are exact/deterministic, so each carries a
+full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kaflow_spark.catalog import load
+from kaflow_spark.operators.curation import (
+    contamination_overlaps,
+    hash_split,
+    hash_split_sql,
+    pack_greedy,
+    pii_scrub,
+    pii_scrub_sql,
+    quota_per_key,
+)
+from kaflow_spark.queries.base import declare
+
+# Fixture benchmark suite: every 97th document stands in for "the
+# benchmark questions" — deterministic, ~1% of the corpus, and it
+# naturally contains real contamination because the fixture seeds
+# near-duplicate documents.
+_BENCH_PRED = "doc_id % 97 = 0"
+_MIN_OVERLAP = 50
+
+
+@declare(
+    "q68_benchmark_contamination",
+    oracle=f"""
+    WITH bench AS (
+        SELECT doc_id AS bench_id, text FROM documents WHERE {_BENCH_PRED}),
+    bg AS (
+        SELECT DISTINCT bench_id, substring(text, CAST(i AS INT), 8) AS g
+        FROM (SELECT bench_id, text,
+                     unnest(range(1, greatest(length(text)-7, 1)+1)) AS i
+              FROM bench)),
+    dg AS (
+        SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 8) AS g
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, greatest(length(text)-7, 1)+1)) AS i
+              FROM documents))
+    SELECT doc_id, bench_id, CAST(COUNT(*) AS BIGINT) AS overlap
+    FROM dg JOIN bg USING (g)
+    WHERE doc_id <> bench_id
+    GROUP BY doc_id, bench_id
+    HAVING COUNT(*) >= {_MIN_OVERLAP}
+    ORDER BY doc_id, bench_id
+    """,
+    doc="Benchmark-contamination screen: corpus docs sharing >= 50 "
+    "distinct 8-grams with any benchmark item (fixture benchmark = "
+    "every 97th doc). Inverted-index join with the benchmark side "
+    "broadcast — the corpus never shuffles; the oracle joins raw gram "
+    "strings while the plan joins xxhash64 gram hashes (the overlap "
+    "count is hash-invariant).",
+    tags=("curation", "dedup"),
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    bench = d.filter(F.expr(_BENCH_PRED)).select(
+        F.col("doc_id").alias("bench_id"), F.col("text").alias("btext")
+    )
+    return (
+        contamination_overlaps(
+            d, bench, "doc_id", "text", "bench_id", "btext",
+            k=8, min_overlap=_MIN_OVERLAP,
+        )
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+@declare(
+    "q69_quota_per_source",
+    oracle="""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents)
+    WHERE rn <= 20 ORDER BY doc_id
+    """,
+    doc="Per-domain quota sampling: keep the first 20 docs per source "
+    "(deterministic doc_id order) — the 'at most N documents per "
+    "domain' curation rule as one window shuffle.",
+    tags=("curation",),
+)
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "source")
+    return quota_per_key(d, "source", "doc_id", 20).orderBy("doc_id")
+
+
+_SPLIT_WEIGHTS = {"train": 0.96, "val": 0.02, "test": 0.02}
+
+
+@declare(
+    "q70_hash_split",
+    oracle=f"""
+    SELECT doc_id,
+           {hash_split_sql("doc_id", _SPLIT_WEIGHTS)} AS split
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Deterministic train/val/test split (96/2/2) off the md5 of "
+    "the doc id: stable across runs, engines, partitionings and "
+    "cluster sizes — a pure scan-side projection, no shuffle and no "
+    "RNG. The oracle runs the portable SQL twin of the same "
+    "hex-threshold comparison.",
+    tags=("curation",),
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id")
+    return hash_split(d, "doc_id", _SPLIT_WEIGHTS).orderBy("doc_id")
+
+
+@declare(
+    "q71_sequence_packing",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ntok
+        FROM documents)
+    SELECT doc_id, source, ntok,
+           CAST(COALESCE(SUM(ntok) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // 2048 AS BIGINT) AS bin_id
+    FROM t ORDER BY doc_id
+    """,
+    doc="Sequence packing: assign docs to ~2048-token training bins, "
+    "filling per-source in doc_id order (bin = prefix-sum-before DIV "
+    "budget — the deterministic streaming-packing contract). Packing "
+    "per shard keeps the window parallel; a global running sum would "
+    "serialize one task at 100 TB.",
+    tags=("curation",),
+)
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.functions.textstats import quality_components
+
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        quality_components(F.col("text"))["ntok"].alias("ntok"),
+    )
+    return pack_greedy(d, "source", "doc_id", "ntok", 2048).orderBy("doc_id")
+
+
+@declare(
+    "q72_pii_scrub",
+    oracle=f"""
+    SELECT doc_id, {pii_scrub_sql("text")} AS clean_text
+    FROM documents ORDER BY doc_id
+    """,
+    doc="PII scrubbing: emails, IPv4s and phone-like digit runs "
+    "replaced by typed placeholders via engine-portable regexes (no "
+    "lookaround/backrefs, so Java regex and RE2 agree). Pure "
+    "scan-side regexp_replace chain, codegen'd.",
+    tags=("curation", "text"),
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", pii_scrub("text").alias("clean_text"))
+        .orderBy("doc_id")
+    )

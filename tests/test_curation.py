@@ -1,0 +1,125 @@
+"""Dataset-curation operator semantics (oracle parity is covered by
+test_oracle.py q68-q72; these test the operator contracts directly)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from kaflow_spark.operators.curation import (
+    contamination_overlaps,
+    hash_split,
+    pack_greedy,
+    pii_scrub,
+    quota_per_key,
+)
+
+
+def test_contamination_finds_planted_overlap_and_broadcasts(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text about spark executors and shuffles"),
+            (3, "xx the quick brown fox jumps over the lazy dog xx"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "bench_id long, btext string",
+    )
+    out = contamination_overlaps(
+        corpus, bench, "doc_id", "text", "bench_id", "btext", k=8, min_overlap=10
+    )
+    rows = {(r["doc_id"], r["bench_id"]): r["overlap"] for r in out.collect()}
+    assert (1, 100) in rows and (3, 100) in rows
+    assert (2, 100) not in rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quota_per_key_caps_deterministically(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)],
+        "doc_id long, source string",
+    )
+    kept = quota_per_key(df, "source", "doc_id", 10)
+    per = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {"a": 10, "b": 10}
+    # first-N in order: the kept doc_ids are the 10 smallest per source
+    a_ids = sorted(r["doc_id"] for r in kept.filter("source='a'").collect())
+    assert a_ids == [0, 2, 4, 6, 8, 10, 12, 14, 16, 18]
+
+
+def test_hash_split_is_stable_and_partition_invariant(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", w).collect()}
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(13), "doc_id", w).collect()
+    }
+    assert s1 == s2  # split must not depend on physical layout
+    # matches a pure-python md5 reference implementation
+    def ref(i: int) -> str:
+        p = hashlib.md5(str(i).encode()).hexdigest()[:8]
+        t_train = format(int(0.8 * (1 << 32)), "08x")
+        t_val = format(int(0.9 * (1 << 32)), "08x")
+        return "train" if p < t_train else ("val" if p < t_val else "test")
+
+    assert all(s1[i] == ref(i) for i in range(2000))
+    # fractions land near the weights on 2000 ids
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    # salt migrates assignments
+    s3 = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, "doc_id", w, salt="v2").collect()
+    }
+    assert s3 != s1
+
+
+def test_hash_split_no_shuffle(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    plan = (
+        hash_split(df, "doc_id", {"train": 0.9, "test": 0.1})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_pack_greedy_contract(spark):
+    df = spark.createDataFrame(
+        [(i, "s", 600) for i in range(10)], "doc_id long, source string, ntok long"
+    )
+    packed = {r["doc_id"]: r["bin_id"] for r in
+              pack_greedy(df, "source", "doc_id", "ntok", 2048).collect()}
+    # prefix sums before: 0,600,...,5400 -> bins 0,0,0,0,1,1,1,2,2,2
+    assert [packed[i] for i in range(10)] == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+    # bins are contiguous runs in order and every doc is assigned
+    assert len(packed) == 10
+
+
+def test_pii_scrub_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk now"),
+            (2, "server at 10.0.255.1 rebooted"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "clean text stays clean"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["c"] for r in df.select("id", pii_scrub("text").alias("c")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "server at <IP> rebooted"
+    assert "<PHONE>" in out[3]
+    assert out[4] == "clean text stays clean"
