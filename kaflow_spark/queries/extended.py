@@ -499,3 +499,103 @@ _Q53_SQL = """
 def q53(spark: SparkSession, sf: str) -> DataFrame:
     load(spark, sf, "orders").createOrReplaceTempView("orders")
     return spark.sql(_Q53_SQL)
+
+
+_Q73_SQL = """
+    WITH s AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,0)) AS sx,
+               SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0))
+                   * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sxx
+        FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n,
+           CAST(sx AS DECIMAL(38,2)) / 100 AS sum_price,
+           CAST((n * sxx - sx * sx) / (n * (n - 1)) AS DECIMAL(38,0)) AS var_c2,
+           CAST(CAST((n * sxx - sx * sx) / (n * (n - 1)) AS DECIMAL(38,0))
+                AS DECIMAL(38,4)) / 10000 AS var_price
+    FROM s ORDER BY o_orderpriority
+"""
+
+
+@declare(
+    "q73_exact_variance",
+    oracle=_Q73_SQL,
+    doc="Sample variance with NO floating point anywhere: prices in "
+    "integer cents, exact decimal sums of x and x^2, variance as the "
+    "exact integer division (n*Sxx - Sx^2) DIV (n*(n-1)) in cents^2 "
+    "(then scaled back to a DECIMAL price^2). Spark's var_samp / "
+    "DuckDB's var_samp sum doubles in shuffle order and can differ in "
+    "the last ulp run-to-run; this formulation is hash-stable at any "
+    "scale and parallelism because every intermediate is exact.",
+    tags=("agg", "stats"),
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q73_SQL)
+
+
+_Q74_SQL = """
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(o_custkey) AS DECIMAL(38,0)) AS sy,
+               SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0))
+                   * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sxx,
+               SUM(CAST(o_custkey AS DECIMAL(38,0)) * o_custkey) AS syy,
+               SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(38,0))
+                   * o_custkey) AS sxy
+        FROM orders)
+    SELECT n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 9) AS corr_r,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE) / 100, 6) AS covar_s
+    FROM s
+"""
+
+
+@declare(
+    "q74_corr_from_exact_sums",
+    oracle=_Q74_SQL,
+    doc="Pearson correlation / sample covariance computed from EXACT "
+    "decimal moment sums, with floating point entering only in the "
+    "final fixed expression (cast, sqrt, three divides — all "
+    "correctly-rounded IEEE ops on both engines, so the result is "
+    "bit-stable regardless of row order, unlike the native corr() "
+    "aggregate whose double summation is shuffle-order-dependent).",
+    tags=("agg", "stats"),
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q74_SQL)
+
+
+_Q75_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    ORDER BY c_custkey
+"""
+
+
+@declare(
+    "q75_exists_not_exists",
+    oracle=_Q75_SQL,
+    doc="EXISTS + NOT EXISTS correlated subqueries in one predicate: "
+    "Catalyst rewrites them to a left-semi and a left-anti join on "
+    "c_custkey (verified in the plan test) — the declarative SQL "
+    "surface a migrating user writes, planned as the joins an engine "
+    "should run.",
+    tags=("subquery", "join"),
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "customer").createOrReplaceTempView("customer")
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q75_SQL)

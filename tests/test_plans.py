@@ -75,3 +75,14 @@ def test_asof_join_single_key_shuffle(spark, sf_dir):
     # window machinery present, no join operator at all
     assert "Window" in txt
     assert "SortMergeJoin" not in txt and "NestedLoop" not in txt
+
+
+def test_exists_rewrites_to_semi_and_anti(spark, sf_dir):
+    """q75's EXISTS / NOT EXISTS must decorrelate into a left-semi and
+    a left-anti join — never a per-row subquery or nested loop."""
+    from kaflow_spark.plans.explain import explain_str
+
+    txt = explain_str(REGISTRY["q75_exists_not_exists"].spark(spark, sf_dir))
+    assert "LeftSemi" in txt
+    assert "LeftAnti" in txt
+    assert "NestedLoop" not in txt
