@@ -65,11 +65,29 @@ def main() -> None:
 
     probe(
         f"MinHash LSH candidates ({n_docs} docs/x)",
-        lambda d: minhash_lsh_candidates(d, "doc_id", "text"),
+        lambda d: minhash_lsh_candidates(d, "doc_id", "text", min_bands=2),
     )
     probe(
-        f"SimHash near-dup ({n_docs} docs/x)",
-        lambda d: simhash_near_dups(d, "doc_id", "text"),
+        f"SimHash near-dup 5-gram h<=10 ({n_docs} docs/x)",
+        lambda d: simhash_near_dups(
+            d, "doc_id", "text", ngram=5, max_hamming=10, block_bits=8
+        ),
+    )
+
+    from kaflow_spark.operators.curation import contamination_overlaps
+
+    # the benchmark suite is FIXED-size by nature (it does not grow
+    # with the corpus) — replicating it too would measure a 100x pair
+    # blowup no real deployment has
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), F.col("text").alias("btext")
+    )
+    probe(
+        f"contamination screen ({n_docs} docs/x, fixed bench)",
+        lambda d: contamination_overlaps(
+            d, bench, "doc_id", "text", "bench_id", "btext",
+            k=8, min_overlap=50,
+        ),
     )
 
     # embeddings: replicate and brute-force top-k (scan-bound)
