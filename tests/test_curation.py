@@ -123,3 +123,27 @@ def test_pii_scrub_patterns(spark):
     assert out[2] == "server at <IP> rebooted"
     assert "<PHONE>" in out[3]
     assert out[4] == "clean text stays clean"
+
+
+def test_repetition_stats_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w")], "doc_id long, text string"
+    )
+    from kaflow_spark.operators.curation import repetition_stats
+
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert out[1]["ntok"] == 4 and out[1]["ndistinct"] == 2
+    assert out[1]["top_count"] == 3 and out[1]["top_bp"] == 7500
+    assert out[2]["ndistinct"] == 4 and out[2]["top_bp"] == 2500
+
+
+def test_top_ngrams_total_order(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b q r")], "doc_id long, text string"
+    )
+    from kaflow_spark.operators.curation import top_ngrams
+
+    rows = [(r["gram"], r["n"]) for r in top_ngrams(df, "text", 2, 3).collect()]
+    # 'a b' x3; then ties at 1 resolve lexicographically
+    assert rows[0] == ("a b", 3)
+    assert rows[1:] == [("b a", 1), ("b c", 1)]
