@@ -222,6 +222,90 @@ def pii_scrub_sql(text_col: str) -> str:
     return expr
 
 
+def _tokens(text_col: str) -> F.Column:
+    """Whitespace tokens via regexp_extract_all(\\S+) — the one
+    tokenization that behaves identically in Spark and DuckDB (split()
+    semantics differ on empty strings and leading separators)."""
+    return F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style per-document repetition/quality signals: token
+    count, distinct-token count, the count of the single most frequent
+    token, and integer-basis-point ratios (distinct/total, top/total)
+    used as repetition filters ('drop docs whose top token exceeds X%
+    of the text').
+
+    Shape at scale: explode tokens → two-level partial-agg'd groupBy
+    ((doc, token) counts, then per-doc maxima). The corpus text
+    shuffles once as (doc_id, token) pairs; every aggregate is
+    map-side-combined. Integer bp arithmetic keeps the output
+    hash-exact across engines."""
+    toks = df.select(F.col(id_col).alias("_id"), F.explode(_tokens(text_col)).alias("_t"))
+    per_tok = toks.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = per_tok.groupBy("_id").agg(
+        F.sum("_c").alias("ntok"),
+        F.count(F.lit(1)).alias("ndistinct"),
+        F.max("_c").alias("top_count"),
+    )
+    ntok = F.greatest(F.col("ntok"), F.lit(1))
+    int_bp = lambda num: ((num * 10000 - (num * 10000) % ntok) / ntok).cast("bigint")  # noqa: E731
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "ntok",
+        "ndistinct",
+        "top_count",
+        int_bp(F.col("ndistinct")).alias("distinct_bp"),
+        int_bp(F.col("top_count")).alias("top_bp"),
+    )
+
+
+def vocab_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus-level vocabulary statistics: total tokens, distinct
+    tokens, hapax count (tokens occurring exactly once), and the
+    count of the most frequent token. One explode + one partial-agg'd
+    groupBy over (token) — the classic word-count shape that scales
+    by token-hash partitioning."""
+    toks = df.select(F.explode(_tokens(text_col)).alias("_t"))
+    per_tok = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    return per_tok.agg(
+        F.sum("_c").alias("total_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).alias("hapax"),
+        F.max("_c").alias("top_token_count"),
+    )
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str, n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams with a total deterministic order
+    (count DESC, gram ASC). n-grams form JVM-side by zipping the token
+    array against its own tail (arrays_zip of slices — no interpreted
+    lambda), then explode → count → TakeOrderedAndProject: the full
+    corpus shuffles only (gram, partial-count) pairs and the top-k
+    never materializes a global sort."""
+    slices = ", ".join(
+        f"slice(_toks, {i + 1}, greatest(size(_toks) - {n - 1}, 0))"
+        for i in range(n)
+    )
+    ex = (
+        df.select(_tokens(text_col).alias("_toks"))
+        .select(F.explode(F.expr(f"arrays_zip({slices})")).alias("_s"))
+        .select(
+            F.concat_ws(" ", *[F.col("_s")[str(i)] for i in range(n)]).alias("gram")
+        )
+    )
+    return (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram"))
+        .limit(k)
+    )
+
+
 def split_counts_exact(df: DataFrame, split_col: str = "split") -> DataFrame:
     """Sanity aggregate for :func:`hash_split`: rows per split (used
     by tests and ops dashboards)."""
@@ -236,6 +320,9 @@ __all__ = [
     "pack_greedy",
     "pii_scrub",
     "pii_scrub_sql",
+    "repetition_stats",
+    "vocab_stats",
+    "top_ngrams",
     "split_counts_exact",
     "PII_PATTERNS",
 ]

@@ -168,3 +168,81 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", pii_scrub("text").alias("clean_text"))
         .orderBy("doc_id")
     )
+
+
+@declare(
+    "q76_repetition_stats",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t
+        FROM documents),
+    pt AS (SELECT doc_id, t, COUNT(*) AS c FROM tk GROUP BY doc_id, t),
+    pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS ntok,
+                  CAST(COUNT(*) AS BIGINT) AS ndistinct,
+                  CAST(MAX(c) AS BIGINT) AS top_count
+           FROM pt GROUP BY doc_id)
+    SELECT doc_id, ntok, ndistinct, top_count,
+           (ndistinct * 10000) // GREATEST(ntok, 1) AS distinct_bp,
+           (top_count * 10000) // GREATEST(ntok, 1) AS top_bp
+    FROM pd ORDER BY doc_id
+    """,
+    doc="Gopher-style repetition filters: per-doc token count, "
+    "distinct tokens, most-frequent-token count, and integer-bp "
+    "ratios ('drop docs whose top token exceeds X% of the text'). "
+    "Explode + two partial-agg'd groupBys; bp arithmetic keeps it "
+    "hash-exact.",
+    tags=("curation", "text"),
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import repetition_stats
+
+    d = load(spark, sf, "documents")
+    return repetition_stats(d, "doc_id", "text").orderBy("doc_id")
+
+
+@declare(
+    "q77_vocab_stats",
+    oracle="""
+    WITH tk AS (
+        SELECT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents),
+    pt AS (SELECT t, COUNT(*) AS c FROM tk GROUP BY t)
+    SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(MAX(c) AS BIGINT) AS top_token_count
+    FROM pt
+    """,
+    doc="Corpus vocabulary statistics (total/distinct/hapax/top token "
+    "counts): the word-count shape — one explode, one token-hash "
+    "partitioned groupBy, then a global fold of four counters.",
+    tags=("curation", "text"),
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import vocab_stats
+
+    return vocab_stats(load(spark, sf, "documents"), "text")
+
+
+@declare(
+    "q78_top_bigrams",
+    oracle="""
+    WITH tk AS (
+        SELECT regexp_extract_all(text, '\\S+') AS ts FROM documents),
+    g AS (
+        SELECT unnest(list_transform(range(1, GREATEST(len(ts)-1, 0)+1),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS gram
+        FROM tk)
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+    """,
+    doc="Corpus-wide top-20 word bigrams under a total order (count "
+    "DESC, gram ASC — ties at the boundary cannot flap). Bigrams form "
+    "JVM-side (arrays_zip of slices, no interpreted lambda); the "
+    "corpus shuffles only partial gram counts and the top-k is "
+    "TakeOrderedAndProject, never a global sort.",
+    tags=("curation", "text"),
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import top_ngrams
+
+    return top_ngrams(load(spark, sf, "documents"), "text", n=2, k=20)
