@@ -599,3 +599,54 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
     load(spark, sf, "customer").createOrReplaceTempView("customer")
     load(spark, sf, "orders").createOrReplaceTempView("orders")
     return spark.sql(_Q75_SQL)
+
+
+_Q79_SQL = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         FILTER (WHERE o_orderstatus = 'F'), 0)
+                AS DECIMAL(38,2)) AS sum_f
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@declare(
+    "q79_filtered_aggregates",
+    oracle=_Q79_SQL,
+    doc="ANSI FILTER-clause aggregates: three differently-filtered "
+    "aggregates in ONE pass over the table (the alternative — three "
+    "self-joined subqueries — scans three times). Decimal cast before "
+    "SUM keeps the filtered sum hash-exact.",
+    tags=("agg",),
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q79_SQL)
+
+
+_Q80_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+    ORDER BY c.c_custkey
+"""
+
+
+@declare(
+    "q80_lateral_top1",
+    oracle=_Q80_SQL,
+    doc="Correlated LATERAL derived table (each customer's single "
+    "largest order, unique-key tie-break): the SQL surface a "
+    "migrating user writes for per-entity top-1; Catalyst "
+    "decorrelates it into a join + per-key windowed limit rather "
+    "than executing the subquery per row.",
+    tags=("subquery", "join"),
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "customer").createOrReplaceTempView("customer")
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q80_SQL)
