@@ -222,6 +222,64 @@ def pii_scrub_sql(text_col: str) -> str:
     return expr
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    *,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-stratum fraction
+    of rows, decided by the md5 of the id — the reproducible
+    alternative to ``df.sampleBy`` (whose RNG draw depends on
+    partitioning and seed plumbing). Strata not listed in
+    ``fractions`` keep ``default_fraction``.
+
+    Like :func:`hash_split` this is a pure scan-side projection +
+    filter: no shuffle, no RNG state, stable across engines and
+    re-runs — re-sampling the corpus after adding documents keeps
+    every previously-kept id (a growing corpus never churns the
+    sample)."""
+    key = (
+        F.concat(F.col(id_col).cast("string"), F.lit(salt))
+        if salt
+        else F.col(id_col).cast("string")
+    )
+    prefix = F.substring(F.md5(key), 1, 8)
+    thresh = F.lit(_hex_threshold(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(stratum), F.lit(_hex_threshold(frac))
+        ).otherwise(thresh)
+    return df.filter(prefix < thresh)
+
+
+def stratified_sample_sql(
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    *,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> str:
+    """Portable SQL predicate twin of :func:`stratified_sample`."""
+    key = (
+        f"CAST({id_col} AS VARCHAR)"
+        if not salt
+        else f"CAST({id_col} AS VARCHAR) || '{salt}'"
+    )
+    cases = " ".join(
+        f"WHEN {strata_col} = '{stratum}' THEN '{_hex_threshold(frac)}'"
+        for stratum, frac in sorted(fractions.items())
+    )
+    return (
+        f"substring(md5({key}), 1, 8) < "
+        f"(CASE {cases} ELSE '{_hex_threshold(default_fraction)}' END)"
+    )
+
+
 def _tokens(text_col: str) -> F.Column:
     """Whitespace tokens via regexp_extract_all(\\S+) — the one
     tokenization that behaves identically in Spark and DuckDB (split()
@@ -320,6 +378,8 @@ __all__ = [
     "pack_greedy",
     "pii_scrub",
     "pii_scrub_sql",
+    "stratified_sample",
+    "stratified_sample_sql",
     "repetition_stats",
     "vocab_stats",
     "top_ngrams",

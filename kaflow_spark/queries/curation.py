@@ -21,6 +21,7 @@ from kaflow_spark.operators.curation import (
     pii_scrub,
     pii_scrub_sql,
     quota_per_key,
+    stratified_sample_sql,
 )
 from kaflow_spark.queries.base import declare
 
@@ -246,3 +247,31 @@ def q78(spark: SparkSession, sf: str) -> DataFrame:
     from kaflow_spark.operators.curation import top_ngrams
 
     return top_ngrams(load(spark, sf, "documents"), "text", n=2, k=20)
+
+
+_STRATA_FRACTIONS = {"src0": 0.9, "src1": 0.5, "src2": 0.1}
+
+
+@declare(
+    "q81_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE {stratified_sample_sql("source", "doc_id", _STRATA_FRACTIONS,
+                                 default_fraction=0.25)}
+    ORDER BY doc_id
+    """,
+    doc="Deterministic stratified sampling: per-source keep fractions "
+    "(90/50/10%, default 25%) decided by the md5 of the doc id — the "
+    "reproducible alternative to sampleBy whose RNG draw depends on "
+    "partitioning. Scan-side filter, no shuffle; growing the corpus "
+    "never churns previously-kept ids. The oracle runs the portable "
+    "SQL twin of the same hex-threshold predicate.",
+    tags=("curation",),
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import stratified_sample
+
+    d = load(spark, sf, "documents").select("doc_id", "source")
+    return stratified_sample(
+        d, "source", "doc_id", _STRATA_FRACTIONS, default_fraction=0.25
+    ).orderBy("doc_id")

@@ -147,3 +147,25 @@ def test_top_ngrams_total_order(spark):
     # 'a b' x3; then ties at 1 resolve lexicographically
     assert rows[0] == ("a b", 3)
     assert rows[1:] == [("b a", 1), ("b c", 1)]
+
+
+def test_stratified_sample_is_stable_and_monotone(spark):
+    from kaflow_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    kept = {r["doc_id"] for r in
+            stratified_sample(df, "source", "doc_id", {"a": 0.5}, default_fraction=0.1).collect()}
+    kept2 = {r["doc_id"] for r in
+             stratified_sample(df.repartition(7), "source", "doc_id", {"a": 0.5}, default_fraction=0.1).collect()}
+    assert kept == kept2  # layout-invariant
+    # raising a fraction only ADDS ids (monotone: growing quota never churns)
+    kept_75 = {r["doc_id"] for r in
+               stratified_sample(df, "source", "doc_id", {"a": 0.75}, default_fraction=0.1).collect()}
+    assert kept <= kept_75
+    # fractions land near targets
+    a_kept = sum(1 for i in kept if i % 2 == 0)
+    b_kept = sum(1 for i in kept if i % 2 == 1)
+    assert abs(a_kept / 500 - 0.5) < 0.08 and abs(b_kept / 500 - 0.1) < 0.05
