@@ -1,10 +1,11 @@
-"""Declared dataset-curation queries (q68-q72).
+"""Declared dataset-curation queries (q68-q72, q76-q78, q81).
 
 The curation stages a training-data pipeline runs between raw corpus
 and tokenizer: benchmark-contamination screening, per-domain quota
-caps, deterministic train/val/test splitting, sequence packing, and
-PII scrubbing. All five are exact/deterministic, so each carries a
-full DuckDB oracle.
+caps, deterministic train/val/test splitting, sequence packing, PII
+scrubbing, Gopher-style repetition filters, corpus vocabulary stats,
+top-k n-grams, and deterministic stratified sampling. All nine are
+exact/deterministic, so each carries a full DuckDB oracle.
 """
 
 from __future__ import annotations
