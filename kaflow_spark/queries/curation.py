@@ -276,3 +276,36 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
     return stratified_sample(
         d, "source", "doc_id", _STRATA_FRACTIONS, default_fraction=0.25
     ).orderBy("doc_id")
+
+
+@declare(
+    "q82_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS nbytes,
+           md5(CAST(encode(text) AS VARCHAR)) AS payload_md5,
+           substring(hex(encode(text)), 1, 16) AS head8_hex
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Binary-column metadata extraction (the oracle-attestable "
+    "slice of the multimodal surface): byte length, payload md5, and "
+    "the first 8 bytes as hex over an opaque binary payload — here "
+    "derived from text with encode() so both engines hold identical "
+    "bytes. The real media decode stages (operators/multimodal) run "
+    "the same binary columns through mapInPandas and stay "
+    "engine-tested; this query attests the JVM-side binary handling "
+    "(octet_length/md5/hex never leave codegen).",
+    tags=("curation", "multimodal"),
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    bin_col = F.encode("text", "UTF-8")
+    return (
+        load(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.octet_length(bin_col).alias("nbytes"),
+            F.md5(bin_col).alias("payload_md5"),
+            F.substring(F.hex(bin_col), 1, 16).alias("head8_hex"),
+        )
+        .orderBy("doc_id")
+    )
