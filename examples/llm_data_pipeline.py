@@ -1,9 +1,11 @@
 """End-to-end LLM training-data pipeline on kaflow_spark.
 
 Raw documents -> exact dedup -> near-dup removal (MinHash LSH with
-exact-Jaccard verify) -> language filter -> quality filter -> token
-accounting + fingerprints. Every stage is an engine operator; the
-whole thing is one lazy DataFrame graph (Catalyst sees it end-to-end).
+exact-Jaccard verify) -> language filter -> quality + repetition
+filters -> PII scrub -> benchmark decontamination -> per-source quota
+-> deterministic train/val/test split -> sequence packing -> token
+accounting. Every stage is an engine operator; the whole thing is one
+lazy DataFrame graph (Catalyst sees it end-to-end).
 
     PYTHONPATH=/root/repo python examples/llm_data_pipeline.py [sf_dir]
 """
@@ -21,6 +23,14 @@ from kaflow_spark.functions.textstats import (
     lang_id,
     quality_score_bp,
     token_count_bpe,
+)
+from kaflow_spark.operators.curation import (
+    contamination_overlaps,
+    hash_split,
+    pack_greedy,
+    pii_scrub,
+    quota_per_key,
+    repetition_stats,
 )
 from kaflow_spark.operators.dedup import (
     exact_dedup,
@@ -53,28 +63,60 @@ def main() -> None:
     docs2 = docs1.join(losers, "doc_id", "left_anti")
     n2 = docs2.count()
 
-    # 3+4. language and quality gates, 5. accounting columns
-    cleaned = (
-        docs2.withColumn("lang_pred", lang_id("text"))
+    # 3+4. language, quality, and repetition gates; PII scrub
+    rep = repetition_stats(docs2, "doc_id", "text")
+    docs3 = (
+        docs2.join(rep.select("doc_id", "top_bp"), "doc_id")
+        .withColumn("lang_pred", lang_id("text"))
         .withColumn("quality_bp", quality_score_bp("text"))
         .filter(F.col("lang_pred") == "en")
         .filter(F.col("quality_bp") > 5000)
-        .withColumn("n_tokens", token_count_bpe("text"))
-        .withColumn("fp", fingerprint("text"))
+        .filter(F.col("top_bp") < 3000)  # Gopher-style repetition cap
+        .withColumn("text", pii_scrub("text"))
     )
-    stats = cleaned.agg(
+    n3 = docs3.count()
+
+    # 5. benchmark decontamination (fixture benchmark: every 97th doc)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), F.col("text").alias("btext")
+    )
+    dirty = contamination_overlaps(
+        docs3, bench, "doc_id", "text", "bench_id", "btext",
+        k=8, min_overlap=50,
+    ).filter(F.col("doc_id") != F.col("bench_id")).select("doc_id").distinct()
+    docs4 = docs3.join(dirty, "doc_id", "left_anti")
+    n4 = docs4.count()
+
+    # 6. per-source quota, 7. deterministic split, 8. packing
+    docs5 = quota_per_key(docs4, "source", "doc_id", 1000)
+    split = hash_split(docs5, "doc_id", {"train": 0.96, "val": 0.02, "test": 0.02})
+    train = (
+        split.filter(F.col("split") == "train")
+        .withColumn("n_tokens", token_count_bpe("text"))
+        .withColumn("fp", fingerprint("text", stride=4))
+    )
+    packed = pack_greedy(train, "source", "doc_id", "n_tokens", 2048)
+
+    stats = packed.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_tokens").alias("tokens"),
         F.avg("quality_bp").alias("avg_quality_bp"),
+        (F.max("bin_id") + 1).alias("bins_in_largest_source"),
     ).first()
+    splits = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
 
-    print(f"input docs:          {n0}")
-    print(f"after exact dedup:   {n1}  (-{n0 - n1})")
-    print(f"after near-dup:      {n2}  (-{n1 - n2})")
+    print(f"input docs:              {n0}")
+    print(f"after exact dedup:       {n1}  (-{n0 - n1})")
+    print(f"after near-dup:          {n2}  (-{n1 - n2})")
+    print(f"after lang/qual/rep+PII: {n3}  (-{n2 - n3})")
+    print(f"after decontamination:   {n4}  (-{n3 - n4})")
+    print(f"splits:                  {splits}")
     print(
-        f"after lang+quality:  {stats['docs']}  "
+        f"train set:               {stats['docs']} docs "
         f"| tokens: {stats['tokens']:,} "
-        f"| avg quality: {stats['avg_quality_bp']:.0f}bp"
+        f"| avg quality: {stats['avg_quality_bp']:.0f}bp "
+        f"| ~2048-tok bins (largest source): {stats['bins_in_largest_source']}"
     )
     spark.stop()
 
