@@ -407,3 +407,51 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(
         e, "embedding", "vec_id", query, k=10, n_lists=8, nprobe=3
     )
+
+
+@declare(
+    "q83_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_EXACT_JACCARD_SQL.replace("ORDER BY id_a, id_b", "")}),
+    reach(node, label) AS (
+        SELECT id_a, id_a FROM pairs
+        UNION
+        SELECT id_b, id_b FROM pairs
+        UNION
+        SELECT e.b, r.label
+        FROM reach r JOIN (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM pairs) e
+        ON e.a = r.node)
+    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+    doc="Duplicate-CLUSTER labeling: connected components over the "
+    "verified near-dup pair graph (min-label propagation, one "
+    "equi-join + partial-agg'd min per round, converging in "
+    "O(diameter) rounds — dedup clusters are near-cliques so that is "
+    "2-4 regardless of corpus size). Component id = smallest member "
+    "doc_id, which IS the canonical keeper. The oracle computes the "
+    "same fixpoint with a recursive CTE.",
+    tags=("dedup",),
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.dedup import ngram_jaccard_pairs, shingle_frame
+    from kaflow_spark.operators.graph import connected_components
+
+    d = load(spark, sf, "documents")
+    sh = shingle_frame(d, "doc_id", "text", 5)
+    cand = (
+        minhash_lsh_candidates(d, "doc_id", "text", min_bands=2, shingles=sh)
+        .filter(F.col("est_jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    pairs = ngram_jaccard_pairs(d, cand, "doc_id", "text", shingles=sh).filter(
+        F.col("jaccard") >= 0.9
+    )
+    return (
+        connected_components(pairs, "id_a", "id_b")
+        .select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .orderBy("doc_id")
+    )

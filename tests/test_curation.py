@@ -169,3 +169,16 @@ def test_stratified_sample_is_stable_and_monotone(spark):
     a_kept = sum(1 for i in kept if i % 2 == 0)
     b_kept = sum(1 for i in kept if i % 2 == 1)
     assert abs(a_kept / 500 - 0.5) < 0.08 and abs(b_kept / 500 - 0.1) < 0.05
+
+
+def test_connected_components_paths_and_cliques(spark):
+    from kaflow_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # a path 1-2-3-4 (diameter 3), a triangle 10-11-12, an isolated pair
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a long, b long",
+    )
+    out = {r["node"]: r["component"] for r in
+           connected_components(edges, "a", "b").collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
