@@ -280,6 +280,30 @@ def stratified_sample_sql(
     )
 
 
+def temperature_fractions(
+    counts: dict[str, int], alpha: float, target_total: int
+) -> dict[str, float]:
+    """Per-stratum keep fractions for temperature-based mixture
+    resampling: stratum s gets a share proportional to count(s)^alpha
+    of ``target_total`` rows (alpha=1 → natural mix, alpha=0 →
+    uniform; LLM data mixes typically use alpha in [0.2, 0.7] to
+    up-weight small domains). Returned fractions cap at 1.0 — this
+    operator only downsamples; small domains that would need
+    up-sampling keep everything.
+
+    Pure driver-side arithmetic over the (small) per-stratum counts;
+    feed the result to :func:`stratified_sample` for a deterministic,
+    shuffle-free resample."""
+    if not counts:
+        return {}
+    shares = {s: c**alpha for s, c in counts.items()}
+    z = sum(shares.values())
+    return {
+        s: min(1.0, (shares[s] / z) * target_total / max(counts[s], 1))
+        for s in counts
+    }
+
+
 def _tokens(text_col: str) -> F.Column:
     """Whitespace tokens via regexp_extract_all(\\S+) — the one
     tokenization that behaves identically in Spark and DuckDB (split()
@@ -380,6 +404,7 @@ __all__ = [
     "pii_scrub_sql",
     "stratified_sample",
     "stratified_sample_sql",
+    "temperature_fractions",
     "repetition_stats",
     "vocab_stats",
     "top_ngrams",

@@ -309,3 +309,65 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _q84_fractions(sf: str) -> dict[str, float]:
+    """Per-source counts read driver-side (pyarrow) -> temperature
+    fractions. In production the counts come from yesterday's stats
+    table; the fixture derives them from the corpus the same way
+    _fixture_query_vec derives the ANN query vector. Counts are
+    sorted by source so the float sum of shares accumulates in the
+    same order as the oracle's list_aggregate fold."""
+    from collections import Counter
+
+    import pyarrow.dataset as ds
+
+    from kaflow_spark.operators.curation import temperature_fractions
+
+    t = ds.dataset(f"{sf}/documents.parquet").to_table(columns=["source"])
+    counts = Counter(t["source"].to_pylist())
+    return temperature_fractions(
+        dict(sorted(counts.items())), alpha=0.5, target_total=len(t) // 2
+    )
+
+
+@declare(
+    "q84_temperature_resample",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+    z AS (SELECT list_aggregate(list(POWER(CAST(c AS DOUBLE), 0.5)
+                                     ORDER BY source), 'sum') AS z
+          FROM cnt),
+    th AS (
+        SELECT source,
+               printf('%08x', CAST(FLOOR(
+                   LEAST(1.0,
+                         POWER(CAST(c AS DOUBLE), 0.5) / z.z
+                         * CAST(n // 2 AS DOUBLE) / CAST(c AS DOUBLE))
+                   * 4294967296.0) AS BIGINT)) AS t
+        FROM cnt, z, tot)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN th USING (source)
+    WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th.t
+    ORDER BY d.doc_id
+    """,
+    doc="Temperature-based mixture resampling (count^0.5 shares, "
+    "target = half the corpus): the LLM data-mixing trick that "
+    "up-weights small domains. Per-source keep fractions are plain "
+    "driver arithmetic over the (tiny) per-source counts, then the "
+    "resample is the deterministic md5-threshold stratified_sample — "
+    "shuffle-free and stable across runs. The oracle recomputes the "
+    "identical fractions in SQL with the share sum folded in the "
+    "same sorted-source order, so even the float arithmetic agrees.",
+    tags=("curation",),
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import stratified_sample
+
+    d = load(spark, sf, "documents").select("doc_id", "source")
+    return stratified_sample(
+        d, "source", "doc_id", _q84_fractions(sf), default_fraction=0.0
+    ).orderBy("doc_id")

@@ -182,3 +182,23 @@ def test_connected_components_paths_and_cliques(spark):
     out = {r["node"]: r["component"] for r in
            connected_components(edges, "a", "b").collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_temperature_fractions_properties():
+    from kaflow_spark.operators.curation import temperature_fractions
+
+    counts = {"big": 10000, "mid": 4000, "small": 1000}
+    fr = temperature_fractions(counts, alpha=0.5, target_total=3000)
+    # fractions are valid probabilities and only downsample
+    assert all(0.0 <= f <= 1.0 for f in fr.values())
+    # temperature up-weights small domains: small keeps a larger share
+    assert fr["small"] > fr["mid"] > fr["big"]
+    # alpha=1 reproduces the natural mix: uniform keep fraction
+    nat = temperature_fractions(counts, alpha=1.0, target_total=3000)
+    vals = [nat[s] for s in counts]
+    assert max(vals) - min(vals) < 1e-9
+    # alpha=0 targets equal per-domain counts (capped at 1.0)
+    uni = temperature_fractions(counts, alpha=0.0, target_total=300)
+    kept = {s: uni[s] * counts[s] for s in counts}
+    assert abs(kept["big"] - 100) < 1 and abs(kept["mid"] - 100) < 1
+    assert abs(kept["small"] - 100) < 1
