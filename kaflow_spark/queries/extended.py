@@ -510,24 +510,36 @@ _Q73_SQL = """
                    * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sxx
         FROM orders GROUP BY o_orderpriority)
     SELECT o_orderpriority, n,
-           CAST(sx AS DECIMAL(38,2)) / 100 AS sum_price,
-           CAST((n * sxx - sx * sx) / (n * (n - 1)) AS DECIMAL(38,0)) AS var_c2,
-           CAST(CAST((n * sxx - sx * sx) / (n * (n - 1)) AS DECIMAL(38,0))
-                AS DECIMAL(38,4)) / 10000 AS var_price
-    FROM s ORDER BY o_orderpriority
+           CAST(sx AS DOUBLE) / 100 AS sum_price,
+           CAST((num - num % den) / den AS BIGINT) AS var_c2,
+           CAST(CAST((num - num % den) / den AS BIGINT) AS DOUBLE)
+               / 10000 AS var_price
+    FROM (SELECT o_orderpriority, n, sx,
+                 n * sxx - sx * sx AS num,
+                 CAST(n AS DECIMAL(38,0)) * (n - 1) AS den
+          FROM s) f
+    ORDER BY o_orderpriority
 """
 
 
 @declare(
     "q73_exact_variance",
     oracle=_Q73_SQL,
-    doc="Sample variance with NO floating point anywhere: prices in "
-    "integer cents, exact decimal sums of x and x^2, variance as the "
-    "exact integer division (n*Sxx - Sx^2) DIV (n*(n-1)) in cents^2 "
-    "(then scaled back to a DECIMAL price^2). Spark's var_samp / "
+    doc="Sample variance with no floating point in any AGGREGATE: "
+    "prices in integer cents, exact decimal sums of x and x^2, "
+    "variance as the exact floor division (n*Sxx - Sx^2) DIV "
+    "(n*(n-1)) in cents^2, written as (num - num % den) / den so the "
+    "quotient is an exact integer BEFORE any division happens — "
+    "Spark's decimal `/` (truncating cast) and DuckDB's decimal `/` "
+    "(double division, rounding cast) then agree bit-for-bit. Doubles "
+    "appear only in the final per-group projection, converting exact "
+    "integers < 2^53 — a correctly-rounded, order-independent op on "
+    "both engines (and it keeps the output dtype identical across "
+    "Spark/DuckDB: wide DECIMALs round-trip differently through "
+    "pandas). Spark's var_samp / "
     "DuckDB's var_samp sum doubles in shuffle order and can differ in "
     "the last ulp run-to-run; this formulation is hash-stable at any "
-    "scale and parallelism because every intermediate is exact.",
+    "scale and parallelism.",
     tags=("agg", "stats"),
 )
 def q73(spark: SparkSession, sf: str) -> DataFrame:
