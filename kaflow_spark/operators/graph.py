@@ -2,24 +2,75 @@
 
 The near-dup operators emit PAIRS; a dedup pipeline needs CLUSTERS —
 "keep one canonical document per group of mutual near-duplicates" is
-connected components over the pair graph. This is the one genuinely
-iterative algorithm in the engine, implemented as a driver-side loop
-of DataFrame joins (each iteration is a Catalyst-planned shuffle
-join + partial-agg'd min), converging in O(diameter) rounds.
+connected components over the pair graph.
 
-Scale notes: near-dup clusters produced by LSH + exact-verify are
-dense (almost cliques), so the diameter — and the iteration count —
-is small (2-4) regardless of corpus size. Each iteration shuffles
-only (node, label) pairs, 16 bytes a row. For adversarial
-long-chain graphs the large-star/small-star variant (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) bounds
-rounds at O(log² n); min-label propagation is the right default for
-dedup workloads and keeps every step a plain equi-join.
+Three-tier strategy, chosen by the (already-materialized) edge count:
+
+1. **Per-partition contraction** (always): a vectorized union-find
+   inside each partition (``mapInPandas``) collapses every local
+   component to ``(node, local_min_root)`` edges — one narrow pass, no
+   shuffle, and it shrinks the edge set from |E| to at most |V| rows
+   before any iteration starts. This is the standard first move in
+   MapReduce-style CC (cf. Kiveris et al., "Connected Components in
+   MapReduce and Beyond", SoCC'14 — the local-contraction step).
+2. **Single-partition exact solve** (small graphs): the verified
+   near-dup graph is ids-only (16-byte rows) and usually minuscule
+   relative to the corpus — a 100 TB crawl with 100M duplicate pairs
+   is ~1.6 GB of edges, far below one executor's memory. When the
+   edge count is under ``single_partition_max``, coalesce to one
+   partition and let the same union-find kernel produce the exact
+   answer in ONE job — no iteration, no per-round scheduling.
+3. **Min-label iteration** (huge graphs): on the contracted edges,
+   each round is one equi-join (neighbor proposals) + one union +
+   partial-agg'd min — two shuffles — and convergence is detected from
+   the same action that materializes the round via the monotone label
+   sum (labels only ever decrease, so the sum strictly decreases iff
+   anything changed; no old-vs-new join needed). Dedup clusters are
+   near-cliques, so this converges in 2-4 rounds regardless of corpus
+   size; adversarial long chains are bounded by the contraction step
+   having already collapsed everything that co-resides in a partition.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
 from pyspark.sql import DataFrame, functions as F
+
+
+def _forest_kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Connected components over the rows of one partition ->
+    (node, root) where root is the MINIMUM member id of the node's
+    partition-local component.
+
+    Fully vectorized Shiloach-Vishkin-style min-propagation: ids are
+    remapped to dense indices once (np.unique sorts, so index order ==
+    id order and min index == min id), then each pass scatters the min
+    component label across every edge (np.minimum.at) and pointer-jumps
+    (comp = comp[comp]) — O(E) numpy work per pass, O(log n) passes.
+    No per-edge Python."""
+    import numpy as np
+    import pandas as pd
+
+    frames = list(it)
+    if not frames:
+        return
+    e = pd.concat(frames, ignore_index=True)
+    if not len(e):
+        return
+    flat = np.concatenate([e["a"].to_numpy(), e["b"].to_numpy()])
+    ids, inv = np.unique(flat, return_inverse=True)
+    n = len(ids)
+    ea, eb = inv[: len(e)], inv[len(e) :]
+    comp = np.arange(n, dtype=np.int64)
+    while True:
+        prev = comp.copy()
+        np.minimum.at(comp, ea, comp[eb])
+        np.minimum.at(comp, eb, comp[ea])
+        comp = comp[comp]  # pointer jumping halves chain lengths
+        if np.array_equal(comp, prev):
+            break
+    yield pd.DataFrame({"node": ids, "root": ids[comp]})
 
 
 def connected_components(
@@ -28,64 +79,91 @@ def connected_components(
     dst: str,
     *,
     max_iter: int = 25,
+    single_partition_max: int = 5_000_000,
     out_node: str = "node",
     out_comp: str = "component",
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the
     MINIMUM node id reachable from it (the component id).
 
-    Min-label propagation: labels start as the node id; each round
-    every node takes the min of its own label and its neighbors'
-    labels (one join + one groupBy-min); stops when a round changes
-    nothing. The result is deterministic — component ids are actual
-    member ids (the smallest), which downstream 'keep the canonical
-    doc' logic uses directly.
+    The result is deterministic — component ids are actual member ids
+    (the smallest), which downstream 'keep the canonical doc' logic
+    uses directly.
     """
-    # symmetric edge list, 16-byte rows; persisted — re-read each round
+    id_type = dict(edges.dtypes)[src]
+    pair_schema = f"node {id_type}, root {id_type}"
+
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .persist()
     )
-    sym.count()  # materialize before the iteration fan-out
-    labels = (
-        sym.select(F.col("a").alias("n"))
+    n_edges = sym.count()
+
+    if n_edges <= single_partition_max:
+        # ids-only rows: even millions of edges are a few dozen MB —
+        # one union-find task beats any number of iterative shuffles.
+        out = (
+            sym.coalesce(1)
+            .mapInPandas(_forest_kernel, schema=pair_schema)
+            .select(
+                F.col("node").alias(out_node), F.col("root").alias(out_comp)
+            )
+        )
+        # materialize before releasing the persisted edges
+        out = out.persist()
+        out.count()
+        sym.unpersist()
+        return out
+
+    # Tier 1: shuffle-free local contraction. The forest edges keep
+    # every original node present, and union-of-spanning-forests
+    # preserves connectivity, so the global fixpoint is unchanged.
+    contracted = sym.mapInPandas(_forest_kernel, schema=pair_schema)
+    csym = (
+        contracted.select(F.col("node").alias("a"), F.col("root").alias("b"))
+        .union(
+            contracted.select(F.col("root").alias("a"), F.col("node").alias("b"))
+        )
         .distinct()
-        .select("n", F.col("n").alias("lbl"))
         .persist()
     )
-    labels.count()
+    csym.count()
+    sym.unpersist()
+
+    # labels(n) = min(n, min neighbor) straight off the contracted
+    # edges — round 0 comes free with the init aggregation.
+    labels = (
+        csym.groupBy(F.col("a").alias("n"))
+        .agg(F.least(F.first("a"), F.min("b")).alias("lbl"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
     prev_cached = labels
     for _ in range(max_iter):
-        # neighbor labels: edge (a,b) proposes label(b) to a
         proposals = (
-            sym.join(labels.withColumnRenamed("n", "b"), "b")
-            .select(F.col("a").alias("n"), F.col("lbl").alias("plbl"))
+            csym.join(labels.withColumnRenamed("n", "b"), "b")
+            .select(F.col("a").alias("n"), "lbl")
         )
-        # ONE action per round: the aggregate below both materializes
-        # the persisted new-label frame and returns the change count
-        # (iterating on Spark pays per-action scheduling, so actions
-        # are the unit to minimize, not joins)
         new_labels = (
-            labels.select("n", F.col("lbl").alias("_old"))
-            .join(proposals, "n", "left")
+            labels.unionByName(proposals)
             .groupBy("n")
-            .agg(
-                F.min("_old").alias("_old"),
-                F.least(F.min("_old"), F.min("plbl")).alias("lbl"),
-            )
+            .agg(F.min("lbl").alias("lbl"))
             .persist()
         )
-        changed = new_labels.agg(
-            F.sum((F.col("lbl") != F.col("_old")).cast("long"))
-        ).first()[0]
+        # ONE action per round: materializes the persisted frame AND
+        # yields the convergence signal. Labels are monotonically
+        # non-increasing, so sum(lbl) strictly decreases iff any label
+        # changed this round.
+        cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
         prev_cached.unpersist()
         prev_cached = new_labels
-        labels = new_labels.select("n", "lbl")
-        if not changed:
+        labels = new_labels
+        if cur_sum == prev_sum:
             break
-    sym.unpersist()
+        prev_sum = cur_sum
+    csym.unpersist()
     return labels.select(
         F.col("n").alias(out_node), F.col("lbl").alias(out_comp)
     )

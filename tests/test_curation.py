@@ -179,9 +179,15 @@ def test_connected_components_paths_and_cliques(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
         "a long, b long",
     )
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     out = {r["node"]: r["component"] for r in
            connected_components(edges, "a", "b").collect()}
-    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert out == expect
+    # force the contraction + min-label iteration tier (big-graph path)
+    out_iter = {r["node"]: r["component"] for r in
+                connected_components(edges.repartition(4), "a", "b",
+                                     single_partition_max=0).collect()}
+    assert out_iter == expect
 
 
 def test_temperature_fractions_properties():
