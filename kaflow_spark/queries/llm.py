@@ -428,12 +428,12 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     FROM reach GROUP BY node ORDER BY doc_id
     """,
     doc="Duplicate-CLUSTER labeling: connected components over the "
-    "verified near-dup pair graph (min-label propagation, one "
-    "equi-join + partial-agg'd min per round, converging in "
-    "O(diameter) rounds — dedup clusters are near-cliques so that is "
-    "2-4 regardless of corpus size). Component id = smallest member "
-    "doc_id, which IS the canonical keeper. The oracle computes the "
-    "same fixpoint with a recursive CTE.",
+    "verified near-dup pair graph (tiered: per-partition union-find "
+    "contraction, a one-task exact solve for ids-only graphs that fit "
+    "one executor, min-label iteration above that — see "
+    "operators/graph.py). Component id = smallest member doc_id, "
+    "which IS the canonical keeper. The oracle computes the same "
+    "fixpoint with a recursive CTE.",
     tags=("dedup",),
 )
 def q83(spark: SparkSession, sf: str) -> DataFrame:
