@@ -388,6 +388,142 @@ def top_ngrams(
     )
 
 
+def chunk_with_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Context-window chunking: split each document's whitespace-token
+    sequence into chunks of ``chunk_tokens`` tokens starting every
+    ``stride`` tokens (overlap = chunk_tokens - stride), the standard
+    pre-tokenization step for long documents. Emits
+    ``(id, chunk_idx, ntok, chunk_text)``; a document shorter than one
+    chunk yields exactly one (possibly empty) chunk.
+
+    Shape at scale: a pure scan-side generate — tokenize once, compute
+    the chunk count arithmetically, ``explode(sequence(...))`` and
+    slice. No shuffle, no UDF; the token array is built once per row
+    and every chunk is a JVM ``slice`` of it. Chunk count uses integer
+    div so the last chunk is the first whose window reaches the end
+    (never an empty trailing chunk)."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        _tokens(text_col).alias("_toks"),
+    ).select("_id", "_toks", F.size("_toks").cast("bigint").alias("_n"))
+    last_idx = F.expr(
+        f"div(greatest(_n - {chunk_tokens}, 0L) + {stride - 1}, {stride})"
+    )
+    start = F.col("chunk_idx") * stride  # 0-based token offset
+    return (
+        base.select(
+            "_id",
+            "_toks",
+            "_n",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), last_idx)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("chunk_idx"),
+            F.least(F.lit(chunk_tokens).cast("bigint"), F.col("_n") - start)
+            .alias("ntok"),
+            F.array_join(
+                F.slice("_toks", start + 1, F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def doc_frequency(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_doc_bp: int = 0,
+) -> DataFrame:
+    """Token document-frequency table: for every token, the number of
+    distinct documents containing it (``df_docs``), its total
+    occurrence count, and its document frequency in integer basis
+    points — keeping only tokens present in at least ``min_doc_bp``
+    bp of documents. With a high threshold this is corpus-driven
+    stopword discovery; with 0 it is the IDF table a TF-IDF scorer
+    joins against.
+
+    Shape at scale: explode → (token, doc) groupBy → (token) groupBy,
+    all partial-agg'd; text shuffles once as (token, doc_id) pairs.
+    The total document count is a 1-row broadcast, never a driver
+    round-trip inside the plan."""
+    from kaflow_spark.functions.textstats import int_div
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(_tokens(text_col)).alias("token")
+    )
+    per = toks.groupBy("token", "_id").agg(F.count(F.lit(1)).alias("_c"))
+    freq = per.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_docs"), F.sum("_c").alias("total_count")
+    )
+    tot = df.agg(F.count(F.lit(1)).alias("_ndocs"))
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .filter(F.col("df_docs") * 10000 >= F.lit(min_doc_bp) * F.col("_ndocs"))
+        .select(
+            "token",
+            "df_docs",
+            "total_count",
+            int_div(F.col("df_docs") * 10000, F.col("_ndocs")).alias("df_bp"),
+        )
+    )
+
+
+def retention_funnel(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    text_col: str,
+    *,
+    min_score_bp: int,
+) -> DataFrame:
+    """Per-source curation retention funnel: how many documents each
+    source contributes in total, after the quality filter, after exact
+    dedup (keep the min-id doc per identical text), and after both —
+    the report a pipeline operator reads before shipping a corpus.
+
+    Shape at scale: ONE window shuffle on md5(text) decides keepers
+    (16-byte keys, never the text), the quality score is scan-side
+    integer arithmetic, and the funnel itself is a partial-agg'd
+    groupBy(source) of four conditional counters."""
+    from kaflow_spark.functions.textstats import quality_score_bp
+
+    w = Window.partitionBy("_h")
+    flags = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("_id"),
+        (quality_score_bp(F.col(text_col)) >= min_score_bp).alias("_okq"),
+        F.md5(F.col(text_col)).alias("_h"),
+    ).select(
+        "source",
+        "_okq",
+        (F.col("_id") == F.min("_id").over(w)).alias("_keep"),
+    )
+    cnt = lambda c: F.sum(c.cast("bigint")).alias  # noqa: E731
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            cnt(F.col("_okq"))("n_quality"),
+            cnt(F.col("_keep"))("n_unique"),
+            cnt(F.col("_okq") & F.col("_keep"))("n_final"),
+        )
+        .orderBy("source")
+    )
+
+
 def split_counts_exact(df: DataFrame, split_col: str = "split") -> DataFrame:
     """Sanity aggregate for :func:`hash_split`: rows per split (used
     by tests and ops dashboards)."""
@@ -408,6 +544,9 @@ __all__ = [
     "repetition_stats",
     "vocab_stats",
     "top_ngrams",
+    "chunk_with_overlap",
+    "doc_frequency",
+    "retention_funnel",
     "split_counts_exact",
     "PII_PATTERNS",
 ]

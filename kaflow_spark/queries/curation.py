@@ -1,10 +1,13 @@
-"""Declared dataset-curation queries (q68-q72, q76-q78, q81).
+"""Declared dataset-curation queries (q68-q72, q76-q78, q81-q82,
+q84-q87).
 
 The curation stages a training-data pipeline runs between raw corpus
 and tokenizer: benchmark-contamination screening, per-domain quota
 caps, deterministic train/val/test splitting, sequence packing, PII
 scrubbing, Gopher-style repetition filters, corpus vocabulary stats,
-top-k n-grams, and deterministic stratified sampling. All nine are
+top-k n-grams, deterministic stratified sampling, binary metadata,
+temperature resampling, context-window chunking, document-frequency /
+stopword discovery, and the per-source retention funnel. All are
 exact/deterministic, so each carries a full DuckDB oracle.
 """
 
@@ -308,6 +311,130 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
             F.substring(F.hex(bin_col), 1, 16).alias("head8_hex"),
         )
         .orderBy("doc_id")
+    )
+
+
+_CHUNK, _STRIDE = 16, 12
+
+
+@declare(
+    "q85_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents),
+    c AS (
+        SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n,
+               unnest(range(0,
+                   (GREATEST(len(ts) - {_CHUNK}, 0) + {_STRIDE - 1})
+                   // {_STRIDE} + 1)) AS i
+        FROM t)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           CAST(LEAST({_CHUNK}, n - i*{_STRIDE}) AS BIGINT) AS ntok,
+           array_to_string(
+               list_slice(ts, CAST(i*{_STRIDE} + 1 AS INT),
+                          CAST(i*{_STRIDE} + {_CHUNK} AS INT)), ' ')
+               AS chunk_text
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+    doc=f"Context-window chunking: {_CHUNK}-token chunks every "
+    f"{_STRIDE} tokens ({_CHUNK - _STRIDE}-token overlap) — the "
+    "pre-tokenization split for long documents. Pure scan-side "
+    "generate (tokenize once, explode(sequence), JVM slice); no "
+    "shuffle, no UDF.",
+    tags=("curation", "text"),
+)
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import chunk_with_overlap
+
+    d = load(spark, sf, "documents")
+    return chunk_with_overlap(
+        d, "doc_id", "text", chunk_tokens=_CHUNK, stride=_STRIDE
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@declare(
+    "q86_doc_frequency",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+        FROM documents),
+    per AS (SELECT token, doc_id, COUNT(*) AS c FROM tk GROUP BY token, doc_id),
+    freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_docs,
+                    CAST(SUM(c) AS BIGINT) AS total_count
+             FROM per GROUP BY token),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndocs FROM documents)
+    SELECT token, df_docs, total_count, (df_docs*10000) // ndocs AS df_bp
+    FROM freq, tot WHERE df_docs * 10000 >= 2500 * ndocs
+    ORDER BY df_docs DESC, token
+    """,
+    doc="Token document-frequency table filtered to tokens present in "
+    ">= 25% of documents — corpus-driven stopword discovery, and the "
+    "IDF side of a TF-IDF scorer. Explode + two partial-agg'd "
+    "groupBys; the corpus-size denominator is a 1-row broadcast, not "
+    "a driver round-trip.",
+    tags=("curation", "text"),
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import doc_frequency
+
+    d = load(spark, sf, "documents")
+    return doc_frequency(d, "doc_id", "text", min_doc_bp=2500).orderBy(
+        F.col("df_docs").desc(), "token"
+    )
+
+
+_FUNNEL_MIN_BP = 8500
+
+
+def _score_sql(stop_pat: str) -> str:
+    return (
+        "(len(regexp_extract_all(text, '[A-Za-z]'))*10000)"
+        " // GREATEST(LENGTH(text), 1)"
+        f" + (len(regexp_extract_all(lower(text), '{stop_pat}'))*10000)"
+        " // GREATEST(len(regexp_extract_all(text, '\\S+')), 1)"
+        " - (len(regexp_extract_all(text, '[.,!?;:]'))*10000)"
+        " // GREATEST(LENGTH(text), 1)"
+        " - (len(regexp_extract_all(text, '[0-9]'))*10000)"
+        " // GREATEST(LENGTH(text), 1)"
+    )
+
+
+def _funnel_oracle() -> str:
+    from kaflow_spark.functions.textstats import LANG_STOPWORDS
+
+    return f"""
+    WITH f AS (
+        SELECT source,
+               ({_score_sql(LANG_STOPWORDS["en"])}) >= {_FUNNEL_MIN_BP} AS okq,
+               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN okq THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN okq AND keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_final
+    FROM f GROUP BY source ORDER BY source
+    """
+
+
+@declare(
+    "q87_retention_funnel",
+    oracle=_funnel_oracle(),
+    doc="Per-source curation retention funnel: total docs, docs "
+    "passing the quality filter (score_bp >= 8500 — the corpus "
+    "median), docs surviving exact dedup (min-id keeper per identical "
+    "text), and the intersection — the report read before shipping a "
+    "corpus. One window shuffle on md5(text) (16-byte keys, never the "
+    "text), then a partial-agg'd groupBy(source) of four conditional "
+    "counters.",
+    tags=("curation", "text", "dedup"),
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import retention_funnel
+
+    d = load(spark, sf, "documents")
+    return retention_funnel(
+        d, "doc_id", "source", "text", min_score_bp=_FUNNEL_MIN_BP
     )
 
 

@@ -171,6 +171,61 @@ def test_stratified_sample_is_stable_and_monotone(spark):
     assert abs(a_kept / 500 - 0.5) < 0.08 and abs(b_kept / 500 - 0.1) < 0.05
 
 
+def test_chunk_with_overlap_shapes(spark):
+    from kaflow_spark.operators.curation import chunk_with_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # 10 tokens
+            (2, "x y z"),                 # shorter than one chunk
+            (3, ""),                      # empty doc
+            (4, "p q r s"),               # exactly one chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_with_overlap(df, "doc_id", "text", chunk_tokens=4, stride=3)
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["ntok"], r["chunk_text"])
+            for r in out.collect()}
+    # doc 1: starts 0,3,6 cover all 10 tokens; last start = ceil(6/3)=2? -> 9//3=2... starts 0,3,6 end at 9<10 so one more
+    assert rows[(1, 0)] == (4, "a b c d")
+    assert rows[(1, 1)] == (4, "d e f g")
+    assert rows[(1, 2)] == (4, "g h i j")
+    assert (1, 3) not in rows  # window [6,10) reaches the end at idx 2
+    assert rows[(2, 0)] == (3, "x y z")
+    assert rows[(3, 0)] == (0, "")
+    assert rows[(4, 0)] == (4, "p q r s")
+    # every chunk after the first overlaps its predecessor by chunk-stride
+    assert rows[(1, 1)][1].split()[0] == rows[(1, 0)][1].split()[-1]
+
+
+def test_doc_frequency_and_funnel(spark):
+    from kaflow_spark.operators.curation import doc_frequency, retention_funnel
+
+    df = spark.createDataFrame(
+        [
+            (1, "s0", "the cat sat"),
+            (2, "s0", "the dog ran"),
+            (3, "s1", "the cat sat"),   # exact dup of doc 1
+            (4, "s1", "a bird"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    freq = {r["token"]: (r["df_docs"], r["total_count"], r["df_bp"])
+            for r in doc_frequency(df, "doc_id", "text").collect()}
+    assert freq["the"] == (3, 3, 7500)
+    assert freq["cat"] == (2, 2, 5000)
+    assert freq["a"] == (1, 1, 2500)
+    only_common = doc_frequency(df, "doc_id", "text", min_doc_bp=6000)
+    assert {r["token"] for r in only_common.collect()} == {"the"}
+
+    fun = {r["source"]: (r["n_total"], r["n_unique"])
+           for r in retention_funnel(
+               df, "doc_id", "source", "text", min_score_bp=-10**9).collect()}
+    # doc 3 loses exact dedup to doc 1 (min id per identical text)
+    assert fun["s0"] == (2, 2)
+    assert fun["s1"] == (2, 1)
+
+
 def test_connected_components_paths_and_cliques(spark):
     from kaflow_spark.operators.graph import connected_components
 
