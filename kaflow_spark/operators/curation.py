@@ -481,6 +481,155 @@ def doc_frequency(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the keyword/topic signal
+    a curation pipeline attaches before domain bucketing. The score is
+    *integer-exact* (``tf_count * ndocs * 10000 // (doc_tokens *
+    df_docs)`` — raw idf ratio instead of log-idf) so it is
+    bit-identical across engines; ties break on token asc. Emits
+    ``(id, term_rank, token, tfidf_bp)``.
+
+    Shape at scale: one explode, then every aggregate is partial-agg'd
+    — (id, token) counts feed BOTH the per-doc token total and the
+    per-token document frequency, the corpus size is a 1-row
+    broadcast, and the only full-width shuffles carry (id, token,
+    count) triples. The final top-k is one window over the doc id —
+    the same partitioning the (id, token) groupBy already produced, so
+    AQE can reuse the exchange."""
+    from kaflow_spark.functions.textstats import int_div
+
+    per = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_tokens(text_col)).alias("token"),
+        )
+        .groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    ntok = per.groupBy("_id").agg(F.sum("_c").alias("_ntok"))
+    dfreq = per.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("_ndocs"))
+    w = Window.partitionBy("_id").orderBy(
+        F.col("tfidf_bp").desc(), F.col("token")
+    )
+    return (
+        per.join(ntok, "_id")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "_id",
+            "token",
+            int_div(
+                F.col("_c") * F.col("_ndocs") * 10000,
+                F.col("_ntok") * F.col("_df"),
+            ).alias("tfidf_bp"),
+        )
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("term_rank").cast("bigint").alias("term_rank"),
+            "token",
+            "tfidf_bp",
+        )
+    )
+
+
+def unigram_surprisal(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document mean unigram surprisal in integer basis points — a
+    Shannon-style quality/novelty signal: documents made of corpus-rare
+    tokens score high, boilerplate scores low. Token surprisal is the
+    *exact* floor-log2 of the corpus-total-to-token-count ratio,
+    computed as ``length(bin(total // count)) - 1`` — pure integer
+    arithmetic that both Spark and DuckDB evaluate bit-identically (no
+    libm ``log`` whose last bit could differ across engines). Emits
+    ``(id, ntok, bits_bp)`` for every document with >= 1 token;
+    ``bits_bp = sum(count * bits) * 10000 // ntok``.
+
+    Shape at scale: the (id, token) count frame is computed once and
+    feeds both the per-token corpus totals and the per-doc rollup; the
+    grand total is a 1-row broadcast. Shuffled rows are (token, count)
+    pairs, never text."""
+    from kaflow_spark.functions.textstats import int_div
+
+    per = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_tokens(text_col)).alias("token"),
+        )
+        .groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    totals = per.groupBy("token").agg(F.sum("_c").alias("_tc"))
+    grand = totals.agg(F.sum("_tc").alias("_g"))
+    bits = (
+        F.length(F.bin(int_div(F.col("_g"), F.col("_tc")))) - 1
+    ).cast("bigint")
+    return (
+        per.join(totals, "token")
+        .crossJoin(F.broadcast(grand))
+        .select("_id", "_c", bits.alias("_bits"))
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").alias("ntok"),
+            F.sum(F.col("_c") * F.col("_bits")).alias("_wb"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "ntok",
+            int_div(F.col("_wb") * 10000, F.col("ntok")).alias("bits_bp"),
+        )
+    )
+
+
+def cross_split_pairs(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str,
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/test leakage report: duplicate (or near-duplicate) pairs
+    whose two members landed in *different* splits — the
+    decontamination check run after :func:`hash_split` (a near-copy of
+    a test document sitting in train silently inflates eval scores).
+    ``pairs`` carries ``(id_a, id_b, ...)`` from any dedup pipeline;
+    ``splits`` maps ``id_col`` -> ``split_col``. Extra pair columns
+    (jaccard, overlap, ...) pass through.
+
+    Shape at scale: the split map is projected to (id, split) — two
+    narrow columns, scan-side md5 arithmetic if it comes straight from
+    ``hash_split`` — and equi-joined twice on the pair ids. The pairs
+    side is the *output* of a dedup pipeline (orders of magnitude
+    smaller than the corpus), so AQE broadcasts it; nothing wide ever
+    shuffles."""
+    s = splits.select(F.col(id_col), F.col(split_col))
+    return (
+        pairs.join(
+            s.select(
+                F.col(id_col).alias("id_a"),
+                F.col(split_col).alias("split_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            s.select(
+                F.col(id_col).alias("id_b"),
+                F.col(split_col).alias("split_b"),
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+
+
 def retention_funnel(
     df: DataFrame,
     id_col: str,
@@ -547,6 +696,9 @@ __all__ = [
     "chunk_with_overlap",
     "doc_frequency",
     "retention_funnel",
+    "tfidf_top_terms",
+    "unigram_surprisal",
+    "cross_split_pairs",
     "split_counts_exact",
     "PII_PATTERNS",
 ]

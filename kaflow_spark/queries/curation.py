@@ -1,5 +1,5 @@
 """Declared dataset-curation queries (q68-q72, q76-q78, q81-q82,
-q84-q87).
+q84-q90).
 
 The curation stages a training-data pipeline runs between raw corpus
 and tokenizer: benchmark-contamination screening, per-domain quota
@@ -7,8 +7,10 @@ caps, deterministic train/val/test splitting, sequence packing, PII
 scrubbing, Gopher-style repetition filters, corpus vocabulary stats,
 top-k n-grams, deterministic stratified sampling, binary metadata,
 temperature resampling, context-window chunking, document-frequency /
-stopword discovery, and the per-source retention funnel. All are
-exact/deterministic, so each carries a full DuckDB oracle.
+stopword discovery, the per-source retention funnel, TF-IDF top
+terms, unigram-surprisal quality scoring, and the train/test near-dup
+leakage report. All are exact/deterministic, so each carries a full
+DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -498,3 +500,144 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
     return stratified_sample(
         d, "source", "doc_id", _q84_fractions(sf), default_fraction=0.0
     ).orderBy("doc_id")
+
+
+@declare(
+    "q88_tfidf_top_terms",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+        FROM documents),
+    per AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tk GROUP BY doc_id, token),
+    nt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS ntok
+           FROM per GROUP BY doc_id),
+    dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS dfd
+            FROM per GROUP BY token),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndocs FROM documents),
+    sc AS (
+        SELECT per.doc_id, per.token,
+               (per.c * tot.ndocs * 10000) // (nt.ntok * dfq.dfd)
+                   AS tfidf_bp
+        FROM per JOIN nt USING (doc_id) JOIN dfq USING (token), tot),
+    rk AS (
+        SELECT doc_id, token, tfidf_bp,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf_bp DESC, token)
+                   AS term_rank
+        FROM sc)
+    SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, token, tfidf_bp
+    FROM rk WHERE term_rank <= 3 ORDER BY doc_id, term_rank
+    """,
+    doc="Top-3 TF-IDF terms per document — the keyword signal a "
+    "curation pipeline attaches before domain bucketing. Score is "
+    "integer-exact (count*ndocs*10000 // (doc_tokens*df_docs), raw "
+    "idf ratio instead of log-idf) so it hash-matches across engines. "
+    "One explode; the (id, token) count frame feeds both rollups; "
+    "corpus size is a 1-row broadcast; top-k is one window.",
+    tags=("curation", "text"),
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import tfidf_top_terms
+
+    d = load(spark, sf, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=3).orderBy(
+        "doc_id", "term_rank"
+    )
+
+
+@declare(
+    "q89_unigram_surprisal",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+        FROM documents),
+    per AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tk GROUP BY doc_id, token),
+    tc AS (SELECT token, CAST(SUM(c) AS BIGINT) AS tc
+           FROM per GROUP BY token),
+    g AS (SELECT CAST(SUM(tc) AS BIGINT) AS g FROM tc),
+    b AS (
+        SELECT per.doc_id, per.c,
+               CAST(LENGTH(bin(g.g // tc.tc)) - 1 AS BIGINT) AS bits
+        FROM per JOIN tc USING (token), g)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS ntok,
+           (CAST(SUM(c * bits) AS BIGINT) * 10000)
+               // CAST(SUM(c) AS BIGINT) AS bits_bp
+    FROM b GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Per-document mean unigram surprisal (basis points) — the "
+    "Shannon-style rarity/quality signal: rare-token documents score "
+    "high, boilerplate low. Token surprisal is the EXACT floor-log2 "
+    "of corpus_total/token_count via length(bin(total // count)) - 1 "
+    "— pure integer arithmetic, no libm log to drift between "
+    "engines. (id, token) counts computed once; grand total is a "
+    "1-row broadcast.",
+    tags=("curation", "text"),
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import unigram_surprisal
+
+    d = load(spark, sf, "documents")
+    return unigram_surprisal(d, "doc_id", "text").orderBy("doc_id")
+
+
+# Leakage-check split: coarser than q70's 96/2/2 so the fixture's
+# ~25 near-dup pairs actually cross splits (P(cross) = 1 - 0.5^2 -
+# 0.25^2 - 0.25^2 = 0.625 per pair vs 0.078 under 96/2/2).
+_LEAK_WEIGHTS = {"train": 0.50, "val": 0.25, "test": 0.25}
+
+
+def _q90_oracle() -> str:
+    from kaflow_spark.queries.llm import EXACT_JACCARD_CTE
+
+    split_expr = hash_split_sql("doc_id", _LEAK_WEIGHTS)
+    return f"""
+    WITH {EXACT_JACCARD_CTE},
+    s AS (SELECT doc_id, {split_expr} AS split FROM documents)
+    SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
+    FROM p
+    JOIN s sa ON p.id_a = sa.doc_id
+    JOIN s sb ON p.id_b = sb.doc_id
+    WHERE p.jaccard >= 0.9 AND sa.split <> sb.split
+    ORDER BY id_a, id_b
+    """
+
+
+@declare(
+    "q90_split_leakage",
+    oracle=_q90_oracle(),
+    doc="Train/test near-dup leakage: verified near-duplicate pairs "
+    "(q41's MinHash-LSH + exact >= 0.9 Jaccard verify) whose members "
+    "hash_split into different splits — the decontamination report "
+    "run after splitting. The split map is scan-side md5 arithmetic; "
+    "the pair frame (a dedup pipeline's output, tiny vs the corpus) "
+    "joins it twice on ids, so AQE broadcasts the pairs and nothing "
+    "wide shuffles. Oracle = brute-force O(n²) Jaccard + the same "
+    "portable split CASE.",
+    tags=("curation", "dedup"),
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import cross_split_pairs
+    from kaflow_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        shingle_frame,
+    )
+
+    d = load(spark, sf, "documents")
+    sh = shingle_frame(d, "doc_id", "text", 5)
+    cand = (
+        minhash_lsh_candidates(d, "doc_id", "text", min_bands=2, shingles=sh)
+        .filter(F.col("est_jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    pairs = (
+        ngram_jaccard_pairs(d, cand, "doc_id", "text", shingles=sh)
+        .filter(F.col("jaccard") >= 0.9)
+        .select("id_a", "id_b")
+    )
+    splits = hash_split(d.select("doc_id"), "doc_id", _LEAK_WEIGHTS)
+    return cross_split_pairs(pairs, splits, "doc_id").select(
+        "id_a", "id_b", "split_a", "split_b"
+    ).orderBy("id_a", "id_b")

@@ -250,8 +250,8 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
 # over hashed shingles equals Jaccard over the raw shingle sets barring
 # a 2^-64 collision); DuckDB uses the raw substrings directly. The
 # jaccard value itself is one int/int IEEE division — bit-identical.
-_EXACT_JACCARD_SQL = """
-    WITH sh AS (
+EXACT_JACCARD_CTE = """
+    sh AS (
         SELECT doc_id, list(DISTINCT substring(text, CAST(i AS INT), 5)) AS s
         FROM (SELECT doc_id, text,
                      unnest(range(1, greatest(length(text)-4, 1)+1)) AS i
@@ -262,6 +262,10 @@ _EXACT_JACCARD_SQL = """
                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                  / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+"""
+
+_EXACT_JACCARD_SQL = f"""
+    WITH {EXACT_JACCARD_CTE}
     SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.9
     ORDER BY id_a, id_b
 """

@@ -263,3 +263,66 @@ def test_temperature_fractions_properties():
     kept = {s: uni[s] * counts[s] for s in counts}
     assert abs(kept["big"] - 100) < 1 and abs(kept["mid"] - 100) < 1
     assert abs(kept["small"] - 100) < 1
+
+
+def test_tfidf_top_terms_exact_and_ranked(spark):
+    from kaflow_spark.operators.curation import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry dates"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", k=2)
+    rows = {
+        (r["doc_id"], r["term_rank"]): (r["token"], r["tfidf_bp"])
+        for r in out.collect()
+    }
+    # doc 1: apple c=2 ntok=3 df=1 -> 2*3*10000//(3*1) = 20000
+    #        banana c=1 df=2       -> 1*3*10000//(3*2) = 5000
+    assert rows[(1, 1)] == ("apple", 20000)
+    assert rows[(1, 2)] == ("banana", 5000)
+    # doc 3: dates c=1 ntok=4 df=1 -> 30000//4 = 7500
+    #        cherry c=3 df=2       -> 3*3*10000//(4*2) = 11250
+    assert rows[(3, 1)] == ("cherry", 11250)
+    assert rows[(3, 2)] == ("dates", 7500)
+    # k caps the output: no rank-3 rows anywhere
+    assert all(rk <= 2 for (_, rk) in rows)
+
+
+def test_unigram_surprisal_floor_log2(spark):
+    from kaflow_spark.operators.curation import unigram_surprisal
+
+    df = spark.createDataFrame(
+        # corpus: "a" x4, "b" x2, "rare" x1, "x" x1 -> grand total 8
+        [(1, "a a a a b"), (2, "b rare x")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["ntok"], r["bits_bp"]) for r in
+           unigram_surprisal(df, "doc_id", "text").collect()}
+    # bits: a -> log2(8//4)=1, b -> log2(8//2)=2, rare/x -> log2(8//1)=3
+    # doc 1: (4*1 + 1*2)*10000 // 5 = 12000
+    # doc 2: (2 + 3 + 3)*10000 // 3 = 26666
+    assert out[1] == (5, 12000)
+    assert out[2] == (3, 26666)
+
+
+def test_cross_split_pairs_filters_and_passthrough(spark):
+    from kaflow_spark.operators.curation import cross_split_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.95), (3, 4, 0.91)], "id_a long, id_b long, jaccard double"
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "train")],
+        "doc_id long, split string",
+    )
+    out = cross_split_pairs(pairs, splits, "doc_id").collect()
+    # only the (1,2) pair crosses; extra columns pass through
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"], r["split_a"], r["split_b"], r["jaccard"]) \
+        == (1, 2, "train", "test", 0.95)
