@@ -459,3 +459,91 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
         .orderBy("doc_id")
     )
+
+
+# Shared quantized-dims CTE for the exact embedding analytics
+# (q91/q92): float32 -> double -> micro-units bigint. ROUND is
+# half-away-from-zero and `//` truncates toward zero in BOTH engines
+# (verified), so every downstream sum/mean/distance is exact integer
+# algebra — no shuffle-order float drift to break the hash.
+_QUANT_DIMS_CTE = """
+    e AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings)
+"""
+
+
+@declare(
+    "q91_label_centroids",
+    oracle=f"""
+    WITH {_QUANT_DIMS_CTE}
+    SELECT label, dim,
+           CAST(SUM(q) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+               AS centroid_micro,
+           CAST(SUM(q) AS BIGINT) AS sum_micro,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e GROUP BY label, dim ORDER BY label, dim
+    """,
+    doc="Per-label embedding centroids, exact: components quantized "
+    "to integer micro-units so the distributed mean is bigint algebra "
+    "— deterministic under any partitioning (float vector means are "
+    "shuffle-order-dependent and would never hash-match). Long "
+    "format (label, dim, centroid_micro, sum_micro, n); sums+counts "
+    "make centroids mergeable across corpus shards. One posexplode + "
+    "one partial-agg'd groupBy: shuffle volume is labels x dims, "
+    "independent of vector count.",
+    tags=("similarity", "curation"),
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.embeddings import label_centroids
+
+    e = load(spark, sf, "embeddings").select(
+        F.col("label").cast("bigint").alias("label"), "embedding"
+    )
+    return label_centroids(e, "label", "embedding").orderBy("label", "dim")
+
+
+@declare(
+    "q92_centroid_purity",
+    oracle=f"""
+    WITH {_QUANT_DIMS_CTE},
+    c AS (SELECT label AS lc, dim,
+                 CAST(SUM(q) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cm
+          FROM e GROUP BY label, dim),
+    d AS (SELECT e.vec_id, e.label, c.lc,
+                 CAST(SUM((e.q - c.cm) * (e.q - c.cm)) AS BIGINT) AS d2
+          FROM e JOIN c USING (dim) GROUP BY e.vec_id, e.label, c.lc),
+    a AS (SELECT vec_id, label, lc,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, lc)
+                     AS rn
+          FROM d)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN lc = label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_self,
+           (CAST(SUM(CASE WHEN lc = label THEN 1 ELSE 0 END) AS BIGINT)
+               * 10000) // CAST(COUNT(*) AS BIGINT) AS purity_bp
+    FROM a WHERE rn = 1 GROUP BY label ORDER BY label
+    """,
+    doc="Nearest-centroid cluster purity: every vector is assigned to "
+    "its closest per-label centroid by EXACT integer squared-L2 in "
+    "micro^2 units (ties -> smallest label), and each label reports "
+    "how many of its members come home — the embedding-quality gate "
+    "a semantic-dedup pipeline checks before trusting cluster-level "
+    "deletes. The (k x d) centroid table is broadcast into the "
+    "per-dim join, so the corpus never shuffles for assignment; "
+    "exact all-centroid assignment is the small-k report path, IVF "
+    "(q63) is the large-k path.",
+    tags=("similarity", "curation"),
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.embeddings import nearest_centroid_purity
+
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("label").cast("bigint").alias("label"), "embedding"
+    )
+    return nearest_centroid_purity(
+        e, "vec_id", "label", "embedding"
+    ).orderBy("label")

@@ -90,6 +90,38 @@ HEADLINERS: dict[str, str] = {
         "LeftAnti hash join on the correlation key — no per-row "
         "subquery execution, no NestedLoop (plan-contract-tested)."
     ),
+    "q85_chunk_overlap": (
+        "Context-window chunking is a pure scan-side Generate: "
+        "tokenize once, explode(sequence) over the arithmetic chunk "
+        "count, JVM slice per chunk. The only Exchange below is the "
+        "declared ORDER BY — the operator itself never shuffles, so "
+        "chunking 100 TB is a map-only pass that scales with input "
+        "splits."
+    ),
+    "q86_doc_frequency": (
+        "Token document-frequency: explode → two stacked "
+        "HashAggregates, each partial-agg'd before its Exchange, so "
+        "shuffle rows are (token, doc_id) then (token) — never text. "
+        "The corpus-size denominator is a BroadcastNestedLoopJoin of "
+        "a ONE-ROW aggregate, not a driver round-trip, so the whole "
+        "table is one job."
+    ),
+    "q88_tfidf_top_terms": (
+        "TF-IDF reuses ONE (id, token) count aggregate for both the "
+        "per-doc token total and the per-token document frequency — "
+        "the plan shows the count frame feeding two branches, then "
+        "equi-joins on narrow keys and a single row_number window for "
+        "top-k. Integer idf-ratio scoring keeps every operator "
+        "whole-stage-codegen'd; no floats, no UDFs."
+    ),
+    "q90_split_leakage": (
+        "Decontamination report: the near-dup pair frame (a dedup "
+        "pipeline's OUTPUT — orders of magnitude smaller than the "
+        "corpus) joins the scan-side hash_split map twice on ids. "
+        "AQE broadcasts the pair side at runtime, so the corpus-wide "
+        "split map is never shuffled; split assignment itself is md5 "
+        "column arithmetic, zero-cost at any scale."
+    ),
 }
 
 

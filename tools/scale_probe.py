@@ -90,6 +90,49 @@ def main() -> None:
         ),
     )
 
+    from kaflow_spark.operators.curation import (
+        chunk_with_overlap,
+        doc_frequency,
+        tfidf_top_terms,
+    )
+
+    probe(
+        f"context-window chunking 128/96 ({n_docs} docs/x)",
+        lambda d: chunk_with_overlap(
+            d, "doc_id", "text", chunk_tokens=128, stride=96
+        ),
+    )
+    probe(
+        f"doc-frequency table ({n_docs} docs/x)",
+        lambda d: doc_frequency(d, "doc_id", "text"),
+    )
+    probe(
+        f"TF-IDF top-3 terms ({n_docs} docs/x)",
+        lambda d: tfidf_top_terms(d, "doc_id", "text", k=3),
+    )
+
+    from kaflow_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_frame,
+    )
+    from kaflow_spark.operators.graph import connected_components
+
+    def dedup_clusters(d):
+        sh = shingle_frame(d, "doc_id", "text", 5)
+        cand = (
+            minhash_lsh_candidates(
+                d, "doc_id", "text", min_bands=2, shingles=sh
+            )
+            .filter(F.col("est_jaccard") >= 0.7)
+            .select("id_a", "id_b")
+        )
+        pairs = ngram_jaccard_pairs(
+            d, cand, "doc_id", "text", shingles=sh
+        ).filter(F.col("jaccard") >= 0.9)
+        return connected_components(pairs, "id_a", "id_b")
+
+    probe(f"dedup clusters: LSH->verify->CC ({n_docs} docs/x)", dedup_clusters)
+
     # embeddings: replicate and brute-force top-k (scan-bound)
     times = {}
     for mult in (1, 5, 10):
@@ -111,7 +154,13 @@ def main() -> None:
         "(every doc gains `mult` exact copies), so LSH candidate counts "
         "grow ~mult^2 within groups; near-linear totals mean the bucket "
         "equi-join, not pair enumeration, dominates — the behavior that "
-        "holds on a 1000-executor cluster."
+        "holds on a 1000-executor cluster. The dedup-clusters pipeline "
+        "is the one *expected* super-linear row: replication makes every "
+        "duplicate cluster `mult`x larger (mult^2 more verified pairs "
+        "per cluster), so the CC stage processes a denser graph — real "
+        "corpora grow docs, not per-cluster copies. Chunking/doc-freq/"
+        "TF-IDF are map-side or partial-agg'd; their curves track data "
+        "volume."
     )
     with open("SCALING.md", "w") as f:
         f.write("\n".join(rows) + "\n")
