@@ -185,3 +185,64 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n") > 1)
         .orderBy("h")
     )
+
+
+@declare(
+    "q93_retention_cohorts",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+    coh AS (SELECT u, MIN(d) AS cohort_day FROM days GROUP BY u)
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, d) AS BIGINT) AS offset_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM days JOIN coh USING (u)
+    GROUP BY cohort_day, offset_days
+    ORDER BY cohort_day, offset_days
+    """,
+    doc="Retention cohort matrix: users cohorted by first active day; "
+    "per (cohort_day, offset_days) the count still active. Events "
+    "collapse to partial-agg'd DISTINCT (user, day) pairs before "
+    "anything shuffles, so cost tracks users x days, not event "
+    "volume; output is cohorts x horizon — dashboard-sized.",
+    tags=("events",),
+)
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.events import retention_cohorts
+
+    e = load(spark, sf, "events")
+    return retention_cohorts(e, "user_id", "ts").orderBy(
+        "cohort_day", "offset_days"
+    )
+
+
+@declare(
+    "q94_transition_matrix",
+    oracle="""
+    WITH p AS (
+        SELECT event_type AS next_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    c AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM p WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, next_type)
+    SELECT prev_type, next_type, n,
+           (n * 10000) // CAST(SUM(n) OVER (PARTITION BY prev_type)
+                               AS BIGINT) AS p_bp
+    FROM c ORDER BY prev_type, next_type
+    """,
+    doc="First-order Markov transition matrix over each user's event "
+    "timeline (lag ordered by ts with event_id tie-break — q19's "
+    "proven discipline). ONE shuffle on user_id; the matrix and its "
+    "per-prev_type shares run over |event types|^2 rows. p_bp is "
+    "exact integer division — no float drift.",
+    tags=("events", "window"),
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.events import transition_counts
+
+    e = load(spark, sf, "events")
+    return transition_counts(
+        e, "user_id", "ts", "event_type", "event_id"
+    ).orderBy("prev_type", "next_type")

@@ -1,0 +1,59 @@
+"""Event-sequence operator semantics (oracle parity for q93/q94 is in
+test_oracle.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from kaflow_spark.operators.events import (
+    retention_cohorts,
+    transition_counts,
+)
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_retention_cohorts_matrix(spark):
+    df = spark.createDataFrame(
+        [
+            # user 1: first day 1, returns day 2 and 4 (twice on day 2)
+            (1, _ts(1)), (1, _ts(2)), (1, _ts(2, 5)), (1, _ts(4)),
+            # user 2: first day 1 only
+            (2, _ts(1)),
+            # user 3: first day 2, returns day 4
+            (3, _ts(2)), (3, _ts(4)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {(str(r["cohort_day"]), r["offset_days"]): r["n_users"]
+           for r in retention_cohorts(df, "user_id", "ts").collect()}
+    assert out[("2024-01-01", 0)] == 2          # users 1 and 2
+    assert out[("2024-01-01", 1)] == 1          # user 1 (dup day deduped)
+    assert out[("2024-01-01", 3)] == 1          # user 1
+    assert out[("2024-01-02", 0)] == 1          # user 3
+    assert out[("2024-01-02", 2)] == 1          # user 3
+    assert len(out) == 5
+
+
+def test_transition_counts_and_shares(spark):
+    df = spark.createDataFrame(
+        [
+            # user 1 timeline: a -> b -> a  (same ts for 2nd/3rd:
+            # event_id breaks the tie deterministically)
+            (1, _ts(1), 10, "a"), (1, _ts(2), 11, "b"), (1, _ts(2), 12, "a"),
+            # user 2 timeline: a -> c
+            (2, _ts(1), 20, "a"), (2, _ts(3), 21, "c"),
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    out = {(r["prev_type"], r["next_type"]): (r["n"], r["p_bp"])
+           for r in transition_counts(
+               df, "user_id", "ts", "event_type", "event_id").collect()}
+    # from 'a': one a->b, one a->c -> 5000 bp each
+    assert out[("a", "b")] == (1, 5000)
+    assert out[("a", "c")] == (1, 5000)
+    # from 'b': only b->a -> 10000 bp
+    assert out[("b", "a")] == (1, 10000)
+    assert len(out) == 3
