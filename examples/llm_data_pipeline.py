@@ -4,8 +4,9 @@ Raw documents -> exact dedup -> near-dup removal (MinHash LSH with
 exact-Jaccard verify) -> language filter -> quality + repetition
 filters -> PII scrub -> benchmark decontamination -> per-source quota
 -> deterministic train/val/test split -> sequence packing -> token
-accounting. Every stage is an engine operator; the whole thing is one
-lazy DataFrame graph (Catalyst sees it end-to-end).
+accounting -> cross-split leakage audit -> context-window chunking +
+surprisal scoring. Every stage is an engine operator; the whole thing
+is one lazy DataFrame graph (Catalyst sees it end-to-end).
 
     PYTHONPATH=/root/repo python examples/llm_data_pipeline.py [sf_dir]
 """
@@ -97,6 +98,29 @@ def main() -> None:
     )
     packed = pack_greedy(train, "source", "doc_id", "n_tokens", 2048)
 
+    # 9. leakage audit: verified near-dup pairs must not straddle splits
+    from kaflow_spark.operators.curation import cross_split_pairs
+
+    leaks = cross_split_pairs(
+        confirmed.select("id_a", "id_b"),
+        split.select("doc_id", "split"),
+        "doc_id",
+    ).count()
+
+    # 10. context-window chunking of the train split + surprisal score
+    from kaflow_spark.operators.curation import (
+        chunk_with_overlap,
+        unigram_surprisal,
+    )
+
+    chunks = chunk_with_overlap(
+        train, "doc_id", "text", chunk_tokens=128, stride=96
+    )
+    n_chunks = chunks.count()
+    surp = unigram_surprisal(train, "doc_id", "text").agg(
+        F.avg("bits_bp").alias("avg_bits_bp")
+    ).first()
+
     stats = packed.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_tokens").alias("tokens"),
@@ -112,6 +136,11 @@ def main() -> None:
     print(f"after lang/qual/rep+PII: {n3}  (-{n2 - n3})")
     print(f"after decontamination:   {n4}  (-{n3 - n4})")
     print(f"splits:                  {splits}")
+    print(f"cross-split leak pairs:  {leaks}  (post-near-dup-removal: want 0)")
+    print(
+        f"train chunks (128/96):   {n_chunks} "
+        f"| avg surprisal: {surp['avg_bits_bp'] / 10000:.2f} bits/token"
+    )
     print(
         f"train set:               {stats['docs']} docs "
         f"| tokens: {stats['tokens']:,} "
