@@ -67,6 +67,13 @@ def load(
         spark.conf.set(_NANOS_CONF, "true")
     except Exception:
         pass  # ancient sessions without the conf: fall through to read
+    try:
+        # The whole events surface (and its DuckDB oracles, which use
+        # naive timestamps) is defined against UTC wall clocks; pin the
+        # runtime conf so a harness-built session agrees with ours.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     df = spark.read.parquet(path)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
@@ -89,11 +96,21 @@ def load(
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         # Session (or future fixture) already yields a timestamp column:
-        # bounds are ordinary timestamp predicates, natively pushed down.
+        # bounds are ordinary timestamp predicates, natively pushed down
+        # (applied BEFORE any dtype normalization so parquet row-group
+        # stats prune on the scan column).
         if ts_min is not None:
-            df = df.filter(F.col("ts") >= F.lit(ts_min).cast("timestamp"))
+            df = df.filter(F.col("ts") >= F.lit(ts_min).cast(dict(df.dtypes)["ts"]))
         if ts_max is not None:
-            df = df.filter(F.col("ts") <= F.lit(ts_max).cast("timestamp"))
+            df = df.filter(F.col("ts") <= F.lit(ts_max).cast(dict(df.dtypes)["ts"]))
+        if dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # Parquet TIMESTAMP(isAdjustedToUTC=false) infers as
+            # TIMESTAMP_NTZ, which ANSI mode refuses to cast to numeric
+            # (epoch math in the window/session queries needs that).
+            # The engine pins session TZ to UTC, so casting to the
+            # session-local TIMESTAMP preserves every instant exactly
+            # and restores the dtype the whole query surface is built on.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
