@@ -144,20 +144,24 @@ def fingerprint(text: Column | str, k: int = 8, stride: int = 1) -> Column:
             elif len(t) < k:
                 out.append(md5(t.encode()).hexdigest())
             elif t.isascii():
-                # byte slices == char slices for ASCII: encode once
+                # byte slices == char slices for ASCII: encode once.
+                # Take the min over raw 16-byte digests and hex-format
+                # only the winner: bytes→hex is order-preserving (each
+                # byte maps to two hex chars), so min(digest).hex() ==
+                # min(hexdigest), ~20% cheaper per gram.
                 b = t.encode()
                 out.append(
                     min(
-                        md5(b[i : i + k]).hexdigest()
+                        md5(b[i : i + k]).digest()
                         for i in range(0, len(b) - (k - 1), stride)
-                    )
+                    ).hex()
                 )
             else:
                 out.append(
                     min(
-                        md5(t[i : i + k].encode()).hexdigest()
+                        md5(t[i : i + k].encode()).digest()
                         for i in range(0, len(t) - (k - 1), stride)
-                    )
+                    ).hex()
                 )
         return pd.Series(out)
 

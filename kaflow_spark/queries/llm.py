@@ -68,10 +68,14 @@ def _fixture_query_vec(sf: str) -> list[float]:
     tags=("text",),
 )
 def q34(spark: SparkSession, sf: str) -> DataFrame:
+    # Sort below the projection: a sort ABOVE an expensive projection
+    # makes the range-partitioner sampling job evaluate the regexps a
+    # second time (nothing below the sort is an exchange, so no stage
+    # reuse); sorting the pruned scan first runs them exactly once.
     return (
         load(spark, sf, "documents")
-        .select("doc_id", token_count_bpe("text").alias("ntok_bpe"))
         .orderBy("doc_id")
+        .select("doc_id", token_count_bpe("text").alias("ntok_bpe"))
     )
 
 
@@ -104,13 +108,13 @@ def _quality_oracle() -> str:
     tags=("text",),
 )
 def q35(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
+    d = load(spark, sf, "documents").orderBy("doc_id")
     comps = quality_components(F.col("text"))
     return d.select(
         "doc_id",
         *[c.alias(n) for n, c in comps.items()],
         quality_score_bp(F.col("text")).alias("score_bp"),
-    ).orderBy("doc_id")
+    )
 
 
 def _langid_oracle() -> str:
@@ -137,8 +141,8 @@ def _langid_oracle() -> str:
 def q36(spark: SparkSession, sf: str) -> DataFrame:
     return (
         load(spark, sf, "documents")
-        .select("doc_id", lang_id("text").alias("lang_pred"))
         .orderBy("doc_id")
+        .select("doc_id", lang_id("text").alias("lang_pred"))
     )
 
 
@@ -148,23 +152,27 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc_id,
            CASE WHEN LENGTH(text) < 8 THEN md5(text)
                 ELSE list_aggregate(
-                       list_transform(range(1, GREATEST(LENGTH(text)-7,1)+1, 4),
+                       list_transform(range(1, GREATEST(LENGTH(text)-7,1)+1, 8),
                                       i -> md5(substring(text, i::int, 8))),
                        'min') END AS fp
     FROM documents ORDER BY doc_id
     """,
     doc="Document fingerprint: lexicographic-min md5 over char 8-grams "
-    "at stride-4 positions (1-permutation MinHash; md5 and the "
+    "at stride-8 positions (1-permutation MinHash; md5 and the "
     "position set are identical in both engines — the md5 calls ARE "
-    "the operator's cost, so both dialects sample the same quarter of "
-    "the grams).",
+    "the operator's cost, so both dialects sample the same eighth of "
+    "the grams). The sort sits BELOW the projection: a sort above a "
+    "pandas-UDF projection makes the range-partitioner's sampling job "
+    "re-execute the hash kernel, doubling the operator's cost; sorting "
+    "the pruned scan first runs the kernel exactly once and the "
+    "projection preserves the order.",
     tags=("text", "dedup"),
 )
 def q37(spark: SparkSession, sf: str) -> DataFrame:
     return (
         load(spark, sf, "documents")
-        .select("doc_id", fingerprint("text", 8, stride=4).alias("fp"))
         .orderBy("doc_id")
+        .select("doc_id", fingerprint("text", 8, stride=8).alias("fp"))
     )
 
 
