@@ -140,10 +140,50 @@ class App:
     auto_offset_reset: str | None = None
     compression_type: str | None = None
     max_offsets_per_trigger: int | None = None
+    # -- typed SSL/SASL surface (parity: kaflow/applications.py:91-186
+    # feeds the same flat kwargs to aiokafka's create_ssl_context; here
+    # they compile to kafka.* options via security.KafkaSecurity).
+    security_protocol: str = "PLAINTEXT"
+    cafile: str | None = None
+    cadata: str | None = None
+    capath: str | None = None
+    certfile: str | None = None
+    keyfile: str | None = None
+    cert_password: str | None = None
+    sasl_mechanism: str | None = None
+    sasl_plain_username: str | None = None
+    sasl_plain_password: str | None = None
+    sasl_kerberos_service_name: str = "kafka"
+    sasl_kerberos_domain_name: str | None = None
+
+    def _security_options(self) -> dict[str, str]:
+        """Validate + compile the typed security kwargs. PLAINTEXT with
+        no SASL settings emits nothing (the client default)."""
+        from kaflow_spark.security import KafkaSecurity
+
+        sec = KafkaSecurity(
+            security_protocol=self.security_protocol,
+            cafile=self.cafile,
+            cadata=self.cadata,
+            capath=self.capath,
+            certfile=self.certfile,
+            keyfile=self.keyfile,
+            cert_password=self.cert_password,
+            sasl_mechanism=self.sasl_mechanism,
+            sasl_plain_username=self.sasl_plain_username,
+            sasl_plain_password=self.sasl_plain_password,
+            sasl_kerberos_service_name=self.sasl_kerberos_service_name,
+            sasl_kerberos_domain_name=self.sasl_kerberos_domain_name,
+        )
+        opts = sec.options()
+        if opts == {"kafka.security.protocol": "PLAINTEXT"}:
+            return {}
+        return opts
 
     def _client_options(self) -> dict[str, str]:
         """Materialize the delivery-semantics kwargs as Kafka options."""
-        opts = dict(self.kafka_options)
+        opts = dict(self._security_options())
+        opts.update(self.kafka_options)
         mapping = {
             "kafka.acks": self.acks,
             "kafka.enable.idempotence": self.enable_idempotence,
