@@ -5,19 +5,22 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages so payload bytes cross into
 Python once per batch, vectorized.
 
-The actual codec step is STUBBED: the image/audio libraries are not
-in this container, so ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless a library is importable, and the
-tested path uses ``fake_decode`` — a deterministic parser of the
-engine's own synthetic payload format. The Spark-side plumbing
-(schemas, batching, partition behavior, UDF signatures) is real and
-is what the tests cover.
+``decode_image`` and ``decode_audio`` are REAL decoders with no
+third-party dependency: PNG (stdlib ``zlib`` inflate + PNG scanline
+un-filtering, 8-bit gray/RGB/RGBA) and WAV (RIFF/fmt/data chunk walk
++ PCM16/PCM8 sample stats via stdlib ``audioop``-free integer math).
+Other containers (JPEG, FLAC, …) need a codec library this container
+lacks and raise a per-format ``ValueError``; ``fake_decode`` remains
+for plumbing tests with the synthetic KSMM container. Matching
+pure-python encoders (``make_png_payload``/``make_wav_payload``)
+generate valid fixtures so the decode path is roundtrip-tested.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -114,32 +117,306 @@ def fake_decode(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(stage, DECODED_DDL)
 
 
+# ---------------------------------------------------------------- PNG
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def make_png_payload(media_id: int, width: int, height: int) -> bytes:
+    """Minimal valid 8-bit RGB PNG with a deterministic pixel pattern
+    seeded by ``media_id`` (stdlib-only encoder, filter type 0)."""
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # scanline filter: None
+        for x in range(width):
+            raw.append((x * 3 + y + media_id) & 0xFF)
+            raw.append((x + y * 7 + media_id * 5) & 0xFF)
+            raw.append((x * 11 + y * 13 + media_id) & 0xFF)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filtering (types 0-4, incl. Paeth)."""
+    stride = width * bpp
+    out = bytearray(stride * height)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        base = y * stride
+        prev = base - stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            if y:
+                for i in range(stride):
+                    line[i] = (line[i] + out[prev + i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = out[prev + i] if y else 0
+                line[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = out[prev + i] if y else 0
+                c = out[prev + i - bpp] if (y and i >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[base : base + stride] = line
+    return out
+
+
+def decode_png(payload: bytes) -> dict:
+    """Pure-stdlib PNG decode: chunk walk, inflate, un-filter, pixel
+    stats. Supports 8-bit depth, color types 0/2/4/6, no interlace."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, bytearray()
+    width = height = channels = -1
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + tag + data + crc
+        if tag == b"IHDR":
+            width, height, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in _PNG_CHANNELS or interlace:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} color={ctype} "
+                    f"interlace={interlace}); only 8-bit non-interlaced"
+                )
+            channels = _PNG_CHANNELS[ctype]
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    pixels = _png_unfilter(zlib.decompress(bytes(idat)), width, height, channels)
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        # integer mean over all samples in centi-units for determinism
+        "mean_px_centi": (sum(pixels) * 100) // max(len(pixels), 1),
+    }
+
+
+IMAGE_DECODED_DDL = (
+    "media_id bigint, mime string, width int, height int, channels int, "
+    "mean_px_centi bigint, n_bytes int, checksum string"
+)
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real image decode — requires an image library that is NOT in
-    this container. The plumbing is ``fake_decode``'s; only the codec
-    body differs."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image decoding needs Pillow; use fake_decode for plumbing "
-            "tests in this environment"
-        ) from exc
-    raise NotImplementedError("wire PIL.Image.open into fake_decode's stage")
+    """Real image decode, dependency-free for PNG (stdlib zlib +
+    un-filtering); falls back to Pillow for other containers when it
+    is importable, else raises a per-format ``ValueError``. Same
+    Arrow-batched ``mapInPandas`` stage shape as ``fake_decode``."""
+
+    def _decode_one(media_id: int, payload: bytes) -> dict:
+        if payload[:8] == _PNG_MAGIC:
+            px = decode_png(payload)
+            mime = "image/png"
+        else:
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError:
+                raise ValueError(
+                    "unsupported image container (pure-python path "
+                    "handles PNG; other formats need Pillow)"
+                ) from None
+            im = Image.open(io.BytesIO(payload))
+            data = list(im.convert("RGB").getdata())
+            flat = [v for p in data for v in p]
+            px = {
+                "width": im.width,
+                "height": im.height,
+                "channels": 3,
+                "mean_px_centi": (sum(flat) * 100) // max(len(flat), 1),
+            }
+            mime = f"image/{(im.format or 'unknown').lower()}"
+        return {
+            "media_id": media_id,
+            "mime": mime,
+            **px,
+            "n_bytes": len(payload),
+            "checksum": hashlib.md5(payload).hexdigest(),
+        }
+
+    cols = [
+        "media_id",
+        "mime",
+        "width",
+        "height",
+        "channels",
+        "mean_px_centi",
+        "n_bytes",
+        "checksum",
+    ]
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _decode_one(int(r.media_id), bytes(getattr(r, payload_col)))
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(stage, IMAGE_DECODED_DDL)
+
+
+# ---------------------------------------------------------------- WAV
+
+
+def make_wav_payload(
+    media_id: int, n_samples: int, sample_rate: int = 16000
+) -> bytes:
+    """Valid mono PCM16 WAV with a deterministic triangle-ish wave
+    seeded by ``media_id`` (stdlib-only encoder)."""
+    period = 64 + (media_id % 64)
+    samples = bytearray()
+    for i in range(n_samples):
+        phase = i % period
+        v = (phase * 2048 - 32768 // 2) % 65536 - 32768
+        samples += struct.pack("<h", v)
+    data = bytes(samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    riff_body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+AUDIO_DECODED_DDL = (
+    "media_id bigint, mime string, sample_rate int, channels int, "
+    "bits int, n_samples bigint, duration_ms bigint, rms_milli bigint"
+)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Pure-stdlib WAV decode: RIFF chunk walk, PCM8/PCM16 sample
+    stats (integer RMS in milli-units for determinism)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    rate = channels = bits = None
+    data = b""
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or bits not in (8, 16):
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt} bits={bits}); "
+                    "only PCM 8/16-bit"
+                )
+        elif tag == b"data":
+            data = body
+    if rate is None:
+        raise ValueError("WAV missing fmt chunk")
+    if bits == 16:
+        vals = struct.unpack(f"<{len(data) // 2}h", data[: len(data) & ~1])
+    else:
+        vals = tuple(b - 128 for b in data)
+    n = len(vals) // channels
+    sq = sum(v * v for v in vals)
+    rms_milli = int((sq * 1_000_000 // max(len(vals), 1)) ** 0.5)
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "n_samples": n,
+        "duration_ms": n * 1000 // rate,
+        "rms_milli": rms_milli,
+    }
 
 
 def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real audio decode — requires an audio library (soundfile /
-    librosa) that is NOT in this container. Same stage shape as
-    ``fake_decode``."""
-    try:
-        import soundfile  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "audio decoding needs soundfile; use audio_features for "
-            "plumbing tests in this environment"
-        ) from exc
-    raise NotImplementedError("wire soundfile.read into fake_decode's stage")
+    """Real audio decode, dependency-free for WAV/PCM; other
+    containers raise ``ValueError`` unless soundfile is importable.
+    Same stage shape as ``fake_decode``."""
+
+    def _decode_one(media_id: int, payload: bytes) -> dict:
+        if payload[:4] == b"RIFF":
+            st = decode_wav(payload)
+            mime = "audio/wav"
+        else:
+            try:
+                import io
+
+                import soundfile as sf
+            except ImportError:
+                raise ValueError(
+                    "unsupported audio container (pure-python path "
+                    "handles WAV/PCM; other formats need soundfile)"
+                ) from None
+            buf, rate = sf.read(io.BytesIO(payload))
+            n = len(buf)
+            st = {
+                "sample_rate": int(rate),
+                "channels": buf.shape[1] if buf.ndim > 1 else 1,
+                "bits": 16,
+                "n_samples": n,
+                "duration_ms": n * 1000 // int(rate),
+                "rms_milli": int(((buf**2).mean() ** 0.5) * 32768_000),
+            }
+            mime = "audio/unknown"
+        return {"media_id": media_id, "mime": mime, **st}
+
+    cols = [
+        "media_id",
+        "mime",
+        "sample_rate",
+        "channels",
+        "bits",
+        "n_samples",
+        "duration_ms",
+        "rms_milli",
+    ]
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _decode_one(int(r.media_id), bytes(getattr(r, payload_col)))
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(stage, AUDIO_DECODED_DDL)
 
 
 AUDIO_FEATURES_DDL = "media_id bigint, n_windows int, energy array<double>"
