@@ -71,6 +71,83 @@ def contamination_overlaps(
     )
 
 
+def word_ngrams(words_col: str, n: int = 8) -> F.Column:
+    """Distinct word ``n``-grams (grams space-rejoined) over an
+    ALREADY-MATERIALIZED words-array column. The public
+    decontamination standard operates on word/token n-grams rather
+    than character grams (GPT-3 appendix C and successors screen on
+    8-13-gram collisions): one gram per WORD position instead of per
+    CHARACTER position cuts the inverted-index explode ~6x for
+    English-like text while keeping exact-match semantics on word
+    sequences. Pure JVM slice/join expressions, hash-free, so an
+    ANSI-SQL oracle reproduces the fingerprint set exactly. Docs with
+    fewer than ``n`` words yield their full word sequence as the
+    single gram.
+
+    Takes a column NAME holding ``array<string>`` (see
+    :func:`words_of`) rather than building the split inline: an
+    expression referenced inside a ``transform`` lambda is
+    re-evaluated per element, so an inline ``split`` would re-split
+    the document once per window — materializing the array first
+    makes gram construction O(words), not O(words * windows)."""
+    words = F.col(words_col)
+    nw = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nw),
+            lambda j: F.array_join(F.slice(words, j, n), " "),
+        )
+    )
+
+
+def words_of(text_col: str) -> F.Column:
+    """Whitespace tokenization matching the oracle's
+    ``string_split_regex(trim(text), '\\s+')``."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def contamination_overlaps_wordgrams(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    *,
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Word-n-gram benchmark-contamination screen: same inverted-index
+    shape as :func:`contamination_overlaps` (benchmark side broadcast,
+    corpus side never shuffles) but both sides explode word n-grams —
+    ~1/avg_word_len of the character-gram row count — so the
+    explode+join moves ~6x fewer rows at the same detection semantics
+    the large-model decontamination literature uses. ``overlap``
+    counts distinct shared word n-grams; ``min_overlap=1`` flags any
+    shared n-word span."""
+    dg = (
+        docs.select(F.col(id_col).alias("_did"), words_of(text_col).alias("_w"))
+        .select("_did", F.explode(word_ngrams("_w", n)).alias("_g"))
+    )
+    bg = (
+        bench.select(
+            F.col(bench_id_col).alias("_bid"), words_of(bench_text_col).alias("_w")
+        )
+        .select("_bid", F.explode(word_ngrams("_w", n)).alias("_g"))
+    )
+    return (
+        dg.join(F.broadcast(bg), "_g")
+        .groupBy("_did", "_bid")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .filter(F.col("overlap") >= F.lit(min_overlap))
+        .select(
+            F.col("_did").alias(id_col),
+            F.col("_bid").alias(bench_id_col),
+            "overlap",
+        )
+    )
+
+
 def quota_per_key(
     df: DataFrame, key_col: str, order_col: str, cap: int
 ) -> DataFrame:

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from kaflow_spark.catalog import load
 from kaflow_spark.operators.curation import (
     contamination_overlaps,
+    contamination_overlaps_wordgrams,
     hash_split,
     hash_split_sql,
     pack_greedy,
@@ -78,6 +79,64 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
         contamination_overlaps(
             d, bench, "doc_id", "text", "bench_id", "btext",
             k=8, min_overlap=_MIN_OVERLAP,
+        )
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+_WGRAM_N = 8
+_WGRAM_MIN = 3  # >= 3 shared 8-word spans (distinct grams)
+
+
+def _wordgram_sql(id_expr: str, rel: str) -> str:
+    """DuckDB word-8-gram relation: same tokenization (trim +
+    whitespace split) and gram construction as
+    operators/curation.word_ngrams."""
+    return f"""
+        SELECT DISTINCT {id_expr} AS id, g FROM (
+            SELECT {id_expr},
+                   unnest(list_transform(
+                       range(1, greatest(len(words)-{_WGRAM_N - 1}, 1)+1),
+                       j -> array_to_string(
+                              list_slice(words, j, j+{_WGRAM_N - 1}), ' '))) AS g
+            FROM (SELECT {id_expr},
+                         string_split_regex(trim(text), '\\s+') AS words
+                  FROM {rel}))"""
+
+
+@declare(
+    "q95_contamination_wordgrams",
+    oracle=f"""
+    WITH bench AS (
+        SELECT doc_id, text FROM documents WHERE {_BENCH_PRED}),
+    bg AS ({_wordgram_sql("doc_id", "bench")}),
+    dg AS ({_wordgram_sql("doc_id", "documents")})
+    SELECT dg.id AS doc_id, bg.id AS bench_id,
+           CAST(COUNT(*) AS BIGINT) AS overlap
+    FROM dg JOIN bg USING (g)
+    WHERE dg.id <> bg.id
+    GROUP BY dg.id, bg.id
+    HAVING COUNT(*) >= {_WGRAM_MIN}
+    ORDER BY doc_id, bench_id
+    """,
+    doc="Word-8-gram contamination screen (the GPT-3-style n-gram "
+    "decontamination shape): both sides explode one gram per WORD "
+    "position instead of per character position, ~6x fewer join rows "
+    "than exact q68 at the detection semantics the decontamination "
+    "literature uses. Hash-free JVM split/slice/join expressions; the "
+    "oracle reproduces the exact gram set.",
+    tags=("curation", "dedup"),
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    bench = d.filter(F.expr(_BENCH_PRED)).select(
+        F.col("doc_id").alias("bench_id"), F.col("text").alias("btext")
+    )
+    return (
+        contamination_overlaps_wordgrams(
+            d, bench, "doc_id", "text", "bench_id", "btext",
+            n=_WGRAM_N, min_overlap=_WGRAM_MIN,
         )
         .filter(F.col("doc_id") != F.col("bench_id"))
         .orderBy("doc_id", "bench_id")

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from kaflow_spark.operators.curation import (
     contamination_overlaps,
+    contamination_overlaps_wordgrams,
     hash_split,
     pack_greedy,
     pii_scrub,
@@ -37,6 +38,46 @@ def test_contamination_finds_planted_overlap_and_broadcasts(spark):
     assert (2, 100) not in rows
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_wordgrams_semantics(spark):
+    """Word-8-gram screen: an 8+-word shared span is detected, short
+    or reworded overlaps are not; benchmark side broadcasts."""
+    shared = "one two three four five six seven eight nine"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix words {shared} suffix words"),
+            (2, "completely different text with no long shared span at all here"),
+            (3, "one two three four five SIX seven eight nine ten eleven twelve"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"intro {shared} outro")], "bench_id long, btext string"
+    )
+    out = contamination_overlaps_wordgrams(
+        corpus, bench, "doc_id", "text", "bench_id", "btext", n=8, min_overlap=1
+    )
+    rows = {(r["doc_id"], r["bench_id"]): r["overlap"] for r in out.collect()}
+    # 9 shared words => two distinct 8-grams
+    assert rows == {(1, 100): 2}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_wordgrams_short_doc_single_gram(spark):
+    corpus = spark.createDataFrame(
+        [(1, "  tiny   doc  "), (2, "tiny doc")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "tiny doc")], "bench_id long, btext string"
+    )
+    out = contamination_overlaps_wordgrams(
+        corpus, bench, "doc_id", "text", "bench_id", "btext", n=8, min_overlap=1
+    )
+    rows = {(r["doc_id"], r["bench_id"]): r["overlap"] for r in out.collect()}
+    # whitespace-normalized full word sequence is the single gram
+    assert rows == {(1, 9): 1, (2, 9): 1}
 
 
 def test_quota_per_key_caps_deterministically(spark):
