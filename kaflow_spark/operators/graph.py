@@ -82,6 +82,7 @@ def connected_components(
     single_partition_max: int = 5_000_000,
     out_node: str = "node",
     out_comp: str = "component",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the
     MINIMUM node id reachable from it (the component id).
@@ -89,7 +90,14 @@ def connected_components(
     The result is deterministic — component ids are actual member ids
     (the smallest), which downstream 'keep the canonical doc' logic
     uses directly.
-    """
+
+    ``stats``, if given, is filled with execution evidence:
+    ``tier`` (``"single_partition"`` or ``"min_label"``), and for the
+    iterative tier ``rounds`` (label-propagation rounds run) and
+    ``actions`` (driver actions inside the loop — the design invariant
+    is exactly ONE action per round: the sum-aggregation that both
+    materializes the round's persisted labels and yields the monotone
+    convergence signal)."""
     id_type = dict(edges.dtypes)[src]
     pair_schema = f"node {id_type}, root {id_type}"
 
@@ -101,7 +109,12 @@ def connected_components(
     )
     n_edges = sym.count()
 
+    if stats is not None:
+        stats["n_sym_edges"] = n_edges
+
     if n_edges <= single_partition_max:
+        if stats is not None:
+            stats["tier"] = "single_partition"
         # ids-only rows: even millions of edges are a few dozen MB —
         # one union-find task beats any number of iterative shuffles.
         out = (
@@ -141,6 +154,7 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
     prev_cached = labels
+    rounds = actions = 0
     for _ in range(max_iter):
         proposals = (
             csym.join(labels.withColumnRenamed("n", "b"), "b")
@@ -157,6 +171,8 @@ def connected_components(
         # non-increasing, so sum(lbl) strictly decreases iff any label
         # changed this round.
         cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
+        rounds += 1
+        actions += 1
         prev_cached.unpersist()
         prev_cached = new_labels
         labels = new_labels
@@ -164,6 +180,8 @@ def connected_components(
             break
         prev_sum = cur_sum
     csym.unpersist()
+    if stats is not None:
+        stats.update(tier="min_label", rounds=rounds, actions=actions)
     return labels.select(
         F.col("n").alias(out_node), F.col("lbl").alias(out_comp)
     )
