@@ -1,0 +1,97 @@
+"""Streaming as-of join over the REAL events table (sf0.001).
+
+Semantics under test: for every purchase event, attach the value of
+the latest click by the same user at-or-before the purchase within a
+tolerance horizon — the classic "state of X as of event Y" stream
+enrichment. Correctness oracle: the equivalent batch computation on
+the same rows. Emission: append mode, so rows flush only when the
+watermark passes their event time — the test appends a far-future
+sentinel to both inputs to drain everything (documented in
+streaming/asof.py).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+from pyspark.sql import functions as F
+
+from kaflow_spark.catalog import load
+from kaflow_spark.streaming.asof import asof_join_stream
+
+SF = "/root/testdata/sf0.001"
+EV_DDL = "user_id bigint, ts timestamp, value double"
+TOLERANCE = "3 days"
+
+
+def test_streaming_asof_matches_batch_on_events(spark, tmp_path, sf_dir):
+    ev = load(spark, sf_dir or SF, "events").select("user_id", "ts", "value", "event_type")
+    purchases = ev.filter("event_type = 'purchase'").drop("event_type")
+    clicks = ev.filter("event_type = 'click'").drop("event_type")
+
+    p_path, c_path = str(tmp_path / "purchase"), str(tmp_path / "click")
+    purchases.write.parquet(p_path)
+    clicks.write.parquet(c_path)
+
+    left = (
+        spark.readStream.schema(EV_DDL).parquet(p_path)
+        .withColumnRenamed("value", "p_value")
+        .withWatermark("ts", "1 minute")
+    )
+    right = (
+        spark.readStream.schema(EV_DDL).parquet(c_path)
+        .withColumnRenamed("value", "click_value")
+        .withColumnRenamed("ts", "click_ts")
+        .withWatermark("click_ts", "1 minute")
+    )
+    out = asof_join_stream(
+        left, right, "user_id", "ts", "click_ts",
+        ["click_value"], tolerance=TOLERANCE,
+    )
+    name = f"asof_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # flush: a sentinel past every real event advances both
+        # watermarks beyond max(ts), releasing all in-flight rows
+        future = dt.datetime(2030, 1, 1)
+        spark.createDataFrame([(0, future, 0.0)], EV_DDL).write.mode(
+            "append"
+        ).parquet(p_path)
+        spark.createDataFrame([(0, future, 0.0)], EV_DDL).write.mode(
+            "append"
+        ).parquet(c_path)
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["ts"], r["click_value"], r["click_ts"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+            if r["ts"] < future  # exclude the sentinel's own row
+        }
+    finally:
+        q.stop()
+
+    # batch oracle: same as-of definition on the same rows
+    c = clicks.select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    j = purchases.join(c, "user_id").filter(
+        (F.col("click_ts") <= F.col("ts"))
+        & (F.col("click_ts") >= F.col("ts") - F.expr(f"INTERVAL {TOLERANCE}"))
+    )
+    want = {
+        (r["user_id"], r["ts"], r["click_value"], r["click_ts"])
+        for r in j.groupBy("user_id", "ts")
+        .agg(
+            F.max_by("click_value", "click_ts").alias("click_value"),
+            F.max("click_ts").alias("click_ts"),
+        )
+        .collect()
+    }
+    assert len(want) > 0, "fixture must produce at least one as-of match"
+    assert got == want
