@@ -460,8 +460,13 @@ def frame_sample(df: DataFrame, payload_col: str = "payload", n_frames: int = 4)
     """Deterministic frame sampling: slices the payload body into
     ``n_frames`` equal windows and fingerprints each — the shape of a
     video keyframe sampler, minus the codec."""
-    body = F.expr(f"substring({payload_col}, 29, 2147483647)")
-    total = F.length(body)
+    # materialize the body + length once per row: expressions
+    # referenced inside a transform() lambda are re-evaluated per
+    # element, which would copy the payload once per frame
+    stage = df.withColumn(
+        "_body", F.expr(f"substring({payload_col}, 29, 2147483647)")
+    ).withColumn("_blen", F.length("_body"))
+    body, total = F.col("_body"), F.col("_blen")
     idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
     # frame k covers bytes [k*len/n, (k+1)*len/n)
     frames = F.transform(
@@ -473,4 +478,4 @@ def frame_sample(df: DataFrame, payload_col: str = "payload", n_frames: int = 4)
             ).cast("binary")
         ),
     )
-    return df.withColumn("frame_hashes", frames)
+    return stage.withColumn("frame_hashes", frames).drop("_body", "_blen")

@@ -181,6 +181,134 @@ def main() -> None:
     )
     print(rows[-1], flush=True)
 
+    # ---- round-2 curation suite (q84-q95 operators) ----
+
+    from kaflow_spark.operators.curation import (
+        contamination_overlaps_wordgrams,
+        retention_funnel,
+        stratified_sample,
+        temperature_fractions,
+        unigram_surprisal,
+    )
+
+    docs_full = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+
+    def probe_full(name, fn):
+        times = {}
+        for mult in (1, 5, 10):
+            d = replicate(docs_full, mult, "doc_id", 10_000_000)
+            t0 = time.perf_counter()
+            fn(d).write.format("noop").mode("overwrite").save()
+            times[mult] = time.perf_counter() - t0
+        rows.append(
+            f"| {name} | {times[1]:.1f}s | {times[5]:.1f}s | {times[10]:.1f}s "
+            f"| {times[10] / times[1]:.1f}x |"
+        )
+        print(rows[-1], flush=True)
+
+    def temp_resample(d):
+        counts = {
+            r["source"]: r["n"]
+            for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        fr = temperature_fractions(
+            counts, alpha=0.5, target_total=sum(counts.values()) // 2
+        )
+        return stratified_sample(d, "source", "doc_id", fr)
+
+    probe_full(f"temperature resample a=0.5 ({n_docs} docs/x)", temp_resample)
+    probe_full(
+        f"retention funnel ({n_docs} docs/x)",
+        lambda d: retention_funnel(
+            d, "doc_id", "source", "text", min_score_bp=8000
+        ),
+    )
+    probe_full(
+        f"unigram surprisal ({n_docs} docs/x)",
+        lambda d: unigram_surprisal(d, "doc_id", "text"),
+    )
+    probe_full(
+        f"word-8-gram contamination ({n_docs} docs/x, fixed bench)",
+        lambda d: contamination_overlaps_wordgrams(
+            d, bench, "doc_id", "text", "bench_id", "btext",
+            n=8, min_overlap=3,
+        ),
+    )
+
+    from kaflow_spark.operators.embeddings import (
+        label_centroids,
+        nearest_centroid_purity,
+    )
+
+    emb_l = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("label").cast("bigint").alias("label"), "embedding"
+    )
+    n_vecs = emb_l.count()
+
+    def probe_emb(name, fn):
+        times = {}
+        for mult in (1, 5, 10):
+            e = replicate(emb_l, mult, "vec_id", 10_000_000)
+            t0 = time.perf_counter()
+            fn(e).write.format("noop").mode("overwrite").save()
+            times[mult] = time.perf_counter() - t0
+        rows.append(
+            f"| {name} | {times[1]:.1f}s | {times[5]:.1f}s | {times[10]:.1f}s "
+            f"| {times[10] / times[1]:.1f}x |"
+        )
+        print(rows[-1], flush=True)
+
+    probe_emb(
+        f"label centroids ({n_vecs} vecs/x)",
+        lambda e: label_centroids(e, "label", "embedding"),
+    )
+    probe_emb(
+        f"nearest-centroid purity ({n_vecs} vecs/x)",
+        lambda e: nearest_centroid_purity(e, "vec_id", "label", "embedding"),
+    )
+
+    from kaflow_spark.catalog import load as cat_load
+    from kaflow_spark.operators.events import retention_cohorts, transition_counts
+
+    events = cat_load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    n_events = events.count()
+
+    def probe_events(name, fn):
+        # shift user_id too: replication adds NEW users (linear state),
+        # not 10x-longer per-user timelines no real corpus growth has
+        times = {}
+        for mult in (1, 5, 10):
+            parts = [
+                events.withColumn(
+                    "user_id", F.col("user_id") + F.lit(i * 10_000_000)
+                ).withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+                for i in range(mult)
+            ]
+            e = parts[0]
+            for p in parts[1:]:
+                e = e.unionAll(p)
+            t0 = time.perf_counter()
+            fn(e).write.format("noop").mode("overwrite").save()
+            times[mult] = time.perf_counter() - t0
+        rows.append(
+            f"| {name} | {times[1]:.1f}s | {times[5]:.1f}s | {times[10]:.1f}s "
+            f"| {times[10] / times[1]:.1f}x |"
+        )
+        print(rows[-1], flush=True)
+
+    probe_events(
+        f"retention cohorts ({n_events} events/x)",
+        lambda e: retention_cohorts(e, "user_id", "ts"),
+    )
+    probe_events(
+        f"transition matrix ({n_events} events/x)",
+        lambda e: transition_counts(e, "user_id", "ts", "event_type", "event_id"),
+    )
+
     rows.append("")
     rows.append(
         "Interpretation: replication multiplies duplicate groups too "
@@ -194,7 +322,14 @@ def main() -> None:
         "dedup scaling plus the fixture-sized near-dup tail; the "
         "synthetic-chain row isolates the CC operator on linearly "
         "growing edge sets. Chunking/doc-freq/TF-IDF are map-side or "
-        "partial-agg'd; their curves track data volume."
+        "partial-agg'd; their curves track data volume. Round-2 suite: "
+        "temperature resample is one count-agg + a hash filter "
+        "(shuffle only for the tiny per-source counts); funnel/"
+        "surprisal/centroids/purity are partial-agg'd with "
+        "broadcast-joined small sides; cohorts/transitions collapse "
+        "events to distinct (user, day) / lag pairs before their one "
+        "shuffle — event replication adds NEW users (linear state), "
+        "matching how a real corpus grows."
     )
     with open("SCALING.md", "w") as f:
         f.write("\n".join(rows) + "\n")
