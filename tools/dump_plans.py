@@ -122,6 +122,22 @@ HEADLINERS: dict[str, str] = {
         "split map is never shuffled; split assignment itself is md5 "
         "column arithmetic, zero-cost at any scale."
     ),
+    "q95_contamination_wordgrams": (
+        "The fast decontamination path: word-8-gram inverted-index "
+        "join (one exploded row per WORD position, ~6x fewer than "
+        "q68's per-character grams), benchmark side broadcast, corpus "
+        "side scan->project->explode with no Exchange before the "
+        "partial-agg'd overlap count. The words array is its own "
+        "projection below the gram transform — inlining the split "
+        "would re-split each document once per window."
+    ),
+    "q37_doc_fingerprint": (
+        "Sort BELOW the pandas-UDF projection: the range partitioner "
+        "samples its child to pick sort bounds, so a sort above the "
+        "md5 kernel would execute the kernel twice; here the sampling "
+        "job re-reads only the pruned parquet scan and the kernel "
+        "(ArrowEvalPython) runs exactly once on sorted batches."
+    ),
 }
 
 
