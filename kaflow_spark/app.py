@@ -122,6 +122,10 @@ class App:
     """Engine application: topic registry + compiled Spark pipelines."""
 
     name: str = "kaflow-spark-app"
+    #: AsyncAPI info fields (parity: the reference constructor's
+    #: title/version/description, kaflow/applications.py:187-196)
+    version: str = "0.0.1"
+    description: str | None = None
     brokers: str | None = None
     kafka_options: dict[str, str] = field(default_factory=dict)
     dlq_topic: str | None = None
@@ -207,6 +211,7 @@ class App:
         self._exception_handlers: dict[type, Callable] = {}
         self._deser_error_handler: Callable | None = None
         self._produced: list[tuple[str, Message]] = []
+        self._produce_topics: set[str] = set()
         #: test seam: substitute dependency factories
         #: (parity: kaflow/_utils/overrides.py:27-72)
         self.dependency_overrides: dict[Callable, Callable] = {}
@@ -304,6 +309,8 @@ class App:
         each call of the wrapped function publishes its returned
         Message to ``sink_topic`` (buffered; ``flush_produced`` turns
         the buffer into a DataFrame / Kafka write)."""
+
+        self._produce_topics.add(sink_topic)
 
         def deco(func: Callable) -> Callable:
             def wrapper(*a: Any, **kw: Any) -> Message | None:
@@ -788,6 +795,16 @@ class App:
                 ),
             ).alias("headers"),
         )
+
+    def asyncapi(self) -> dict[str, Any]:
+        """AsyncAPI 2.6.0 document for this app's topic registry —
+        the working version of the reference's dead-code builder
+        (kaflow/asyncapi/_builder.py:55-86 exists but its public
+        entry, kaflow/applications.py:446-460, raises
+        NotImplementedError). See kaflow_spark/asyncapi.py."""
+        from kaflow_spark.asyncapi import build_asyncapi
+
+        return build_asyncapi(self)
 
     def describe(self) -> dict[str, Any]:
         """Topic->pipeline schema catalog: the engine's answer to the

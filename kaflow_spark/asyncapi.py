@@ -1,0 +1,143 @@
+"""AsyncAPI 2.6.0 document generation from an :class:`App`'s registry.
+
+Parity surface: the reference ships an AsyncAPI builder
+(kaflow/asyncapi/_builder.py:55-86 assembles info + pydantic model
+definitions into an AsyncAPI model) whose public entry point raises
+NotImplementedError (kaflow/applications.py:446-460) — the document is
+never actually produced there. This module finishes the job against
+the SAME registry information our App tracks: one channel per topic,
+operations derived from the consumer/producer role, and payload
+schemas compiled from the handlers' pydantic models.
+
+AsyncAPI 2.x role convention: on a channel the application CONSUMES,
+the document exposes a ``publish`` operation (clients publish so the
+app receives); topics the app PRODUCES to (sink topics and
+``@produce`` targets) expose ``subscribe``. Everything here is plain
+dict assembly — no network, no pydantic-internals beyond the public
+``model_json_schema``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+_REF_TEMPLATE = "#/components/schemas/{model}"
+
+
+def _is_pydantic_model(t: object) -> bool:
+    try:
+        from pydantic import BaseModel
+
+        return isinstance(t, type) and issubclass(t, BaseModel) and t is not BaseModel
+    except ImportError:  # pragma: no cover - pydantic is a hard dep
+        return False
+
+
+def _collect_schema(t: type, schemas: dict[str, Any]) -> str | None:
+    """Compile a pydantic model (and its nested $defs) into
+    ``schemas``; return the component name."""
+    doc = t.model_json_schema(ref_template=_REF_TEMPLATE)
+    for name, sub in doc.pop("$defs", {}).items():
+        schemas.setdefault(name, sub)
+    name = t.__name__
+    schemas.setdefault(name, doc)
+    return name
+
+
+def build_asyncapi(app: Any) -> dict[str, Any]:
+    """Assemble the AsyncAPI 2.6.0 document for ``app``.
+
+    Channels cover every consumed topic, every sink topic, and every
+    ``@produce`` target; message payloads reference
+    ``components.schemas`` entries compiled from the handlers'
+    pydantic value/key models (non-model payloads are typed as opaque
+    byte strings).
+    """
+    from kaflow_spark.app import _BatchConsumer, _Consumer
+
+    schemas: dict[str, Any] = {}
+    messages: dict[str, Any] = {}
+    channels: dict[str, Any] = {}
+
+    def message_for(t: object, fallback: str) -> dict[str, Any]:
+        if _is_pydantic_model(t):
+            name = _collect_schema(t, schemas)
+            messages.setdefault(
+                name,
+                {"name": name, "payload": {"$ref": f"{_REF_TEMPLATE.format(model=name)}"}},
+            )
+            return {"$ref": f"#/components/messages/{name}"}
+        messages.setdefault(
+            fallback,
+            {
+                "name": fallback,
+                "payload": {"type": "string", "format": "binary"},
+            },
+        )
+        return {"$ref": f"#/components/messages/{fallback}"}
+
+    produced_topics: dict[str, dict[str, Any]] = {}
+
+    for topic, reg in app._consumers.items():
+        if isinstance(reg, _Consumer):
+            value_t = reg.spec.value.target_type if reg.spec.value else None
+            kind = "record_handler"
+        elif isinstance(reg, _BatchConsumer):
+            value_t, kind = None, "batch_handler"
+        else:
+            value_t, kind = None, "dataframe_transform"
+        channels[topic] = {
+            "description": f"consumed by {kind}",
+            "publish": {
+                "operationId": f"receive_{topic}",
+                "message": message_for(value_t, "Bytes"),
+            },
+        }
+        for sink in reg.sink_topics:
+            produced_topics.setdefault(sink, {"from": topic})
+
+    for topic in sorted(getattr(app, "_produce_topics", ())):
+        produced_topics.setdefault(topic, {"from": "@produce"})
+
+    for topic, meta in produced_topics.items():
+        ch = channels.setdefault(topic, {})
+        ch.setdefault("description", f"produced (fan-out from {meta['from']})")
+        ch["subscribe"] = {
+            "operationId": f"send_{topic}",
+            "message": message_for(None, "Bytes"),
+        }
+    if app.dlq_topic:
+        channels.setdefault(app.dlq_topic, {})["subscribe"] = {
+            "operationId": f"send_{app.dlq_topic}",
+            "message": message_for(None, "DeadLetter"),
+        }
+
+    info: dict[str, Any] = {"title": app.name, "version": app.version}
+    if app.description:
+        info["description"] = app.description
+
+    doc: dict[str, Any] = {
+        "asyncapi": "2.6.0",
+        "info": info,
+        "channels": channels,
+    }
+    if app.brokers:
+        server: dict[str, Any] = {
+            "url": app.brokers,
+            "protocol": "kafka",
+        }
+        if app.security_protocol != "PLAINTEXT":
+            server["protocol"] = "kafka-secure"
+            server["description"] = f"security: {app.security_protocol}"
+        doc["servers"] = {"default": server}
+    components: dict[str, Any] = {}
+    if schemas:
+        components["schemas"] = schemas
+    if messages:
+        components["messages"] = messages
+    if components:
+        doc["components"] = components
+    return doc
+
+
+__all__ = ["build_asyncapi"]

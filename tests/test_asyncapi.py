@@ -1,0 +1,110 @@
+"""AsyncAPI 2.6.0 document generation (the working version of the
+reference's dead-code builder — kaflow/asyncapi/_builder.py:55-86
+assembles the document but kaflow/applications.py:446-460 raises
+NotImplementedError before ever calling it)."""
+
+from __future__ import annotations
+
+from pydantic import BaseModel
+
+from kaflow_spark.app import App, Message
+from kaflow_spark.params import FromKey, FromValue, Json
+
+
+class Order(BaseModel):
+    order_id: int
+    item: "Item"
+    total: float
+
+
+class Item(BaseModel):
+    sku: str
+    qty: int
+
+
+class RouteKey(BaseModel):
+    region: str
+
+
+def _app() -> App:
+    app = App(
+        name="orders-app",
+        version="1.2.3",
+        description="order processing",
+        brokers="b1:9092,b2:9092",
+        dlq_topic="orders.dlq",
+    )
+
+    @app.consume(topic="orders.in", sink_topics=("orders.enriched",))
+    def handle(v: FromValue[Json[Order]], k: FromKey[Json[RouteKey]]) -> Message:
+        return Message(value=b"{}")
+
+    @app.produce(sink_topic="orders.audit")
+    def audit() -> Message:
+        return Message(value=b"{}")
+
+    return app
+
+
+def test_document_skeleton_and_info():
+    doc = _app().asyncapi()
+    assert doc["asyncapi"] == "2.6.0"
+    assert doc["info"] == {
+        "title": "orders-app",
+        "version": "1.2.3",
+        "description": "order processing",
+    }
+    assert doc["servers"]["default"] == {
+        "url": "b1:9092,b2:9092",
+        "protocol": "kafka",
+    }
+
+
+def test_channels_cover_consume_fanout_produce_and_dlq():
+    doc = _app().asyncapi()
+    ch = doc["channels"]
+    # consumed topic -> publish operation (clients publish, app receives)
+    assert ch["orders.in"]["publish"]["operationId"] == "receive_orders.in"
+    # sink topic, @produce target, and DLQ -> subscribe operations
+    for t in ("orders.enriched", "orders.audit", "orders.dlq"):
+        assert ch[t]["subscribe"]["operationId"] == f"send_{t}"
+    assert set(ch) == {
+        "orders.in",
+        "orders.enriched",
+        "orders.audit",
+        "orders.dlq",
+    }
+
+
+def test_payload_schemas_compiled_from_pydantic_models():
+    doc = _app().asyncapi()
+    schemas = doc["components"]["schemas"]
+    # nested model hoisted into components alongside its parent
+    assert {"Order", "Item"} <= set(schemas)
+    assert schemas["Order"]["properties"]["item"]["$ref"] == (
+        "#/components/schemas/Item"
+    )
+    msg = doc["components"]["messages"]["Order"]
+    assert msg["payload"] == {"$ref": "#/components/schemas/Order"}
+    assert doc["channels"]["orders.in"]["publish"]["message"] == {
+        "$ref": "#/components/messages/Order"
+    }
+
+
+def test_secure_server_marked_kafka_secure():
+    app = App(
+        name="s",
+        brokers="b:9093",
+        security_protocol="SASL_SSL",
+        sasl_mechanism="PLAIN",
+        sasl_plain_username="u",
+        sasl_plain_password="p",
+    )
+    doc = app.asyncapi()
+    assert doc["servers"]["default"]["protocol"] == "kafka-secure"
+
+
+def test_document_is_json_serializable():
+    import json
+
+    json.dumps(_app().asyncapi())
