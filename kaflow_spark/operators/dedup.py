@@ -52,6 +52,69 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 40,
+) -> DataFrame:
+    """Exact duplicated-substring report (the public "exact substring
+    deduplication" stage of Lee et al., *Deduplicating Training Data
+    Makes Language Models Better*, ACL 2022 — there built on a suffix
+    array; here re-expressed as declarative Spark): find every
+    position whose ``min_len``-char window occurs MORE THAN ONCE in
+    the corpus (across documents or repeated within one), merge
+    overlapping/adjacent windows per document into maximal spans, and
+    emit ``(id, n_dup_spans, dup_chars)`` — the per-document duplicated
+    footprint a substring-dedup pass would clip.
+
+    Plan shape: one position-exploded projection (``(id, pos,
+    xxhash64(window))`` — 24-byte rows, the window TEXT never
+    shuffles), a window count per hash for the >1 occurrence test, and
+    a per-document gaps-and-islands pass to merge windows. Duplicate
+    counting is hash-equality based, so the DuckDB oracle groups the
+    raw window strings and gets identical counts (same argument as the
+    q68 contamination screen). The corpus-wide partition-by-hash is
+    the intrinsic cost of EXACT substring dedup — ~24 bytes per
+    character position; at 100 TB that is the suffix-array batch job's
+    territory, with MinHash (q41) and winnowed/word-gram screens (q95)
+    as the approximate scale paths. Documents shorter than ``min_len``
+    have no window and report no spans.
+    """
+    t = F.col(text_col)
+    n = F.length(t) - (min_len - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.xxhash64(t.substr(i, F.lit(min_len))),
+    )
+    g = (
+        df.filter(F.length(t) >= min_len)
+        .select(F.col(id_col).alias("_id"), F.posexplode(hashes).alias("_p", "_h"))
+        .select("_id", (F.col("_p") + 1).alias("_pos"), "_h")  # 1-based
+    )
+    dup = g.withColumn(
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+    ).filter(F.col("_cnt") > 1)
+    wd = Window.partitionBy("_id").orderBy("_pos")
+    prev = F.lag("_pos").over(wd)
+    islands = dup.withColumn(
+        "_brk",
+        F.when(prev.isNull() | (F.col("_pos") - prev > min_len), 1).otherwise(0),
+    ).withColumn(
+        "_isl",
+        F.sum("_brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("_id", "_isl").agg(
+        F.min("_pos").alias("_s"),
+        (F.max("_pos") + (min_len - 1)).alias("_e"),
+    )
+    return spans.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("_e") - F.col("_s") + 1).alias("dup_chars"),
+    ).select(F.col("_id").alias(id_col), "n_dup_spans", "dup_chars")
+
+
 def char_shingles(text_col: str, k: int = 5) -> F.Column:
     """Distinct character k-shingle hashes (xxhash64, JVM-side)."""
     t = F.col(text_col)

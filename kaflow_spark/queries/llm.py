@@ -469,6 +469,54 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SPAN_L = 40
+
+
+@declare(
+    "q96_duplicated_spans",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             substring(text, CAST(i AS INT), {_SPAN_L}) AS g
+      FROM (SELECT doc_id, text, unnest(range(1, length(text)-{_SPAN_L}+2)) AS i
+            FROM documents WHERE length(text) >= {_SPAN_L})),
+    d AS (SELECT doc_id, pos FROM
+            (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c FROM g)
+          WHERE c > 1),
+    i AS (SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          IS NULL
+                        OR pos - lag(pos)
+                             OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_L}
+                      THEN 1 ELSE 0 END AS brk
+          FROM d),
+    s AS (SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+          FROM i),
+    sp AS (SELECT doc_id, isl, MIN(pos) AS st, MAX(pos)+{_SPAN_L}-1 AS en
+           FROM s GROUP BY doc_id, isl)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(en-st+1) AS BIGINT) AS dup_chars
+    FROM sp GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Exact duplicated-substring report (Lee et al. ACL'22 exact "
+    "substring dedup, declarative Spark shape): every 40-char window "
+    "occurring more than once corpus-wide, merged per document into "
+    "maximal spans; emits the duplicated footprint a substring-dedup "
+    "pass would clip. The plan shuffles (id, pos, xxhash64) 24-byte "
+    "rows — window text never moves; the oracle groups raw window "
+    "strings (counts are hash-equality-invariant, same argument as "
+    "q68).",
+    tags=("dedup", "text"),
+)
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(
+        load(spark, sf, "documents"), "doc_id", "text", min_len=_SPAN_L
+    ).orderBy("doc_id")
+
+
 # Shared quantized-dims CTE for the exact embedding analytics
 # (q91/q92): float32 -> double -> micro-units bigint. ROUND is
 # half-away-from-zero and `//` truncates toward zero in BOTH engines

@@ -48,6 +48,36 @@ def test_exact_dedup_keeps_min_id(docs):
     assert sizes[1] == 2
 
 
+def test_duplicated_spans_semantics(spark):
+    """Planted exact substring duplication: a 12-char window shared by
+    two docs is reported as one merged span in each; a doc with an
+    internal repeat is flagged too; a unique doc reports nothing."""
+    from kaflow_spark.operators.dedup import duplicated_spans
+
+    shared = "ABCDEFGHIJKLMNOP"  # 16 chars -> 5 overlapping 12-windows
+    docs = spark.createDataFrame(
+        [
+            (1, f"xx1 {shared} yy unique tail one"),
+            (2, f"zz2 {shared} ww other tail two"),
+            (3, "totally unique text with no repeats at all here ok"),
+            (4, "REPEATREPEATX and then REPEATREPEATX again"),  # internal dup
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_chars"])
+        for r in duplicated_spans(docs, "doc_id", "text", min_len=12).collect()
+    }
+    # docs 1 and 2: the duplicated windows merge into ONE span covering
+    # the true common substring " ABCDEFGHIJKLMNOP " — the flanking
+    # spaces are shared too, so 16 + 2 = 18 chars
+    assert out[1] == (1, 18)
+    assert out[2] == (1, 18)
+    assert 3 not in out
+    # doc 4: "REPEATREPEATX" (13 chars) occurs twice within one doc
+    assert out[4][0] >= 1 and out[4][1] >= 13
+
+
 def test_minhash_finds_near_dups_and_estimates_jaccard(docs):
     cands = minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=64, bands=16)
     rows = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cands.collect()}
