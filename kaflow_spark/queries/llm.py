@@ -23,6 +23,7 @@ from kaflow_spark.functions.textstats import (
     BPE_PATTERN,
     LANG_STOPWORDS,
     fingerprint,
+    int_div,
     lang_id,
     quality_components,
     quality_score_bp,
@@ -144,6 +145,55 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id")
         .select("doc_id", lang_id("text").alias("lang_pred"))
     )
+
+
+def _langid_confusion_oracle() -> str:
+    pred = _langid_oracle().replace("ORDER BY doc_id", "")
+    return f"""
+    WITH p AS ({pred})
+    SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN p.lang_pred = d.lang THEN COUNT(*) ELSE 0 END)
+                OVER (PARTITION BY d.lang) * 10000
+                // SUM(COUNT(*)) OVER (PARTITION BY d.lang) AS BIGINT)
+               AS recall_bp
+    FROM documents d JOIN p USING (doc_id)
+    GROUP BY d.lang, p.lang_pred
+    ORDER BY d.lang, p.lang_pred
+    """
+
+
+@declare(
+    "q97_langid_confusion",
+    oracle=_langid_confusion_oracle(),
+    doc="Filter-evaluation report: confusion counts of the q36 "
+    "language-id heuristic against the gold lang column, with "
+    "per-gold-language recall in basis points — the eval a curation "
+    "pipeline runs before trusting a language filter to drop data. "
+    "One partial-agg'd groupBy over (gold, pred); the window recall "
+    "runs on the already-aggregated confusion cells (|langs|^2 rows), "
+    "so shuffle volume is independent of corpus size.",
+    tags=("text", "curation"),
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf, "documents")
+    cells = (
+        d.select("lang", lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    correct = F.sum(F.when(F.col("lang_pred") == F.col("lang"), F.col("n"))).over(w)
+    total = F.sum("n").over(w)
+    return cells.select(
+        "lang",
+        "lang_pred",
+        "n",
+        int_div(F.coalesce(correct, F.lit(0)) * 10000, total)
+        .cast("bigint")
+        .alias("recall_bp"),
+    ).orderBy("lang", "lang_pred")
 
 
 @declare(
