@@ -86,3 +86,39 @@ def test_exists_rewrites_to_semi_and_anti(spark, sf_dir):
     assert "LeftSemi" in txt
     assert "LeftAnti" in txt
     assert "NestedLoop" not in txt
+
+
+def test_wordgram_contamination_broadcasts_bench(spark, sf_dir):
+    """q95: the benchmark gram side broadcasts; the corpus side must
+    reach the join via explode with no Exchange before it."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q95_contamination_wordgrams"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in txt
+    assert has_partial_aggregate(df)  # overlap count partial-aggs
+
+
+def test_duplicated_spans_shuffles_hashes_not_text(spark, sf_dir):
+    """q96: the corpus-wide occurrence count partitions by the window
+    HASH — the exchanged row carries (id, pos, xxhash64), never the
+    window text."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q96_duplicated_spans"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert "xxhash64" in txt
+    # every Exchange partitions by id/pos/hash/island columns only —
+    # the text column never appears in an exchange's partitioning
+    import re
+
+    for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", txt):
+        assert "text" not in part
+
+
+def test_langid_confusion_aggregates_before_window(spark, sf_dir):
+    """q97: the per-language recall window runs on the aggregated
+    confusion cells, so a partial aggregate must sit below it."""
+    df = REGISTRY["q97_langid_confusion"].spark(spark, sf_dir)
+    assert has_partial_aggregate(df)
