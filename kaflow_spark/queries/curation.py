@@ -700,3 +700,45 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
     return cross_split_pairs(pairs, splits, "doc_id").select(
         "id_a", "id_b", "split_a", "split_b"
     ).orderBy("id_a", "id_b")
+
+
+@declare(
+    "q98_length_histogram",
+    oracle="""
+    WITH n AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ntok
+        FROM documents)
+    SELECT source,
+           CAST(LENGTH(bin(ntok)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(ntok) AS BIGINT) AS min_tok,
+           CAST(MAX(ntok) AS BIGINT) AS max_tok,
+           CAST(SUM(ntok) AS BIGINT) AS tok_sum
+    FROM n GROUP BY source, log2_bucket ORDER BY source, log2_bucket
+    """,
+    doc="Sequence-length distribution: per-source histogram of "
+    "whitespace token counts in power-of-two buckets (exact floor-log2 "
+    "via length(bin(n))-1, the q89 integer trick) — the pre-packing / "
+    "pre-training length diagnostic that sizes context windows and "
+    "packing budgets. One partial-agg'd groupBy; shuffle volume is "
+    "|sources| x |buckets|, independent of corpus size.",
+    tags=("curation", "text"),
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.functions.textstats import token_count_ws
+
+    d = load(spark, sf, "documents")
+    ntok = token_count_ws("text").cast("bigint")
+    bucket = (F.length(F.bin(ntok)) - 1).cast("bigint")
+    return (
+        d.select("source", ntok.alias("ntok"), bucket.alias("log2_bucket"))
+        .groupBy("source", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ntok").alias("min_tok"),
+            F.max("ntok").alias("max_tok"),
+            F.sum("ntok").alias("tok_sum"),
+        )
+        .orderBy("source", "log2_bucket")
+    )
