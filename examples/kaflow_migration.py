@@ -101,6 +101,25 @@ def main() -> None:
     print("produced:", msg.value.decode())
     bad = client.publish("user_clicks", value=b"{broken json")
     print("malformed record -> dead letter:", bad is None, client.last_dlq[0]["error"])
+
+    # --- typed security surface (reference constructor kwarg parity):
+    # the same flat kwargs, compiled to Kafka Java-client options
+    secure = Kaflow(
+        name="AwesomeKafkaApp",
+        brokers="broker:9093",
+        security_protocol="SASL_SSL",
+        cafile="/etc/pki/ca.pem",
+        sasl_mechanism="SCRAM-SHA-512",
+        sasl_plain_username="svc",
+        sasl_plain_password="secret",
+    )
+    opts = secure._client_options()
+    print("SASL_SSL options:", {k: opts[k] for k in sorted(opts) if "jaas" not in k})
+
+    # --- AsyncAPI document (the reference's builder is dead code
+    # behind NotImplementedError; here it works)
+    doc = app.asyncapi()
+    print("asyncapi channels:", sorted(doc["channels"]))
     spark.stop()
 
 
