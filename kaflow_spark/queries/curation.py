@@ -1,5 +1,5 @@
 """Declared dataset-curation queries (q68-q72, q76-q78, q81-q82,
-q84-q90).
+q84-q90, q95, q98).
 
 The curation stages a training-data pipeline runs between raw corpus
 and tokenizer: benchmark-contamination screening, per-domain quota

@@ -25,7 +25,7 @@ last ``delay`` of results (standard watermark semantics — tests push
 a final watermark-advancing row to flush). Left events with NO right
 row in the horizon are dropped (inner join): a streaming left-outer
 interval join emits null-padded rows only at state eviction, with
-the same delay.
+the same delay — exposed via ``how="leftOuter"``.
 """
 
 from __future__ import annotations
@@ -44,6 +44,7 @@ def asof_join_stream(
     value_cols: Sequence[str],
     *,
     tolerance: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Backward as-of join between two WATERMARKED streams.
 
@@ -52,11 +53,19 @@ def asof_join_stream(
     columns: the join keys, ``left_ts``, each value column (aliased
     unchanged), and ``right_ts`` (the matched row's time).
 
+    ``how``: ``"inner"`` drops left rows with no right match in the
+    horizon; ``"leftOuter"`` keeps them with null value columns — the
+    null-padded row materializes only when the left row's state
+    evicts (watermark past ``left_ts`` + tolerance), the standard
+    outer-interval-join delay.
+
     Both inputs MUST already carry ``withWatermark`` (the interval
     join and the aggregation each require it); ``tolerance`` bounds
     right-side state — at 100 TB/day the state store holds only
     ``tolerance`` worth of the right stream per key, not its history.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be 'inner' or 'leftOuter', got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     cond: Column = F.lit(True)
     for k in keys:
@@ -66,7 +75,7 @@ def asof_join_stream(
         & (right[right_ts] <= left[left_ts])
         & (right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {tolerance}"))
     )
-    joined = left.join(right, cond, "inner")
+    joined = left.join(right, cond, how)
     return joined.groupBy(*[left[k] for k in keys], left[left_ts]).agg(
         *[F.max_by(c, right[right_ts]).alias(c) for c in value_cols],
         F.max(right[right_ts]).alias(right_ts),

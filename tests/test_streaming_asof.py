@@ -95,3 +95,59 @@ def test_streaming_asof_matches_batch_on_events(spark, tmp_path, sf_dir):
     }
     assert len(want) > 0, "fixture must produce at least one as-of match"
     assert got == want
+
+
+def test_streaming_asof_left_outer_emits_unmatched(spark, tmp_path):
+    """how='leftOuter': a left row with no right match in the horizon
+    emits null-padded once its state evicts."""
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s + "+00:00")
+
+    l_path, r_path = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        [(1, ts("2024-01-01 10:10:00"), 1.0), (3, ts("2024-01-01 10:15:00"), 3.0)],
+        EV_DDL,
+    ).write.parquet(l_path)
+    spark.createDataFrame(
+        [(1, ts("2024-01-01 10:05:00"), 11.0)], EV_DDL
+    ).write.parquet(r_path)
+
+    left = (
+        spark.readStream.schema(EV_DDL).parquet(l_path)
+        .withColumnRenamed("value", "l_value")
+        .withWatermark("ts", "1 minute")
+    )
+    right = (
+        spark.readStream.schema(EV_DDL).parquet(r_path)
+        .withColumnRenamed("value", "r_value")
+        .withColumnRenamed("ts", "r_ts")
+        .withWatermark("r_ts", "1 minute")
+    )
+    out = asof_join_stream(
+        left, right, "user_id", "ts", "r_ts", ["r_value"],
+        tolerance="30 minutes", how="leftOuter",
+    )
+    name = f"asof_lo_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        future = dt.datetime(2030, 1, 1)
+        for p in (l_path, r_path):
+            spark.createDataFrame([(0, future, 0.0)], EV_DDL).write.mode(
+                "append"
+            ).parquet(p)
+        q.processAllAvailable()
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["r_value"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+            if r["ts"] < future
+        }
+    finally:
+        q.stop()
+    assert got == {(1, 11.0), (3, None)}
