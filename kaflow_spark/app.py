@@ -748,6 +748,52 @@ class App:
 
         return body
 
+    # --------------------------------------------- archive replay path
+
+    def replay_stream(self, spark: SparkSession, archive_path: str) -> DataFrame:
+        """Archived-envelope replay source: a streaming scan over a
+        parquet archive of Kafka envelopes (ENVELOPE_DDL — the shape
+        the Kafka source yields and the standard Kafka→object-store
+        archival jobs write). The SAME consume→transform→fan-out→DLQ
+        graph runs over it, so reprocessing history needs no broker:
+        this is the replay/backfill half of the reference's
+        consume-loop story (kaflow/applications.py:495-504), which has
+        no offline equivalent there at all."""
+        from kaflow_spark.message import ENVELOPE_DDL
+
+        return spark.readStream.schema(ENVELOPE_DDL).parquet(archive_path)
+
+    def run_replay(
+        self,
+        spark: SparkSession,
+        archive_path: str,
+        output_dir: str,
+        checkpoint: str,
+    ):
+        """Replay an envelope archive ONCE through the full pipeline
+        (trigger=availableNow drains what exists, then stops), writing
+        sink-topic outputs to ``{output_dir}/out`` and dead letters to
+        ``{output_dir}/dlq`` as parquet. Exactly-once per archive
+        record via the checkpoint — rerunning with the same checkpoint
+        reprocesses nothing; a fresh checkpoint replays from scratch.
+        The user lifespan wraps the run, as in run_stream."""
+
+        def body(batch_df: DataFrame, batch_id: int) -> None:
+            out, dlq = self.process_batch(batch_df)
+            out.write.mode("append").parquet(f"{output_dir}/out")
+            dlq.write.mode("append").parquet(f"{output_dir}/dlq")
+
+        stream = self.replay_stream(spark, archive_path)
+        with self.run_context():
+            query = (
+                stream.writeStream.foreachBatch(body)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", checkpoint)
+                .start()
+            )
+            query.awaitTermination()
+        return query
+
     def _write_outputs(self, out: DataFrame, dlq: DataFrame) -> None:
         if not self.brokers:
             raise ValueError("App(brokers=...) required for Kafka sinks")
