@@ -64,6 +64,16 @@ def main() -> None:
     docs2 = docs1.join(losers, "doc_id", "left_anti")
     n2 = docs2.count()
 
+    # 2b. exact duplicated-substring audit (Lee et al. shape): how much
+    #     of the surviving corpus is repeated 40-char spans
+    from kaflow_spark.operators.dedup import duplicated_spans
+
+    span_report = duplicated_spans(docs2, "doc_id", "text", min_len=40)
+    dup_footprint = span_report.agg(
+        F.count(F.lit(1)).alias("docs_with_dups"),
+        F.sum("dup_chars").alias("dup_chars"),
+    ).first()
+
     # 3+4. language, quality, and repetition gates; PII scrub
     rep = repetition_stats(docs2, "doc_id", "text")
     docs3 = (
@@ -133,6 +143,10 @@ def main() -> None:
     print(f"input docs:              {n0}")
     print(f"after exact dedup:       {n1}  (-{n0 - n1})")
     print(f"after near-dup:          {n2}  (-{n1 - n2})")
+    print(
+        f"dup-substring audit:     {dup_footprint['docs_with_dups']} docs "
+        f"carry {dup_footprint['dup_chars'] or 0} duplicated chars (40+-spans)"
+    )
     print(f"after lang/qual/rep+PII: {n3}  (-{n2 - n3})")
     print(f"after decontamination:   {n4}  (-{n3 - n4})")
     print(f"splits:                  {splits}")
