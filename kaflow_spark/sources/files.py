@@ -62,6 +62,34 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    predicate: str | None = None,
+) -> DataFrame:
+    """ORC scan (built-in, no extra jars): same pushdown/pruning story
+    as parquet — filters and projections reach the stripe reader."""
+    df = spark.read.orc(path)
+    if predicate:
+        df = df.filter(predicate)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_text: bool = False
+) -> DataFrame:
+    """Raw-text corpus ingest: one row per LINE (``value: string``),
+    or one row per FILE with ``whole_text=True`` — the entry point for
+    unstructured corpora before the text operators. Pair with
+    ``input_file_name()`` for provenance."""
+    # NB: must be the .text() kwarg — the python reader passes its own
+    # wholetext default, which overrides a .option() of the same name
+    return spark.read.text(path, wholetext=whole_text)
+
+
 def read_binary_files(
     spark: SparkSession, path: str, glob: str | None = None
 ) -> DataFrame:

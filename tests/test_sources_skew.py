@@ -88,3 +88,28 @@ def test_key_histogram_flags_hot_key(spark):
     )
     hist = key_histogram(df, "k", top=2).collect()
     assert hist[0]["k"] == 1 and abs(hist[0]["share"] - 0.9) < 1e-9
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from kaflow_spark.sources import read_orc
+
+    path = str(tmp_path / "orc")
+    spark.range(100).withColumn("v", F.col("id") * 2).write.orc(path)
+    df = read_orc(spark, path, columns=["id"], predicate="id >= 90")
+    assert df.count() == 10 and df.columns == ["id"]
+    txt = explain_str(df)
+    assert "PushedFilters" in txt and "id" in txt
+
+
+def test_text_source_lines_and_wholetext(spark, tmp_path):
+    from kaflow_spark.sources import read_text
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.txt").write_text("line one\nline two\n")
+    (p / "b.txt").write_text("only line\n")
+    lines = read_text(spark, str(p))
+    assert lines.count() == 3 and lines.columns == ["value"]
+    whole = read_text(spark, str(p), whole_text=True)
+    texts = sorted(r["value"] for r in whole.collect())
+    assert len(texts) == 2 and texts[0].startswith("line one")
