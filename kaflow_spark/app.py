@@ -772,17 +772,27 @@ class App:
     ):
         """Replay an envelope archive ONCE through the full pipeline
         (trigger=availableNow drains what exists, then stops), writing
-        sink-topic outputs to ``{output_dir}/out`` and dead letters to
-        ``{output_dir}/dlq`` as parquet. Exactly-once per archive
-        record via the checkpoint — rerunning with the same checkpoint
-        reprocesses nothing; a fresh checkpoint replays from scratch.
+        sink-topic outputs under ``{output_dir}/out`` and dead letters
+        under ``{output_dir}/dlq`` as batch_id-partitioned parquet.
+        Exactly-once per archive record: each micro-batch OVERWRITES
+        its own ``batch_id=<n>`` subdirectory (a retried batch
+        converges to the same bytes, never appends duplicates) and the
+        IdempotentBatchWriter commit log skips batches that fully
+        committed before a restart; rerunning with the same checkpoint
+        reprocesses nothing, a fresh checkpoint replays from scratch.
         The user lifespan wraps the run, as in run_stream."""
+        from kaflow_spark.streaming.exactly_once import IdempotentBatchWriter
 
-        def body(batch_df: DataFrame, batch_id: int) -> None:
+        def write(batch_df: DataFrame, batch_id: int) -> None:
             out, dlq = self.process_batch(batch_df)
-            out.write.mode("append").parquet(f"{output_dir}/out")
-            dlq.write.mode("append").parquet(f"{output_dir}/dlq")
+            out.write.mode("overwrite").parquet(
+                f"{output_dir}/out/batch_id={batch_id}"
+            )
+            dlq.write.mode("overwrite").parquet(
+                f"{output_dir}/dlq/batch_id={batch_id}"
+            )
 
+        body = IdempotentBatchWriter(f"{checkpoint}/replay-commits", write)
         stream = self.replay_stream(spark, archive_path)
         with self.run_context():
             query = (

@@ -33,13 +33,31 @@ def _is_pydantic_model(t: object) -> bool:
         return False
 
 
-def _collect_schema(t: type, schemas: dict[str, Any]) -> str | None:
+def _collect_schema(
+    t: type, schemas: dict[str, Any], owners: dict[str, type]
+) -> str | None:
     """Compile a pydantic model (and its nested $defs) into
-    ``schemas``; return the component name."""
+    ``schemas``; return the component name. Component names are class
+    names (that is what pydantic's $refs use), so two DIFFERENT
+    classes sharing a name cannot coexist in one document — fail
+    loudly instead of silently pointing one channel at the other's
+    schema."""
     doc = t.model_json_schema(ref_template=_REF_TEMPLATE)
     for name, sub in doc.pop("$defs", {}).items():
-        schemas.setdefault(name, sub)
+        if schemas.setdefault(name, sub) != sub:
+            raise ValueError(
+                f"AsyncAPI schema name collision on {name!r}: two "
+                "different models share the class name; rename one "
+                "(pydantic $refs are class-name based)"
+            )
     name = t.__name__
+    prev = owners.setdefault(name, t)
+    if prev is not t:
+        raise ValueError(
+            f"AsyncAPI schema name collision on {name!r}: "
+            f"{prev.__module__}.{prev.__qualname__} vs "
+            f"{t.__module__}.{t.__qualname__}; rename one model"
+        )
     schemas.setdefault(name, doc)
     return name
 
@@ -56,12 +74,13 @@ def build_asyncapi(app: Any) -> dict[str, Any]:
     from kaflow_spark.app import _BatchConsumer, _Consumer
 
     schemas: dict[str, Any] = {}
+    owners: dict[str, type] = {}
     messages: dict[str, Any] = {}
     channels: dict[str, Any] = {}
 
     def message_for(t: object, fallback: str) -> dict[str, Any]:
         if _is_pydantic_model(t):
-            name = _collect_schema(t, schemas)
+            name = _collect_schema(t, schemas, owners)
             messages.setdefault(
                 name,
                 {"name": name, "payload": {"$ref": f"{_REF_TEMPLATE.format(model=name)}"}},
@@ -82,10 +101,15 @@ def build_asyncapi(app: Any) -> dict[str, Any]:
         if isinstance(reg, _Consumer):
             value_t = reg.spec.value.target_type if reg.spec.value else None
             kind = "record_handler"
-        elif isinstance(reg, _BatchConsumer):
-            value_t, kind = None, "batch_handler"
         else:
-            value_t, kind = None, "dataframe_transform"
+            # batch consumers and transforms declare their payload via
+            # the value serde; surface its pydantic model when typed
+            value_t = getattr(reg.value_serde, "model", None)
+            kind = (
+                "batch_handler"
+                if isinstance(reg, _BatchConsumer)
+                else "dataframe_transform"
+            )
         channels[topic] = {
             "description": f"consumed by {kind}",
             "publish": {
@@ -93,6 +117,15 @@ def build_asyncapi(app: Any) -> dict[str, Any]:
                 "message": message_for(value_t, "Bytes"),
             },
         }
+        if isinstance(reg, _Consumer):
+            # key/header models belong in components.schemas too (the
+            # upstream builder's get_flat_models collects all three,
+            # kaflow/asyncapi/_builder.py:21-38)
+            extra = [reg.spec.key.target_type if reg.spec.key else None]
+            extra += [h.target_type for h in reg.spec.headers]
+            for t in extra:
+                if _is_pydantic_model(t):
+                    _collect_schema(t, schemas, owners)
         for sink in reg.sink_topics:
             produced_topics.setdefault(sink, {"from": topic})
 

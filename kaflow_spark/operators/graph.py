@@ -94,10 +94,13 @@ def connected_components(
     ``stats``, if given, is filled with execution evidence:
     ``tier`` (``"single_partition"`` or ``"min_label"``), and for the
     iterative tier ``rounds`` (label-propagation rounds run) and
-    ``actions`` (driver actions inside the loop — the design invariant
-    is exactly ONE action per round: the sum-aggregation that both
+    ``loop_jobs`` — the OBSERVED Spark job count inside the loop (via
+    a job group), not a hand-maintained counter. The design invariant
+    is one driver action per round (the sum-aggregation that both
     materializes the round's persisted labels and yields the monotone
-    convergence signal)."""
+    convergence signal); an action maps to a small constant number of
+    jobs (AQE stage materialization), so jobs-per-round staying at
+    that constant is the checkable form of the invariant."""
     id_type = dict(edges.dtypes)[src]
     pair_schema = f"node {id_type}, root {id_type}"
 
@@ -152,9 +155,16 @@ def connected_components(
         .agg(F.least(F.first("a"), F.min("b")).alias("lbl"))
         .persist()
     )
+    # Observe (don't assert-by-construction) the cost per round: tag
+    # every driver action inside the loop with a job group and report
+    # the ACTUAL Spark job count, so an accidental extra action added
+    # later shows up in stats/tests as jobs-per-round growth.
+    sc = edges.sparkSession.sparkContext
+    job_group = f"cc-minlabel-{id(edges)}"
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
     prev_cached = labels
-    rounds = actions = 0
+    rounds = 0
+    sc.setJobGroup(job_group, "connected_components min-label rounds")
     for _ in range(max_iter):
         proposals = (
             csym.join(labels.withColumnRenamed("n", "b"), "b")
@@ -172,16 +182,17 @@ def connected_components(
         # changed this round.
         cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
         rounds += 1
-        actions += 1
         prev_cached.unpersist()
         prev_cached = new_labels
         labels = new_labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    sc.setLocalProperty("spark.jobGroup.id", None)
     csym.unpersist()
     if stats is not None:
-        stats.update(tier="min_label", rounds=rounds, actions=actions)
+        jobs = sc.statusTracker().getJobIdsForGroup(job_group)
+        stats.update(tier="min_label", rounds=rounds, loop_jobs=len(jobs))
     return labels.select(
         F.col("n").alias(out_node), F.col("lbl").alias(out_comp)
     )

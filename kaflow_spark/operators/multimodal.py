@@ -78,6 +78,25 @@ def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _decode_stage(
+    df: DataFrame, payload_col: str, decode_one, cols: list[str], ddl: str
+) -> DataFrame:
+    """Shared Arrow-batched decode scaffold: run ``decode_one(media_id,
+    payload) -> dict`` over every row, one python call per Arrow batch.
+    All decoders (fake/PNG/WAV) share this one stage so batching and
+    null/batch-shape behavior can only be fixed in one place."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                decode_one(int(r.media_id), bytes(getattr(r, payload_col)))
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(stage, ddl)
+
+
 def fake_decode(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """The tested decode stage: parses the fake container header and
     emits per-media features. Real decoders drop in by replacing the
@@ -96,25 +115,8 @@ def fake_decode(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             "checksum": hashlib.md5(payload).hexdigest(),
         }
 
-    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = [
-                _decode_one(int(r.media_id), bytes(getattr(r, payload_col)))
-                for r in pdf.itertuples(index=False)
-            ]
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id",
-                    "mime",
-                    "width",
-                    "height",
-                    "n_bytes",
-                    "checksum",
-                ],
-            )
-
-    return df.mapInPandas(stage, DECODED_DDL)
+    cols = ["media_id", "mime", "width", "height", "n_bytes", "checksum"]
+    return _decode_stage(df, payload_col, _decode_one, cols, DECODED_DDL)
 
 
 # ---------------------------------------------------------------- PNG
@@ -203,8 +205,10 @@ def decode_png(payload: bytes) -> dict:
         data = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length  # len + tag + data + crc
         if tag == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("malformed PNG: IHDR shorter than 13 bytes")
             width, height, depth, ctype, _, _, interlace = struct.unpack(
-                ">IIBBBBB", data
+                ">IIBBBBB", data[:13]
             )
             if depth != 8 or ctype not in _PNG_CHANNELS or interlace:
                 raise ValueError(
@@ -216,6 +220,8 @@ def decode_png(payload: bytes) -> dict:
             idat += data
         elif tag == b"IEND":
             break
+    if width < 0:  # IHDR never seen (or parsed short)
+        raise ValueError("malformed PNG: missing IHDR chunk")
     pixels = _png_unfilter(zlib.decompress(bytes(idat)), width, height, channels)
     return {
         "width": width,
@@ -280,16 +286,7 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         "n_bytes",
         "checksum",
     ]
-
-    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = [
-                _decode_one(int(r.media_id), bytes(getattr(r, payload_col)))
-                for r in pdf.itertuples(index=False)
-            ]
-            yield pd.DataFrame(out, columns=cols)
-
-    return df.mapInPandas(stage, IMAGE_DECODED_DDL)
+    return _decode_stage(df, payload_col, _decode_one, cols, IMAGE_DECODED_DDL)
 
 
 # ---------------------------------------------------------------- WAV
@@ -336,6 +333,8 @@ def decode_wav(payload: bytes) -> dict:
         body = payload[pos + 8 : pos + 8 + length]
         pos += 8 + length + (length & 1)  # chunks are word-aligned
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("malformed WAV: fmt chunk shorter than 16 bytes")
             audio_fmt, channels, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
@@ -343,6 +342,10 @@ def decode_wav(payload: bytes) -> dict:
                 raise ValueError(
                     f"unsupported WAV (fmt={audio_fmt} bits={bits}); "
                     "only PCM 8/16-bit"
+                )
+            if channels == 0 or rate == 0:
+                raise ValueError(
+                    f"malformed WAV (channels={channels} rate={rate})"
                 )
         elif tag == b"data":
             data = body
@@ -407,16 +410,7 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         "duration_ms",
         "rms_milli",
     ]
-
-    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = [
-                _decode_one(int(r.media_id), bytes(getattr(r, payload_col)))
-                for r in pdf.itertuples(index=False)
-            ]
-            yield pd.DataFrame(out, columns=cols)
-
-    return df.mapInPandas(stage, AUDIO_DECODED_DDL)
+    return _decode_stage(df, payload_col, _decode_one, cols, AUDIO_DECODED_DDL)
 
 
 AUDIO_FEATURES_DDL = "media_id bigint, n_windows int, energy array<double>"
@@ -462,11 +456,13 @@ def frame_sample(df: DataFrame, payload_col: str = "payload", n_frames: int = 4)
     video keyframe sampler, minus the codec."""
     # materialize the body + length once per row: expressions
     # referenced inside a transform() lambda are re-evaluated per
-    # element, which would copy the payload once per frame
+    # element, which would copy the payload once per frame. Prefixed
+    # temp names so a caller column can't be clobbered by the drop.
+    bcol, lcol = "__ks_frame_body", "__ks_frame_blen"
     stage = df.withColumn(
-        "_body", F.expr(f"substring({payload_col}, 29, 2147483647)")
-    ).withColumn("_blen", F.length("_body"))
-    body, total = F.col("_body"), F.col("_blen")
+        bcol, F.expr(f"substring({payload_col}, 29, 2147483647)")
+    ).withColumn(lcol, F.length(bcol))
+    body, total = F.col(bcol), F.col(lcol)
     idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
     # frame k covers bytes [k*len/n, (k+1)*len/n)
     frames = F.transform(
@@ -478,4 +474,4 @@ def frame_sample(df: DataFrame, payload_col: str = "payload", n_frames: int = 4)
             ).cast("binary")
         ),
     )
-    return stage.withColumn("frame_hashes", frames).drop("_body", "_blen")
+    return stage.withColumn("frame_hashes", frames).drop(bcol, lcol)

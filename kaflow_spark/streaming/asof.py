@@ -50,8 +50,13 @@ def asof_join_stream(
 
     For every left row, attach the ``value_cols`` of the latest right
     row with ``right_ts <= left_ts`` and within ``tolerance``. Output
-    columns: the join keys, ``left_ts``, each value column (aliased
-    unchanged), and ``right_ts`` (the matched row's time).
+    columns: EVERY left column (keys, ``left_ts``, payload — the
+    aggregation groups on all of them, so the left side passes through
+    like the batch twin in operators/asof.py), each value column
+    (aliased unchanged), and ``right_ts`` (the matched row's time).
+    Documented delta vs batch: left rows identical in ALL columns
+    collapse to one output row (a streaming aggregation key must be a
+    set of columns; carry a unique event id to keep true duplicates).
 
     ``how``: ``"inner"`` drops left rows with no right match in the
     horizon; ``"leftOuter"`` keeps them with null value columns — the
@@ -76,7 +81,7 @@ def asof_join_stream(
         & (right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {tolerance}"))
     )
     joined = left.join(right, cond, how)
-    return joined.groupBy(*[left[k] for k in keys], left[left_ts]).agg(
+    return joined.groupBy(*[left[c] for c in left.columns]).agg(
         *[F.max_by(c, right[right_ts]).alias(c) for c in value_cols],
         F.max(right[right_ts]).alias(right_ts),
     )

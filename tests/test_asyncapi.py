@@ -108,3 +108,45 @@ def test_document_is_json_serializable():
     import json
 
     json.dumps(_app().asyncapi())
+
+
+def test_transform_and_key_models_documented(spark):
+    # spark needed: @app.transform compiles the serde's JVM column
+    from kaflow_spark.params import Json as J
+
+    app = App(name="t-app")
+
+    @app.transform(topic="orders.t", value=J[Order])
+    def tfm(df):
+        return df
+
+    doc = app.asyncapi()
+    # typed transform payload is a real schema ref, not opaque bytes
+    assert doc["channels"]["orders.t"]["publish"]["message"] == {
+        "$ref": "#/components/messages/Order"
+    }
+    # key model of the record handler reaches components.schemas
+    doc2 = _app().asyncapi()
+    assert "RouteKey" in doc2["components"]["schemas"]
+
+
+# a DIFFERENT class carrying the same class name as Order above
+# (module-level so lazy annotation evaluation can resolve it)
+OrderClone = __import__("pydantic").create_model("Order", other=(str, ...))
+
+
+def test_schema_name_collision_raises():
+    import pytest
+
+    app = App(name="c-app")
+
+    @app.consume(topic="a")
+    def h1(v: FromValue[Json[Order]]) -> Message:
+        return Message(value=b"")
+
+    @app.consume(topic="b")
+    def h2(v: FromValue[Json[OrderClone]]) -> Message:
+        return Message(value=b"")
+
+    with pytest.raises(ValueError, match="collision"):
+        app.asyncapi()

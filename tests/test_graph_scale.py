@@ -9,10 +9,13 @@ asserts the two design invariants the operator's docs claim:
 * dedup clusters are near-cliques, so label propagation converges in
   a bounded number of rounds (<= 4 including the final no-change
   round) no matter the corpus size;
-* each round costs exactly ONE driver action — the sum-aggregation
-  that both materializes the round's persisted labels and yields the
-  monotone convergence signal (no separate old-vs-new comparison
-  job).
+* each round costs one driver action — the sum-aggregation that both
+  materializes the round's persisted labels and yields the monotone
+  convergence signal (no separate old-vs-new comparison job). The
+  checkable form: the OBSERVED Spark job count inside the loop (job
+  group, not a hand-maintained counter) stays at a small AQE-stage
+  constant per round (~5 measured); a second action slipped into the
+  loop would push jobs-per-round past the bound.
 """
 
 from __future__ import annotations
@@ -55,8 +58,8 @@ def test_cc_min_label_tier_at_bench_scale(spark):
     assert stats["tier"] == "min_label"
     # convergence in <=4 rounds (last round is the no-change detector)
     assert 1 <= stats["rounds"] <= 4, stats
-    # exactly one driver action per round
-    assert stats["actions"] == stats["rounds"], stats
+    # one action per round == jobs bounded by the AQE-stage constant
+    assert 0 < stats["loop_jobs"] <= 7 * stats["rounds"], stats
 
     # and the forced tier agrees with the exact single-partition solve
     exact = connected_components(pairs, "id_a", "id_b")

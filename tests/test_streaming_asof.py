@@ -54,6 +54,8 @@ def test_streaming_asof_matches_batch_on_events(spark, tmp_path, sf_dir):
         out.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
     )
+    # the left payload column must pass through the aggregation
+    assert "p_value" in out.columns
     try:
         q.processAllAvailable()
         # flush: a sentinel past every real event advances both

@@ -20,14 +20,42 @@ from kaflow_spark.operators.similarity import cosine_topk
 from kaflow_spark.session import get_spark
 
 
-def replicate(df, times: int, id_col: str, shift: int):
-    parts = [
-        df.withColumn(id_col, F.col(id_col) + F.lit(i * shift)) for i in range(times)
-    ]
+def replicate(df, times: int, id_col: str | list[str], shift: int):
+    """Id-shifted union replication; ``id_col`` may be several columns
+    (e.g. events shift user_id AND event_id so replication adds NEW
+    users — linear state — rather than 10x-longer per-user
+    timelines)."""
+    id_cols = [id_col] if isinstance(id_col, str) else id_col
+    parts = []
+    for i in range(times):
+        p = df
+        for c in id_cols:
+            p = p.withColumn(c, F.col(c) + F.lit(i * shift))
+        parts.append(p)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def make_prober(rows, base_df, id_cols, shift=10_000_000):
+    """One timing loop for every probe family: replicate base_df at
+    1x/5x/10x, run fn, append a markdown row."""
+
+    def probe(name, fn):
+        times = {}
+        for mult in (1, 5, 10):
+            d = replicate(base_df, mult, id_cols, shift)
+            t0 = time.perf_counter()
+            fn(d).write.format("noop").mode("overwrite").save()
+            times[mult] = time.perf_counter() - t0
+        rows.append(
+            f"| {name} | {times[1]:.1f}s | {times[5]:.1f}s | {times[10]:.1f}s "
+            f"| {times[10] / times[1]:.1f}x |"
+        )
+        print(rows[-1], flush=True)
+
+    return probe
 
 
 def main() -> None:
@@ -50,18 +78,7 @@ def main() -> None:
     rows.append("| operator | 1x | 5x | 10x | 10x/1x ratio |")
     rows.append("|---|---|---|---|---|")
 
-    def probe(name, fn):
-        times = {}
-        for mult in (1, 5, 10):
-            d = replicate(docs, mult, "doc_id", 10_000_000)
-            t0 = time.perf_counter()
-            fn(d).write.format("noop").mode("overwrite").save()
-            times[mult] = time.perf_counter() - t0
-        rows.append(
-            f"| {name} | {times[1]:.1f}s | {times[5]:.1f}s | {times[10]:.1f}s "
-            f"| {times[10] / times[1]:.1f}x |"
-        )
-        print(rows[-1], flush=True)
+    probe = make_prober(rows, docs, "doc_id")
 
     probe(
         f"MinHash LSH candidates ({n_docs} docs/x)",
@@ -195,18 +212,7 @@ def main() -> None:
         "doc_id", "source", "text"
     )
 
-    def probe_full(name, fn):
-        times = {}
-        for mult in (1, 5, 10):
-            d = replicate(docs_full, mult, "doc_id", 10_000_000)
-            t0 = time.perf_counter()
-            fn(d).write.format("noop").mode("overwrite").save()
-            times[mult] = time.perf_counter() - t0
-        rows.append(
-            f"| {name} | {times[1]:.1f}s | {times[5]:.1f}s | {times[10]:.1f}s "
-            f"| {times[10] / times[1]:.1f}x |"
-        )
-        print(rows[-1], flush=True)
+    probe_full = make_prober(rows, docs_full, "doc_id")
 
     def temp_resample(d):
         counts = {
@@ -247,18 +253,7 @@ def main() -> None:
     )
     n_vecs = emb_l.count()
 
-    def probe_emb(name, fn):
-        times = {}
-        for mult in (1, 5, 10):
-            e = replicate(emb_l, mult, "vec_id", 10_000_000)
-            t0 = time.perf_counter()
-            fn(e).write.format("noop").mode("overwrite").save()
-            times[mult] = time.perf_counter() - t0
-        rows.append(
-            f"| {name} | {times[1]:.1f}s | {times[5]:.1f}s | {times[10]:.1f}s "
-            f"| {times[10] / times[1]:.1f}x |"
-        )
-        print(rows[-1], flush=True)
+    probe_emb = make_prober(rows, emb_l, "vec_id")
 
     probe_emb(
         f"label centroids ({n_vecs} vecs/x)",
@@ -277,28 +272,7 @@ def main() -> None:
     )
     n_events = events.count()
 
-    def probe_events(name, fn):
-        # shift user_id too: replication adds NEW users (linear state),
-        # not 10x-longer per-user timelines no real corpus growth has
-        times = {}
-        for mult in (1, 5, 10):
-            parts = [
-                events.withColumn(
-                    "user_id", F.col("user_id") + F.lit(i * 10_000_000)
-                ).withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
-                for i in range(mult)
-            ]
-            e = parts[0]
-            for p in parts[1:]:
-                e = e.unionAll(p)
-            t0 = time.perf_counter()
-            fn(e).write.format("noop").mode("overwrite").save()
-            times[mult] = time.perf_counter() - t0
-        rows.append(
-            f"| {name} | {times[1]:.1f}s | {times[5]:.1f}s | {times[10]:.1f}s "
-            f"| {times[10] / times[1]:.1f}x |"
-        )
-        print(rows[-1], flush=True)
+    probe_events = make_prober(rows, events, ["user_id", "event_id"])
 
     probe_events(
         f"retention cohorts ({n_events} events/x)",
