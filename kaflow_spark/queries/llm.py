@@ -519,6 +519,40 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@declare(
+    "q99_bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+        SELECT unnest(regexp_extract_all(text, '\\S+')) AS w
+        FROM documents),
+    p AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                                     i -> substring(w, CAST(i AS INT), 2)))
+                   AS pair
+        FROM w WHERE length(w) >= 2)
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+    doc="BPE first-iteration statistics: adjacent character-pair "
+    "counts over all word instances, top 20 — the distributed half of "
+    "tokenizer training (Sennrich et al. ACL'16). One explode + one "
+    "partial-agg'd count; the exact merge loop then runs driver-side "
+    "on the bounded word-frequency table "
+    "(operators/tokenizer.train_bpe, unit-tested against hand-computed "
+    "merge sequences).",
+    tags=("text", "curation"),
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.tokenizer import char_pair_counts
+
+    return (
+        char_pair_counts(load(spark, sf, "documents"), "text")
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
 _SPAN_L = 40
 
 
