@@ -161,6 +161,17 @@ def main() -> None:
         f"| avg quality: {stats['avg_quality_bp']:.0f}bp "
         f"| ~2048-tok bins (largest source): {stats['bins_in_largest_source']}"
     )
+
+    # 10. tokenizer training on the final train split: distributed
+    #     word counts feed the exact BPE merge loop; encode a sample
+    from kaflow_spark.operators.tokenizer import encode_bpe, train_bpe, word_freqs
+
+    merges = train_bpe(word_freqs(train, "text"), num_merges=64)
+    sample = encode_bpe(train.limit(1), "text", merges).first()
+    print(
+        f"BPE tokenizer:           {len(merges)} merges trained "
+        f"| sample doc -> {len(sample['bpe_tokens'])} subword tokens"
+    )
     spark.stop()
 
 

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -148,4 +150,66 @@ def bpe_segment(
     return syms
 
 
-__all__ = ["word_freqs", "char_pair_counts", "train_bpe", "bpe_segment"]
+def encode_bpe(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    *,
+    out_col: str = "bpe_tokens",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Vectorized BPE encoding: apply a trained merge list to every
+    document, appending ``out_col: array<string>``.
+
+    Arrow-batched pandas UDF (the merge loop is inherently iterative —
+    no expression form), with a per-batch WORD cache: natural text is
+    Zipfian, so most word instances hit the cache and the per-word
+    merge loop runs once per distinct word per batch, not per token.
+    The merge table is captured in the closure and ships to executors
+    once per task via the broadcast-like task serialization path."""
+    from pyspark.sql.functions import pandas_udf
+
+    rank = {m: i for i, m in enumerate(merges)}
+
+    def _segment(word: str, cache: dict) -> list[str]:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word) + [end_of_word]
+        while len(syms) > 1:
+            ranked = [
+                (rank[(a, b)], i)
+                for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                if (a, b) in rank
+            ]
+            if not ranked:
+                break
+            _, i = min(ranked)
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        cache[word] = syms
+        return syms
+
+    @pandas_udf("array<string>")
+    def _encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks: list[str] = []
+            for w in t.split():
+                toks.extend(_segment(w, cache))
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _encode(F.col(text_col)))
+
+
+__all__ = [
+    "word_freqs",
+    "char_pair_counts",
+    "train_bpe",
+    "bpe_segment",
+    "encode_bpe",
+]

@@ -60,3 +60,21 @@ def test_distributed_stats_match_local(spark):
     # feeds the q99 oracle, which sees raw text only)
     merges = train_bpe(word_freqs(df, "text"), 1)
     assert merges == [("b", "</w>")]
+
+
+def test_encode_bpe_matches_reference_kernel(spark):
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe(freqs, 10)
+    df = spark.createDataFrame(
+        [(1, "low newest"), (2, "widest unknown"), (3, None)],
+        "doc_id long, text string",
+    )
+    from kaflow_spark.operators.tokenizer import encode_bpe
+
+    rows = {r["doc_id"]: r["bpe_tokens"] for r in encode_bpe(df, "text", merges).collect()}
+    want1 = bpe_segment("low", merges) + bpe_segment("newest", merges)
+    assert rows[1] == want1
+    assert rows[2] == bpe_segment("widest", merges) + bpe_segment("unknown", merges)
+    assert rows[3] is None
+    # encoding is lossless modulo the end-of-word marker
+    assert "".join(rows[1]).replace("</w>", " ").strip() == "low newest"
