@@ -168,9 +168,10 @@ def main() -> None:
 
     merges = train_bpe(word_freqs(train, "text"), num_merges=64)
     sample = encode_bpe(train.limit(1), "text", merges).first()
+    n_sample = len(sample["bpe_tokens"]) if sample and sample["bpe_tokens"] else 0
     print(
         f"BPE tokenizer:           {len(merges)} merges trained "
-        f"| sample doc -> {len(sample['bpe_tokens'])} subword tokens"
+        f"| sample doc -> {n_sample} subword tokens"
     )
     spark.stop()
 

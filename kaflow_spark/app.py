@@ -598,11 +598,22 @@ class App:
 
     # --------------------------------------------------------- execution
 
-    def process_batch(self, envelope: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def process_batch(
+        self,
+        envelope: DataFrame,
+        _cache_into: list[DataFrame] | None = None,
+    ) -> tuple[DataFrame, DataFrame]:
         """Run every registered topic pipeline over an envelope
         DataFrame (FIXTURES.md A1 schema). Returns (outputs, dlq):
         outputs has one row per (record result × sink topic) in
         OUTPUT_DDL shape; dlq carries failed records with raw bytes.
+
+        ``_cache_into``: internal hook for callers that will run BOTH
+        returned frames as separate actions (e.g. run_replay writes
+        outputs and dlq independently) — each per-topic staged frame
+        is persisted and appended, so the user-handler stage executes
+        once instead of once per action; the caller unpersists them
+        after its writes.
         """
         spark = envelope.sparkSession
         outputs: list[DataFrame] = []
@@ -618,6 +629,9 @@ class App:
                     else self._compile_consumer
                 )
                 staged = src.mapInPandas(compiler(reg), _STAGE_DDL)
+                if _cache_into is not None:
+                    staged = staged.persist()
+                    _cache_into.append(staged)
                 ok = staged.filter(F.col("error").isNull())
                 dlq = staged.filter(F.col("error").isNotNull()).select(
                     "topic",
@@ -781,16 +795,23 @@ class App:
         committed before a restart; rerunning with the same checkpoint
         reprocesses nothing, a fresh checkpoint replays from scratch.
         The user lifespan wraps the run, as in run_stream."""
-        from kaflow_spark.streaming.exactly_once import IdempotentBatchWriter
+        from kaflow_spark.streaming.exactly_once import (
+            IdempotentBatchWriter,
+            batch_keyed_parquet_writer,
+        )
+
+        write_out = batch_keyed_parquet_writer(f"{output_dir}/out")
+        write_dlq = batch_keyed_parquet_writer(f"{output_dir}/dlq")
 
         def write(batch_df: DataFrame, batch_id: int) -> None:
-            out, dlq = self.process_batch(batch_df)
-            out.write.mode("overwrite").parquet(
-                f"{output_dir}/out/batch_id={batch_id}"
-            )
-            dlq.write.mode("overwrite").parquet(
-                f"{output_dir}/dlq/batch_id={batch_id}"
-            )
+            cached: list[DataFrame] = []
+            out, dlq = self.process_batch(batch_df, _cache_into=cached)
+            try:
+                write_out(out, batch_id)
+                write_dlq(dlq, batch_id)
+            finally:
+                for f in cached:
+                    f.unpersist()
 
         body = IdempotentBatchWriter(f"{checkpoint}/replay-commits", write)
         stream = self.replay_stream(spark, archive_path)

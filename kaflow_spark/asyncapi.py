@@ -58,7 +58,16 @@ def _collect_schema(
             f"{prev.__module__}.{prev.__qualname__} vs "
             f"{t.__module__}.{t.__qualname__}; rename one model"
         )
-    schemas.setdefault(name, doc)
+    # the name may already be occupied by a NESTED ($defs) model from
+    # an earlier handler — owners doesn't track those, so compare the
+    # schema bodies: identical means same model (fine), different
+    # means a silent mis-pointing we must refuse
+    if schemas.setdefault(name, doc) != doc:
+        raise ValueError(
+            f"AsyncAPI schema name collision on {name!r}: a nested "
+            "model of another handler already claimed the name with a "
+            "different schema; rename one model"
+        )
     return name
 
 

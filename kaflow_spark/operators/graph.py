@@ -33,9 +33,12 @@ Three-tier strategy, chosen by the (already-materialized) edge count:
 
 from __future__ import annotations
 
+import itertools
 from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F
+
+_CC_RUN_IDS = itertools.count()
 
 
 def _forest_kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -160,35 +163,42 @@ def connected_components(
     # the ACTUAL Spark job count, so an accidental extra action added
     # later shows up in stats/tests as jobs-per-round growth.
     sc = edges.sparkSession.sparkContext
-    job_group = f"cc-minlabel-{id(edges)}"
+    # process-unique run id: id()-based names can collide across
+    # invocations (CPython reuses addresses) and would merge two runs'
+    # job counts into one group
+    job_group = f"cc-minlabel-{next(_CC_RUN_IDS)}"
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
     prev_cached = labels
     rounds = 0
     sc.setJobGroup(job_group, "connected_components min-label rounds")
-    for _ in range(max_iter):
-        proposals = (
-            csym.join(labels.withColumnRenamed("n", "b"), "b")
-            .select(F.col("a").alias("n"), "lbl")
-        )
-        new_labels = (
-            labels.unionByName(proposals)
-            .groupBy("n")
-            .agg(F.min("lbl").alias("lbl"))
-            .persist()
-        )
-        # ONE action per round: materializes the persisted frame AND
-        # yields the convergence signal. Labels are monotonically
-        # non-increasing, so sum(lbl) strictly decreases iff any label
-        # changed this round.
-        cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
-        rounds += 1
-        prev_cached.unpersist()
-        prev_cached = new_labels
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    sc.setLocalProperty("spark.jobGroup.id", None)
+    try:
+        for _ in range(max_iter):
+            proposals = (
+                csym.join(labels.withColumnRenamed("n", "b"), "b")
+                .select(F.col("a").alias("n"), "lbl")
+            )
+            new_labels = (
+                labels.unionByName(proposals)
+                .groupBy("n")
+                .agg(F.min("lbl").alias("lbl"))
+                .persist()
+            )
+            # ONE action per round: materializes the persisted frame AND
+            # yields the convergence signal. Labels are monotonically
+            # non-increasing, so sum(lbl) strictly decreases iff any label
+            # changed this round.
+            cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
+            rounds += 1
+            prev_cached.unpersist()
+            prev_cached = new_labels
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        # a mid-loop failure must not leave the caller's thread tagged
+        # into this (stale) job group
+        sc.setLocalProperty("spark.jobGroup.id", None)
     csym.unpersist()
     if stats is not None:
         jobs = sc.statusTracker().getJobIdsForGroup(job_group)

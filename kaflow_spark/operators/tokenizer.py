@@ -129,14 +129,13 @@ def train_bpe(
     return merges
 
 
-def bpe_segment(
-    word: str, merges: list[tuple[str, str]], end_of_word: str = "</w>"
+def _merge_word(
+    word: str, rank: dict[tuple[str, str], int], end_of_word: str
 ) -> list[str]:
-    """Apply a trained merge list to one word (greedy in merge-rank
-    order, the standard inference rule) — the reference kernel for the
-    vectorized encoder and for tests."""
+    """THE merge kernel (greedy in merge-rank order, the standard
+    inference rule) — single implementation shared by bpe_segment and
+    the vectorized encoder so their semantics cannot diverge."""
     syms = list(word) + [end_of_word]
-    rank = {m: i for i, m in enumerate(merges)}
     while len(syms) > 1:
         ranked = [
             (rank[(a, b)], i)
@@ -148,6 +147,15 @@ def bpe_segment(
         _, i = min(ranked)
         syms[i : i + 2] = [syms[i] + syms[i + 1]]
     return syms
+
+
+def bpe_segment(
+    word: str, merges: list[tuple[str, str]], end_of_word: str = "</w>"
+) -> list[str]:
+    """Apply a trained merge list to one word — reference entry point
+    for tests and one-off use (builds the rank table per call; the
+    vectorized encoder prebuilds it once)."""
+    return _merge_word(word, {m: i for i, m in enumerate(merges)}, end_of_word)
 
 
 def encode_bpe(
@@ -173,21 +181,9 @@ def encode_bpe(
 
     def _segment(word: str, cache: dict) -> list[str]:
         hit = cache.get(word)
-        if hit is not None:
-            return hit
-        syms = list(word) + [end_of_word]
-        while len(syms) > 1:
-            ranked = [
-                (rank[(a, b)], i)
-                for i, (a, b) in enumerate(zip(syms, syms[1:]))
-                if (a, b) in rank
-            ]
-            if not ranked:
-                break
-            _, i = min(ranked)
-            syms[i : i + 2] = [syms[i] + syms[i + 1]]
-        cache[word] = syms
-        return syms
+        if hit is None:
+            hit = cache[word] = _merge_word(word, rank, end_of_word)
+        return hit
 
     @pandas_udf("array<string>")
     def _encode(texts: pd.Series) -> pd.Series:

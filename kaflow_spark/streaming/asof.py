@@ -10,8 +10,10 @@ us (supported chained since Spark 3.5):
    both sides keep watermark-bounded state, and the tolerance bound
    is what lets Spark evict right-side state (an unbounded "any
    earlier row" as-of cannot stream — its state never expires);
-2. a **max_by aggregation** keyed on the left row's identity
-   ``(keys, left_ts)`` — of the candidates within the horizon, keep
+2. a **max_by aggregation** keyed on the left row (every groupable
+   left column, so the left payload passes through like the batch
+   twin; map-typed columns can't be grouping keys and ride along via
+   ``first`` instead) — of the candidates within the horizon, keep
    the one with the greatest ``right_ts``. Labels, not windows: the
    group key includes the watermarked event-time column itself, so
    state for a left row is dropped once the watermark passes it.
@@ -81,7 +83,19 @@ def asof_join_stream(
         & (right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {tolerance}"))
     )
     joined = left.join(right, cond, how)
-    return joined.groupBy(*[left[c] for c in left.columns]).agg(
+    # map-typed columns are not valid grouping expressions; they ride
+    # along via first() (all rows of a group share the same left row
+    # identity, so any value is THE value — modulo distinct left rows
+    # that differ only in a map column, which collapse)
+    from pyspark.sql.types import MapType
+
+    group_cols, map_cols = [], []
+    for f in left.schema.fields:
+        (map_cols if isinstance(f.dataType, MapType) else group_cols).append(
+            f.name
+        )
+    return joined.groupBy(*[left[c] for c in group_cols]).agg(
+        *[F.first(left[c]).alias(c) for c in map_cols],
         *[F.max_by(c, right[right_ts]).alias(c) for c in value_cols],
         F.max(right[right_ts]).alias(right_ts),
     )

@@ -150,3 +150,44 @@ def test_schema_name_collision_raises():
 
     with pytest.raises(ValueError, match="collision"):
         app.asyncapi()
+
+
+def test_same_model_nested_then_toplevel_is_fine():
+    """Item appears nested in Order's $defs AND as a top-level handler
+    model — same class, so no collision is raised and both channels
+    reference the one schema."""
+    app = App(name="n-app")
+
+    @app.consume(topic="orders")
+    def h1(v: FromValue[Json[Order]]) -> Message:
+        return Message(value=b"")
+
+    @app.consume(topic="items")
+    def h2(v: FromValue[Json[Item]]) -> Message:
+        return Message(value=b"")
+
+    doc = app.asyncapi()
+    assert doc["channels"]["items"]["publish"]["message"] == {
+        "$ref": "#/components/messages/Item"
+    }
+
+
+# a different class named Item, to collide with Order's NESTED Item
+ItemClone = __import__("pydantic").create_model("Item", zzz=(int, ...))
+
+
+def test_nested_then_different_toplevel_collision_raises():
+    import pytest
+
+    app = App(name="nc-app")
+
+    @app.consume(topic="orders")
+    def h1(v: FromValue[Json[Order]]) -> Message:  # nests Item via $defs
+        return Message(value=b"")
+
+    @app.consume(topic="items")
+    def h2(v: FromValue[Json[ItemClone]]) -> Message:
+        return Message(value=b"")
+
+    with pytest.raises(ValueError, match="collision"):
+        app.asyncapi()

@@ -153,3 +153,59 @@ def test_streaming_asof_left_outer_emits_unmatched(spark, tmp_path):
     finally:
         q.stop()
     assert got == {(1, 11.0), (3, None)}
+
+
+def test_streaming_asof_left_map_column_rides_along(spark, tmp_path):
+    """A map-typed left payload column can't be a grouping key; it
+    must pass through via first() instead of failing plan analysis."""
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s + "+00:00")
+
+    L_DDL = "user_id bigint, ts timestamp, props map<string,string>"
+    l_path, r_path = str(tmp_path / "lm"), str(tmp_path / "rm")
+    spark.createDataFrame(
+        [(1, ts("2024-01-01 10:10:00"), {"k": "v"})], L_DDL
+    ).write.parquet(l_path)
+    spark.createDataFrame(
+        [(1, ts("2024-01-01 10:05:00"), 11.0)], EV_DDL
+    ).write.parquet(r_path)
+    left = (
+        spark.readStream.schema(L_DDL).parquet(l_path)
+        .withWatermark("ts", "1 minute")
+    )
+    right = (
+        spark.readStream.schema(EV_DDL).parquet(r_path)
+        .withColumnRenamed("value", "r_value")
+        .withColumnRenamed("ts", "r_ts")
+        .withWatermark("r_ts", "1 minute")
+    )
+    out = asof_join_stream(
+        left, right, "user_id", "ts", "r_ts", ["r_value"],
+        tolerance="30 minutes",
+    )
+    name = f"asof_map_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        future = dt.datetime(2030, 1, 1)
+        spark.createDataFrame([(0, future, None)], L_DDL).write.mode(
+            "append"
+        ).parquet(l_path)
+        spark.createDataFrame([(0, future, 0.0)], EV_DDL).write.mode(
+            "append"
+        ).parquet(r_path)
+        q.processAllAvailable()
+        q.processAllAvailable()
+        rows = [
+            r for r in spark.sql(f"SELECT * FROM {name}").collect()
+            if r["ts"] < future
+        ]
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert rows[0]["props"] == {"k": "v"} and rows[0]["r_value"] == 11.0
