@@ -61,3 +61,37 @@ def test_replay_archive_end_to_end(spark, tmp_path):
     # same checkpoint => nothing reprocessed (exactly-once per record)
     app.run_replay(spark, archive, outdir, ckpt)
     assert spark.read.parquet(f"{outdir}/out").count() == 5
+
+
+def test_replay_runs_handlers_once_per_record(spark, tmp_path):
+    """run_replay writes outputs and dead letters as two separate
+    actions; the staged-frame cache must keep the user handler at ONE
+    execution per record per batch (not one per action)."""
+    import os
+
+    calls_dir = str(tmp_path / "calls")
+    os.makedirs(calls_dir)
+    app = App(name="count-app")
+
+    @app.consume(topic="clicks", sink_topics=("clicks.out",))
+    def handle(v: FromValue[Json[Click]]) -> Message:
+        # one marker line per handler invocation (workers are separate
+        # processes; O_APPEND keeps concurrent writes whole)
+        with open(f"{calls_dir}/log", "a") as f:
+            f.write(f"{v.user_id}\n")
+        return Message(value=b"{}")
+
+    archive = str(tmp_path / "archive")
+    rows = [
+        _envelope("clicks", json.dumps({"user_id": i, "url": "x"}).encode(), i)
+        for i in range(8)
+    ]
+    spark.createDataFrame(rows, ENVELOPE_DDL).write.parquet(archive)
+    app.run_replay(
+        spark, archive, str(tmp_path / "o"), str(tmp_path / "ck")
+    )
+    with open(f"{calls_dir}/log") as f:
+        calls = f.read().splitlines()
+    assert sorted(map(int, calls)) == list(range(8)), (
+        f"expected one handler call per record, got {len(calls)}"
+    )
