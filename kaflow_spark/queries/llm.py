@@ -80,10 +80,10 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _quality_oracle() -> str:
+def _quality_components_cte() -> str:
+    """Shared DuckDB CTE text for the quality components (q35, q100)."""
     stop = LANG_STOPWORDS["en"].replace("\\", "\\")
-    return f"""
-    WITH c AS (
+    return f"""c AS (
       SELECT doc_id,
              CAST(LENGTH(text) AS BIGINT) AS nch,
              CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ntok,
@@ -91,12 +91,21 @@ def _quality_oracle() -> str:
              CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit,
              CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct,
              CAST(len(regexp_extract_all(lower(text), '{stop}')) AS BIGINT) AS stop
-      FROM documents)
-    SELECT doc_id, nch, ntok, alpha, digit, punct, stop,
-           CAST( (alpha*10000) // GREATEST(nch,1)
+      FROM documents)"""
+
+
+# the shared score formula over the components CTE (q35, q100)
+_QSCORE_EXPR = """CAST( (alpha*10000) // GREATEST(nch,1)
                + (stop*10000)  // GREATEST(ntok,1)
                - (punct*10000) // GREATEST(nch,1)
-               - (digit*10000) // GREATEST(nch,1) AS BIGINT) AS score_bp
+               - (digit*10000) // GREATEST(nch,1) AS BIGINT)"""
+
+
+def _quality_oracle() -> str:
+    return f"""
+    WITH {_quality_components_cte()}
+    SELECT doc_id, nch, ntok, alpha, digit, punct, stop,
+           {_QSCORE_EXPR} AS score_bp
     FROM c ORDER BY doc_id
     """
 
@@ -115,6 +124,51 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         *[c.alias(n) for n, c in comps.items()],
         quality_score_bp(F.col("text")).alias("score_bp"),
+    )
+
+
+@declare(
+    "q100_quality_threshold",
+    oracle=f"""
+    WITH {_quality_components_cte()},
+    s AS (SELECT doc_id, {_QSCORE_EXPR} AS score_bp FROM c),
+    t AS (SELECT MIN(score_bp) AS thr FROM (
+            SELECT score_bp,
+                   cume_dist() OVER (ORDER BY score_bp) AS cd
+            FROM s)
+          WHERE cd >= 0.75)
+    SELECT s.doc_id, s.score_bp
+    FROM s, t WHERE s.score_bp >= t.thr
+    ORDER BY s.doc_id
+    """,
+    doc="Corpus-RELATIVE quality gate: keep documents at or above the "
+    "corpus p75 quality score — the dynamic-threshold pattern real "
+    "curation uses when absolute cutoffs don't transfer across "
+    "corpora. The exact threshold is percentile_disc-style set "
+    "selection (smallest score whose cume_dist reaches 0.75) computed "
+    "over the integer SCORE column only — 8 bytes/row through the "
+    "sort, never text — then broadcast back as a 1-row cross join. "
+    "At 100 TB swap the exact selector for approx_percentile; the "
+    "filter shape is unchanged.",
+    tags=("curation", "text"),
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    s = load(spark, sf, "documents").select(
+        "doc_id", quality_score_bp(F.col("text")).alias("score_bp")
+    )
+    ranked = s.select(
+        "score_bp", F.cume_dist().over(Window.orderBy("score_bp")).alias("cd")
+    )
+    thr = ranked.filter(F.col("cd") >= 0.75).agg(
+        F.min("score_bp").alias("thr")
+    )
+    return (
+        s.crossJoin(F.broadcast(thr))
+        .filter(F.col("score_bp") >= F.col("thr"))
+        .select("doc_id", "score_bp")
+        .orderBy("doc_id")
     )
 
 
