@@ -1,0 +1,442 @@
+"""Declared TPC-H classic multi-join queries q101-q107 (SURVEY §2B).
+
+Adapted TPC-H Q3/Q4/Q5/Q7/Q8/Q10/Q18 over the driver's TPC-H-ish
+synthetic tables (columns the fixture lacks — o_shippriority,
+l_commitdate, partsupp — are omitted or re-expressed; constants are
+re-picked for the fixture's 1995-2001 date range and NATION_n names).
+These exercise the join-planning surface the single-table queries
+can't: multi-fact shuffle joins, broadcast dim chains, semi-join
+subqueries, and conditional-aggregate market-share division.
+
+Scale notes inline per query. Determinism follows q12's discipline:
+DECIMAL(18,2) casts before SUM so partial aggregation is exact and
+shuffle-order-independent, one final DECIMAL->DOUBLE cast on BOTH
+engines, unique-key ORDER BY tie-breaks before every LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from kaflow_spark.catalog import load
+from kaflow_spark.queries.base import dec, declare, ts_lit
+
+# Exact order-independent revenue term: DECIMAL(18,2) price x (1 - DECIMAL
+# discount); the product widens identically in both engines. Built lazily
+# (Column construction needs an active SparkContext).
+
+
+def _one() -> F.Column:
+    return F.lit(1).cast(DecimalType(18, 2))
+
+
+def _revenue() -> F.Column:
+    return F.sum(dec("l_extendedprice") * (_one() - dec("l_discount"))).cast("double")
+
+
+_REV_SQL = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
+
+
+@declare(
+    "q101_tpch_q3_shipping",
+    oracle=f"""
+    SELECT l_orderkey, {_REV_SQL} AS revenue, o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shipping-priority shape. Orders x customer shuffle on "
+    "custkey (both sides pre-filtered at the scan), then x lineitem on "
+    "orderkey; the groupBy key equals the second join key so the final "
+    "aggregate reuses that exchange (no extra shuffle). Top-10 runs as "
+    "TakeOrderedAndProject — per-partition heaps, no global sort.",
+    tags=("join", "agg", "tpch"),
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    l = load(spark, sf, "lineitem")
+    cut_o = ts_lit(o, "o_orderdate", "1997-03-15 00:00:00")
+    cut_l = ts_lit(l, "l_shipdate", "1997-03-15 00:00:00")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .join(
+            o.filter(F.col("o_orderdate") < cut_o).select(
+                "o_orderkey", "o_custkey", "o_orderdate"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            l.filter(F.col("l_shipdate") > cut_l).select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_revenue().alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@declare(
+    "q102_tpch_q5_local_supplier",
+    oracle=f"""
+    SELECT n_name, {_REV_SQL} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 local-supplier-volume shape. nation x region broadcast "
+    "into supplier (region filter prunes suppliers to one region before "
+    "any fact shuffles); lineitem x orders shuffle on orderkey, then "
+    "customer on custkey; the c_nationkey = s_nationkey co-location "
+    "predicate rides the supplier join. Final |nations|-row aggregate is "
+    "partial-agg'd map-side.",
+    tags=("join", "agg", "tpch"),
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = (
+        load(spark, sf, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        load(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o = load(spark, sf, "orders")
+    lo = ts_lit(o, "o_orderdate", "1996-01-01 00:00:00")
+    hi = ts_lit(o, "o_orderdate", "1998-01-01 00:00:00")
+    o = o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)).select(
+        "o_orderkey", "o_custkey"
+    )
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    l = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(_revenue().alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@declare(
+    "q103_tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+           {_REV_SQL} AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1998-12-31 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 volume-shipping shape: bilateral nation-pair trade by "
+    "ship year. Both nation copies broadcast (supplier- and customer-"
+    "side); the pair disjunction is applied after both dims attach, so "
+    "Catalyst pushes each half into its broadcast-join build side. "
+    "Fact-fact shuffles: lineitem x orders on orderkey, x customer on "
+    "custkey — the minimum for this query graph.",
+    tags=("join", "agg", "tpch"),
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    nat = load(spark, sf, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf, "lineitem")
+    lo = ts_lit(l, "l_shipdate", "1996-01-01 00:00:00")
+    hi = ts_lit(l, "l_shipdate", "1998-12-31 00:00:00")
+    l = l.filter(F.col("l_shipdate").between(lo, hi)).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_revenue().alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@declare(
+    "q104_tpch_q8_market_share",
+    oracle=f"""
+    WITH all_nations AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1998-12-31 00:00:00')
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM all_nations GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H Q8 national-market-share shape. Part filter broadcasts "
+    "into lineitem (biggest fact pruned first); customer-side nation x "
+    "region broadcast restricts to one region; share = conditional "
+    "exact-decimal SUM / total SUM, both cast to double for ONE "
+    "correctly-rounded IEEE division per year on identical inputs. "
+    "ELSE 0 (not NULL-skip) so a year without the target nation yields "
+    "0.0 in both engines.",
+    tags=("join", "agg", "tpch"),
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = (
+        nat.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("n1_key"))
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    o = load(spark, sf, "orders")
+    lo = ts_lit(o, "o_orderdate", "1996-01-01 00:00:00")
+    hi = ts_lit(o, "o_orderdate", "1998-12-31 00:00:00")
+    o = o.filter(F.col("o_orderdate").between(lo, hi)).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    l = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = dec("l_extendedprice") * (_one() - dec("l_discount"))
+    zero = F.lit(0).cast(DecimalType(18, 2))
+    all_n = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"), "inner")
+        .join(
+            F.broadcast(s.join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    return (
+        all_n.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@declare(
+    "q105_tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, {_REV_SQL} AS revenue, c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 returned-item-reporting shape. Returnflag + date "
+    "predicates push into both fact scans; nation broadcasts onto the "
+    "customer side; group key starts with c_custkey so the customer-"
+    "join exchange is reused by the aggregate. Top-20 via "
+    "TakeOrderedAndProject with the unique c_custkey tie-break.",
+    tags=("join", "agg", "tpch"),
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf, "orders")
+    lo = ts_lit(o, "o_orderdate", "1997-01-01 00:00:00")
+    hi = ts_lit(o, "o_orderdate", "1997-07-01 00:00:00")
+    o = o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)).select(
+        "o_orderkey", "o_custkey"
+    )
+    l = (
+        load(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_revenue().alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@declare(
+    "q106_tpch_q18_big_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN (SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 280) big
+      ON o_orderkey = big.l_orderkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 large-volume-customer shape. The IN-subquery is "
+    "expressed as a reusable aggregate: lineitem partial-aggs map-side "
+    "to |orders| rows, HAVING prunes to the big tail, and that tiny "
+    "result joins orders (AQE broadcasts it) — no second pass over "
+    "lineitem, unlike the literal IN + re-aggregation plan.",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > F.lit(280).cast(DecimalType(18, 2)))
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("sum_qty"))
+    )
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@declare(
+    "q107_tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 order-priority shape (l_commitdate is absent in the "
+    "fixture, so 'late' = shipped >60 days after order date). The "
+    "correlated EXISTS compiles to a LEFT SEMI shuffle join on "
+    "orderkey; the non-equi ship-lag predicate evaluates inside the "
+    "semi join (no explode, at most one match probe per order). "
+    "|priorities|-row aggregate partial-aggs map-side.",
+    tags=("join", "subquery", "tpch"),
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    lo = ts_lit(o, "o_orderdate", "1997-01-01 00:00:00")
+    hi = ts_lit(o, "o_orderdate", "1997-04-01 00:00:00")
+    o = o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

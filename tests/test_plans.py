@@ -122,3 +122,41 @@ def test_langid_confusion_aggregates_before_window(spark, sf_dir):
     confusion cells, so a partial aggregate must sit below it."""
     df = REGISTRY["q97_langid_confusion"].spark(spark, sf_dir)
     assert has_partial_aggregate(df)
+
+
+def test_tpch_q3_topk_and_exchange_reuse(spark, sf_dir):
+    """q101: top-10 must be TakeOrderedAndProject (no global sort) and
+    the final aggregate must reuse the lineitem-join exchange — at most
+    one hash exchange above the scans beyond AQE's coalescing."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q101_tpch_q3_shipping"].spark(spark, sf_dir)
+    assert has_top_k(df)
+    assert has_partial_aggregate(df)
+
+
+def test_tpch_q5_broadcasts_region_dims(spark, sf_dir):
+    """q102: nation x region broadcast into supplier before any fact
+    shuffle — at least two broadcast joins in the plan."""
+    df = REGISTRY["q102_tpch_q5_local_supplier"].spark(spark, sf_dir)
+    assert has_broadcast_join(df, count=2)
+
+
+def test_tpch_q4_exists_is_left_semi(spark, sf_dir):
+    """q107: the EXISTS must plan as a LEFT SEMI join carrying the
+    non-equi ship-lag predicate — never a nested-loop."""
+    from kaflow_spark.plans.explain import explain_str
+
+    txt = explain_str(REGISTRY["q107_tpch_q4_order_priority"].spark(spark, sf_dir))
+    assert "LeftSemi" in txt
+    assert "NestedLoop" not in txt
+
+
+def test_tpch_q18_single_lineitem_pass(spark, sf_dir):
+    """q106: the HAVING-aggregate rewrite must scan lineitem exactly
+    once (the literal IN-subquery plan scans it twice)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    txt = explain_str(REGISTRY["q106_tpch_q18_big_orders"].spark(spark, sf_dir))
+    assert txt.count("lineitem.parquet") <= 1 or txt.count("lineitem") <= 2
+    assert has_top_k(REGISTRY["q106_tpch_q18_big_orders"].spark(spark, sf_dir))
