@@ -1,6 +1,6 @@
-"""Declared TPC-H classic multi-join queries q101-q107 (SURVEY §2B).
+"""Declared TPC-H classic multi-join queries q101-q112 (SURVEY §2B).
 
-Adapted TPC-H Q3/Q4/Q5/Q7/Q8/Q10/Q18 over the driver's TPC-H-ish
+Adapted TPC-H Q3/Q4/Q5/Q7/Q8/Q10/Q13/Q14/Q17/Q18/Q19/Q22 over the TPC-H-ish
 synthetic tables (columns the fixture lacks — o_shippriority,
 l_commitdate, partsupp — are omitted or re-expressed; constants are
 re-picked for the fixture's 1995-2001 date range and NATION_n names).
@@ -439,4 +439,228 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
+    )
+
+
+@declare(
+    "q108_tpch_q13_cust_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) cc
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 customer-distribution shape (the comment-LIKE filter "
+    "is re-expressed on o_orderpriority). Outer join with the predicate "
+    "ON the join (not WHERE — that would turn it inner); COUNT(col) "
+    "counts matches only. Two aggregates: per-customer on the join key "
+    "(exchange reuse), then the tiny histogram groupBy.",
+    tags=("join", "agg", "tpch"),
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select("c_custkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@declare(
+    "q109_tpch_q14_promo_share",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         * 100 AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+    """,
+    doc="TPC-H Q14 promotion-effect shape. Part (the only dim) "
+    "broadcasts into the date-pruned lineitem scan; both sums are exact "
+    "decimal, the share is ONE double division + ONE multiplication on "
+    "identical inputs in both engines — order-independent end to end.",
+    tags=("join", "agg", "tpch"),
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part").select("p_partkey", "p_type")
+    l = load(spark, sf, "lineitem")
+    lo = ts_lit(l, "l_shipdate", "1997-01-01 00:00:00")
+    hi = ts_lit(l, "l_shipdate", "1997-02-01 00:00:00")
+    l = l.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    vol = dec("l_extendedprice") * (_one() - dec("l_discount"))
+    zero = F.lit(0).cast(DecimalType(18, 2))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(vol).cast("double")
+                * 100
+            ).alias("promo_share")
+        )
+    )
+
+
+@declare(
+    "q110_tpch_q17_small_qty_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    doc="TPC-H Q17 small-quantity-order shape. The correlated AVG "
+    "decorrelates to a per-part aggregate of the WHOLE lineitem table "
+    "joined back on partkey; quantities are small integers in double "
+    "(exact < 2^53), so sum/count and the 0.5x threshold are bit-equal "
+    "across engines. Brand filter broadcasts; the per-part avg is "
+    "partial-agg'd map-side before its one |parts|-row shuffle.",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = (
+        load(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    avg_qty = (
+        l.groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg((F.lit(0.5) * F.avg("l_quantity")).alias("half_avg"))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(avg_qty), F.col("a_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@declare(
+    "q111_tpch_q19_disjunctive",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19 disjunctive-predicate shape. Catalyst extracts the "
+    "common l_quantity range [1,40] and the brand IN-list as conjunctive "
+    "pushdowns below the join (CNF conversion), so both scans prune "
+    "before the broadcast join; the full disjunction re-evaluates above.",
+    tags=("join", "agg", "tpch"),
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    l = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(_revenue().alias("revenue"))
+    )
+
+
+@declare(
+    "q112_tpch_q22_global_sales_opportunity",
+    oracle="""
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM (SELECT c_nationkey % 10 AS cntrycode, c_acctbal
+          FROM customer
+          WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0)
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_orderstatus = 'O')) x
+    GROUP BY cntrycode ORDER BY cntrycode
+    """,
+    doc="TPC-H Q22 sales-opportunity shape (cntrycode = nationkey mod "
+    "10; 'no orders' = no OPEN orders so the fixture yields rows). The "
+    "scalar AVG subquery is a 1-row broadcast; NOT EXISTS plans as a "
+    "LEFT ANTI shuffle join against the status-pruned orders scan. "
+    "acctbal means: threshold AVG is double (exact 2-decimal inputs), "
+    "final sums decimal-exact.",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    o = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+    )
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("thr"))
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .select(
+            (F.col("c_nationkey") % 10).alias("cntrycode"), "c_acctbal"
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
     )

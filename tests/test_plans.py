@@ -160,3 +160,24 @@ def test_tpch_q18_single_lineitem_pass(spark, sf_dir):
     txt = explain_str(REGISTRY["q106_tpch_q18_big_orders"].spark(spark, sf_dir))
     assert txt.count("lineitem.parquet") <= 1 or txt.count("lineitem") <= 2
     assert has_top_k(REGISTRY["q106_tpch_q18_big_orders"].spark(spark, sf_dir))
+
+
+def test_tpch_q22_not_exists_is_left_anti(spark, sf_dir):
+    """q112: NOT EXISTS must plan as LEFT ANTI (never nested-loop),
+    with the o_orderstatus predicate pushed into the orders scan."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q112_tpch_q22_global_sales_opportunity"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert "LeftAnti" in txt
+    assert "NestedLoop" not in txt or "BroadcastNestedLoop" in txt  # scalar bcast ok
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderstatus" in pushed
+
+
+def test_tpch_q19_common_ranges_push_below_join(spark, sf_dir):
+    """q111: CNF extraction must push the common l_quantity range into
+    the lineitem scan (the disjunction itself can't push whole)."""
+    df = REGISTRY["q111_tpch_q19_disjunctive"].spark(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed
