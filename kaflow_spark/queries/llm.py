@@ -145,24 +145,45 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
     "corpus p75 quality score — the dynamic-threshold pattern real "
     "curation uses when absolute cutoffs don't transfer across "
     "corpora. The exact threshold is percentile_disc-style set "
-    "selection (smallest score whose cume_dist reaches 0.75) computed "
-    "over the integer SCORE column only — 8 bytes/row through the "
-    "sort, never text — then broadcast back as a 1-row cross join. "
-    "At 100 TB swap the exact selector for approx_percentile; the "
-    "filter shape is unchanged.",
+    "selection (smallest score whose cume_dist reaches 0.75), computed "
+    "scale-safely: scores partial-agg to |distinct score| counted rows "
+    "map-side, the cumulative sum runs over THAT bounded table (scores "
+    "are basis points, so |distinct| is corpus-size-independent — "
+    "never a single-partition window over raw rows), and the p75 test "
+    "is integer 4*cum >= 3*n (== cume_dist >= 0.75, no float "
+    "division). Threshold broadcasts back as a 1-row cross join.",
     tags=("curation", "text"),
 )
 def q100(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    s = load(spark, sf, "documents").select(
-        "doc_id", quality_score_bp(F.col("text")).alias("score_bp")
+    # One regexp pass over text: materialize (doc_id, score) through a
+    # hash exchange on doc_id (uniform — score values cluster and would
+    # skew); the threshold branch and the final filter branch both
+    # consume the SAME Exchange, so Spark evaluates the expensive score
+    # exactly once (16 B/row shuffle instead of a second full text
+    # scan). The counts branch partial-aggs on score map-side after the
+    # exchange, so its own shuffle is |distinct| x partitions rows.
+    s = (
+        load(spark, sf, "documents")
+        .select("doc_id", quality_score_bp(F.col("text")).alias("score_bp"))
+        .repartition(F.col("doc_id"))
     )
-    ranked = s.select(
-        "score_bp", F.cume_dist().over(Window.orderBy("score_bp")).alias("cd")
+    counts = s.groupBy("score_bp").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("score_bp").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    thr = ranked.filter(F.col("cd") >= 0.75).agg(
-        F.min("score_bp").alias("thr")
+    w_all = Window.orderBy("score_bp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    thr = (
+        counts.select(
+            "score_bp",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+        .filter(4 * F.col("cum") >= 3 * F.col("n"))
+        .agg(F.min("score_bp").alias("thr"))
     )
     return (
         s.crossJoin(F.broadcast(thr))
