@@ -283,6 +283,92 @@ def main() -> None:
         lambda e: transition_counts(e, "user_id", "ts", "event_type", "event_id"),
     )
 
+    # ---- round-5 additions (q96 / q100 / TPC-H join suite) ----
+
+    from kaflow_spark.operators.dedup import duplicated_spans
+    from kaflow_spark.functions.textstats import quality_score_bp
+
+    probe_full(
+        f"duplicated spans q96 ({n_docs} docs/x)",
+        lambda d: duplicated_spans(d, "doc_id", "text", min_len=40),
+    )
+
+    def quality_gate(d):
+        from pyspark.sql.window import Window
+
+        s = d.select(
+            "doc_id", quality_score_bp(F.col("text")).alias("score_bp")
+        ).repartition(F.col("doc_id"))
+        counts = s.groupBy("score_bp").agg(F.count(F.lit(1)).alias("cnt"))
+        w_cum = Window.orderBy("score_bp").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_all = Window.orderBy("score_bp").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        thr = (
+            counts.select(
+                "score_bp",
+                F.sum("cnt").over(w_cum).alias("cum"),
+                F.sum("cnt").over(w_all).alias("n"),
+            )
+            .filter(4 * F.col("cum") >= 3 * F.col("n"))
+            .agg(F.min("score_bp").alias("thr"))
+        )
+        return (
+            s.crossJoin(F.broadcast(thr))
+            .filter(F.col("score_bp") >= F.col("thr"))
+            .select("doc_id", "score_bp")
+        )
+
+    probe_full(f"corpus-p75 quality gate q100 ({n_docs} docs/x)", quality_gate)
+
+    # TPC-H Q3 join-agg at 1x/5x/10x: replicate all three tables with
+    # CONSISTENT key shifts so join fan-out stays exactly 1:1 — the
+    # curve then measures shuffle-join scaling, not artificial skew.
+    ordr = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    n_li = li.count()
+
+    def tpch_q3(mult):
+        o = replicate(ordr, mult, ["o_orderkey", "o_custkey"], 10_000_000)
+        l = replicate(li, mult, "l_orderkey", 10_000_000)
+        c = replicate(cust, mult, "c_custkey", 10_000_000)
+        from pyspark.sql.types import DecimalType
+
+        one = F.lit(1).cast(DecimalType(18, 2))
+        d2 = lambda col: F.col(col).cast(DecimalType(18, 2))
+        return (
+            c.filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey")
+            .join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(
+                F.sum(d2("l_extendedprice") * (one - d2("l_discount")))
+                .cast("double")
+                .alias("revenue")
+            )
+        )
+
+    times = {}
+    for mult in (1, 5, 10):
+        t0 = time.perf_counter()
+        tpch_q3(mult).write.format("noop").mode("overwrite").save()
+        times[mult] = time.perf_counter() - t0
+    rows.append(
+        f"| TPC-H Q3 join-agg ({n_li} lineitems/x) | {times[1]:.1f}s "
+        f"| {times[5]:.1f}s | {times[10]:.1f}s | {times[10] / times[1]:.1f}x |"
+    )
+    print(rows[-1], flush=True)
+
     rows.append("")
     rows.append(
         "Interpretation: replication multiplies duplicate groups too "
