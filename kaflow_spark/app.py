@@ -764,15 +764,25 @@ class App:
 
     # --------------------------------------------- archive replay path
 
-    def replay_stream(self, spark: SparkSession, archive_path: str) -> DataFrame:
-        """Archived-envelope replay source: a streaming scan over a
-        parquet archive of Kafka envelopes (ENVELOPE_DDL — the shape
-        the Kafka source yields and the standard Kafka→object-store
-        archival jobs write). The SAME consume→transform→fan-out→DLQ
-        graph runs over it, so reprocessing history needs no broker:
-        this is the replay/backfill half of the reference's
-        consume-loop story (kaflow/applications.py:495-504), which has
-        no offline equivalent there at all."""
+    def replay_stream(
+        self, spark: SparkSession, archive_path: str, fmt: str = "parquet"
+    ) -> DataFrame:
+        """Archived-envelope replay source: a streaming scan over an
+        archive of Kafka envelopes (ENVELOPE_DDL — the shape the Kafka
+        source yields and the standard Kafka→object-store archival
+        jobs write). ``fmt="parquet"`` reads columnar archives;
+        ``fmt="segments"`` reads Kafka-style binary segment files
+        through the Python DataSource (sources/kafka_segment.py —
+        per-file executor partitions, file-index offsets). The SAME
+        consume→transform→fan-out→DLQ graph runs over either, so
+        reprocessing history needs no broker: this is the replay/
+        backfill half of the reference's consume-loop story
+        (kaflow/applications.py:495-504), which has no offline
+        equivalent there at all."""
+        if fmt == "segments":
+            from kaflow_spark.sources.kafka_segment import stream_segments
+
+            return stream_segments(spark, archive_path)
         from kaflow_spark.message import ENVELOPE_DDL
 
         return spark.readStream.schema(ENVELOPE_DDL).parquet(archive_path)
@@ -783,6 +793,7 @@ class App:
         archive_path: str,
         output_dir: str,
         checkpoint: str,
+        fmt: str = "parquet",
     ):
         """Replay an envelope archive ONCE through the full pipeline
         (trigger=availableNow drains what exists, then stops), writing
@@ -814,7 +825,7 @@ class App:
                     f.unpersist()
 
         body = IdempotentBatchWriter(f"{checkpoint}/replay-commits", write)
-        stream = self.replay_stream(spark, archive_path)
+        stream = self.replay_stream(spark, archive_path, fmt)
         with self.run_context():
             query = (
                 stream.writeStream.foreachBatch(body)

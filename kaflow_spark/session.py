@@ -49,6 +49,9 @@ ENGINE_CONF: dict[str, str] = {
     #     add a subquery + shuffle to every join, a large regression at
     #     small-to-mid scale for a marginal big-scan win.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Python DataSource v2 filter pushdown (kafka_segment skips whole
+    # archive files on topic-equality filters).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Quiet progress bars in test output.
     "spark.ui.showConsoleProgress": "false",
     # Local mode is driver-only: driver memory is the only memory knob

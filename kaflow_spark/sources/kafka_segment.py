@@ -1,0 +1,164 @@
+"""Spark 4 Python DataSource over Kafka-style segment archives.
+
+Batch AND streaming reader for the `segments.py` format, registered as
+``format("kafka_segment")``. This is the broker-less stand-in for the
+reference's live Kafka source (`kaflow/applications.py` consumer): the
+envelope schema is ENVELOPE_DDL, so the frames drop straight into
+`App.process_batch` / `App.process_stream`.
+
+Scale design:
+- one InputPartition per segment FILE — on a cluster each executor
+  reads its own files; no driver-side data movement (the driver reads
+  only the few-byte per-file headers for planning);
+- topic-equality/IN pushdown skips whole files at planning time
+  (`pushFilters`), the custom-source analog of partition pruning;
+- streaming offsets are {"idx": N} over the lexicographically sorted
+  file list: append-only archives advance the index, a restart resumes
+  from the checkpointed index, and `readBetweenOffsets` re-reads an
+  exact file span deterministically -> exactly-once replay per record.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from kaflow_spark.message import ENVELOPE_DDL
+from kaflow_spark.sources.segments import iter_segment, list_segments, read_header
+
+
+def _ts(ms: int) -> _dt.datetime:
+    """ms-since-epoch -> naive UTC datetime (session TZ is UTC)."""
+    return _dt.datetime.fromtimestamp(ms / 1000.0, tz=_dt.timezone.utc).replace(
+        tzinfo=None
+    )
+
+
+def _rows(path: str) -> Iterator[tuple]:
+    for topic, part, offset, ts_ms, tstype, key, value, headers in iter_segment(path):
+        yield (topic, part, offset, _ts(ts_ms), tstype, key, value, headers)
+
+
+@dataclass
+class SegmentPartition(InputPartition):
+    path: str
+
+
+def _topics_from_filters(filters: Sequence[Filter]) -> set[str] | None:
+    """The set of topics the pushed filters allow, or None = all."""
+    allowed: set[str] | None = None
+    for f in filters:
+        if isinstance(f, EqualTo) and f.attribute == ("topic",):
+            vals = {f.value}
+        elif isinstance(f, In) and f.attribute == ("topic",):
+            vals = set(f.value)
+        else:
+            continue
+        allowed = vals if allowed is None else (allowed & vals)
+    return allowed
+
+
+class SegmentBatchReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.directory = options["path"]
+        self._topics: set[str] | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> list[Filter]:
+        self._topics = _topics_from_filters(filters)
+        # topic-equality/IN filters are fully absorbed (file skipping in
+        # partitions()); everything else stays in Spark's plan.
+        return [
+            f
+            for f in filters
+            if not (isinstance(f, (EqualTo, In)) and f.attribute == ("topic",))
+        ]
+
+    def partitions(self) -> Sequence[InputPartition]:
+        paths = list_segments(self.directory)
+        if self._topics is not None:
+            paths = [p for p in paths if read_header(p)[0] in self._topics]
+        # empty archives still need one no-op partition
+        return [SegmentPartition(p) for p in paths] or [SegmentPartition("")]
+
+    def read(self, partition: SegmentPartition) -> Iterator[tuple]:
+        if not partition.path:
+            return iter(())
+        return _rows(partition.path)
+
+
+class SegmentStreamReader(DataSourceStreamReader):
+    """File-index offsets over the sorted archive listing; each
+    micro-batch plans one InputPartition per newly-appeared file, so
+    record decoding happens on EXECUTORS (the driver only lists the
+    directory). A restart resumes from the checkpointed index and
+    re-plans the exact same file span — exactly-once replay per
+    record over an append-only archive."""
+
+    def __init__(self, options: dict) -> None:
+        self.directory = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:
+        return {"idx": len(list_segments(self.directory))}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        paths = list_segments(self.directory)[start["idx"] : end["idx"]]
+        return [SegmentPartition(p) for p in paths] or [SegmentPartition("")]
+
+    def read(self, partition: SegmentPartition) -> Iterator[tuple]:
+        if not partition.path:
+            return iter(())
+        return _rows(partition.path)
+
+    def commit(self, end: dict) -> None:
+        pass  # archives are immutable; nothing to clean up
+
+
+class KafkaSegmentDataSource(DataSource):
+    """``spark.read.format("kafka_segment").option("path", dir)`` and
+    the same via ``readStream`` — envelope-schema records from a
+    segment archive directory."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_segment"
+
+    def schema(self) -> str:
+        return ENVELOPE_DDL
+
+    def reader(self, schema: StructType) -> SegmentBatchReader:
+        return SegmentBatchReader(dict(self.options))
+
+    def streamReader(self, schema: StructType) -> SegmentStreamReader:
+        return SegmentStreamReader(dict(self.options))
+
+
+def register(spark: Any) -> None:
+    spark.dataSource.register(KafkaSegmentDataSource)
+
+
+def read_segments(spark: Any, directory: str):
+    """Batch envelope frame from a segment archive."""
+    register(spark)
+    return spark.read.format("kafka_segment").option("path", directory).load()
+
+
+def stream_segments(spark: Any, directory: str):
+    """Streaming envelope frame from a segment archive."""
+    register(spark)
+    return spark.readStream.format("kafka_segment").option("path", directory).load()

@@ -1,0 +1,185 @@
+"""Kafka-segment archive source: format roundtrip, Python DataSource
+batch + streaming reads, topic pushdown file-skip, and the envelope
+dropping into the app pipeline."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, In
+
+from kaflow_spark.app import App
+from kaflow_spark.message import Message
+from kaflow_spark.params import FromValue, Json
+
+from kaflow_spark.sources.kafka_segment import (
+    SegmentBatchReader,
+    read_segments,
+    stream_segments,
+)
+from kaflow_spark.sources.segments import (
+    iter_segment,
+    list_segments,
+    read_header,
+    write_segment,
+)
+
+
+def _recs(topic: str, n: int, base_offset: int = 0):
+    for i in range(n):
+        yield {
+            "offset": base_offset + i,
+            "ts_ms": 1_700_000_000_000 + i * 1000,
+            "key": f"k{i}".encode() if i % 3 else None,
+            "value": json.dumps({"topic": topic, "i": base_offset + i}).encode(),
+            "headers": [("corr", f"c{i}".encode()), ("none", None)] if i % 2 else [],
+        }
+
+
+@pytest.fixture()
+def archive(tmp_path):
+    d = tmp_path / "arch"
+    d.mkdir()
+    write_segment(str(d / "a-0-000.seg"), "clicks", 0, _recs("clicks", 5))
+    write_segment(str(d / "a-0-001.seg"), "clicks", 0, _recs("clicks", 3, 5))
+    write_segment(str(d / "b-0-000.seg"), "views", 0, _recs("views", 4))
+    return str(d)
+
+
+def test_format_roundtrip(archive):
+    paths = list_segments(archive)
+    assert len(paths) == 3
+    topic, part, _ = read_header(paths[0])
+    assert (topic, part) == ("clicks", 0)
+    rows = list(iter_segment(paths[0]))
+    assert len(rows) == 5
+    t, p, off, ts, tstype, key, val, hdrs = rows[1]
+    assert (t, off) == ("clicks", 1)
+    assert key == b"k1"
+    assert json.loads(val)["i"] == 1
+    assert dict(hdrs)["corr"] == b"c1"
+    assert dict(hdrs)["none"] is None
+    # null key on i % 3 == 0
+    assert rows[0][5] is None
+
+
+def test_batch_read(spark, archive):
+    df = read_segments(spark, archive)
+    assert df.count() == 12
+    assert set(df.columns) == {
+        "topic", "partition", "offset", "timestamp",
+        "timestamp_type", "key", "value", "headers",
+    }
+    clicks = df.filter(F.col("topic") == "clicks").orderBy("offset")
+    rows = clicks.collect()
+    assert [r["offset"] for r in rows] == list(range(8))
+    assert rows[1]["key"] == b"k1"
+    assert rows[0]["key"] is None
+    hdrs = {h["key"]: h["value"] for h in rows[1]["headers"]}
+    assert hdrs["corr"] == b"c1"
+    # timestamps decode as UTC datetimes
+    assert rows[0]["timestamp"].year == 2023
+
+
+def test_topic_pushdown_skips_files(archive):
+    r = SegmentBatchReader({"path": archive})
+    remaining = r.pushFilters([EqualTo(("topic",), "views")])
+    assert remaining == []  # fully absorbed
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].path.endswith("b-0-000.seg")
+
+    r2 = SegmentBatchReader({"path": archive})
+    r2.pushFilters([In(("topic",), ("clicks", "nope"))])  # In.value is the tuple
+    assert len(r2.partitions()) == 2
+
+    # non-topic filters are returned to Spark untouched
+    r3 = SegmentBatchReader({"path": archive})
+    keep = r3.pushFilters([EqualTo(("offset",), 1)])
+    assert len(keep) == 1
+    assert len(r3.partitions()) == 3
+
+
+def test_batch_filter_end_to_end(spark, archive):
+    df = read_segments(spark, archive).filter(F.col("topic") == "views")
+    assert df.count() == 4
+    assert {r["topic"] for r in df.select("topic").distinct().collect()} == {"views"}
+
+
+def test_stream_read_and_incremental_restart(spark, archive, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            stream_segments(spark, archive)
+            .selectExpr("topic", "offset", "CAST(value AS STRING) AS v")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).count()
+
+    assert run_once() == 12
+    # append a new segment: the checkpointed restart processes ONLY the
+    # new file (exactly-once per record across restarts)
+    write_segment(
+        f"{archive}/c-0-002.seg", "clicks", 0, _recs("clicks", 2, 100)
+    )
+    assert run_once() == 14
+    got = spark.read.parquet(out)
+    assert got.count() == got.dropDuplicates(["topic", "offset"]).count()
+
+
+def test_envelope_into_app_pipeline(spark, archive):
+    """Segment envelopes drive the app surface exactly like TestClient
+    frames do — the broker-less Kafka-source replacement."""
+    app = App("seg-test")
+
+    @app.consume(topic="clicks", sink_topics=("doubled",))
+    def handle(value: FromValue[Json]) -> Message:
+        return Message(value=json.dumps({"i2": value["i"] * 2}).encode())
+
+    env = read_segments(spark, archive)
+    outs, dlq = app.process_batch(env)
+    rows = outs.collect()
+    assert {r["topic"] for r in rows} == {"doubled"}
+    out = [json.loads(bytes(r["value"])) for r in rows]
+    assert sorted(o["i2"] for o in out) == [i * 2 for i in range(8)]
+    assert dlq.count() == 0
+
+
+def test_run_replay_from_segments(spark, archive, tmp_path):
+    """Full pipeline replay straight off a segment archive via
+    fmt='segments' — the broker-less Kafka consume loop end to end:
+    custom Python streaming source -> consume/serde -> fan-out ->
+    DLQ -> exactly-once parquet outputs."""
+    app = App("seg-replay")
+
+    @app.consume(topic="clicks", sink_topics=("clicks.out",))
+    def handle(value: FromValue[Json]) -> Message:
+        return Message(value=json.dumps({"i2": value["i"] * 2}).encode())
+
+    # one malformed record lands in the DLQ
+    write_segment(
+        f"{archive}/z-bad.seg",
+        "clicks",
+        0,
+        [{"offset": 999, "ts_ms": 1_700_000_100_000, "value": b"{broken"}],
+    )
+
+    outdir = str(tmp_path / "replayed")
+    ckpt = str(tmp_path / "ckpt")
+    app.run_replay(spark, archive, outdir, ckpt, fmt="segments")
+
+    out = spark.read.parquet(f"{outdir}/out").collect()
+    assert {r["topic"] for r in out} == {"clicks.out"}
+    assert sorted(json.loads(bytes(r["value"]))["i2"] for r in out) == [
+        i * 2 for i in range(8)
+    ]
+    dlq = spark.read.parquet(f"{outdir}/dlq").collect()
+    assert len(dlq) == 1 and dlq[0]["offset"] == 999
