@@ -29,10 +29,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -129,6 +131,75 @@ class SegmentStreamReader(DataSourceStreamReader):
         pass  # archives are immutable; nothing to clean up
 
 
+@dataclass
+class SegmentCommit(WriterCommitMessage):
+    paths: tuple[str, ...] = ()
+
+
+class SegmentWriter(DataSourceWriter):
+    """``df.write.format("kafka_segment")`` — each task groups its rows
+    by (topic, partition) and writes one segment file per group, named
+    ``{topic}-{partition}-{taskId}.seg`` so concurrent tasks never
+    collide. Executor-side, no driver data movement; `abort` deletes
+    every file the failed attempt reported. Rows must be envelope-
+    shaped (ENVELOPE_DDL) — exactly what the batch/stream readers and
+    `App.process_batch` produce/consume."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.directory = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator: Iterator) -> "SegmentCommit":
+        import os
+
+        from pyspark import TaskContext
+
+        from kaflow_spark.sources.segments import write_segment
+
+        tid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        groups: dict[tuple[str, int], list[dict]] = {}
+        for row in iterator:
+            ts = row["timestamp"]
+            ms = int(ts.timestamp() * 1000) if ts is not None else 0
+            headers = [
+                (h["key"], bytes(h["value"]) if h["value"] is not None else None)
+                for h in (row["headers"] or [])
+            ]
+            part = row["partition"] if row["partition"] is not None else 0
+            groups.setdefault((row["topic"], part), []).append(
+                {
+                    "offset": row["offset"] if row["offset"] is not None else 0,
+                    "ts_ms": ms,
+                    "timestamp_type": row["timestamp_type"] or 0,
+                    "key": bytes(row["key"]) if row["key"] is not None else None,
+                    "value": bytes(row["value"]) if row["value"] is not None else None,
+                    "headers": headers,
+                }
+            )
+        os.makedirs(self.directory, exist_ok=True)
+        paths = []
+        for (topic, part), recs in sorted(groups.items()):
+            p = os.path.join(self.directory, f"{topic}-{part}-{tid:05d}.seg")
+            write_segment(p, topic, part, recs)
+            paths.append(p)
+        return SegmentCommit(tuple(paths))
+
+    def commit(self, messages: list) -> None:
+        pass  # files are final on task success
+
+    def abort(self, messages: list) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            for p in m.paths:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
+
 class KafkaSegmentDataSource(DataSource):
     """``spark.read.format("kafka_segment").option("path", dir)`` and
     the same via ``readStream`` — envelope-schema records from a
@@ -146,6 +217,9 @@ class KafkaSegmentDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> SegmentStreamReader:
         return SegmentStreamReader(dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> SegmentWriter:
+        return SegmentWriter(dict(self.options), overwrite)
 
 
 def register(spark: Any) -> None:
