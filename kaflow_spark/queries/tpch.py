@@ -1,6 +1,7 @@
-"""Declared TPC-H classic multi-join queries q101-q112 (SURVEY §2B).
+"""Declared TPC-H classic multi-join queries q101-q117 (SURVEY §2B).
 
-Adapted TPC-H Q3/Q4/Q5/Q7/Q8/Q10/Q13/Q14/Q17/Q18/Q19/Q22 over the TPC-H-ish
+Adapted TPC-H Q3/Q4/Q5/Q6/Q7/Q8/Q9/Q10/Q12/Q13/Q14/Q15/Q17/Q18/Q19/
+Q21/Q22 over the TPC-H-ish
 synthetic tables (columns the fixture lacks — o_shippriority,
 l_commitdate, partsupp — are omitted or re-expressed; constants are
 re-picked for the fixture's 1995-2001 date range and NATION_n names).
@@ -663,4 +664,241 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+@declare(
+    "q113_tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 forecasting-revenue-change shape: the pure-scan "
+    "aggregate. All three predicates push into the parquet reader "
+    "(range + two numeric bounds); the whole query is one "
+    "WholeStageCodegen span ending in a 1-row partial+final agg — "
+    "the best case Spark has, and the shape that proves predicate "
+    "pushdown carries the query at 100 TB.",
+    tags=("agg", "tpch"),
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    lo = ts_lit(l, "l_shipdate", "1997-01-01 00:00:00")
+    hi = ts_lit(l, "l_shipdate", "1998-01-01 00:00:00")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@declare(
+    "q114_tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS tr
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE tr = (SELECT MAX(tr) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 top-supplier shape (the revenue VIEW becomes a CTE). "
+    "The max-equality test runs on EXACT decimal totals — safe where a "
+    "double comparison would be engine-dependent. The rev aggregate's "
+    "exchange is shared by the max branch (ReusedExchange), and the "
+    "1-row max broadcasts back; supplier joins the few-row winners "
+    "list, also broadcast.",
+    tags=("agg", "subquery", "tpch"),
+)
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    lo = ts_lit(l, "l_shipdate", "1997-01-01 00:00:00")
+    hi = ts_lit(l, "l_shipdate", "1997-04-01 00:00:00")
+    rev = (
+        l.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_extendedprice") * (_one() - dec("l_discount"))).alias("tr"))
+    )
+    mx = rev.agg(F.max("tr").alias("mx"))
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("tr") == F.col("mx"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", F.col("tr").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@declare(
+    "q115_tpch_q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS profit
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 product-type-profit shape (no partsupp table in the "
+    "fixture, so profit omits supplycost). The p_name LIKE filter "
+    "broadcasts the surviving part keys into the lineitem scan FIRST "
+    "(biggest fact pruned before the orders shuffle); supplier+nation "
+    "broadcast; one fact-fact shuffle on orderkey. Output is "
+    "|nations| x |years| rows from a partial-agg'd groupBy.",
+    tags=("join", "agg", "tpch"),
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    p = (
+        load(spark, sf, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    l = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(_revenue().alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@declare(
+    "q116_tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o2.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+    doc="TPC-H Q21 suppliers-who-kept-orders-waiting shape ('late' = "
+    "shipped >90 days after order date; l_commitdate/receiptdate are "
+    "absent). The EXISTS/NOT-EXISTS pair decorrelates to a LEFT SEMI "
+    "plus LEFT ANTI on orderkey with the supplier-inequality and "
+    "lateness predicates inside the joins — three passes over "
+    "lineitem's (orderkey, suppkey, shipdate) projection, never an "
+    "explode. Top-10 with unique s_name tie-break.",
+    tags=("join", "subquery", "tpch"),
+)
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "supplier").createOrReplaceTempView("supplier")
+    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    load(spark, sf, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAYS
+          AND n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o2.o_orderdate + INTERVAL 90 DAYS)
+        GROUP BY s_name ORDER BY numwait DESC, s_name
+        LIMIT 10
+        """
+    )
+
+
+@declare(
+    "q117_tpch_q12_priority_lines",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="TPC-H Q12 shipping-modes-and-priority shape (no l_shipmode "
+    "column: lines group by returnflag, lateness = shipped >60 days "
+    "after order). One shuffle join on orderkey with the non-equi "
+    "lateness predicate evaluated inside it; the priority splits are "
+    "conditional integer counters, partial-agg'd to |returnflag| rows.",
+    tags=("join", "agg", "tpch"),
+)
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    lo = ts_lit(o, "o_orderdate", "1997-01-01 00:00:00")
+    hi = ts_lit(o, "o_orderdate", "1998-01-01 00:00:00")
+    o = o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            l,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
     )

@@ -181,3 +181,25 @@ def test_tpch_q19_common_ranges_push_below_join(spark, sf_dir):
     df = REGISTRY["q111_tpch_q19_disjunctive"].spark(spark, sf_dir)
     pushed = " ".join(pushed_filters(df))
     assert "l_quantity" in pushed
+
+
+def test_tpch_q6_is_pure_scan_agg(spark, sf_dir):
+    """q113: no join, no exchange beyond the 1-row final agg; all
+    three predicates reach the parquet scan."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q113_tpch_q6_forecast_revenue"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert "Join" not in txt
+    pushed = " ".join(pushed_filters(df))
+    assert "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_tpch_q21_semi_anti_chain(spark, sf_dir):
+    """q116: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, no
+    nested-loop anywhere in the decorrelated plan."""
+    from kaflow_spark.plans.explain import explain_str
+
+    txt = explain_str(REGISTRY["q116_tpch_q21_waiting_supplier"].spark(spark, sf_dir))
+    assert "LeftSemi" in txt and "LeftAnti" in txt
+    assert "NestedLoop" not in txt
