@@ -604,3 +604,68 @@ def embedding_near_dups(
         _bucket_pairs, schema=f"id_a {id_type}, id_b {id_type}, cos double"
     )
     return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def minimizers(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """(w,k)-minimizer selection — the winnowing fingerprint scheme
+    (Schleimer/Wilkerson/Aiken, *Winnowing: Local Algorithms for
+    Document Fingerprinting*, SIGMOD 2003; minimizers: Roberts et al.,
+    Bioinformatics 2004): from every window of ``w`` consecutive
+    ``k``-grams, keep the smallest gram; the union of selections is a
+    position-robust document sketch (~1/w of all grams) with the
+    guarantee that any shared substring of length >= w+k-1 yields at
+    least one shared fingerprint.
+
+    Engine-portable determinism: grams are ordered LEXICOGRAPHICALLY
+    on the raw substring (binary UTF-8 collation in both Spark and
+    DuckDB) with the position as an lpad-suffix tie-break (leftmost
+    minimum wins) — no hash function has to match across engines.
+
+    Scale shape: position explode (scan-side, no shuffle), ONE hash
+    exchange on ``id_col`` for the per-doc ordered frame window (rows
+    are id + pos + k chars, text never shuffles whole), frame min,
+    distinct on the selected keys. Output: (id, pos, gram) per
+    selected fingerprint.
+    """
+    n_grams = F.length(F.col(text_col)) - k + 1
+    pos_gram = (
+        df.filter(F.length(F.col(text_col)) >= k + w - 1)
+        .select(
+            F.col(id_col),
+            n_grams.alias("_n"),
+            F.explode(F.sequence(F.lit(0), n_grams - 1)).alias("pos"),
+            F.col(text_col).alias("_t"),
+        )
+        .select(
+            id_col,
+            "_n",
+            "pos",
+            F.expr(f"substring(_t, pos + 1, {k})").alias("gram"),
+        )
+    )
+    keyed = pos_gram.select(
+        id_col,
+        "_n",
+        "pos",
+        F.concat(
+            F.col("gram"), F.lpad(F.col("pos").cast("string"), 8, "0")
+        ).alias("_key"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        keyed.filter(F.col("pos") <= F.col("_n") - w)
+        .select(id_col, F.min("_key").over(win).alias("_mk"))
+        .distinct()
+    )
+    return sel.select(
+        id_col,
+        F.expr("CAST(substring(_mk, -8, 8) AS BIGINT)").alias("pos"),
+        F.expr("substring(_mk, 1, length(_mk) - 8)").alias("gram"),
+    )

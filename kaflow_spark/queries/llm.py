@@ -762,3 +762,46 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
     return nearest_centroid_purity(
         e, "vec_id", "label", "embedding"
     ).orderBy("label")
+
+
+@declare(
+    "q118_minimizer_fingerprints",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS pos,
+             substring(text, CAST(p AS INTEGER) + 1, 8) AS gram,
+             length(text) - 8 + 1 AS n_grams
+      FROM documents, UNNEST(range(0, length(text) - 8 + 1)) AS t(p)
+      WHERE length(text) >= 8 + 4 - 1),
+    keyed AS (
+      SELECT doc_id, pos, n_grams,
+             gram || lpad(CAST(pos AS VARCHAR), 8, '0') AS key
+      FROM g),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+      FROM keyed WHERE pos <= n_grams - 4)
+    SELECT doc_id,
+           CAST(substring(mk, length(mk) - 7, 8) AS BIGINT) AS pos,
+           substring(mk, 1, length(mk) - 8) AS gram
+    FROM sel ORDER BY doc_id, pos
+    """,
+    doc="(w=4, k=8) minimizer / winnowing fingerprint selection "
+    "(Schleimer et al. SIGMOD'03; Roberts et al. 2004): each window "
+    "of 4 consecutive 8-grams contributes its lexicographically "
+    "smallest gram (position lpad-suffix = leftmost tie-break); the "
+    "distinct union is the document sketch with the shared-substring "
+    "guarantee (any common run >= w+k-1 chars shares a fingerprint). "
+    "Ordering on the RAW gram string makes the selection engine-"
+    "portable — binary collation matches between Spark and DuckDB, "
+    "so no hash function must agree. Plan: scan-side position "
+    "explode, ONE shuffle on doc_id for the frame window (id + pos + "
+    "8 chars per row, text never shuffles), frame min, distinct.",
+    tags=("text", "dedup"),
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.dedup import minimizers
+
+    d = load(spark, sf, "documents")
+    return minimizers(d, "doc_id", "text", k=8, w=4).orderBy("doc_id", "pos")

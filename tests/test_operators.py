@@ -421,3 +421,36 @@ def test_textstats_semantics(spark):
     assert out[4]["lang"] == "und"
     assert out[1]["q"] > out[4]["q"]  # prose scores above junk
     assert out[1]["ntok"] >= 12
+
+
+def test_minimizers_hand_example(spark):
+    """(w=2, k=3) over 'abcabcab': grams abc/bca/cab/abc/bca/cab at
+    pos 0-5; windows [0,1]->0(abc) [1,2]->1(bca) [2,3]->3(abc, later
+    pos but smaller gram) [3,4]->3 [4,5]->4(bca). Selection {0,1,3,4};
+    the repeated 'abc' at pos 3 IS selected separately (position
+    tie-break suffix keeps repeats distinct)."""
+    from kaflow_spark.operators.dedup import minimizers
+
+    df = spark.createDataFrame([(1, "abcabcab")], "id long, text string")
+    got = sorted(
+        (r["pos"], r["gram"])
+        for r in minimizers(df, "id", "text", k=3, w=2).collect()
+    )
+    assert got == [(0, "abc"), (1, "bca"), (3, "abc"), (4, "bca")]
+
+    # shared-substring guarantee: two docs sharing a run of
+    # >= w+k-1 = 4 chars share at least one (gram) fingerprint
+    df2 = spark.createDataFrame(
+        [(1, "xxQRSTyy"), (2, "aaaQRSTbbb")], "id long, text string"
+    )
+    sel = minimizers(df2, "id", "text", k=3, w=2).collect()
+    g1 = {r["gram"] for r in sel if r["id"] == 1}
+    g2 = {r["gram"] for r in sel if r["id"] == 2}
+    assert g1 & g2
+
+
+def test_minimizers_short_doc_empty(spark):
+    from kaflow_spark.operators.dedup import minimizers
+
+    df = spark.createDataFrame([(1, "abc")], "id long, text string")
+    assert minimizers(df, "id", "text", k=8, w=4).count() == 0
