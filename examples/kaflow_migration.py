@@ -120,6 +120,41 @@ def main() -> None:
     # behind NotImplementedError; here it works)
     doc = app.asyncapi()
     print("asyncapi channels:", sorted(doc["channels"]))
+
+    # --- broker-less archive replay off Kafka-style segment files:
+    # write an archive with the segment writer, run the FULL pipeline
+    # over it as a checkpointed stream (exactly-once per record)
+    import tempfile
+
+    from kaflow_spark.sources.segments import write_segment
+
+    workdir = tempfile.mkdtemp(prefix="kseg-")
+    write_segment(
+        f"{workdir}/user_clicks-0-000.seg",
+        "user_clicks",
+        0,
+        [
+            {
+                "offset": i,
+                "ts_ms": 1_700_000_000_000 + i,
+                "key": json.dumps({"environment": "prod"}).encode(),
+                "value": json.dumps(
+                    {"user_id": i, "url": "https://spark.apache.org", "timestamp": i}
+                ).encode(),
+                "headers": [("x-correlation-id", f"c{i}".encode())],
+            }
+            for i in range(3)
+        ],
+    )
+    app.run_replay(
+        spark,
+        workdir,
+        f"{workdir}/replayed",
+        f"{workdir}/ckpt",
+        fmt="segments",
+    )
+    replayed = spark.read.parquet(f"{workdir}/replayed/out")
+    print("segment replay produced:", replayed.count(), "records")
     spark.stop()
 
 
