@@ -756,6 +756,41 @@ def split_counts_exact(df: DataFrame, split_col: str = "split") -> DataFrame:
     return df.groupBy(split_col).agg(F.count(F.lit(1)).alias("n"))
 
 
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 8,
+    seed: str = "42",
+) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment, the write-side
+    plan for reproducible training shards: every engine (and every
+    rerun) agrees on which shard a document lands in and at which
+    position, with no global sort and no single-task global
+    row_number.
+
+    Shard id = a band of the leading md5 hex nibble (16 must divide
+    evenly into ``n_shards`` bands), so assignment is a pure per-row
+    expression of the seeded hash — md5 uniformity concentrates shard
+    sizes at N/n_shards. Position = row_number windowed BY SHARD over
+    (hash, id), so each shard numbers independently in parallel; the
+    only shuffle carries (shard, 32-char hash, id) rows. At 100 TB the
+    natural continuation is ``write.partitionBy("shard")``.
+    """
+    if 16 % n_shards != 0:
+        raise ValueError("n_shards must divide 16 (hex-nibble bands)")
+    band = 16 // n_shards
+    hx = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(seed)))
+    nib = F.instr(F.lit("0123456789abcdef"), F.substring(F.col("_hx"), 1, 1))
+    shard = F.floor((nib - 1) / F.lit(band)).cast("bigint")
+    w = Window.partitionBy("shard").orderBy(F.col("_hx"), F.col(id_col))
+    return (
+        df.select(F.col(id_col), hx.alias("_hx"))
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("shard", "pos", id_col)
+    )
+
+
 __all__ = [
     "contamination_overlaps",
     "quota_per_key",
@@ -777,5 +812,6 @@ __all__ = [
     "unigram_surprisal",
     "cross_split_pairs",
     "split_counts_exact",
+    "shuffle_shards",
     "PII_PATTERNS",
 ]

@@ -201,3 +201,52 @@ def similarity_join(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each query vector, the ``k`` most-similar corpus vectors whose
+    label DIFFERS from the query's (the classic "hard negatives" a
+    dual-encoder trainer pairs with each anchor).
+
+    Plan shape, chosen for 100 TB: the query side (|Q| rows) is
+    broadcast into a nested-loop join whose only predicate is the
+    label inequality, so the corpus scans ONCE and each scanned row is
+    scored against all |Q| queries JVM-side; the top-k stage then
+    shuffles only (query_id, id, score) rows — ~24 bytes each,
+    independent of vector width — for a per-query row_number window.
+    Nothing all-pairs, no vector ever shuffles.
+    """
+    from pyspark.sql.window import Window
+
+    q = df.filter(
+        F.col(id_col).isin([int(i) for i in query_ids])
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_q_label"),
+        F.col(vec_col).alias("_q_vec"),
+    )
+    cand = df.select(id_col, label_col, vec_col)
+    joined = cand.join(
+        F.broadcast(q), F.col(label_col) != F.col("_q_label"), "inner"
+    )
+    score = cosine(F.col(vec_col), F.col("_q_vec"))
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        joined.select("query_id", F.col(id_col), score.alias("score"))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= int(k))
+        .select("query_id", "neg_rank", id_col, "score")
+    )

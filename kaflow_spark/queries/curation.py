@@ -742,3 +742,40 @@ def q98(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "log2_bucket")
     )
+
+
+@declare(
+    "q120_shuffle_shards",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || ':42') AS hx
+        FROM documents),
+    s AS (
+        SELECT doc_id, hx,
+               CAST(floor((strpos('0123456789abcdef',
+                                  substring(hx, 1, 1)) - 1) / 2)
+                    AS BIGINT) AS shard
+        FROM h)
+    SELECT shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY hx, doc_id) AS BIGINT) AS pos,
+           doc_id
+    FROM s ORDER BY shard, pos
+    """,
+    doc="Deterministic corpus shuffle + 8-way shard assignment (the "
+    "reproducible data-loader permutation): shard = leading-nibble "
+    "band of a seeded md5, a pure per-row expression; position = "
+    "row_number windowed BY SHARD over (hash, id) so shards number "
+    "independently in parallel. No global sort, no single-task "
+    "window; the one shuffle carries (shard, hash, id) rows. md5 hex "
+    "agrees byte-for-byte between Spark and DuckDB.",
+    tags=("curation", "training"),
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import shuffle_shards
+
+    d = load(spark, sf, "documents")
+    return shuffle_shards(d, "doc_id", n_shards=8, seed="42").orderBy(
+        "shard", "pos"
+    )

@@ -164,6 +164,16 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
     # exactly once (16 B/row shuffle instead of a second full text
     # scan). The counts branch partial-aggs on score map-side after the
     # exchange, so its own shuffle is |distinct| x partitions rows.
+    # The coalesce in the final filter (below) is load-bearing: a bare
+    # (score >= thr) makes InferFiltersFromConstraints add
+    # isnotnull(score) on the filter branch only, which makes the two
+    # exchange subtrees canonically unequal and defeats ReusedExchange
+    # — measured as a second full regexp scan (+2.3 s at sf0.1). An
+    # explicit isNotNull in the shared subtree restores reuse but
+    # re-evaluates the whole score expression inside the Filter node
+    # (no cross-operator subexpression elimination). The null-safe
+    # condition sidesteps both: nothing is inferred, both branches stay
+    # identical Project→Scan, and the score evaluates exactly once.
     s = (
         load(spark, sf, "documents")
         .select("doc_id", quality_score_bp(F.col("text")).alias("score_bp"))
@@ -187,7 +197,10 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         s.crossJoin(F.broadcast(thr))
-        .filter(F.col("score_bp") >= F.col("thr"))
+        # Null-safe on purpose — see the ReusedExchange note above.
+        # score_bp is never null (documents.text is non-null), so the
+        # coalesce sentinel cannot change the result set.
+        .filter(F.coalesce(F.col("score_bp"), F.lit(-(2**62))) >= F.col("thr"))
         .select("doc_id", "score_bp")
         .orderBy("doc_id")
     )
@@ -805,3 +818,41 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents")
     return minimizers(d, "doc_id", "text", k=8, w=4).orderBy("doc_id", "pos")
+
+
+@declare(
+    "q119_hard_negatives",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS q_label, embedding AS qv
+        FROM embeddings WHERE vec_id IN (1, 2, 3)),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.qv::DOUBLE[]), 6) AS score
+        FROM embeddings e JOIN q ON e.label <> q.q_label),
+    ranked AS (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) AS neg_rank
+        FROM scored)
+    SELECT query_id, neg_rank, vec_id, score
+    FROM ranked WHERE neg_rank <= 5
+    ORDER BY query_id, neg_rank
+    """,
+    doc="Hard-negative mining for embedding/contrastive training: for "
+    "each anchor vector (vec_id 1-3), the 5 most-similar vectors with "
+    "a DIFFERENT label. Anchors broadcast into a nested-loop join on "
+    "the label inequality — the corpus scans once, scoring is JVM "
+    "double left-to-right (matches DuckDB list_cosine_similarity, "
+    "q38's attested contract), and the per-anchor top-k window "
+    "shuffles only (query_id, vec_id, score) rows.",
+    tags=("similarity", "training"),
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.similarity import hard_negatives
+
+    e = load(spark, sf, "embeddings")
+    return hard_negatives(
+        e, "vec_id", "label", "embedding", query_ids=[1, 2, 3], k=5
+    ).orderBy("query_id", "neg_rank")

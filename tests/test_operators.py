@@ -454,3 +454,78 @@ def test_minimizers_short_doc_empty(spark):
 
     df = spark.createDataFrame([(1, "abc")], "id long, text string")
     assert minimizers(df, "id", "text", k=8, w=4).count() == 0
+
+
+def test_hard_negatives_semantics(spark):
+    """Anchors exclude same-label vectors (including themselves); ranks
+    are contiguous from 1; scores are non-increasing per anchor."""
+    from kaflow_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.9, 0.1]),   # same label as anchor 1 -> excluded
+        (3, 1, [0.8, 0.2]),
+        (4, 1, [0.0, 1.0]),
+        (5, 2, [1.0, 0.1]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+    out = hard_negatives(
+        df, "vec_id", "label", "embedding", query_ids=[1], k=3
+    ).collect()
+    ids = [r["vec_id"] for r in sorted(out, key=lambda r: r["neg_rank"])]
+    assert 2 not in ids and 1 not in ids  # label-0 rows never negatives
+    assert ids[0] == 5  # closest different-label vector
+    ranks = sorted(r["neg_rank"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+    scores = [r["score"] for r in sorted(out, key=lambda r: r["neg_rank"])]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_hard_negatives_broadcasts_anchors(spark):
+    from kaflow_spark.operators.similarity import hard_negatives
+
+    df = spark.createDataFrame(
+        [(i, i % 3, [float(i), 1.0]) for i in range(1, 30)],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    plan = (
+        hard_negatives(df, "vec_id", "label", "embedding", [1, 2], k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_shuffle_shards_deterministic_partition(spark):
+    """Every doc lands in exactly one shard; positions are contiguous
+    1..|shard| within each shard; the assignment is stable across
+    runs (pure hash expression, no RNG)."""
+    from kaflow_spark.operators.curation import shuffle_shards
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id bigint"
+    )
+    a = shuffle_shards(df, "doc_id", n_shards=4).collect()
+    b = shuffle_shards(df, "doc_id", n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 200 and len({r["doc_id"] for r in a}) == 200
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # md5 uniformity: no shard is empty or grossly dominant at n=200
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(sizes) == 4 and max(sizes) < 120
+
+
+def test_shuffle_shards_rejects_bad_width(spark):
+    from kaflow_spark.operators.curation import shuffle_shards
+
+    df = spark.createDataFrame([(1,)], "doc_id bigint")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        shuffle_shards(df, "doc_id", n_shards=5)
