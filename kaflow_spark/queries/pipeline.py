@@ -246,3 +246,55 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
     return transition_counts(
         e, "user_id", "ts", "event_type", "event_id"
     ).orderBy("prev_type", "next_type")
+
+
+@declare(
+    "q121_ohlc_bars",
+    oracle="""
+    WITH w AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS hour, value,
+               row_number() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                                  ORDER BY ts, event_id) AS ra,
+               row_number() OVER (PARTITION BY event_type, DATE_TRUNC('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rd
+        FROM events)
+    SELECT event_type, hour,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close_v,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM w GROUP BY event_type, hour ORDER BY event_type, hour
+    """,
+    doc="OHLC resampling bars per (event_type, hour): open/close are "
+    "the values at the earliest/latest (ts, event_id) — event_id is "
+    "the unique tie-break, so first/last are deterministic; high/low "
+    "are plain min/max (exact, no float summation anywhere). Spark "
+    "side is a SINGLE partial-agg'd groupBy using max_by/min_by keyed "
+    "on struct(ts, event_id) (structs compare lexicographically), so "
+    "the shuffle carries |event_type x hour| aggregate rows — no "
+    "window, no per-row shuffle. The oracle states the same pick via "
+    "row_number, the portable formulation. Streaming twin: the same "
+    "aggs run under window(ts, '1 hour') in append mode.",
+    tags=("window-agg", "events"),
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy("event_type", "hour")
+        .agg(
+            F.min_by("value", key).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", key).alias("close_v"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type", "hour")
+    )

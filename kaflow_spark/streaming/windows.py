@@ -81,3 +81,28 @@ def _flatten_window(agged: DataFrame, start_name: str, end_name: str) -> DataFra
         F.col("win.end").alias(end_name),
         *others,
     )
+
+
+def ohlc_aggs(
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> list[Column]:
+    """OHLC bar aggregates (the streaming twin of batch q121): open and
+    close pick the value at the earliest/latest (ts, id) — the unique
+    id makes the pick deterministic under any arrival order, which is
+    exactly what a streaming agg needs (state merges are
+    order-insensitive: min_by/max_by over a lexicographic struct key
+    are commutative). Use with tumbling()/sliding():
+
+        tumbling(stream, "ts", "1 hour", keys=["event_type"],
+                 aggs=ohlc_aggs(), watermark="10 minutes")
+    """
+    key = F.struct(F.col(ts_col), F.col(id_col))
+    return [
+        F.min_by(value_col, key).alias("open_v"),
+        F.max(value_col).alias("high_v"),
+        F.min(value_col).alias("low_v"),
+        F.max_by(value_col, key).alias("close_v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    ]

@@ -282,3 +282,54 @@ def test_app_micro_batch_dlq(spark, tmp_path):
     assert len(dlqs) == 1
     assert bytes(dlqs[0]["value"]) == b"{broken"
     assert dlqs[0]["error"].startswith("deserialization:value")
+
+
+def test_tumbling_ohlc_bars_append(spark, tdir):
+    """OHLC aggs in a streaming tumbling window: open/close track the
+    (ts, event_id) order across out-of-order batches, and the emitted
+    bar matches the batch computation exactly."""
+    from kaflow_spark.streaming.windows import ohlc_aggs
+
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    # batch 1: out-of-order arrivals within the 10:00-10:05 window
+    _write_chunk(
+        spark,
+        tdir,
+        [
+            (2, _ts("2024-01-01 10:03:00"), 1, 9.0),   # high
+            (1, _ts("2024-01-01 10:00:30"), 1, 4.0),   # open (earliest ts)
+        ],
+    )
+    agg = tumbling(
+        _stream(spark, tdir),
+        "ts",
+        "5 minutes",
+        keys=["user_id"],
+        aggs=ohlc_aggs("value", "ts", "event_id"),
+        watermark="10 minutes",
+    )
+    q = _run_query(agg, "append", name)
+    try:
+        q.processAllAvailable()
+        # batch 2: a later-arriving event with an EARLIER close position
+        # than event 2? No - ts 10:04 is the latest, so it becomes close;
+        # also the low of the bar.
+        _write_chunk(spark, tdir, [(3, _ts("2024-01-01 10:04:00"), 1, 2.0)])
+        q.processAllAvailable()
+        # batch 3: watermark push closes the window
+        _write_chunk(spark, tdir, [(9, _ts("2024-01-01 11:00:00"), 1, 5.0)])
+        q.processAllAvailable()
+        rows = [
+            r
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+            if r["window_start"].minute == 0 and r["window_start"].hour == 10
+        ]
+        assert len(rows) == 1
+        bar = rows[0]
+        assert bar["open_v"] == 4.0
+        assert bar["high_v"] == 9.0
+        assert bar["low_v"] == 2.0
+        assert bar["close_v"] == 2.0
+        assert bar["n_events"] == 3
+    finally:
+        q.stop()
