@@ -132,11 +132,42 @@ HEADLINERS: dict[str, str] = {
         "would re-split each document once per window."
     ),
     "q37_doc_fingerprint": (
-        "Sort BELOW the pandas-UDF projection: the range partitioner "
+        "Sort BELOW the expensive projection: the range partitioner "
         "samples its child to pick sort bounds, so a sort above the "
         "md5 kernel would execute the kernel twice; here the sampling "
-        "job re-reads only the pruned parquet scan and the kernel "
-        "(ArrowEvalPython) runs exactly once on sorted batches."
+        "job re-reads only the pruned parquet scan and the stride-8 "
+        "expression kernel runs exactly once on sorted batches — "
+        "pure JVM, no python worker in the plan at all."
+    ),
+    "q100_quality_threshold": (
+        "ReusedExchange is the contract: the (doc_id, score) frame is "
+        "materialized through ONE hash exchange and both the p75-"
+        "threshold branch and the final filter branch read it, so the "
+        "regexp scoring scan runs exactly once. The final filter is "
+        "null-safe (coalesce) on purpose — a bare score>=thr lets the "
+        "optimizer infer isnotnull(score) on one branch only, which "
+        "de-canonicalizes the subtrees and silently re-runs the scan."
+    ),
+    "q119_hard_negatives": (
+        "Anchor vectors broadcast into a BroadcastNestedLoopJoin whose "
+        "only predicate is the label inequality: the corpus scans "
+        "once, each row scores against every anchor JVM-side, and the "
+        "per-anchor top-k window shuffles only (query_id, id, score) "
+        "rows — vectors never cross the wire."
+    ),
+    "q120_shuffle_shards": (
+        "No global sort: shard id is a pure expression of the seeded "
+        "md5 (scan-side), and the row_number window partitions BY "
+        "SHARD, so the single exchange hash-partitions on shard and "
+        "every shard numbers itself in parallel."
+    ),
+    "q121_ohlc_bars": (
+        "First/last-in-window via min_by/max_by on struct(ts, "
+        "event_id): a single two-phase aggregate — partial map-side, "
+        "final after one exchange on the group keys (the struct-keyed "
+        "min_by/max_by buffer is not hash-aggregable, so Spark plans "
+        "SortAggregate; still partial-agg'd, so the exchange carries "
+        "aggregate rows only). No window operator, no per-row shuffle."
     ),
 }
 
