@@ -203,3 +203,60 @@ def test_tpch_q21_semi_anti_chain(spark, sf_dir):
     txt = explain_str(REGISTRY["q116_tpch_q21_waiting_supplier"].spark(spark, sf_dir))
     assert "LeftSemi" in txt and "LeftAnti" in txt
     assert "NestedLoop" not in txt
+
+
+def test_q100_reuses_scoring_exchange(spark, sf_dir):
+    """q100's contract: the regexp scoring scan materializes through
+    ONE exchange that both the threshold branch and the filter branch
+    consume. With AQE the reuse happens at stage materialization, so
+    assert on the static planner (AQE off): exactly one ReusedExchange
+    and exactly one 'documents' scan-with-scoring subtree."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q100_quality_threshold"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert "ReusedExchange" in plan
+        # the expensive scoring scan must appear in ONE subtree
+        assert plan.count("Scan parquet") == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q119_broadcasts_anchors_and_shuffles_scores_only(spark, sf_dir):
+    """Hard negatives: anchors must go broadcast (NLJ on the label
+    inequality) and the window shuffle must not carry embeddings."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q119_hard_negatives"].spark(spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "BroadcastNestedLoopJoin" in plan
+    # the hash exchange feeding the rank window carries id+score only
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(query_id[^\n]*", plan):
+        assert "embedding" not in m.group(0)
+
+
+def test_q120_single_shuffle_no_global_sort(spark, sf_dir):
+    """Shuffle-shards: shard assignment is scan-side; the only
+    hash exchange partitions by shard (for the per-shard window) and
+    there is no single-partition exchange anywhere (the global-sort /
+    global-row_number anti-pattern)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q120_shuffle_shards"].spark(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "SinglePartition" not in plan
+    assert "Exchange hashpartitioning(shard" in plan
+
+
+def test_q121_partial_aggregates_before_exchange(spark, sf_dir):
+    """OHLC: two-phase aggregate (partial min_by/max_by map-side) —
+    the exchange carries aggregate rows, not events."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q121_ohlc_bars"].spark(spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "partial_min_by" in plan or "partial_min" in plan
