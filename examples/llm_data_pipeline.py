@@ -173,6 +173,18 @@ def main() -> None:
         f"BPE tokenizer:           {len(merges)} merges trained "
         f"| sample doc -> {n_sample} subword tokens"
     )
+
+    # 11. ship it: deterministic shuffle + shard assignment — the
+    #     reproducible data-loader permutation (the natural
+    #     write.partitionBy key at cluster scale)
+    from kaflow_spark.operators.curation import shuffle_shards
+
+    shards = shuffle_shards(train, "doc_id", n_shards=8)
+    shard_sizes = {
+        r["shard"]: r["n"]
+        for r in shards.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(f"training shards:         {dict(sorted(shard_sizes.items()))}")
     spark.stop()
 
 

@@ -317,11 +317,56 @@ def main() -> None:
         )
         return (
             s.crossJoin(F.broadcast(thr))
-            .filter(F.col("score_bp") >= F.col("thr"))
+            # null-safe: keeps both exchange subtrees canonical-equal so
+            # the scoring scan is reused, matching declared q100
+            .filter(
+                F.coalesce(F.col("score_bp"), F.lit(-(2**62))) >= F.col("thr")
+            )
             .select("doc_id", "score_bp")
         )
 
     probe_full(f"corpus-p75 quality gate q100 ({n_docs} docs/x)", quality_gate)
+
+    from kaflow_spark.operators.dedup import minimizers
+
+    probe_full(
+        f"minimizer fingerprints q118 ({n_docs} docs/x)",
+        lambda d: minimizers(d, "doc_id", "text", k=8, w=4),
+    )
+
+    from kaflow_spark.operators.curation import shuffle_shards
+
+    probe_full(
+        f"shuffle-shards q120 ({n_docs} docs/x)",
+        lambda d: shuffle_shards(d, "doc_id", n_shards=8),
+    )
+
+    from kaflow_spark.operators.similarity import hard_negatives
+
+    def hard_neg(e):
+        return hard_negatives(
+            e, "vec_id", "label", "embedding", query_ids=[1, 2, 3], k=5
+        )
+
+    probe_emb(f"hard negatives 3 anchors q119 ({n_vecs} vecs/x)", hard_neg)
+
+    def ohlc(e):
+        key = F.struct(F.col("ts"), F.col("event_id"))
+        return (
+            e.withColumn("value", (F.col("event_id") % 1000).cast("double"))
+            .groupBy(
+                "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+            )
+            .agg(
+                F.min_by("value", key).alias("open_v"),
+                F.max("value").alias("high_v"),
+                F.min("value").alias("low_v"),
+                F.max_by("value", key).alias("close_v"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+
+    probe_events(f"OHLC bars q121 ({n_events} events/x)", ohlc)
 
     # TPC-H Q3 join-agg at 1x/5x/10x: replicate all three tables with
     # CONSISTENT key shifts so join fan-out stays exactly 1:1 — the
@@ -399,7 +444,7 @@ def main() -> None:
         "to 10x (2.6s -> 6.5s for 2x data = sort-merge spill "
         "territory on one node), and the plan itself — two hash "
         "exchanges, partial aggregation, no broadcast of a large "
-        "side — is exactly what distributes across executors."
+        "side — is exactly what distributes across executors. New round-5 operator rows: minimizers is one explode + one doc_id shuffle of short rows (tracks gram volume); shuffle-shards is a scan-side hash + one shard-partitioned window (near-flat until data volume dominates); hard negatives scales with corpus x anchors under a fixed broadcast anchor set; OHLC is a pure partial-agg whose shuffle is |type x hour| rows, so replication cost is map-side only."
     )
     with open("SCALING.md", "w") as f:
         f.write("\n".join(rows) + "\n")
