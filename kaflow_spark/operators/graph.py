@@ -208,4 +208,89 @@ def connected_components(
     )
 
 
-__all__ = ["connected_components"]
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_bp: int = 8500,
+    units: int = 10**12,
+) -> DataFrame:
+    """Exact-integer PageRank over an unweighted edge list — the
+    quality-signal propagation step web-scale curation pipelines run
+    on the link graph (page centrality as a document-quality prior,
+    cf. the harmonic/centrality features in CommonCrawl-derived
+    corpora).
+
+    Determinism discipline (this repo's integer-basis-point rule): all
+    mass lives in integer micro-units (``units`` per unit of
+    probability) and every division is integer floor division, so the
+    result is bit-identical under any shuffle order and any engine —
+    an unrolled SQL oracle reproduces it exactly. Dangling-node mass
+    is dropped rather than redistributed (documented contract; the
+    redistribution term needs a per-round global scalar that buys no
+    fidelity for a quality prior).
+
+    Plan shape per iteration: one equi-join of the rank frame with the
+    (src, dst, outdeg) frame — shuffle keyed on the node id — then one
+    partial-agg'd groupBy(dst) sum, then a left join back onto the
+    node set for the base term. Two shuffles per round, rows are
+    (id, bigint) pairs. The edge projection is PERSISTED for the run
+    (the caller's edge build may be an arbitrary join pipeline — the
+    lazy k-round DAG references it ~2k times and would re-execute it
+    each time), and the result is materialized eagerly so the cache
+    can be released before returning — the same discipline as
+    connected_components above. Fixed ``iterations`` (a quality prior
+    needs 2-5 rounds, not convergence), so the driver loop is bounded.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).persist()
+    try:
+        nodes = (
+            e.select(F.col("_s").alias("_n"))
+            .unionAll(e.select(F.col("_d").alias("_n")))
+            .distinct()
+        )
+        outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+        # (src, dst, outdeg), reused every round. Renamed to names
+        # disjoint from the rank frame's: iteration k+1's rank frame
+        # carries this frame in its lineage, and same-named columns
+        # would be ambiguous in the round's self-referencing join.
+        ed = e.join(outdeg, "_s").select(
+            F.col("_s").alias("_es"), F.col("_d").alias("_ed"), "_deg"
+        )
+
+        n = nodes.count()  # one scalar action; also populates the cache
+        if n == 0:
+            return edges.sparkSession.createDataFrame(
+                [], "node bigint, pr_units bigint"
+            )
+        init = units // n
+        base = ((10000 - damping_bp) * init) // 10000
+
+        pr = nodes.select("_n", F.lit(init).cast("bigint").alias("_pr"))
+        for _ in range(iterations):
+            contribs = (
+                pr.join(ed, F.col("_n") == F.col("_es"))
+                .select(F.col("_ed").alias("_n"), F.expr("_pr div _deg").alias("_c"))
+                .groupBy("_n")
+                .agg(F.sum("_c").alias("_in"))
+            )
+            # `div` (integer floor division), never `/`: double division
+            # would round above 2^53 and break the exact-integer contract
+            pr = nodes.join(contribs, "_n", "left").select(
+                "_n",
+                F.expr(
+                    f"CAST({base} AS BIGINT) + "
+                    f"(({damping_bp} * coalesce(_in, CAST(0 AS BIGINT))) div 10000)"
+                ).alias("_pr"),
+            )
+        out = pr.select(
+            F.col("_n").alias("node"), F.col("_pr").alias("pr_units")
+        ).persist()
+        out.count()  # materialize so the edge cache can be dropped now
+        return out
+    finally:
+        e.unpersist()
+
+
+__all__ = ["connected_components", "pagerank"]

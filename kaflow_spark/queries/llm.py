@@ -862,3 +862,87 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
     return hard_negatives(
         e, "vec_id", "label", "embedding", query_ids=[1, 2, 3], k=5
     ).orderBy("query_id", "neg_rank")
+
+
+@declare(
+    "q122_trade_graph_pagerank",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT CAST(s.s_nationkey AS BIGINT) AS src,
+                        CAST(c.c_nationkey AS BIGINT) AS dst
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey),
+    nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src),
+    params AS (
+        SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS init,
+               CAST((1500 * (1000000000000 // COUNT(*))) // 10000
+                    AS BIGINT) AS base
+        FROM nodes),
+    pr0 AS (SELECT n, (SELECT init FROM params) AS pr FROM nodes),
+    it1 AS (
+        SELECT nodes.n,
+               (SELECT base FROM params)
+               + (8500 * COALESCE(SUM(p.pr // d.deg), 0)) // 10000 AS pr
+        FROM nodes
+        LEFT JOIN edges e ON e.dst = nodes.n
+        LEFT JOIN pr0 p ON p.n = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY nodes.n),
+    it2 AS (
+        SELECT nodes.n,
+               (SELECT base FROM params)
+               + (8500 * COALESCE(SUM(p.pr // d.deg), 0)) // 10000 AS pr
+        FROM nodes
+        LEFT JOIN edges e ON e.dst = nodes.n
+        LEFT JOIN it1 p ON p.n = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY nodes.n),
+    it3 AS (
+        SELECT nodes.n,
+               (SELECT base FROM params)
+               + (8500 * COALESCE(SUM(p.pr // d.deg), 0)) // 10000 AS pr
+        FROM nodes
+        LEFT JOIN edges e ON e.dst = nodes.n
+        LEFT JOIN it2 p ON p.n = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY nodes.n)
+    SELECT n AS node, CAST(pr AS BIGINT) AS pr_units
+    FROM it3 ORDER BY pr_units DESC, node
+    """,
+    doc="PageRank over the supplier-nation -> customer-nation trade "
+    "graph (3 iterations, damping 0.85) — the centrality-as-quality-"
+    "prior computation web-corpus curation runs on link graphs. All "
+    "mass is integer micro-units (1e12) and every division is integer "
+    "floor division on non-negative values (Spark `div` == DuckDB "
+    "`//` there), so the unrolled 3-iteration SQL oracle reproduces "
+    "the distributed result bit-exactly. Graph build: supplier and "
+    "customer dims broadcast into the lineitem-orders shuffle join, "
+    "DISTINCT contracts to <= |nations|^2 edges; each PageRank round "
+    "is two shuffles of (id, bigint) rows. Dangling mass is dropped "
+    "by contract (documented in operators/graph.pagerank).",
+    tags=("graph", "curation"),
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.graph import pagerank
+
+    li = load(spark, sf, "lineitem").select("l_suppkey", "l_orderkey")
+    su = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    od = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cu = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+        .select(
+            F.col("s_nationkey").cast("bigint").alias("src"),
+            F.col("c_nationkey").cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, "src", "dst", iterations=3).orderBy(
+        F.col("pr_units").desc(), "node"
+    )

@@ -529,3 +529,29 @@ def test_shuffle_shards_rejects_bad_width(spark):
 
     with _pytest.raises(ValueError):
         shuffle_shards(df, "doc_id", n_shards=5)
+
+
+def test_pagerank_hand_computed_exact(spark):
+    """Graph 1->2, 2->1, 1->3 (3 dangling), units=1e12, damping .85,
+    2 iterations — every value hand-computed with integer floor
+    division; the operator must be bit-exact."""
+    from kaflow_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3)], "src bigint, dst bigint"
+    )
+    got = {
+        r["node"]: r["pr_units"]
+        for r in pagerank(edges, "src", "dst", iterations=2).collect()
+    }
+    # init = 1e12 // 3 = 333333333333; base = (1500*init)//10000
+    # iter1: pr(1)=333333333332, pr(2)=pr(3)=191666666665
+    # iter2: pr(1)=212916666664, pr(2)=pr(3)=191666666665
+    assert got == {1: 212916666664, 2: 191666666665, 3: 191666666665}
+
+
+def test_pagerank_empty_graph(spark):
+    from kaflow_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert pagerank(edges, "src", "dst").count() == 0

@@ -65,6 +65,20 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_docs = docs.count()
+
+    # Warm the JVM, parquet footers AND the python-worker pool before
+    # the first timed row — the first probe otherwise absorbs ~5-10 s
+    # of session startup that has nothing to do with the operator.
+    docs.write.format("noop").mode("overwrite").save()
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(1000).select(_warm(F.col("id"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
     query = [float(x) for x in emb.first()["embedding"]]
 
     rows = ["# SCALING — measured wall-clock vs corpus size", ""]
@@ -444,7 +458,7 @@ def main() -> None:
         "to 10x (2.6s -> 6.5s for 2x data = sort-merge spill "
         "territory on one node), and the plan itself — two hash "
         "exchanges, partial aggregation, no broadcast of a large "
-        "side — is exactly what distributes across executors. New round-5 operator rows: minimizers is one explode + one doc_id shuffle of short rows (tracks gram volume); shuffle-shards is a scan-side hash + one shard-partitioned window (near-flat until data volume dominates); hard negatives scales with corpus x anchors under a fixed broadcast anchor set; OHLC is a pure partial-agg whose shuffle is |type x hour| rows, so replication cost is map-side only."
+        "side — is exactly what distributes across executors. New round-5 operator rows: minimizers is one explode + one doc_id shuffle of short rows (tracks gram volume); shuffle-shards is a scan-side hash + one shard-partitioned window (near-flat until data volume dominates); hard negatives scales with corpus x anchors under a fixed broadcast anchor set; OHLC is a pure partial-agg whose shuffle is |type x hour| rows, so replication cost is map-side only. Wall-clocks are single runs on a shared sandbox: the iterative rows (CC, dedup clusters) carry +-2-3x run-to-run noise from co-tenant load; curve SHAPE across 1x/5x/10x, not any absolute point, is the signal this table exists for."
     )
     with open("SCALING.md", "w") as f:
         f.write("\n".join(rows) + "\n")
