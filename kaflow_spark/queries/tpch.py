@@ -902,3 +902,65 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@declare(
+    "q123_tpch_q16_supplier_cnt",
+    oracle="""
+    WITH partsupp AS (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem),
+    excluded AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 parts/supplier relationship shape. The fixture has "
+    "no partsupp table, so the part-supplier relation is DERIVED as "
+    "the distinct (l_partkey, l_suppkey) pairs actually traded — the "
+    "same relation Q16 interrogates; the complaints exclusion becomes "
+    "an acctbal threshold (the fixture has no s_comment). Plan: the "
+    "pair-derivation distinct shuffles 16-byte key pairs once and is "
+    "immediately reused as the grouping input; part is broadcast with "
+    "brand/type/size predicates pushed to its scan; the NOT-IN "
+    "(non-null key) decorrelates to a broadcast LEFT ANTI; COUNT "
+    "(DISTINCT supplier) is Spark's two-phase distinct-aggregate "
+    "expansion — no single-partition stage anywhere.",
+    tags=("join", "agg", "tpch"),
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    ps = (
+        load(spark, sf, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    p = (
+        load(spark, sf, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = (
+        load(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 500)
+        .select(F.col("s_suppkey").alias("ps_suppkey"))
+    )
+    return (
+        ps.join(F.broadcast(excluded), "ps_suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
