@@ -260,3 +260,24 @@ def test_q121_partial_aggregates_before_exchange(spark, sf_dir):
     df = REGISTRY["q121_ohlc_bars"].spark(spark, sf_dir)
     plan = explain_str(df, "formatted")
     assert "partial_min_by" in plan or "partial_min" in plan
+
+
+def test_q122_no_single_partition_iterations(spark, sf_dir):
+    """PageRank: per-round joins/aggs must hash-partition on node ids —
+    no SinglePartition exchange anywhere in the final rank frame."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q122_trade_graph_pagerank"].spark(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "SinglePartition" not in plan
+
+
+def test_q123_broadcasts_dims_and_partial_aggs(spark, sf_dir):
+    """Q16 shape: part and the excluded-supplier side broadcast; the
+    distinct pair derivation and count-distinct partial-agg before
+    their exchanges."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q123_tpch_q16_supplier_cnt"].spark(spark, sf_dir)
+    assert has_broadcast_join(df, count=2)
+    assert has_partial_aggregate(df)
