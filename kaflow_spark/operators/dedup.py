@@ -82,6 +82,27 @@ def duplicated_spans(
     as the approximate scale paths. Documents shorter than ``min_len``
     have no window and report no spans.
     """
+    spans = duplicated_span_ranges(df, id_col, text_col, min_len=min_len)
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(
+            F.col("span_end") - F.col("span_start") + 1
+        ).alias("dup_chars"),
+    ).select(id_col, "n_dup_spans", "dup_chars")
+
+
+def duplicated_span_ranges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 40,
+) -> DataFrame:
+    """The maximal duplicated spans themselves: ``(id, span_start,
+    span_end)``, 1-based inclusive, disjoint per document (merged
+    islands are separated by >= 2 clean chars by construction). Plan
+    as documented on duplicated_spans — this is its span stage without
+    the final per-document aggregation."""
     t = F.col(text_col)
     n = F.length(t) - (min_len - 1)
     hashes = F.transform(
@@ -105,14 +126,70 @@ def duplicated_spans(
         "_isl",
         F.sum("_brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    spans = islands.groupBy("_id", "_isl").agg(
-        F.min("_pos").alias("_s"),
-        (F.max("_pos") + (min_len - 1)).alias("_e"),
+    return islands.groupBy("_id", "_isl").agg(
+        F.min("_pos").alias("span_start"),
+        (F.max("_pos") + (min_len - 1)).alias("span_end"),
+    ).select(F.col("_id").alias(id_col), "span_start", "span_end")
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 40,
+) -> DataFrame:
+    """Exact substring dedup REMOVAL (the clip step of Lee et al. ACL
+    2022): cut every maximal duplicated span — all occurrences,
+    including the first, matching the reference tool's documented
+    behavior — and return ``(id, text_clipped)``.
+
+    The splice is a pure JVM higher-order aggregate over each
+    document's sorted span array: fold (kept_text, prev_end) across
+    spans, appending the clean segment before each span, then the
+    tail. Spans arrive as one collect_list per document (spans per doc
+    are few after island-merging — bounded by len/min_len), so the
+    only additions over the span stage are one groupBy(id) and one
+    LEFT join back to the corpus; documents with no duplicated spans
+    pass through joined-null and keep their text untouched."""
+    spans = (
+        duplicated_span_ranges(df, id_col, text_col, min_len=min_len)
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("_spans")
+        )
     )
-    return spans.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("n_dup_spans"),
-        F.sum(F.col("_e") - F.col("_s") + 1).alias("dup_chars"),
-    ).select(F.col("_id").alias(id_col), "n_dup_spans", "dup_chars")
+    t = F.col(text_col)
+    acc0 = F.struct(
+        F.lit("").alias("txt"), F.lit(0).cast("bigint").alias("pe")
+    )
+
+    def _merge(acc, sp):
+        seg_len = sp["span_start"] - acc["pe"] - 1
+        seg = F.when(
+            seg_len > 0, t.substr((acc["pe"] + 1).cast("int"), seg_len.cast("int"))
+        ).otherwise(F.lit(""))
+        return F.struct(
+            F.concat(acc["txt"], seg).alias("txt"),
+            sp["span_end"].cast("bigint").alias("pe"),
+        )
+
+    def _finish(acc):
+        tail_len = F.length(t) - acc["pe"]
+        tail = F.when(
+            tail_len > 0, t.substr((acc["pe"] + 1).cast("int"), tail_len.cast("int"))
+        ).otherwise(F.lit(""))
+        return F.concat(acc["txt"], tail)
+
+    clipped = F.aggregate(F.col("_spans"), acc0, _merge, _finish)
+    return df.join(spans, id_col, "left").select(
+        id_col,
+        F.when(F.col("_spans").isNull(), t)
+        .otherwise(clipped)
+        .alias("text_clipped"),
+    )
 
 
 def char_shingles(text_col: str, k: int = 5) -> F.Column:

@@ -946,3 +946,72 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
     return pagerank(edges, "src", "dst", iterations=3).orderBy(
         F.col("pr_units").desc(), "node"
     )
+
+
+@declare(
+    "q124_substring_dedup_clip",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             substring(text, CAST(i AS INT), {_SPAN_L}) AS g
+      FROM (SELECT doc_id, text, unnest(range(1, length(text)-{_SPAN_L}+2)) AS i
+            FROM documents WHERE length(text) >= {_SPAN_L})),
+    d AS (SELECT doc_id, pos FROM
+            (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c FROM g)
+          WHERE c > 1),
+    i AS (SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          IS NULL
+                        OR pos - lag(pos)
+                             OVER (PARTITION BY doc_id ORDER BY pos) > {_SPAN_L}
+                      THEN 1 ELSE 0 END AS brk
+          FROM d),
+    s AS (SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+          FROM i),
+    sp AS (SELECT doc_id, isl, MIN(pos) AS st, MAX(pos)+{_SPAN_L}-1 AS en
+           FROM s GROUP BY doc_id, isl),
+    segs AS (
+      SELECT doc_id,
+             COALESCE(lag(en) OVER (PARTITION BY doc_id ORDER BY st), 0) + 1
+               AS a,
+             st - 1 AS b
+      FROM sp
+      UNION ALL
+      SELECT sp.doc_id, MAX(sp.en) + 1 AS a, MAX(length(d2.text)) AS b
+      FROM sp JOIN documents d2 USING (doc_id) GROUP BY sp.doc_id),
+    kept AS (
+      SELECT d3.doc_id,
+             string_agg(substring(d3.text, CAST(sg.a AS INT),
+                                  CAST(sg.b - sg.a + 1 AS INT)), ''
+                        ORDER BY sg.a) AS clip
+      FROM documents d3 JOIN segs sg USING (doc_id)
+      WHERE sg.b >= sg.a
+      GROUP BY d3.doc_id),
+    span_docs AS (SELECT DISTINCT doc_id FROM sp)
+    SELECT d.doc_id,
+           CASE WHEN sd.doc_id IS NULL THEN d.text
+                ELSE COALESCE(k.clip, '') END AS text_clipped
+    FROM documents d
+    LEFT JOIN span_docs sd USING (doc_id)
+    LEFT JOIN kept k USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Exact substring dedup REMOVAL (the clip step of Lee et al. "
+    "ACL'22, completing q96's report): every maximal duplicated "
+    "40-char span is cut — all occurrences, including the first, the "
+    "reference tool's documented behavior — and the surviving "
+    "segments re-concatenate in order. Spark splices JVM-side with a "
+    "higher-order fold over each document's sorted span array (spans "
+    "per doc are bounded by len/40 after island-merging), adding only "
+    "one groupBy(id) and one LEFT join over the q96 span stage; the "
+    "oracle re-derives the same spans from raw window strings and "
+    "splices with string_agg over the gap segments.",
+    tags=("dedup", "text"),
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        load(spark, sf, "documents"), "doc_id", "text", min_len=_SPAN_L
+    ).orderBy("doc_id")

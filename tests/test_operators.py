@@ -555,3 +555,42 @@ def test_pagerank_empty_graph(spark):
 
     edges = spark.createDataFrame([], "src bigint, dst bigint")
     assert pagerank(edges, "src", "dst").count() == 0
+
+
+def test_remove_duplicated_spans_hand_example(spark):
+    """Cross-doc dup: shared 40-char block D clips from both docs (all
+    occurrences, incl. the first — Lee et al. semantics). Intra-doc
+    dup: D...D clips both copies, keeping the clean middle. Span-free
+    docs pass through untouched."""
+    from kaflow_spark.operators.dedup import remove_duplicated_spans
+
+    D = "0123456789" * 4  # exactly min_len=40 chars
+    rows = [
+        (1, "xx" + D + "yy"),
+        (2, "qq" + D + "zz"),
+        (3, D + "mm" + D),
+        (4, "totally unique and short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["text_clipped"]
+        for r in remove_duplicated_spans(df, "doc_id", "text").collect()
+    }
+    assert got[1] == "xxyy"
+    assert got[2] == "qqzz"
+    assert got[3] == "mm"
+    assert got[4] == "totally unique and short"
+
+
+def test_remove_duplicated_spans_whole_doc_duplicated(spark):
+    from kaflow_spark.operators.dedup import remove_duplicated_spans
+
+    D = "abcdefghij" * 5
+    df = spark.createDataFrame(
+        [(1, D), (2, D)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["text_clipped"]
+        for r in remove_duplicated_spans(df, "doc_id", "text").collect()
+    }
+    assert got == {1: "", 2: ""}
