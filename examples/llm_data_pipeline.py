@@ -64,15 +64,26 @@ def main() -> None:
     docs2 = docs1.join(losers, "doc_id", "left_anti")
     n2 = docs2.count()
 
-    # 2b. exact duplicated-substring audit (Lee et al. shape): how much
-    #     of the surviving corpus is repeated 40-char spans
-    from kaflow_spark.operators.dedup import duplicated_spans
+    # 2b. exact duplicated-substring audit + clip (Lee et al.): report
+    #     the repeated-40-char-span footprint, then CUT those spans
+    from kaflow_spark.operators.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
 
     span_report = duplicated_spans(docs2, "doc_id", "text", min_len=40)
     dup_footprint = span_report.agg(
         F.count(F.lit(1)).alias("docs_with_dups"),
         F.sum("dup_chars").alias("dup_chars"),
     ).first()
+    clipped = remove_duplicated_spans(docs2, "doc_id", "text", min_len=40)
+    docs2 = (
+        docs2.drop("text")
+        .join(clipped, "doc_id")
+        .withColumnRenamed("text_clipped", "text")
+        .filter(F.length("text") >= 40)  # drop docs clipped to stubs
+    )
+    n2b = docs2.count()
 
     # 3+4. language, quality, and repetition gates; PII scrub
     rep = repetition_stats(docs2, "doc_id", "text")
@@ -147,6 +158,7 @@ def main() -> None:
         f"dup-substring audit:     {dup_footprint['docs_with_dups']} docs "
         f"carry {dup_footprint['dup_chars'] or 0} duplicated chars (40+-spans)"
     )
+    print(f"after span clip:         {n2b}  (clipped docs <40 chars dropped)")
     print(f"after lang/qual/rep+PII: {n3}  (-{n2 - n3})")
     print(f"after decontamination:   {n4}  (-{n3 - n4})")
     print(f"splits:                  {splits}")
