@@ -733,8 +733,18 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
     l = load(spark, sf, "lineitem")
     lo = ts_lit(l, "l_shipdate", "1997-01-01 00:00:00")
     hi = ts_lit(l, "l_shipdate", "1997-04-01 00:00:00")
+    # The explicit isNotNull(l_suppkey) is load-bearing: the supplier
+    # equi-join infers it onto the join branch only, which would
+    # de-canonicalize the two rev subtrees and defeat ReusedExchange
+    # (lineitem scanned + aggregated twice). In the shared subtree it
+    # costs nothing (cheap column test, subsumed by the inference) and
+    # keeps both branches identical.
     rev = (
-        l.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        l.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & F.col("l_suppkey").isNotNull()
+        )
         .groupBy("l_suppkey")
         .agg(F.sum(dec("l_extendedprice") * (_one() - dec("l_discount"))).alias("tr"))
     )
@@ -742,7 +752,13 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
     s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx))
-        .filter(F.col("tr") == F.col("mx"))
+        # Null-safe equality on purpose (q100's lesson): a bare == lets
+        # the optimizer infer isnotnull(tr) on this branch only, which
+        # de-canonicalizes the two rev subtrees and defeats
+        # ReusedExchange — lineitem then scans and aggregates twice.
+        # tr and mx are never null (non-empty groups), so <=> is
+        # result-identical to the oracle's =.
+        .filter(F.col("tr").eqNullSafe(F.col("mx")))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", F.col("tr").cast("double").alias("total_revenue"))
         .orderBy("s_suppkey")

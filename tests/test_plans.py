@@ -281,3 +281,21 @@ def test_q123_broadcasts_dims_and_partial_aggs(spark, sf_dir):
     df = REGISTRY["q123_tpch_q16_supplier_cnt"].spark(spark, sf_dir)
     assert has_broadcast_join(df, count=2)
     assert has_partial_aggregate(df)
+
+
+def test_q114_single_lineitem_scan_via_exchange_reuse(spark, sf_dir):
+    """Q15: the revenue CTE's aggregate exchange must be shared by the
+    max branch — exactly one lineitem scan (plus supplier). Guards the
+    InferFiltersFromConstraints de-canonicalization regression (the
+    supplier join infers isnotnull(l_suppkey) onto one branch; the
+    shared subtree carries it explicitly)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q114_tpch_q15_top_supplier"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert "ReusedExchange" in plan
+        assert plan.count("Scan parquet") == 2  # lineitem once + supplier
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
