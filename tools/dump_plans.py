@@ -161,6 +161,16 @@ HEADLINERS: dict[str, str] = {
         "SHARD, so the single exchange hash-partitions on shard and "
         "every shard numbers itself in parallel."
     ),
+    "q114_tpch_q15_top_supplier": (
+        "The revenue CTE's groupBy exchange is shared by the max "
+        "branch (ReusedExchange) — one lineitem scan+aggregate, not "
+        "two. Two optimizer inferences can silently break this: the "
+        "max-equality filter infers isnotnull(tr) and the supplier "
+        "join infers isnotnull(l_suppkey), each onto one branch only. "
+        "The query uses null-safe equality and carries the cheap "
+        "isnotnull in the shared subtree so both branches stay "
+        "canonical-equal; test_plans locks the 2-scan contract."
+    ),
     "q121_ohlc_bars": (
         "First/last-in-window via min_by/max_by on struct(ts, "
         "event_id): a single two-phase aggregate — partial map-side, "
