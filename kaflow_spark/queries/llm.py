@@ -22,7 +22,6 @@ from kaflow_spark.catalog import load
 from kaflow_spark.functions.textstats import (
     BPE_PATTERN,
     LANG_STOPWORDS,
-    fingerprint,
     int_div,
     lang_id,
     quality_components,
