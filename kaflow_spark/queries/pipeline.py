@@ -298,3 +298,71 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@declare(
+    "q125_session_paths",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        FROM events),
+    n AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+          FROM o),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+                                       ORDER BY ts, event_id) AS rn
+          FROM n),
+    p AS (SELECT user_id, sess,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= 8 GROUP BY user_id, sess)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY path ORDER BY n_sessions DESC, path
+    """,
+    doc="Session path analysis: the frequency table of ordered "
+    "event-type sequences (first 8 events per 30-min-gap session) — "
+    "the classic path/funnel report, and the export shape sequence-"
+    "model training data takes (q94's transition matrix is its bigram "
+    "marginal). Sessionization reuses q31's gaps-and-islands windows "
+    "(one shuffle on user_id); the per-session path assembles from "
+    "sort_array(collect_list(struct(rn, type))) so the agg stays "
+    "partial-aggregable and order-insensitive to shuffle; the final "
+    "count groups the (tiny) distinct-path table. event_id is the "
+    "unique tie-break throughout.",
+    tags=("events", "window-agg"),
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    order_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess_w = W.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order_w)
+    sessed = (
+        load(spark, sf, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.when(gap > 30 * 60, 1).otherwise(0).alias("new_s"),
+        )
+        .withColumn("sess", F.sum("new_s").over(run_w))
+        .withColumn("rn", F.row_number().over(sess_w))
+        .filter(F.col("rn") <= 8)
+    )
+    paths = sessed.groupBy("user_id", "sess").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+    )
