@@ -15,7 +15,7 @@ import sys
 import time
 
 from kaflow_spark.queries import REGISTRY
-from kaflow_spark.session import get_spark
+from kaflow_spark.session import get_spark, warm_python_workers
 
 
 def run_query(df) -> None:
@@ -34,20 +34,8 @@ def main() -> None:
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the query, not session startup.
     run_query(REGISTRY["q01_scan_project"].spark(spark, sf_dir))
-    # Warm the Python-worker pool + Arrow serde path too: the first
-    # pandas-UDF stage in a session pays ~2-3 s of worker spawn and
-    # module imports that would otherwise be billed to whichever
-    # Arrow-kernel query happens to run first.
-    from pyspark.sql import functions as F
-    from pyspark.sql.pandas.functions import pandas_udf
-
-    @pandas_udf("long")
-    def _warm(s):
-        return s
-
-    spark.range(1000).select(_warm(F.col("id"))).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Warm the Python-worker pool + Arrow serde path too (trap #5).
+    warm_python_workers(spark)
 
     # Two passes, report the min per query: pass 1 pays JIT/codegen
     # compilation for the heavy expression trees; pass 2 is the

@@ -65,25 +65,34 @@ def main() -> None:
     n2 = docs2.count()
 
     # 2b. exact duplicated-substring audit + clip (Lee et al.): report
-    #     the repeated-40-char-span footprint, then CUT those spans
+    #     the repeated-40-char-span footprint, then CUT those spans.
+    #     Both derive from ONE materialized span frame — the 40-gram
+    #     explode + corpus-wide hash count is the heaviest stage here
+    #     and must not run once per consumer.
     from kaflow_spark.operators.dedup import (
-        duplicated_spans,
+        duplicated_span_ranges,
         remove_duplicated_spans,
     )
 
-    span_report = duplicated_spans(docs2, "doc_id", "text", min_len=40)
-    dup_footprint = span_report.agg(
+    ranges = duplicated_span_ranges(docs2, "doc_id", "text", min_len=40).persist()
+    dup_footprint = ranges.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dc")
+    ).agg(
         F.count(F.lit(1)).alias("docs_with_dups"),
-        F.sum("dup_chars").alias("dup_chars"),
+        F.sum("dc").alias("dup_chars"),
     ).first()
-    clipped = remove_duplicated_spans(docs2, "doc_id", "text", min_len=40)
+    clipped = remove_duplicated_spans(
+        docs2, "doc_id", "text", min_len=40, ranges=ranges
+    )
     docs2 = (
         docs2.drop("text")
         .join(clipped, "doc_id")
         .withColumnRenamed("text_clipped", "text")
         .filter(F.length("text") >= 40)  # drop docs clipped to stubs
+        .persist()  # downstream stages fan out from here repeatedly
     )
     n2b = docs2.count()
+    ranges.unpersist()
 
     # 3+4. language, quality, and repetition gates; PII scrub
     rep = repetition_stats(docs2, "doc_id", "text")
@@ -159,7 +168,7 @@ def main() -> None:
         f"carry {dup_footprint['dup_chars'] or 0} duplicated chars (40+-spans)"
     )
     print(f"after span clip:         {n2b}  (clipped docs <40 chars dropped)")
-    print(f"after lang/qual/rep+PII: {n3}  (-{n2 - n3})")
+    print(f"after lang/qual/rep+PII: {n3}  (-{n2b - n3})")
     print(f"after decontamination:   {n4}  (-{n3 - n4})")
     print(f"splits:                  {splits}")
     print(f"cross-split leak pairs:  {leaks}  (post-near-dup-removal: want 0)")

@@ -100,9 +100,11 @@ def duplicated_span_ranges(
 ) -> DataFrame:
     """The maximal duplicated spans themselves: ``(id, span_start,
     span_end)``, 1-based inclusive, disjoint per document (merged
-    islands are separated by >= 2 clean chars by construction). Plan
-    as documented on duplicated_spans — this is its span stage without
-    the final per-document aggregation."""
+    islands are separated by at least 1 clean char by construction:
+    the island break fires at gap > min_len, so the closest two spans
+    can sit is next_start == prev_end + 2). Plan as documented on
+    duplicated_spans — this is its span stage without the final
+    per-document aggregation."""
     t = F.col(text_col)
     n = F.length(t) - (min_len - 1)
     hashes = F.transform(
@@ -138,6 +140,7 @@ def remove_duplicated_spans(
     text_col: str,
     *,
     min_len: int = 40,
+    ranges: DataFrame | None = None,
 ) -> DataFrame:
     """Exact substring dedup REMOVAL (the clip step of Lee et al. ACL
     2022): cut every maximal duplicated span — all occurrences,
@@ -151,9 +154,16 @@ def remove_duplicated_spans(
     are few after island-merging — bounded by len/min_len), so the
     only additions over the span stage are one groupBy(id) and one
     LEFT join back to the corpus; documents with no duplicated spans
-    pass through joined-null and keep their text untouched."""
+    pass through joined-null and keep their text untouched.
+
+    Pass ``ranges`` (a frame from ``duplicated_span_ranges``, e.g. one
+    the caller already persisted for a report) to reuse the span
+    stage — the heaviest part of the operator — instead of
+    recomputing it."""
+    if ranges is None:
+        ranges = duplicated_span_ranges(df, id_col, text_col, min_len=min_len)
     spans = (
-        duplicated_span_ranges(df, id_col, text_col, min_len=min_len)
+        ranges
         .groupBy(id_col)
         .agg(
             F.sort_array(

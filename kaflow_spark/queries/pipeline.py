@@ -58,6 +58,24 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def _sessionized(df, gap_s: int = 30 * 60, extra_cols: tuple[str, ...] = ()):
+    """Gaps-and-islands sessionization shared by q31 and q125: assign a
+    per-user session index with a ``gap_s``-second inactivity gap; the
+    (ts, event_id) order with the unique event_id tie-break is the
+    determinism contract both queries' oracles state."""
+    order_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order_w)
+    return df.select(
+        "user_id",
+        "ts",
+        "event_id",
+        *extra_cols,
+        F.when(gap > gap_s, 1).otherwise(0).alias("new_s"),
+    ).withColumn("sess", F.sum("new_s").over(run_w))
+
+
 @declare(
     "q31_sessionize",
     oracle="""
@@ -80,18 +98,8 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
     tags=("dedup", "window-agg"),
 )
 def q31(spark: SparkSession, sf: str) -> DataFrame:
-    order_w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    run_w = order_w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order_w)
     return (
-        load(spark, sf, "events")
-        .select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.when(gap > 30 * 60, 1).otherwise(0).alias("new_s"),
-        )
-        .withColumn("sess", F.sum("new_s").over(run_w))
+        _sessionized(load(spark, sf, "events"))
         .groupBy("user_id", "sess")
         .agg(F.count(F.lit(1)).alias("n"), F.min("event_id").alias("first_e"))
         .orderBy("user_id", "sess")
@@ -335,20 +343,9 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
     tags=("events", "window-agg"),
 )
 def q125(spark: SparkSession, sf: str) -> DataFrame:
-    order_w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    run_w = order_w.rowsBetween(W.unboundedPreceding, W.currentRow)
     sess_w = W.partitionBy("user_id", "sess").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(order_w)
     sessed = (
-        load(spark, sf, "events")
-        .select(
-            "user_id",
-            "ts",
-            "event_id",
-            "event_type",
-            F.when(gap > 30 * 60, 1).otherwise(0).alias("new_s"),
-        )
-        .withColumn("sess", F.sum("new_s").over(run_w))
+        _sessionized(load(spark, sf, "events"), extra_cols=("event_type",))
         .withColumn("rn", F.row_number().over(sess_w))
         .filter(F.col("rn") <= 8)
     )

@@ -93,3 +93,21 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def warm_python_workers(spark: SparkSession) -> None:
+    """Pay the first-Arrow-stage cost up front: the first pandas-UDF
+    stage in a session spawns the python worker pool and imports its
+    modules (~2-3 s), which otherwise gets billed to whichever
+    Arrow-kernel query happens to run first (CLAUDE.md trap #5).
+    Harnesses that time queries should call this after JVM warm-up."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(1000).select(_warm(F.col("id"))).write.format("noop").mode(
+        "overwrite"
+    ).save()

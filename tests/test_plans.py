@@ -230,13 +230,17 @@ def test_q119_broadcasts_anchors_and_shuffles_scores_only(spark, sf_dir):
     from kaflow_spark.plans.explain import explain_str
 
     df = REGISTRY["q119_hard_negatives"].spark(spark, sf_dir)
-    plan = explain_str(df, "formatted")
+    plan = explain_str(df, "simple")
     assert "BroadcastNestedLoopJoin" in plan
     # the hash exchange feeding the rank window carries id+score only
+    # (simple mode prints exchange args inline; formatted mode puts
+    # them on a separate Arguments: line and the pattern never fires)
     import re
 
-    for m in re.finditer(r"Exchange hashpartitioning\(query_id[^\n]*", plan):
-        assert "embedding" not in m.group(0)
+    matches = re.findall(r"Exchange hashpartitioning\(query_id[^\n]*", plan)
+    assert matches, "expected a query_id-keyed exchange in the plan"
+    for m in matches:
+        assert "embedding" not in m
 
 
 def test_q120_single_shuffle_no_global_sort(spark, sf_dir):

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from kaflow_spark.operators.dedup import minhash_lsh_candidates, simhash_near_dups
 from kaflow_spark.operators.similarity import cosine_topk
-from kaflow_spark.session import get_spark
+from kaflow_spark.session import get_spark, warm_python_workers
 
 
 def replicate(df, times: int, id_col: str | list[str], shift: int):
@@ -70,15 +70,7 @@ def main() -> None:
     # the first timed row — the first probe otherwise absorbs ~5-10 s
     # of session startup that has nothing to do with the operator.
     docs.write.format("noop").mode("overwrite").save()
-    from pyspark.sql.pandas.functions import pandas_udf
-
-    @pandas_udf("long")
-    def _warm(s):
-        return s
-
-    spark.range(1000).select(_warm(F.col("id"))).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    warm_python_workers(spark)
     query = [float(x) for x in emb.first()["embedding"]]
 
     rows = ["# SCALING — measured wall-clock vs corpus size", ""]
