@@ -171,6 +171,22 @@ HEADLINERS: dict[str, str] = {
         "isnotnull in the shared subtree so both branches stay "
         "canonical-equal; test_plans locks the 2-scan contract."
     ),
+    "q124_substring_dedup_clip": (
+        "The clip step over the q96 span stage: the corpus-wide "
+        "position-explode shuffles (id, pos, xxhash64) 24-byte rows — "
+        "window TEXT never moves — then spans collapse per document "
+        "and the splice is a higher-order fold over each doc's sorted "
+        "span array, joined LEFT back to the pruned corpus scan so "
+        "span-free documents pass through untouched."
+    ),
+    "q125_session_paths": (
+        "Sessionization (shared _sessionized helper with q31) runs "
+        "both gaps-and-islands windows on ONE user_id exchange; the "
+        "per-session path assembles from sort_array(collect_list("
+        "struct(rn, type))) so the aggregate stays partial-aggregable "
+        "and shuffle-order-insensitive; the final count groups the "
+        "tiny distinct-path table."
+    ),
     "q121_ohlc_bars": (
         "First/last-in-window via min_by/max_by on struct(ts, "
         "event_id): a single two-phase aggregate — partial map-side, "
