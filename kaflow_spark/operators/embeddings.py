@@ -117,4 +117,57 @@ def nearest_centroid_purity(
     )
 
 
-__all__ = ["label_centroids", "nearest_centroid_purity", "MICRO"]
+def gram_matrix(
+    df: DataFrame, vec_col: str, scale: int = MICRO
+) -> DataFrame:
+    """Exact integer second-moment (gram) matrix of an embedding
+    column: for every dim pair (i, j), the sum over all vectors of
+    q_i * q_j with q = round(component * scale) — the input PCA /
+    whitening / covariance needs, computed as bigint algebra so the
+    distributed sum is deterministic under any partitioning (a float
+    gram would be shuffle-order-dependent).
+
+    Shape at scale: each row expands to its d^2 quantized products
+    MAP-SIDE via nested array transforms (no self-join, no shuffle of
+    vectors); the partial-agg'd groupBy means the one shuffle carries
+    at most d^2 rows per map partition. Overflow bound: |q| <= scale,
+    so |sum| <= n * scale^2 — with the default micro scale that holds
+    to ~9.2M vectors per int64; at larger corpus sizes pass
+    scale=1_000 (milli) or shard + re-aggregate (sums are mergeable).
+    """
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+    )
+    # own projection first: an inline qv inside the nested lambdas
+    # would re-quantize the whole vector once per (i, j) pair
+    q = df.select(qv.alias("_qv"))
+    prods = F.flatten(
+        F.transform(
+            F.col("_qv"),
+            lambda xi, i: F.transform(
+                F.col("_qv"),
+                lambda xj, j: F.struct(
+                    i.cast("bigint").alias("i"),
+                    j.cast("bigint").alias("j"),
+                    (xi * xj).alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        q.select(F.explode(prods).alias("_e"))
+        .select(
+            F.col("_e.i").alias("dim_i"),
+            F.col("_e.j").alias("dim_j"),
+            F.col("_e.p").alias("_p"),
+        )
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.sum("_p").alias("sum_prod"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+__all__ = ["label_centroids", "nearest_centroid_purity", "gram_matrix", "MICRO"]

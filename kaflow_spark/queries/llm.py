@@ -1014,3 +1014,38 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
     return remove_duplicated_spans(
         load(spark, sf, "documents"), "doc_id", "text", min_len=_SPAN_L
     ).orderBy("doc_id")
+
+
+@declare(
+    "q126_embedding_gram",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings)
+    SELECT a.dim AS dim_i, b.dim AS dim_j,
+           CAST(SUM(a.q * b.q) AS BIGINT) AS sum_prod,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e a JOIN e b USING (vec_id)
+    GROUP BY a.dim, b.dim ORDER BY dim_i, dim_j
+    """,
+    doc="Exact integer gram (second-moment) matrix of the embedding "
+    "corpus — the d x d input PCA/whitening/covariance needs, in "
+    "micro-unit bigint algebra so the distributed sum is shuffle-"
+    "order-deterministic. Spark expands each row's d^2 quantized "
+    "products MAP-SIDE via nested array transforms (quantized vector "
+    "materialized as its own projection first — an inline transform "
+    "would re-quantize per pair) with partial agg before the one "
+    "shuffle of <= d^2 rows per partition; the oracle states the same "
+    "via a per-vector dim self-join. Output is sums + n (mergeable "
+    "across shards); int64-safe to ~9.2M vectors at micro scale, "
+    "milli scale beyond.",
+    tags=("vector", "agg"),
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.embeddings import gram_matrix
+
+    e = load(spark, sf, "embeddings")
+    return gram_matrix(e, "embedding").orderBy("dim_i", "dim_j")

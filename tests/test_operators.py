@@ -594,3 +594,21 @@ def test_remove_duplicated_spans_whole_doc_duplicated(spark):
         for r in remove_duplicated_spans(df, "doc_id", "text").collect()
     }
     assert got == {1: "", 2: ""}
+
+
+def test_gram_matrix_hand_computed(spark):
+    """2-vector, 2-dim corpus: every cell verified by hand in integer
+    micro-units; matrix symmetric; n constant."""
+    from kaflow_spark.operators.embeddings import gram_matrix
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.5, -1.0])], "id bigint, v array<float>"
+    )
+    g = {
+        (r["dim_i"], r["dim_j"]): (r["sum_prod"], r["n"])
+        for r in gram_matrix(df, "v").collect()
+    }
+    assert g[(0, 0)] == (1_250_000_000_000, 2)
+    assert g[(0, 1)] == (1_500_000_000_000, 2)
+    assert g[(1, 0)] == g[(0, 1)]
+    assert g[(1, 1)] == (5_000_000_000_000, 2)
