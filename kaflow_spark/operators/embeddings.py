@@ -170,4 +170,80 @@ def gram_matrix(
     )
 
 
-__all__ = ["label_centroids", "nearest_centroid_purity", "gram_matrix", "MICRO"]
+__all__ = ["label_centroids", "nearest_centroid_purity", "gram_matrix", "pca_project", "MICRO"]
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    scale: int = MICRO,
+) -> DataFrame:
+    """PCA dimensionality reduction for embedding columns — the
+    shrink-before-ANN step of a vector pipeline: fit the d x d
+    second-moment matrix DISTRIBUTED (gram_matrix — exact, one
+    bounded-size shuffle), eigendecompose it driver-side (d x d is
+    tiny — 64 x 64 here; same bounded-driver-linear-algebra pattern
+    as the IVF k-means fit in operators/similarity.py), then project
+    every vector onto the top-k components as a broadcast
+    expression — the corpus streams through one scan, nothing
+    shuffles.
+
+    Mean-centering uses the exact integer dim means (micro-units);
+    the centered covariance is reconstructed from the gram sums:
+    cov = (sum_prod/n) - mean_i * mean_j. Eigenvector SIGN is fixed
+    deterministically (largest-|component| entry made positive) so
+    repeated fits agree; eigenvalues/vectors are float64 — this
+    operator is pytest-attested (invariants: orthonormal components,
+    descending explained variance, reconstruction bound) rather than
+    DuckDB-oracle-hashed, like the other driver-fit path (q63 IVF).
+
+    Returns (id, proj: array<double> length k)."""
+    import numpy as np
+
+    g = gram_matrix(df, vec_col, scale=scale)
+    rows = g.collect()  # d^2 rows — bounded by dim^2, never corpus size
+    if not rows:
+        return df.select(
+            F.col(id_col), F.array().cast("array<double>").alias("proj")
+        ).limit(0)
+    d = max(r["dim_i"] for r in rows) + 1
+    n = rows[0]["n"]
+    s = np.zeros((d, d))
+    for r in rows:
+        s[r["dim_i"], r["dim_j"]] = r["sum_prod"]
+    # exact integer dim sums ride the diagonal pass: recompute means
+    # from a second tiny aggregation (d rows)
+    sums = (
+        df.select(F.posexplode(vec_col).alias("dim", "_v"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.round(F.col("_v").cast("double") * scale).cast("bigint"))
+            .alias("s")
+        )
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in sums:
+        mu[r["dim"]] = r["s"] / n
+    cov = s / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][: int(k)]
+    comps = vecs[:, order]  # d x k
+    # deterministic sign: make the largest-magnitude entry positive
+    for c in range(comps.shape[1]):
+        j = int(np.argmax(np.abs(comps[:, c])))
+        if comps[j, c] < 0:
+            comps[:, c] = -comps[:, c]
+    mu_unit = mu / scale  # back to input units
+
+    proj_cols = []
+    for c in range(comps.shape[1]):
+        expr = None
+        for j in range(d):
+            term = (F.element_at(F.col(vec_col), j + 1).cast("double")
+                    - F.lit(float(mu_unit[j]))) * F.lit(float(comps[j, c]))
+            expr = term if expr is None else expr + term
+        proj_cols.append(expr)
+    return df.select(F.col(id_col), F.array(*proj_cols).alias("proj"))

@@ -612,3 +612,41 @@ def test_gram_matrix_hand_computed(spark):
     assert g[(0, 1)] == (1_500_000_000_000, 2)
     assert g[(1, 0)] == g[(0, 1)]
     assert g[(1, 1)] == (5_000_000_000_000, 2)
+
+
+def test_pca_project_invariants(spark):
+    """PCA on a deliberately anisotropic 3-D cloud: the top component
+    captures the dominant axis (explained variance of proj dim 0 >>
+    dim 1), projections are mean-centered, and the fit is
+    deterministic across repeated runs (sign convention)."""
+    import numpy as np
+
+    from kaflow_spark.operators.embeddings import pca_project
+
+    rng = np.random.RandomState(7)
+    pts = rng.randn(200, 3) * np.array([10.0, 1.0, 0.1]) + np.array(
+        [5.0, -2.0, 0.5]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "id bigint, v array<float>",
+    )
+    a = {r["id"]: r["proj"] for r in pca_project(df, "v", "id", k=2).collect()}
+    b = {r["id"]: r["proj"] for r in pca_project(df, "v", "id", k=2).collect()}
+    assert a == b  # deterministic fit + projection
+    arr = np.array([a[i] for i in range(200)])
+    # mean-centered output
+    assert np.allclose(arr.mean(axis=0), 0, atol=1e-2)
+    # dominant axis variance ratio carries over
+    v0, v1 = arr[:, 0].var(), arr[:, 1].var()
+    assert v0 > 20 * v1
+    # top component aligns with the x-axis (the 10x spread direction)
+    corr = np.corrcoef(arr[:, 0], pts[:, 0])[0, 1]
+    assert abs(corr) > 0.99
+
+
+def test_pca_project_empty(spark):
+    from kaflow_spark.operators.embeddings import pca_project
+
+    df = spark.createDataFrame([], "id bigint, v array<float>")
+    assert pca_project(df, "v", "id", k=2).count() == 0
