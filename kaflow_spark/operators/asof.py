@@ -27,6 +27,7 @@ def asof_join(
     *,
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance: str | int | float | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     right.ts <= left.ts (direction='backward'; 'forward' mirrors).
@@ -34,6 +35,14 @@ def asof_join(
     ``value_cols``: right-side columns to carry (default: all except
     keys/ts). Right rows sort before left rows at equal timestamps,
     so an exactly-simultaneous right row IS matched (inclusive).
+
+    ``tolerance`` (pandas merge_asof parity): maximum allowed
+    |left.ts - matched right.ts| — an INTERVAL string (``'2 hours'``)
+    for timestamp columns or a number for numeric ones. Matches
+    outside the bound null out (the row still emits, like merge_asof).
+    At scale the tolerance is also the state bound the STREAMING twin
+    (streaming/asof.py) enforces on its interval join — declaring it
+    in batch keeps the two paths semantically aligned.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
@@ -49,13 +58,23 @@ def asof_join(
         F.col(left_ts).alias(ts),
         F.lit(1).alias(side),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in value_cols],
+        *(
+            [F.lit(None).cast(right.schema[right_ts].dataType).alias("_asof_rts_right")]
+            if tolerance is not None
+            else []
+        ),
     )
+    rts = "_asof_rts"
+    carry = list(value_cols)
+    if tolerance is not None:
+        carry.append(rts)
     r_tag = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
         *[F.col(k) for k in keys],
         F.col(right_ts).alias(ts),
         F.lit(0).alias(side),
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        *([F.col(right_ts).alias(f"{rts}{suffix}")] if tolerance is not None else []),
     )
     unioned = l_tag.unionByName(r_tag)
 
@@ -67,7 +86,7 @@ def asof_join(
         )
         fill = {
             c: F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
-            for c in value_cols
+            for c in carry
         }
     else:
         w = (
@@ -77,14 +96,32 @@ def asof_join(
         )
         fill = {
             c: F.first(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
-            for c in value_cols
+            for c in carry
         }
 
     filled = unioned.select(
         *[c for c in unioned.columns if not c.endswith(suffix)],
         *[expr.alias(f"{c}{suffix}") for c, expr in fill.items()],
     )
-    return (
-        filled.filter(F.col(side) == 1)
-        .drop(ts, side)
-    )
+    out = filled.filter(F.col(side) == 1)
+    if tolerance is not None:
+        tol = (
+            F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.lit(tolerance)
+        )
+        matched = F.col(f"{rts}{suffix}")
+        if direction == "backward":
+            ok = matched.isNotNull() & ((F.col(ts) - matched) <= tol)
+        else:
+            ok = matched.isNotNull() & ((matched - F.col(ts)) <= tol)
+        out = out.select(
+            *[c for c in out.columns if not c.endswith(suffix)],
+            *[
+                F.when(ok, F.col(f"{c}{suffix}"))
+                .otherwise(F.lit(None))
+                .alias(f"{c}{suffix}")
+                for c in value_cols
+            ],
+        )
+    return out.drop(ts, side, f"{rts}{suffix}")

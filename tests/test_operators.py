@@ -650,3 +650,53 @@ def test_pca_project_empty(spark):
 
     df = spark.createDataFrame([], "id bigint, v array<float>")
     assert pca_project(df, "v", "id", k=2).count() == 0
+
+
+def test_asof_join_tolerance(spark):
+    """merge_asof-parity tolerance: a backward match older than the
+    bound nulls out (the left row still emits); an in-bound match
+    stays; forward mirrors."""
+    import datetime as dt
+
+    from kaflow_spark.operators.asof import asof_join
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    left = spark.createDataFrame(
+        [(1, ts(10)), (1, ts(12))], "k bigint, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(9, 30), 100.0), (1, ts(6), 50.0)],
+        "k bigint, rt timestamp, v double",
+    )
+    out = {
+        r["lt"].hour: r["v_right"]
+        for r in asof_join(
+            left, right, "k", "lt", "rt", ["v"], tolerance="1 HOUR"
+        ).collect()
+    }
+    assert out[10] == 100.0  # 09:30 is within 1h of 10:00
+    assert out[12] is None   # latest right (09:30) is 2.5h old -> nulled
+
+    fwd = {
+        r["lt"].hour: r["v_right"]
+        for r in asof_join(
+            left,
+            right,
+            "k",
+            "lt",
+            "rt",
+            ["v"],
+            direction="forward",
+            tolerance="1 HOUR",
+        ).collect()
+    }
+    assert fwd[10] is None and fwd[12] is None  # no right row after lefts
+
+    # without tolerance the old match is kept (regression guard)
+    loose = {
+        r["lt"].hour: r["v_right"]
+        for r in asof_join(left, right, "k", "lt", "rt", ["v"]).collect()
+    }
+    assert loose[12] == 100.0
