@@ -1049,3 +1049,46 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load(spark, sf, "embeddings")
     return gram_matrix(e, "embedding").orderBy("dim_i", "dim_j")
+
+
+@declare(
+    "q127_asof_tolerance",
+    oracle="""
+    WITH cutoffs AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS cutoff
+        FROM events)
+    SELECT c.user_id, c.cutoff, MAX(e.ts) AS last_ts
+    FROM cutoffs c LEFT JOIN events e
+      ON e.user_id = c.user_id AND e.ts <= c.cutoff
+     AND e.ts >= c.cutoff - INTERVAL 6 HOUR
+    GROUP BY c.user_id, c.cutoff ORDER BY c.user_id, c.cutoff
+    """,
+    doc="Tolerance-bounded as-of join (pandas merge_asof semantics): "
+    "the latest event at-or-before each per-user day cutoff, but only "
+    "if it lies within 6 hours — staler matches null out while the "
+    "left row still emits. Equivalence to the oracle's bounded range "
+    "join + group-max: the as-of pick IS the max right ts <= cutoff, "
+    "and the bound filters exactly the case where that max falls "
+    "outside the window (then the bounded set is empty -> NULL on "
+    "both sides). Same union+window plan as q40 — one shuffle, no "
+    "range explosion; the bound is also the state limit the "
+    "streaming twin enforces.",
+    tags=("join", "asof"),
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    cutoffs = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("cutoff")
+    ).distinct()
+    joined = asof_join(
+        cutoffs,
+        e.select("user_id", "ts"),
+        on="user_id",
+        left_ts="cutoff",
+        right_ts="ts",
+        value_cols=["ts"],
+        tolerance="6 HOURS",
+    )
+    return joined.select(
+        "user_id", "cutoff", F.col("ts_right").alias("last_ts")
+    ).orderBy("user_id", "cutoff")
