@@ -142,20 +142,25 @@ def gram_matrix(
     # own projection first: an inline qv inside the nested lambdas
     # would re-quantize the whole vector once per (i, j) pair
     q = df.select(qv.alias("_qv"))
+    # symmetry: expand only the upper triangle (j >= i) — half the
+    # map-side structs — and mirror AFTER aggregation, where the
+    # reflection costs d^2 rows instead of n * d^2
     prods = F.flatten(
         F.transform(
             F.col("_qv"),
             lambda xi, i: F.transform(
-                F.col("_qv"),
-                lambda xj, j: F.struct(
+                F.slice(
+                    F.col("_qv"), i + 1, F.size(F.col("_qv")) - i
+                ),
+                lambda xj, jo: F.struct(
                     i.cast("bigint").alias("i"),
-                    j.cast("bigint").alias("j"),
+                    (i + jo).cast("bigint").alias("j"),
                     (xi * xj).alias("p"),
                 ),
             ),
         )
     )
-    return (
+    upper = (
         q.select(F.explode(prods).alias("_e"))
         .select(
             F.col("_e.i").alias("dim_i"),
@@ -168,6 +173,13 @@ def gram_matrix(
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
     )
+    mirrored = upper.filter(F.col("dim_i") != F.col("dim_j")).select(
+        F.col("dim_j").alias("dim_i"),
+        F.col("dim_i").alias("dim_j"),
+        "sum_prod",
+        "n",
+    )
+    return upper.unionByName(mirrored)
 
 
 __all__ = ["label_centroids", "nearest_centroid_purity", "gram_matrix", "pca_project", "MICRO"]
