@@ -1,7 +1,8 @@
-"""Declared TPC-H classic multi-join queries q101-q117 (SURVEY §2B).
+"""Declared TPC-H classic multi-join queries q101-q117, q123, q128
+(SURVEY §2B).
 
-Adapted TPC-H Q3/Q4/Q5/Q6/Q7/Q8/Q9/Q10/Q12/Q13/Q14/Q15/Q17/Q18/Q19/
-Q21/Q22 over the TPC-H-ish
+Adapted TPC-H Q3/Q4/Q5/Q6/Q7/Q8/Q9/Q10/Q12/Q13/Q14/Q15/Q16/Q17/Q18/
+Q19/Q20/Q21/Q22 over the TPC-H-ish
 synthetic tables (columns the fixture lacks — o_shippriority,
 l_commitdate, partsupp — are omitted or re-expressed; constants are
 re-picked for the fixture's 1995-2001 date range and NATION_n names).
@@ -979,4 +980,82 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@declare(
+    "q128_tpch_q20_dominant_supplier",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey),
+    tot AS (SELECT l_partkey, SUM(sq) AS tq FROM pq GROUP BY l_partkey),
+    dominant AS (
+        SELECT DISTINCT pq.l_suppkey
+        FROM pq
+        JOIN tot USING (l_partkey)
+        JOIN part ON p_partkey = pq.l_partkey
+        WHERE p_name LIKE '%widget%' AND 2 * pq.sq > tot.tq)
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 potential-part-promotion shape, fixture-adapted: "
+    "the fixture has no ps_availqty, so 'excess stock' becomes "
+    "'dominant supplier' — suppliers shipping MORE THAN HALF of a "
+    "widget-part's 1997 volume (same double-nested-aggregate + "
+    "semi-join-chain shape). Determinism: quantities are integers in "
+    "double, so sums and the 2*sq > tq test are exact. Plan: the "
+    "per-(part,supp) aggregate feeds BOTH the per-part total and the "
+    "dominance join — a diamond whose shared exchange must be reused "
+    "(q114's lesson applied from the start: explicit isNotNull on the "
+    "join keys in the shared subtree so inferred constraints cannot "
+    "de-canonicalize the branches); part broadcasts with the LIKE "
+    "pushed; the winners list reaches supplier as a broadcast LEFT "
+    "SEMI; nation broadcasts.",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    lo = ts_lit(l, "l_shipdate", "1997-01-01 00:00:00")
+    hi = ts_lit(l, "l_shipdate", "1998-01-01 00:00:00")
+    pq = (
+        l.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & F.col("l_partkey").isNotNull()
+            & F.col("l_suppkey").isNotNull()
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    tot = pq.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    widget = (
+        load(spark, sf, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    dominant = (
+        pq.join(tot, "l_partkey")
+        .join(F.broadcast(widget), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(2 * F.col("sq") > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(
+            F.broadcast(dominant),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
     )

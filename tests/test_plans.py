@@ -303,3 +303,18 @@ def test_q114_single_lineitem_scan_via_exchange_reuse(spark, sf_dir):
         assert plan.count("Scan parquet") == 2  # lineitem once + supplier
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q128_single_lineitem_scan_diamond_reuse(spark, sf_dir):
+    """Q20 shape: the per-(part,supp) aggregate feeds both the total
+    and the dominance join — one lineitem scan via ReusedExchange."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q128_tpch_q20_dominant_supplier"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert "ReusedExchange" in plan
+        assert plan.count("lineitem") <= plan.count("ReusedExchange") + 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
