@@ -1059,3 +1059,198 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+@declare(
+    "q129_tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey),
+    eu AS (
+        SELECT ps_partkey, ps_cost, s_acctbal, s_name, n_name
+        FROM ps
+        JOIN part ON p_partkey = ps_partkey AND p_type = 'LARGE'
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+    mn AS (SELECT ps_partkey, MIN(ps_cost) AS min_cost
+           FROM eu GROUP BY ps_partkey)
+    SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey,
+           CAST(ps_cost AS DOUBLE) AS supply_cost
+    FROM eu
+    JOIN mn USING (ps_partkey)
+    WHERE ps_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 minimum-cost-supplier shape, fixture-adapted: the "
+    "fixture has no partsupp, so supply cost is derived as the minimum "
+    "unit price each supplier ever charged for the part "
+    "(MIN(l_extendedprice) per (partkey, suppkey) — exact DECIMAL, "
+    "order-independent). The correlated MIN subquery becomes a self "
+    "diamond over the derived relation: per-part MIN on one branch, the "
+    "row branch equi-joined on (partkey, cost = min_cost). Plan: part "
+    "(LIKE-free type filter) and the region-pruned supplier dim both "
+    "broadcast INTO the shared subtree, so the per-(part,supp) "
+    "aggregate's lineitem shuffle is built once and ReusedExchange "
+    "feeds both branches (the branches re-run only the cheap agg above "
+    "it). The cost equality is null-safe (coalesce) so "
+    "InferFiltersFromConstraints cannot add isnotnull(ps_cost) to one "
+    "branch and de-canonicalize the diamond (q114's lesson); the join "
+    "keys carry explicit isNotNull at the lineitem scan. Top-100 = "
+    "TakeOrderedAndProject, no global sort. At extreme SF the supplier "
+    "broadcast flips to a shuffle join — the hint is advisory, the "
+    "plan shape otherwise unchanged.",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    ps = (
+        l.filter(F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(dec("l_extendedprice")).alias("ps_cost"))
+    )
+    large = (
+        load(spark, sf, "part")
+        .filter(F.col("p_type") == "LARGE")
+        .select("p_partkey")
+    )
+    sup = (
+        load(spark, sf, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf, "nation")
+                .join(
+                    F.broadcast(
+                        load(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eu = (
+        ps.join(F.broadcast(large), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            "ps_cost",
+            "s_acctbal",
+            "s_name",
+            "n_name",
+        )
+    )
+    mn = eu.groupBy("ps_partkey").agg(F.min("ps_cost").alias("min_cost"))
+    neg = F.lit(-1).cast(DecimalType(18, 2))
+    return (
+        eu.withColumnRenamed("ps_partkey", "p_partkey")
+        .join(
+            mn,
+            (F.col("p_partkey") == F.col("ps_partkey"))
+            # Null-safe on purpose: ps_cost is never null (MIN over a
+            # non-null cast), and a bare equality would let
+            # InferFiltersFromConstraints push isnotnull(ps_cost) into
+            # the row branch only, splitting the diamond (see q100).
+            & (F.coalesce(F.col("ps_cost"), neg) == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("ps_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@declare(
+    "q130_tpch_q11_important_stock",
+    oracle="""
+    WITH val AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY l_partkey),
+    cents AS (
+        SELECT l_partkey, part_value,
+               CAST(part_value * 100 AS BIGINT) AS pv_cents
+        FROM val),
+    tot AS (SELECT COUNT(*) AS cnt, SUM(pv_cents) AS total_cents FROM cents)
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM cents, tot
+    WHERE 2 * CAST(pv_cents AS DECIMAL(38,0)) * cnt
+          > 3 * CAST(total_cents AS DECIMAL(38,0))
+    ORDER BY part_value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 important-stock shape, fixture-adapted: part 'value' "
+    "is the summed extended price shipped by EUROPE suppliers (no "
+    "ps_availqty in the fixture), and the TPC-H scale-dependent "
+    "FRACTION becomes a scale-invariant 'above 1.5x the mean part "
+    "value' gate so one declared SQL holds at every SF. The comparison "
+    "is exact integer algebra — cents x counts in DECIMAL(38,0), "
+    "2*pv*cnt > 3*total, no IEEE division — so the boundary cannot "
+    "flip between engines. Plan: the per-part aggregate's exchange is "
+    "the diamond root; the global (cnt, total) scalar reduces it to "
+    "ONE row, broadcast back as a cross join, and the null-safe "
+    "coalesce on the filter keeps both branches canonically identical "
+    "(ReusedExchange, single lineitem scan). The region-pruned "
+    "supplier dim broadcasts into the scan-side join, so lineitem "
+    "shuffles once, on l_partkey only.",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    sup = (
+        load(spark, sf, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf, "nation")
+                .join(
+                    F.broadcast(
+                        load(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    cents = (
+        l.filter(F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("part_value"))
+        .withColumn("pv_cents", (F.col("part_value") * 100).cast("long"))
+    )
+    tot = cents.agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pv_cents").alias("total_cents")
+    )
+    big = DecimalType(38, 0)
+    neg = F.lit(-(10**18)).cast(big)
+    return (
+        cents.crossJoin(F.broadcast(tot))
+        # Null-safe on purpose — same ReusedExchange discipline as q100:
+        # pv_cents is never null, the sentinel only exists to stop
+        # isnotnull inference from de-canonicalizing the shared subtree.
+        .filter(
+            2 * F.coalesce(F.col("pv_cents").cast(big), neg) * F.col("cnt")
+            > 3 * F.col("total_cents").cast(big)
+        )
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )

@@ -318,3 +318,38 @@ def test_q128_single_lineitem_scan_diamond_reuse(spark, sf_dir):
         assert plan.count("lineitem") <= plan.count("ReusedExchange") + 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q129_single_lineitem_scan_min_cost_diamond(spark, sf_dir):
+    """Q2 shape: the per-(part,supp) cost aggregate feeds both the
+    per-part MIN and the row branch — one lineitem scan, dims broadcast
+    into the shared subtree, top-100 without a global sort."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q129_tpch_q2_min_cost_supplier"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert "ReusedExchange" in plan
+        assert plan.count("lineitem") == 1
+        assert has_top_k(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q130_single_lineitem_scan_scalar_diamond(spark, sf_dir):
+    """Q11 shape: the per-part value aggregate feeds both the scalar
+    (cnt,total) reduction and the filtered rows — one lineitem scan via
+    ReusedExchange, supplier dim broadcast (lineitem shuffles once, on
+    l_partkey only)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q130_tpch_q11_important_stock"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert "ReusedExchange" in plan
+        assert plan.count("lineitem") == 1
+        assert has_broadcast_join(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
