@@ -91,3 +91,124 @@ def transition_counts(
 
 
 __all__ = ["retention_cohorts", "transition_counts"]
+
+
+def value_trend(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    base_date: str = "2024-01-01",
+) -> DataFrame:
+    """Per-group OLS trend of a metric over time — the drift report an
+    event pipeline serves next to its windowed aggregates ("is
+    checkout value trending down this month?").
+
+    Determinism: the five OLS sufficient statistics (n, Σx, Σy, Σxy,
+    Σx²) are EXACT integers — x is whole days since ``base_date``, y
+    is the metric in cents (DECIMAL(18,2)·100) — so the partial
+    aggregation is shuffle-order-independent. The closed-form slope
+    (n·Σxy − Σx·Σy) / (n·Σx² − Σx²) is evaluated as ONE IEEE double
+    division of two exactly-computed DECIMAL(38,0) operands: both
+    engines see identical operands, so the quotient is bit-identical.
+    Groups with a degenerate x spread (denominator 0) are emitted with
+    a NULL slope rather than dropped.
+
+    Shape at scale: a single partial-agg'd groupBy — the shuffle
+    carries |groups| rows of five bigint sums; nothing else moves.
+    The bigint sums hold to ~10^14 rows per group at cent scale; past
+    that, pre-demean x per group (two-pass) before summing."""
+    x = F.datediff(F.col(ts_col).cast("date"), F.lit(base_date).cast("date")).cast(
+        "bigint"
+    )
+    y = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    big = "decimal(38,0)"
+    stats = (
+        df.select(F.col(group_col), x.alias("_x"), y.alias("_y"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        )
+    )
+    num = (
+        F.col("n").cast(big) * F.col("_sxy").cast(big)
+        - F.col("_sx").cast(big) * F.col("_sy").cast(big)
+    )
+    den = (
+        F.col("n").cast(big) * F.col("_sxx").cast(big)
+        - F.col("_sx").cast(big) * F.col("_sx").cast(big)
+    )
+    return stats.select(
+        F.col(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.when(den != 0, num.cast("double") / den.cast("double"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("slope_cents_per_day"),
+    )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "event_id",
+    value_col: str = "value",
+    nsigma: int = 3,
+) -> DataFrame:
+    """Events whose metric deviates more than ``nsigma`` standard
+    deviations from their group mean — the outlier report behind
+    alerting and data-quality quarantine.
+
+    Determinism: the z-test is pure integer algebra. With y in exact
+    cents and per-group (n, Σy, Σy²), (y − μ)² > k²·σ² rewrites to
+    (n·y − Σy)² > k²·(n·Σy² − Σy·Σy) — both sides exact
+    DECIMAL(38,0), no square roots, no IEEE boundary to flip between
+    engines. Holds to ~10^9 rows per group at cent scale (n·y ≤ 10^19
+    squared inside 38 digits); past that, demean in micro-units first.
+
+    Shape at scale: the (id, group, cents) projection is built once
+    behind one uniform exchange; the stats branch partial-aggs it to
+    |groups| rows which broadcast back onto the row branch — the
+    events scan happens exactly once (ReusedExchange), and nothing
+    wider than the projection ever shuffles."""
+    big = "decimal(38,0)"
+    # The isNotNull sits in the SHARED subtree: the broadcast join on
+    # group_col infers isnotnull(group_col) onto the row branch, and if
+    # the stats branch doesn't carry the identical filter the two
+    # subtrees de-canonicalize and the events scan runs twice (q100's
+    # ReusedExchange lesson; verified in test_plans).
+    # The projection is deliberately NARROW — (id, group, cents) only,
+    # no raw value column. The stats branch consumes (group, cents);
+    # if the row branch carried an extra column, column pruning would
+    # give the two branches different projections below the exchange
+    # and de-canonicalize the diamond (observed: second full events
+    # scan). The caller gets cents back; value = cents/100 exactly.
+    s = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            (F.col(value_col).cast("decimal(18,2)") * 100).cast("long").alias("_y"),
+        )
+        .repartition(F.col(id_col))
+    )
+    stats = s.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    # Null-safe _y on purpose: the filter would otherwise infer
+    # isnotnull(_y) onto the row branch only (same de-canonicalization).
+    y_safe = F.coalesce(F.col("_y"), F.lit(0)).cast(big)
+    d = F.col("_n").cast(big) * y_safe - F.col("_sy").cast(big)
+    var_n2 = F.col("_n").cast(big) * F.col("_syy").cast(big) - F.col(
+        "_sy"
+    ).cast(big) * F.col("_sy").cast(big)
+    return (
+        s.join(F.broadcast(stats), group_col)
+        .filter(d * d > F.lit(nsigma * nsigma) * var_n2)
+        .select(id_col, group_col, F.col("_y").alias("value_cents"))
+    )

@@ -363,3 +363,76 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
         .orderBy(F.col("n_sessions").desc(), "path")
     )
+
+
+@declare(
+    "q131_value_trend_ols",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        FROM events),
+    agg AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM s GROUP BY event_type)
+    SELECT event_type, n,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope_cents_per_day
+    FROM agg
+    ORDER BY event_type
+    """,
+    doc="Per-type OLS value trend ('is checkout value drifting?'). "
+    "The five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact "
+    "integers — x in whole days, y in cents — so the single "
+    "partial-agg'd groupBy is shuffle-order-independent, and the "
+    "closed-form slope is ONE IEEE division of two exactly-computed "
+    "integer operands (bit-identical across engines; no libm, no "
+    "running-mean float state). Shuffle = |event types| rows of five "
+    "bigint sums. Degenerate x spread emits NULL, not a crash.",
+    tags=("agg", "events", "stats"),
+)
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.events import value_trend
+
+    e = load(spark, sf, "events")
+    return value_trend(e, "event_type").orderBy("event_type")
+
+
+@declare(
+    "q132_zscore_anomalies",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        FROM events),
+    st AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(y) AS sy, SUM(y * y) AS syy
+        FROM s GROUP BY event_type)
+    SELECT event_id, s.event_type, y AS value_cents
+    FROM s JOIN st ON s.event_type = st.event_type
+    WHERE (n * y - sy) * (n * y - sy) > 9 * (n * syy - sy * sy)
+    ORDER BY event_id
+    """,
+    doc="Exact 3-sigma outlier report per event type. The z-test is "
+    "pure integer algebra — (n·y − Σy)² > 9·(n·Σy² − Σy·Σy) in "
+    "DECIMAL(38,0) cents — no square roots, no IEEE boundary to flip "
+    "between engines. Plan: the narrow (id, type, cents) projection "
+    "is built once behind one uniform exchange; the stats branch "
+    "partial-aggs it to |types| rows broadcast back onto the row "
+    "branch — ONE events scan via ReusedExchange (the projection is "
+    "deliberately narrow: an extra column would let pruning "
+    "de-canonicalize the diamond; asserted in test_plans).",
+    tags=("events", "stats", "subquery"),
+)
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.events import zscore_anomalies
+
+    e = load(spark, sf, "events")
+    return zscore_anomalies(e, "event_type").orderBy("event_id")

@@ -57,3 +57,29 @@ def test_transition_counts_and_shares(spark):
     # from 'b': only b->a -> 10000 bp
     assert out[("b", "a")] == (1, 10000)
     assert len(out) == 3
+
+
+def test_value_trend_exact_slope(spark, sf_dir):
+    """OLS slope on a hand-built frame: y = 100 + 50x cents exactly."""
+    from kaflow_spark.operators.events import value_trend
+
+    rows = [("a", f"2024-01-{d+1:02d} 00:00:00", (100 + 50 * d) / 100.0) for d in range(5)]
+    rows += [("b", "2024-01-01 00:00:00", 7.00)]  # degenerate x spread
+    df = spark.createDataFrame(rows, "event_type string, ts string, value double")
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    out = {r["event_type"]: r for r in value_trend(df, "event_type").collect()}
+    assert out["a"]["slope_cents_per_day"] == 50.0
+    assert out["a"]["n"] == 5
+    assert out["b"]["slope_cents_per_day"] is None
+
+
+def test_zscore_anomalies_flags_only_outlier(spark, sf_dir):
+    """One wild value among near-constant ones is the only row out."""
+    from kaflow_spark.operators.events import zscore_anomalies
+
+    rows = [(i, "t", 10.00 + (i % 3) / 100.0) for i in range(50)]
+    rows.append((99, "t", 500.00))
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    out = zscore_anomalies(df, "event_type").collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["value_cents"] == 50000

@@ -353,3 +353,20 @@ def test_q130_single_lineitem_scan_scalar_diamond(spark, sf_dir):
         assert has_broadcast_join(df)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q132_single_events_scan_stats_diamond(spark, sf_dir):
+    """z-score outliers: the narrow (id, type, cents) projection is
+    shared by the stats branch and the row branch — one events scan
+    via ReusedExchange, |types|-row stats broadcast back."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q132_zscore_anomalies"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert "ReusedExchange" in plan
+        assert plan.count("events") == 1
+        assert has_broadcast_join(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -195,6 +195,28 @@ HEADLINERS: dict[str, str] = {
         "SortAggregate; still partial-agg'd, so the exchange carries "
         "aggregate rows only). No window operator, no per-row shuffle."
     ),
+    "q129_tpch_q2_min_cost_supplier": (
+        "Q2's correlated MIN as a self diamond: the derived "
+        "(part,supp) min-unit-price aggregate is built once — its "
+        "lineitem exchange feeds BOTH the per-part MIN branch and the "
+        "row branch as ReusedExchange (the branches re-run only the "
+        "cheap aggregate above it). Part and the region-pruned "
+        "supplier dim broadcast INTO the shared subtree, so the "
+        "pruning happens before the only fact shuffle; the cost "
+        "equality is null-safe so constraint inference cannot "
+        "de-canonicalize the diamond. Top-100 is "
+        "TakeOrderedAndProject — per-partition heaps, no global sort."
+    ),
+    "q130_tpch_q11_important_stock": (
+        "Q11's HAVING-over-total as a scalar diamond: the per-part "
+        "value aggregate (lineitem shuffled once, on l_partkey, after "
+        "the broadcast supplier prune) feeds both the 1-row "
+        "(cnt,total) reduction and the output rows; the scalar comes "
+        "back as a broadcast cross join and the threshold test is "
+        "exact DECIMAL(38,0) cents algebra — no IEEE division, no "
+        "boundary flips between engines. One fact scan via "
+        "ReusedExchange."
+    ),
 }
 
 
