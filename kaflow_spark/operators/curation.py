@@ -791,6 +791,102 @@ def shuffle_shards(
     )
 
 
+def word_gram_array(words_col: str, n: int) -> F.Column:
+    """Array of space-joined word n-grams from an ALREADY-MATERIALIZED
+    words-array column. The array must be its own projection before
+    this is applied — an inline split inside the lambda re-evaluates
+    per element (the measured 19x trap, see word_ngrams above). Docs
+    with fewer than ``n`` words yield an empty array."""
+    w = words_col
+    terms = ", ".join(f"{w}[i + {k - 1}]" for k in range(1, n + 1))
+    return F.expr(
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"transform(sequence(0, size({w}) - {n}), i -> concat_ws(' ', {terms})) "
+        "ELSE array() END"
+    )
+
+
+def ngram_surprisal(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-document mean word-n-gram surprisal in integer basis points
+    — the n-gram-LM generalization of :func:`unigram_surprisal` (n=2
+    is the classic bigram LM quality signal: documents whose word
+    PAIRS are corpus-rare score high even when every individual word
+    is common — garbled or shuffled text lights up here). Surprisal
+    per gram is the EXACT floor-log2 of corpus-total/gram-count
+    (``length(bin(total // count)) - 1`` — pure integer arithmetic,
+    bit-identical across engines, no libm log). Emits
+    ``(id, ngrams, bits_bp)`` for documents with >= 1 n-gram;
+    ``bits_bp = sum(count * bits) * 10000 // ngrams``.
+
+    Shape at scale: the (id, gram) count frame is computed once and
+    feeds both the corpus gram totals and the per-doc rollup — the
+    same diamond as the unigram operator, with the gram exchange as
+    the shared subtree; the grand total is a 1-row broadcast. Shuffled
+    rows are (gram, count) pairs, never text."""
+    from kaflow_spark.functions.textstats import int_div
+
+    words = df.select(
+        F.col(id_col).alias("_id"), _tokens(text_col).alias("_w")
+    )
+    per = (
+        words.select("_id", F.explode(word_gram_array("_w", n)).alias("gram"))
+        .groupBy("_id", "gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    totals = per.groupBy("gram").agg(F.sum("_c").alias("_tc"))
+    grand = totals.agg(F.sum("_tc").alias("_g"))
+    bits = (
+        F.length(F.bin(int_div(F.col("_g"), F.col("_tc")))) - 1
+    ).cast("bigint")
+    return (
+        per.join(totals, "gram")
+        .crossJoin(F.broadcast(grand))
+        .select("_id", "_c", bits.alias("_bits"))
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").alias("ngrams"),
+            F.sum(F.col("_c") * F.col("_bits")).alias("_wb"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "ngrams",
+            int_div(F.col("_wb") * 10000, F.col("ngrams")).alias("bits_bp"),
+        )
+    )
+
+
+def ngram_diversity(
+    df: DataFrame, group_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-group n-gram diversity: distinct word-n-grams over total
+    word-n-grams in integer basis points — the standard
+    repetitiveness/mode-collapse check run per source or per model
+    snapshot (a self-BLEU-style signal without the pairwise BLEU
+    cost). Low diversity_bp = the group keeps repeating the same
+    phrases.
+
+    Shape at scale: explode grams scan-side, then ONE groupBy(group)
+    with count + two-phase count_distinct — Spark expands the
+    distinct aggregate into (group, gram) partial dedup before the
+    final count, so the shuffle carries distinct pairs, never text or
+    repeated grams."""
+    from kaflow_spark.functions.textstats import int_div
+
+    words = df.select(F.col(group_col), _tokens(text_col).alias("_w"))
+    grams = words.select(
+        group_col, F.explode(word_gram_array("_w", n)).alias("gram")
+    )
+    return grams.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_ngrams"),
+        F.count_distinct(F.col("gram")).cast("bigint").alias("distinct_ngrams"),
+        int_div(
+            F.count_distinct(F.col("gram")) * 10000, F.count(F.lit(1))
+        ).alias("diversity_bp"),
+    )
+
+
 __all__ = [
     "contamination_overlaps",
     "quota_per_key",
@@ -810,6 +906,9 @@ __all__ = [
     "retention_funnel",
     "tfidf_top_terms",
     "unigram_surprisal",
+    "word_gram_array",
+    "ngram_surprisal",
+    "ngram_diversity",
     "cross_split_pairs",
     "split_counts_exact",
     "shuffle_shards",

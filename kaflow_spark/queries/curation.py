@@ -779,3 +779,81 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
     return shuffle_shards(d, "doc_id", n_shards=8, seed="42").orderBy(
         "shard", "pos"
     )
+
+
+@declare(
+    "q133_bigram_surprisal",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
+        FROM documents),
+    bi AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS gram
+        FROM w WHERE len(w) >= 2),
+    per AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bi GROUP BY doc_id, gram),
+    tc AS (SELECT gram, CAST(SUM(c) AS BIGINT) AS tc
+           FROM per GROUP BY gram),
+    g AS (SELECT CAST(SUM(tc) AS BIGINT) AS g FROM tc),
+    b AS (
+        SELECT per.doc_id, per.c,
+               CAST(LENGTH(bin(g.g // tc.tc)) - 1 AS BIGINT) AS bits
+        FROM per JOIN tc USING (gram), g)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS ngrams,
+           (CAST(SUM(c * bits) AS BIGINT) * 10000)
+               // CAST(SUM(c) AS BIGINT) AS bits_bp
+    FROM b GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Per-document mean BIGRAM surprisal (basis points) — the "
+    "2-gram-LM quality signal q89 can't see: shuffled or garbled "
+    "text whose individual words are common still has corpus-rare "
+    "word PAIRS, so it scores high here. Same exact floor-log2 "
+    "integer formulation (length(bin(total // count)) - 1, no libm); "
+    "bigrams are built map-side from the materialized words array "
+    "(inline split in the lambda would re-split per element — the "
+    "measured 19x trap). The (id, gram) count frame feeds both the "
+    "corpus totals and the per-doc rollup; shuffles carry (gram, "
+    "count) pairs, never text.",
+    tags=("curation", "text"),
+)
+def q133(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import ngram_surprisal
+
+    d = load(spark, sf, "documents")
+    return ngram_surprisal(d, "doc_id", "text", n=2).orderBy("doc_id")
+
+
+@declare(
+    "q134_ngram_diversity",
+    oracle="""
+    WITH w AS (
+        SELECT source, regexp_extract_all(text, '\\S+') AS w
+        FROM documents),
+    tri AS (
+        SELECT source,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS gram
+        FROM w WHERE len(w) >= 3)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+           (CAST(COUNT(DISTINCT gram) AS BIGINT) * 10000) // COUNT(*)
+               AS diversity_bp
+    FROM tri GROUP BY source ORDER BY source
+    """,
+    doc="Per-source word-3-gram diversity (distinct/total in basis "
+    "points) — the repetitiveness / mode-collapse check run per "
+    "source or per generator snapshot; a self-BLEU-style signal "
+    "without the O(n²) pairwise cost. Plan: grams explode scan-side, "
+    "then one groupBy(source) whose count_distinct expands to a "
+    "(source, gram) partial dedup before the final count — the "
+    "shuffle carries distinct pairs, never repeated grams or text.",
+    tags=("curation", "text"),
+)
+def q134(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import ngram_diversity
+
+    d = load(spark, sf, "documents")
+    return ngram_diversity(d, "source", "text", n=3).orderBy("source")
