@@ -76,3 +76,84 @@ def running_aggregate(
     return df.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def streaming_zscore_anomalies(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "event_id",
+    value_col: str = "value",
+    nsigma: int = 3,
+    *,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.events.zscore_anomalies``: per-key
+    running (n, Σcents, Σcents²) carried across micro-batches, each
+    batch's rows tested against the stats AS OF the end of that batch
+    with the same exact integer algebra as the batch operator —
+    (n·y − Σy)² > k²·(n·Σy² − Σy·Σy) in Python ints (unbounded, so no
+    38-digit ceiling here).
+
+    Early batches see fewer stats than the batch twin (online
+    semantics — a replay of the full history converges to q132's
+    answer); rows in a group with n < 2 are never flagged. State is
+    three ints per key, evicted by the optional processing timeout.
+
+    On a batch frame this falls back to the exact batch operator so
+    one pipeline definition serves both postures."""
+    if not df.isStreaming:
+        from kaflow_spark.operators.events import zscore_anomalies
+
+        return zscore_anomalies(
+            df, group_col, id_col=id_col, value_col=value_col, nsigma=nsigma
+        )
+
+    out_schema = f"{id_col} bigint, {group_col} string, value_cents bigint"
+    state_schema = "n bigint, sy bigint, syy bigint"
+    k2 = nsigma * nsigma
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, sy, syy = state.get if state.exists else (0, 0, 0)
+        batches = []
+        for pdf in pdfs:
+            # Exact cents: values arrive as 2-decimal doubles; round
+            # half-up matches the batch DECIMAL(18,2) cast.
+            cents = (pdf[value_col] * 100).round().astype("int64")
+            n += len(cents)
+            sy += int(cents.sum())
+            syy += int((cents * cents).sum())
+            batches.append(pd.DataFrame({id_col: pdf[id_col], "cents": cents, group_col: key[0]}))
+        state.update((n, sy, syy))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if n < 2:
+            return
+        var_n2 = n * syy - sy * sy
+        for b in batches:
+            d = n * b["cents"].astype(object) - sy
+            flag = (d * d) > (k2 * var_n2)
+            hits = b[flag]
+            if len(hits):
+                yield pd.DataFrame(
+                    {
+                        id_col: hits[id_col],
+                        group_col: hits[group_col],
+                        "value_cents": hits["cents"],
+                    }
+                )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

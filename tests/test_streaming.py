@@ -333,3 +333,44 @@ def test_tumbling_ohlc_bars_append(spark, tdir):
         assert bar["n_events"] == 3
     finally:
         q.stop()
+
+
+def test_streaming_zscore_anomalies_flags_outlier(spark, tdir):
+    from kaflow_spark.streaming.stateful import streaming_zscore_anomalies
+
+    name = f"z_{uuid.uuid4().hex[:8]}"
+    ddl = "event_id bigint, event_type string, value double"
+    path = tdir
+
+    def chunk(rows):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode("append").parquet(path)
+
+    # batch 1: 40 near-constant values — nothing flagged
+    chunk([(i, "t", 10.00 + (i % 3) / 100.0) for i in range(40)])
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    out = streaming_zscore_anomalies(stream, "event_type")
+    q = out.writeStream.format("memory").queryName(name).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        assert spark.sql(f"SELECT * FROM {name}").count() == 0
+        # batch 2: one wild value against the accumulated state
+        chunk([(99, "t", 500.00)])
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        assert [(r["event_id"], r["value_cents"]) for r in rows] == [(99, 50000)]
+    finally:
+        q.stop()
+
+
+def test_streaming_zscore_batch_fallback_matches_q132(spark, sf_dir):
+    """One definition, two postures: the batch fallback IS q132."""
+    from kaflow_spark.catalog import load
+    from kaflow_spark.streaming.stateful import streaming_zscore_anomalies
+    from kaflow_spark.operators.events import zscore_anomalies
+
+    e = load(spark, sf_dir, "events")
+    a = sorted(tuple(r) for r in streaming_zscore_anomalies(e, "event_type").collect())
+    b = sorted(tuple(r) for r in zscore_anomalies(e, "event_type").collect())
+    assert a == b
