@@ -887,6 +887,99 @@ def ngram_diversity(
     )
 
 
+def lexical_retrieval_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    qid_col: str,
+    qtext_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Sparse lexical retrieval: top-``k`` corpus documents per query
+    by an integer-exact TF-IDF dot product — the text-side analog of
+    cosine top-k (and the retrieval step behind lexical decontam /
+    RAG-style nearest-text lookups). Per shared term t the
+    contribution is ``qtf(t) * dtf(t) * bits(t)^2`` with
+    ``bits(t) = length(bin(ndocs // df(t)))`` — an exact floor-log2
+    idf (+1), so scores are pure bigint and rank ties break on doc id.
+    Self-matches (same id on both sides) are excluded.
+
+    Shape at scale: the corpus postings aggregate (id, token, tf) is
+    built once; its exchange feeds BOTH the document-frequency rollup
+    and the scoring join (ReusedExchange — the join's token key is
+    null-safe so constraint inference cannot split the diamond). The
+    query side is assumed small (a benchmark / probe set): its
+    weighted postings BROADCAST into the corpus postings, scoring is
+    partial-agg'd map-side to (qid, doc_id, score), and the final
+    top-k is one window per query id. The corpus never shuffles text
+    — only (id, token, tf) triples move."""
+    from kaflow_spark.functions.textstats import int_div
+
+    dpost = (
+        corpus.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("_did"), F.explode(_tokens(text_col)).alias("token"))
+        .groupBy("_did", "token")
+        .agg(F.count(F.lit(1)).alias("_dtf"))
+    )
+    # sum(least(_dtf, 1)) == count(*) here (tf >= 1 by construction),
+    # but unlike count it makes _dtf's VALUE load-bearing, so the
+    # optimizer cannot prune the count function out of the shared
+    # dpost aggregate — a pruned keys-only aggregate in this branch
+    # would differ canonically from the scoring branch's and the
+    # documents explode would run twice (count(_dtf) is rewritten to
+    # count(1) and pruned the same way; same failure family as q132's
+    # narrow-projection rule; asserted in test_plans).
+    dfreq = dpost.groupBy("token").agg(
+        F.sum(F.least(F.col("_dtf"), F.lit(1))).alias("_df")
+    )
+    ndocs = corpus.agg(F.count(F.lit(1)).alias("_ndocs"))
+    qpost = (
+        queries.select(
+            F.col(qid_col).alias("_qid"), F.explode(_tokens(qtext_col)).alias("token")
+        )
+        .groupBy("_qid", "token")
+        .agg(F.count(F.lit(1)).alias("_qtf"))
+    )
+    bits = F.length(F.bin(int_div(F.col("_ndocs"), F.col("_df")))).cast("bigint")
+    qw = (
+        # Null-safe on the DFREQ side: a bare token equality would
+        # infer isnotnull(token) below dfreq's aggregate and into its
+        # copy of dpost, de-canonicalizing the diamond. With the
+        # expression on dfreq's side, inference lands on the (cheap,
+        # separate-scan) qpost attribute instead.
+        qpost.join(
+            dfreq.withColumn("_tokf", F.coalesce(F.col("token"), F.lit(""))).drop(
+                "token"
+            ),
+            F.col("_tokf") == F.col("token"),
+        )
+        .crossJoin(F.broadcast(ndocs))
+        .select("_qid", "token", (F.col("_qtf") * bits * bits).alias("_qw"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("score").desc(), F.col("_did"))
+    return (
+        dpost.withColumn("_tok", F.coalesce(F.col("token"), F.lit("")))
+        .join(
+            F.broadcast(qw.withColumn("_tok", F.coalesce(F.col("token"), F.lit("")))).drop(
+                "token"
+            ),
+            "_tok",
+        )
+        .filter(F.col("_did") != F.col("_qid"))
+        .groupBy("_qid", "_did")
+        .agg(F.sum(F.col("_qw") * F.col("_dtf")).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("_did").alias(id_col),
+            F.col("score").cast("bigint").alias("score"),
+        )
+    )
+
+
 __all__ = [
     "contamination_overlaps",
     "quota_per_key",
@@ -909,6 +1002,7 @@ __all__ = [
     "word_gram_array",
     "ngram_surprisal",
     "ngram_diversity",
+    "lexical_retrieval_topk",
     "cross_split_pairs",
     "split_counts_exact",
     "shuffle_shards",

@@ -857,3 +857,61 @@ def q134(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents")
     return ngram_diversity(d, "source", "text", n=3).orderBy("source")
+
+
+@declare(
+    "q135_lexical_retrieval_topk",
+    oracle="""
+    WITH dpost AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS dtf
+        FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+              FROM documents) t
+        GROUP BY doc_id, token),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+              FROM dpost GROUP BY token),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndocs FROM documents),
+    qpost AS (
+        SELECT doc_id AS qid, token, CAST(COUNT(*) AS BIGINT) AS qtf
+        FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+              FROM documents WHERE doc_id % 97 = 0) t
+        GROUP BY doc_id, token),
+    qw AS (
+        SELECT qid, qpost.token,
+               qtf * CAST(LENGTH(bin(nd.ndocs // df)) AS BIGINT)
+                   * CAST(LENGTH(bin(nd.ndocs // df)) AS BIGINT) AS qwt
+        FROM qpost JOIN dfreq USING (token), nd),
+    sc AS (
+        SELECT qid, dpost.doc_id, CAST(SUM(qwt * dtf) AS BIGINT) AS score
+        FROM dpost JOIN qw USING (token)
+        WHERE dpost.doc_id <> qid
+        GROUP BY qid, dpost.doc_id),
+    r AS (SELECT qid, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, doc_id) AS rnk
+          FROM sc)
+    SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, doc_id, score
+    FROM r WHERE rnk <= 3
+    ORDER BY query_id, rank
+    """,
+    doc="Sparse lexical retrieval (BM25-family): top-3 corpus docs per "
+    "probe query by an integer-exact TF-IDF dot product — the "
+    "text-side analog of q38's cosine top-k and the retrieval step "
+    "behind lexical decontamination and RAG-style lookups. Term "
+    "weight = exact floor-log2 idf squared; scores are pure bigint "
+    "(rank ties break on doc_id), so the oracle hashes exactly. "
+    "Plan: corpus postings aggregate built ONCE (its exchange feeds "
+    "both the document-frequency rollup and the scoring join — "
+    "null-safe token key keeps the diamond canonical); the small "
+    "query side broadcasts weighted postings into the corpus, "
+    "scoring partial-aggs map-side to (query, doc, score), one "
+    "window per query for the top-k. Corpus text never shuffles.",
+    tags=("curation", "text", "similarity"),
+)
+def q135(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import lexical_retrieval_topk
+
+    d = load(spark, sf, "documents")
+    q = d.filter(F.col("doc_id") % 97 == 0)
+    return lexical_retrieval_topk(d, q, "doc_id", "text", "doc_id", "text", k=3).orderBy(
+        "query_id", "rank"
+    )

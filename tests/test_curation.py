@@ -409,3 +409,26 @@ def test_word_gram_array_short_docs_empty(spark):
         word_gram_array("w", 3).alias("g")
     ).collect()
     assert [r["g"] for r in out] == [[], [], []]
+
+
+def test_lexical_retrieval_ranks_shared_rare_terms(spark):
+    """The doc sharing the query's RARE term outranks one sharing only
+    a ubiquitous term; self-match is excluded."""
+    from kaflow_spark.operators.curation import lexical_retrieval_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "common zebra common"),
+            (2, "common common common"),
+            (3, "zebra zebra common"),
+            (4, "unrelated words only"),
+        ],
+        "doc_id bigint, text string",
+    )
+    q = corpus.filter("doc_id = 1")
+    out = lexical_retrieval_topk(
+        corpus, q, "doc_id", "text", "doc_id", "text", k=2
+    ).collect()
+    assert [r["doc_id"] for r in out] == [3, 2]  # zebra doc first, no self
+    assert out[0]["query_id"] == 1 and out[0]["rank"] == 1
+    assert out[0]["score"] > out[1]["score"]

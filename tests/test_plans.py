@@ -370,3 +370,22 @@ def test_q132_single_events_scan_stats_diamond(spark, sf_dir):
         assert has_broadcast_join(df)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q135_single_corpus_explode_postings_diamond(spark, sf_dir):
+    """Lexical retrieval: the corpus postings aggregate feeds both the
+    document-frequency rollup and the scoring join — ONE full-corpus
+    explode via ReusedExchange (the dfreq count is expressed as
+    sum(least(tf,1)) so the shared aggregate cannot be pruned apart;
+    the remaining Generate is the small query side)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q135_lexical_retrieval_topk"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert "ReusedExchange" in plan
+        assert plan.count("Generate") == 2  # full corpus once + query side
+        assert has_broadcast_join(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
