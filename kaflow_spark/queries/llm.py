@@ -1092,3 +1092,75 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
     return joined.select(
         "user_id", "cutoff", F.col("ts_right").alias("last_ts")
     ).orderBy("user_id", "cutoff")
+
+
+@declare(
+    "q136_quality_deciles",
+    oracle=f"""
+    WITH {_quality_components_cte()},
+    s AS (SELECT doc_id, {_QSCORE_EXPR} AS score_bp FROM c),
+    cnt AS (SELECT score_bp, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM s GROUP BY score_bp),
+    b AS (SELECT score_bp,
+                 SUM(cnt) OVER (ORDER BY score_bp
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - cnt AS cume,
+                 SUM(cnt) OVER () AS n
+          FROM cnt),
+    m AS (SELECT score_bp,
+                 LEAST(10, 1 + (10 * cume) // n) AS decile
+          FROM b)
+    SELECT s.doc_id, s.score_bp, CAST(m.decile AS BIGINT) AS decile
+    FROM s JOIN m USING (score_bp)
+    ORDER BY doc_id
+    """,
+    doc="Exact global decile bucketing of the corpus quality score — "
+    "the curriculum/difficulty-tier assignment step, computed WITHOUT "
+    "a global sort (NTILE over 100 TB would single-task the corpus). "
+    "Same scale-safe selector family as q100: scores partial-agg to "
+    "the bounded |distinct score_bp| count table map-side, the "
+    "cumulative window runs over THAT table (<= 10001 rows — one "
+    "light task), and decile = least(10, 1 + 10*cume_below // n) in "
+    "exact integers. The tiny bucket map broadcasts back onto the "
+    "score frame; both join keys are null-safe coalesce expressions "
+    "so constraint inference folds away and the expensive score "
+    "projection evaluates ONCE (ReusedExchange, q100's lesson — here "
+    "BOTH sides of the join descend from the shared subtree, so a "
+    "one-sided trick is not enough).",
+    tags=("curation", "text", "window"),
+)
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    s = (
+        load(spark, sf, "documents")
+        .select("doc_id", quality_score_bp(F.col("text")).alias("score_bp"))
+        .repartition(F.col("doc_id"))
+    )
+    counts = s.groupBy("score_bp").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("score_bp").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("score_bp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    buckets = counts.select(
+        F.col("score_bp").alias("_mb"),
+        (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("_cume"),
+        F.sum("cnt").over(w_all).alias("_n"),
+    ).select(
+        "_mb",
+        F.least(
+            F.lit(10), F.lit(1) + int_div(10 * F.col("_cume"), F.col("_n"))
+        ).alias("decile"),
+    )
+    sentinel = F.lit(-(2**62))
+    return (
+        s.join(
+            F.broadcast(buckets),
+            F.coalesce(F.col("score_bp"), sentinel)
+            == F.coalesce(F.col("_mb"), sentinel),
+        )
+        .select("doc_id", "score_bp", F.col("decile").cast("bigint").alias("decile"))
+        .orderBy("doc_id")
+    )

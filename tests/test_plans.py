@@ -389,3 +389,20 @@ def test_q135_single_corpus_explode_postings_diamond(spark, sf_dir):
         assert has_broadcast_join(df)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q136_single_scan_decile_diamond(spark, sf_dir):
+    """Exact decile bucketing: the scored frame feeds both the count
+    table (window over <= 10001 rows) and the bucket-map join — one
+    documents scan via ReusedExchange; both join keys are coalesce
+    expressions so constraint inference folds away on BOTH branches."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q136_quality_deciles"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert "ReusedExchange" in plan
+        assert plan.count("documents") == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
