@@ -1164,3 +1164,87 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "score_bp", F.col("decile").cast("bigint").alias("decile"))
         .orderBy("doc_id")
     )
+
+
+@declare(
+    "q137_cluster_canonical_keeper",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_EXACT_JACCARD_SQL.replace("ORDER BY id_a, id_b", "")}),
+    reach(node, label) AS (
+        SELECT id_a, id_a FROM pairs
+        UNION
+        SELECT id_b, id_b FROM pairs
+        UNION
+        SELECT e.b, r.label
+        FROM reach r JOIN (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM pairs) e
+        ON e.a = r.node),
+    cl AS (SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+           FROM reach GROUP BY node),
+    {_quality_components_cte()},
+    s AS (SELECT doc_id, {_QSCORE_EXPR} AS score_bp FROM c),
+    j AS (SELECT cl.cluster_id, cl.doc_id, s.score_bp,
+                 s.score_bp * 1000000000000 - (cl.doc_id + 1) AS argkey
+          FROM cl JOIN s USING (doc_id))
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST((MAX(argkey) // 1000000000000 + 1) * 1000000000000
+                - MAX(argkey) - 1 AS BIGINT) AS keeper_id,
+           CAST(MAX(argkey) // 1000000000000 + 1 AS BIGINT)
+               AS keeper_score_bp
+    FROM j GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+    doc="Canonical-representative selection per near-dup cluster — the "
+    "step a dedup pipeline runs after q83's labeling: keep the "
+    "highest-quality member (ties -> smallest doc_id). The argmax is "
+    "ONE aggregation pass via an integer-encoded key "
+    "(score_bp * 10^12 - (doc_id + 1): score majorizes, negated id "
+    "breaks ties upward == smallest id; exact decode by integer "
+    "division) — a two-branch max-then-join formulation would "
+    "re-evaluate the whole LSH pipeline per branch. Bound: doc_id < "
+    "10^12 (fixture and typical shard-local ids; at larger id spaces "
+    "widen the stride or switch the Spark side to max_by(struct) and "
+    "the oracle to a window argmax). Cluster ids/sizes and keeper "
+    "come out of a single groupBy over the (tiny) cluster-member "
+    "frame; the corpus-side quality scores join in by doc_id before "
+    "the aggregate.",
+    tags=("dedup", "curation"),
+)
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.dedup import ngram_jaccard_pairs, shingle_frame
+    from kaflow_spark.operators.graph import connected_components
+
+    d = load(spark, sf, "documents")
+    sh = shingle_frame(d, "doc_id", "text", 5)
+    cand = (
+        minhash_lsh_candidates(d, "doc_id", "text", min_bands=2, shingles=sh)
+        .filter(F.col("est_jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    pairs = ngram_jaccard_pairs(d, cand, "doc_id", "text", shingles=sh).filter(
+        F.col("jaccard") >= 0.9
+    )
+    cc = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    scores = d.select("doc_id", quality_score_bp(F.col("text")).alias("score_bp"))
+    stride = F.lit(10**12)
+    j = scores.join(F.broadcast(cc), "doc_id").select(
+        "cluster_id",
+        (F.col("score_bp") * stride - (F.col("doc_id") + 1)).alias("argkey"),
+    )
+    mk = F.max("argkey")
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            ((F.floor(mk / stride) + 1) * stride - mk - 1)
+            .cast("bigint")
+            .alias("keeper_id"),
+            (F.floor(mk / stride) + 1).cast("bigint").alias("keeper_score_bp"),
+        )
+        .orderBy("cluster_id")
+    )
