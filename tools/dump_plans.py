@@ -207,6 +207,28 @@ HEADLINERS: dict[str, str] = {
         "de-canonicalize the diamond. Top-100 is "
         "TakeOrderedAndProject — per-partition heaps, no global sort."
     ),
+    "q135_lexical_retrieval_topk": (
+        "Sparse lexical retrieval: the corpus postings aggregate is "
+        "built once — ReusedExchange feeds both the document-frequency "
+        "rollup and the scoring join (the dfreq count is written as "
+        "sum(least(tf,1)) because a plain count() gets pruned out of "
+        "the shared aggregate, de-canonicalizing the diamond and "
+        "doubling the corpus explode). The query side broadcasts "
+        "weighted postings; scoring partial-aggs map-side to "
+        "(query, doc, score); the per-query top-k runs as "
+        "WindowGroupLimit (partial per-partition + final), never a "
+        "global sort."
+    ),
+    "q136_quality_deciles": (
+        "Exact global deciles WITHOUT a global sort: the expensive "
+        "score projection is shared (one scan) between the bounded "
+        "|distinct score_bp| count table — whose cumulative window is "
+        "one light task over <= 10001 rows — and the final bucket "
+        "join; the tiny bucket map broadcasts back. BOTH join keys "
+        "are coalesce expressions: both sides descend from the shared "
+        "subtree, so constraint inference on either attribute would "
+        "split the diamond."
+    ),
     "q130_tpch_q11_important_stock": (
         "Q11's HAVING-over-total as a scalar diamond: the per-part "
         "value aggregate (lineitem shuffled once, on l_partkey, after "
