@@ -157,3 +157,72 @@ def streaming_zscore_anomalies(
     return df.groupBy(group_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def streaming_value_trend(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    base_date: str = "2024-01-01",
+    *,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.events.value_trend``: the five OLS
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) are MERGEABLE integer
+    sums, so per-key state is just those five ints updated per batch;
+    the emitted slope after each batch equals the batch operator run
+    over everything seen so far (same closed form, one IEEE division).
+    Degenerate x spread emits a NULL slope.
+
+    On a batch frame this falls back to the exact batch operator so
+    one pipeline definition serves both postures."""
+    if not df.isStreaming:
+        from kaflow_spark.operators.events import value_trend
+
+        return value_trend(
+            df, group_col, ts_col=ts_col, value_col=value_col, base_date=base_date
+        )
+
+    import datetime as _dt
+
+    out_schema = f"{group_col} string, n bigint, slope_cents_per_day double"
+    state_schema = "n bigint, sx bigint, sy bigint, sxy bigint, sxx bigint"
+    base = _dt.date.fromisoformat(base_date)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, sx, sy, sxy, sxx = state.get if state.exists else (0, 0, 0, 0, 0)
+        for pdf in pdfs:
+            x = (
+                pd.to_datetime(pdf[ts_col]).dt.date.map(lambda d: (d - base).days)
+            ).astype("int64")
+            y = (pdf[value_col] * 100).round().astype("int64")
+            n += len(pdf)
+            sx += int(x.sum())
+            sy += int(y.sum())
+            sxy += int((x * y).sum())
+            sxx += int((x * x).sum())
+        state.update((n, sx, sy, sxy, sxx))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        den = n * sxx - sx * sx
+        slope = float(n * sxy - sx * sy) / float(den) if den else None
+        yield pd.DataFrame(
+            [{group_col: key[0], "n": n, "slope_cents_per_day": slope}]
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

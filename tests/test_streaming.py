@@ -374,3 +374,37 @@ def test_streaming_zscore_batch_fallback_matches_q132(spark, sf_dir):
     a = sorted(tuple(r) for r in streaming_zscore_anomalies(e, "event_type").collect())
     b = sorted(tuple(r) for r in zscore_anomalies(e, "event_type").collect())
     assert a == b
+
+
+def test_streaming_value_trend_converges_to_batch(spark, tdir):
+    """After all batches arrive, the streamed slope equals the batch
+    operator over the same rows (mergeable sufficient statistics)."""
+    from kaflow_spark.streaming.stateful import streaming_value_trend
+    from kaflow_spark.operators.events import value_trend
+
+    name = f"vt_{uuid.uuid4().hex[:8]}"
+    ddl = "event_id bigint, event_type string, ts timestamp, value double"
+    rows1 = [(d, "t", _ts(f"2024-01-{d+1:02d} 00:00:00"), 1.00 + 0.25 * d)
+             for d in range(4)]
+    rows2 = [(d, "t", _ts(f"2024-01-{d+1:02d} 00:00:00"), 1.00 + 0.25 * d)
+             for d in range(4, 8)]
+    spark.createDataFrame(rows1, ddl).coalesce(1).write.mode("append").parquet(tdir)
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(tdir)
+    )
+    out = streaming_value_trend(stream, "event_type")
+    q = out.writeStream.format("memory").queryName(name).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, ddl).coalesce(1).write.mode("append").parquet(tdir)
+        q.processAllAvailable()
+        last = spark.sql(
+            f"SELECT * FROM {name} ORDER BY n DESC LIMIT 1"
+        ).collect()[0]
+        batch = value_trend(
+            spark.createDataFrame(rows1 + rows2, ddl), "event_type"
+        ).collect()[0]
+        assert last["n"] == batch["n"] == 8
+        assert last["slope_cents_per_day"] == batch["slope_cents_per_day"] == 25.0
+    finally:
+        q.stop()
