@@ -124,7 +124,11 @@ def value_trend(
     y = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
     big = "decimal(38,0)"
     stats = (
-        df.select(F.col(group_col), x.alias("_x"), y.alias("_y"))
+        # NULL ts/value rows are excluded OUTRIGHT (not silently
+        # counted in n while skipped by the sums, which would distort
+        # the slope and differ between engines' COUNT semantics).
+        df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(F.col(group_col), x.alias("_x"), y.alias("_y"))
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -160,7 +164,9 @@ def zscore_anomalies(
 ) -> DataFrame:
     """Events whose metric deviates more than ``nsigma`` standard
     deviations from their group mean — the outlier report behind
-    alerting and data-quality quarantine.
+    alerting and data-quality quarantine. NULL-valued events are
+    excluded from both the statistics and the candidate rows (a NULL
+    measurement is not a 0-cent measurement).
 
     Determinism: the z-test is pure integer algebra. With y in exact
     cents and per-group (n, Σy, Σy²), (y − μ)² > k²·σ² rewrites to
@@ -187,7 +193,7 @@ def zscore_anomalies(
     # and de-canonicalize the diamond (observed: second full events
     # scan). The caller gets cents back; value = cents/100 exactly.
     s = (
-        df.filter(F.col(group_col).isNotNull())
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
         .select(
             F.col(id_col),
             F.col(group_col),

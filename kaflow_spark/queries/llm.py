@@ -1098,7 +1098,8 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
     "q136_quality_deciles",
     oracle=f"""
     WITH {_quality_components_cte()},
-    s AS (SELECT doc_id, {_QSCORE_EXPR} AS score_bp FROM c),
+    s AS (SELECT doc_id, {_QSCORE_EXPR} AS score_bp
+          FROM c WHERE nch IS NOT NULL),
     cnt AS (SELECT score_bp, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM s GROUP BY score_bp),
     b AS (SELECT score_bp,
@@ -1133,7 +1134,11 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     s = (
+        # NULL text (-> NULL score) is excluded on both engines — the
+        # sentinel join below would otherwise match NULL rows to the
+        # NULL count-table row while the oracle's equi-join drops them.
         load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
         .select("doc_id", quality_score_bp(F.col("text")).alias("score_bp"))
         .repartition(F.col("doc_id"))
     )
@@ -1186,13 +1191,14 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     {_quality_components_cte()},
     s AS (SELECT doc_id, {_QSCORE_EXPR} AS score_bp FROM c),
     j AS (SELECT cl.cluster_id, cl.doc_id, s.score_bp,
-                 s.score_bp * 1000000000000 - (cl.doc_id + 1) AS argkey
+                 (s.score_bp + 100000) * 1000000000000 - (cl.doc_id + 1)
+                     AS argkey
           FROM cl JOIN s USING (doc_id))
     SELECT cluster_id,
            CAST(COUNT(*) AS BIGINT) AS cluster_size,
            CAST((MAX(argkey) // 1000000000000 + 1) * 1000000000000
                 - MAX(argkey) - 1 AS BIGINT) AS keeper_id,
-           CAST(MAX(argkey) // 1000000000000 + 1 AS BIGINT)
+           CAST(MAX(argkey) // 1000000000000 + 1 - 100000 AS BIGINT)
                AS keeper_score_bp
     FROM j GROUP BY cluster_id
     ORDER BY cluster_id
@@ -1201,16 +1207,21 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     "step a dedup pipeline runs after q83's labeling: keep the "
     "highest-quality member (ties -> smallest doc_id). The argmax is "
     "ONE aggregation pass via an integer-encoded key "
-    "(score_bp * 10^12 - (doc_id + 1): score majorizes, negated id "
-    "breaks ties upward == smallest id; exact decode by integer "
-    "division) — a two-branch max-then-join formulation would "
-    "re-evaluate the whole LSH pipeline per branch. Bound: doc_id < "
-    "10^12 (fixture and typical shard-local ids; at larger id spaces "
-    "widen the stride or switch the Spark side to max_by(struct) and "
-    "the oracle to a window argmax). Cluster ids/sizes and keeper "
-    "come out of a single groupBy over the (tiny) cluster-member "
-    "frame; the corpus-side quality scores join in by doc_id before "
-    "the aggregate.",
+    "((score_bp + 10^5) * 10^12 - (doc_id + 1): score majorizes, "
+    "negated id breaks ties upward == smallest id; exact decode by "
+    "integer division). The +10^5 offset keeps the key NON-NEGATIVE "
+    "(quality scores are bounded in ±2·10^4), which makes Spark's "
+    "truncating `div` equal DuckDB's floor `//` — and the decode uses "
+    "`div`, pure bigint arithmetic, NOT floor(a / b): long/long `/` "
+    "promotes to double and loses exactness past 2^53 (a review-caught "
+    "bug — keys reach ~10^17). A two-branch max-then-join formulation "
+    "would re-evaluate the whole LSH pipeline per branch. Bound: "
+    "doc_id < 10^12 (fixture and typical shard-local ids; at larger "
+    "id spaces widen the stride or switch the Spark side to "
+    "max_by(struct) and the oracle to a window argmax). Cluster "
+    "ids/sizes and keeper come out of a single groupBy over the "
+    "(tiny) cluster-member frame; the corpus-side quality scores "
+    "join in by doc_id before the aggregate.",
     tags=("dedup", "curation"),
 )
 def q137(spark: SparkSession, sf: str) -> DataFrame:
@@ -1234,17 +1245,31 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
     stride = F.lit(10**12)
     j = scores.join(F.broadcast(cc), "doc_id").select(
         "cluster_id",
-        (F.col("score_bp") * stride - (F.col("doc_id") + 1)).alias("argkey"),
+        ((F.col("score_bp") + 100000) * stride - (F.col("doc_id") + 1)).alias(
+            "argkey"
+        ),
     )
-    mk = F.max("argkey")
+    # Decode with bigint `div` (exact), never floor(a / b): long / long
+    # promotes to DOUBLE and argkey ~ 10^17 is past 2^53. The +100000
+    # offset in argkey keeps it non-negative, where truncating `div`
+    # equals the oracle's floor `//`.
     return (
         j.groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
-            ((F.floor(mk / stride) + 1) * stride - mk - 1)
+            F.max("argkey").alias("_mk"),
+        )
+        .select(
+            "cluster_id",
+            "cluster_size",
+            (
+                (F.expr("_mk div 1000000000000") + 1) * stride - F.col("_mk") - 1
+            )
             .cast("bigint")
             .alias("keeper_id"),
-            (F.floor(mk / stride) + 1).cast("bigint").alias("keeper_score_bp"),
+            (F.expr("_mk div 1000000000000") + 1 - 100000)
+            .cast("bigint")
+            .alias("keeper_score_bp"),
         )
         .orderBy("cluster_id")
     )

@@ -373,7 +373,8 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
                CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
                     AS BIGINT) AS x,
                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
-        FROM events),
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL),
     agg AS (
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
                SUM(x) AS sx, SUM(y) AS sy,
@@ -410,7 +411,8 @@ def q131(spark: SparkSession, sf: str) -> DataFrame:
     WITH s AS (
         SELECT event_id, event_type,
                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
-        FROM events),
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL),
     st AS (
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
                SUM(y) AS sy, SUM(y * y) AS syy

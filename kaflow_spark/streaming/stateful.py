@@ -78,6 +78,26 @@ def running_aggregate(
     )
 
 
+def _cents_half_up(values: "pd.Series") -> "pd.Series":
+    """Double -> exact cents with the SAME semantics as Spark's
+    ``CAST(value AS DECIMAL(18,2)) * 100`` (the batch twins' path):
+    BigDecimal of the double's shortest decimal representation,
+    HALF_UP (away from zero). A float ``(v * 100).round()`` is wrong
+    twice over — numpy rounds half-EVEN, and the multiply happens in
+    binary (0.615 * 100 = 61.4999…, which no rounding mode recovers
+    to 62). Per-row Python, but state-op batches are already
+    Python-side."""
+    import decimal as _d
+
+    def conv(x: float) -> int:
+        q = _d.Decimal(repr(float(x))).quantize(
+            _d.Decimal("0.01"), rounding=_d.ROUND_HALF_UP
+        )
+        return int(q * 100)
+
+    return values.map(conv).astype("int64")
+
+
 def streaming_zscore_anomalies(
     df: DataFrame,
     group_col: str,
@@ -91,8 +111,11 @@ def streaming_zscore_anomalies(
     running (n, Σcents, Σcents²) carried across micro-batches, each
     batch's rows tested against the stats AS OF the end of that batch
     with the same exact integer algebra as the batch operator —
-    (n·y − Σy)² > k²·(n·Σy² − Σy·Σy) in Python ints (unbounded, so no
-    38-digit ceiling here).
+    (n·y − Σy)² > k²·(n·Σy² − Σy·Σy). The COMPARISON runs in
+    unbounded Python ints, but the carried sums serialize into the
+    bigint state schema, so the per-key lifetime bound (~10^9 rows at
+    cent scale before Σy² nears 2^63) matches the batch operator's —
+    size eviction/timeouts accordingly.
 
     Early batches see fewer stats than the batch twin (online
     semantics — a replay of the full history converges to q132's
@@ -123,9 +146,9 @@ def streaming_zscore_anomalies(
         n, sy, syy = state.get if state.exists else (0, 0, 0)
         batches = []
         for pdf in pdfs:
-            # Exact cents: values arrive as 2-decimal doubles; round
-            # half-up matches the batch DECIMAL(18,2) cast.
-            cents = (pdf[value_col] * 100).round().astype("int64")
+            # NULL values are dropped exactly like the batch twin.
+            pdf = pdf[pdf[value_col].notna()]
+            cents = _cents_half_up(pdf[value_col])
             n += len(cents)
             sy += int(cents.sum())
             syy += int((cents * cents).sum())
@@ -200,10 +223,13 @@ def streaming_value_trend(
             return
         n, sx, sy, sxy, sxx = state.get if state.exists else (0, 0, 0, 0, 0)
         for pdf in pdfs:
+            # NULL ts/values are dropped exactly like the batch twin
+            # (filter BEFORE deriving x, so x and y stay aligned).
+            pdf = pdf[pdf[value_col].notna() & pdf[ts_col].notna()]
             x = (
                 pd.to_datetime(pdf[ts_col]).dt.date.map(lambda d: (d - base).days)
             ).astype("int64")
-            y = (pdf[value_col] * 100).round().astype("int64")
+            y = _cents_half_up(pdf[value_col])
             n += len(pdf)
             sx += int(x.sum())
             sy += int(y.sum())

@@ -370,21 +370,21 @@ def test_cross_split_pairs_filters_and_passthrough(spark):
 
 
 def test_ngram_surprisal_bigram_hand_example(spark):
-    """Two docs: shared bigram 'a b' (count 3 corpus-wide) vs unique
-    'c d'. total=4 grams; bits('a b') = floor(log2(4//3)) = 0,
-    bits('c d') = floor(log2(4//1)) = 2."""
+    """Corpus grams: doc1 -> 'a b','b a','a b'; doc2 -> 'c d'.
+    Totals: tc('a b')=2, tc('b a')=1, tc('c d')=1, grand total g=4.
+    bits = floor_log2(g // tc): 'a b' -> 1, 'b a' -> 2, 'c d' -> 2."""
     from kaflow_spark.operators.curation import ngram_surprisal
 
     df = spark.createDataFrame(
         [(1, "a b a b"), (2, "c d")], "doc_id bigint, text string"
     )
     out = {r["doc_id"]: r for r in ngram_surprisal(df, "doc_id", "text", 2).collect()}
-    # doc 1 grams: 'a b','b a','a b' -> counts: 'a b' tc=2 (wait: doc2
-    # has none of these) ... verified numerically below instead.
     assert out[1]["ngrams"] == 3
     assert out[2]["ngrams"] == 1
     # doc2's only bigram 'c d' is corpus-unique: bits = floor_log2(4//1) = 2
     assert out[2]["bits_bp"] == 20000
+    # doc1: (2 grams x 1 bit + 1 gram x 2 bits) * 10000 // 3 = 13333
+    assert out[1]["bits_bp"] == 13333
 
 
 def test_ngram_diversity_repetition_scores_low(spark):
@@ -432,3 +432,35 @@ def test_lexical_retrieval_ranks_shared_rare_terms(spark):
     assert [r["doc_id"] for r in out] == [3, 2]  # zebra doc first, no self
     assert out[0]["query_id"] == 1 and out[0]["rank"] == 1
     assert out[0]["score"] > out[1]["score"]
+
+
+def test_integer_argmax_key_decode_is_exact_past_2_53(spark):
+    """Regression (review-caught): q137's keeper decode must use bigint
+    `div`, not floor(a / b) — long/long `/` promotes to double and
+    argkeys ~10^17 lose exactness past 2^53. Verifies the exact
+    encode/decode round-trip at the adversarial point (high score,
+    doc_id=0) and for negative scores."""
+    from pyspark.sql import functions as F
+
+    rows = [(9500, 0), (9500, 1), (20000, 10**11), (-20000, 7), (0, 0)]
+    df = spark.createDataFrame(rows, "score_bp bigint, doc_id bigint")
+    stride = F.lit(10**12)
+    enc = df.select(
+        "score_bp",
+        "doc_id",
+        ((F.col("score_bp") + 100000) * stride - (F.col("doc_id") + 1)).alias(
+            "argkey"
+        ),
+    )
+    dec = enc.select(
+        "score_bp",
+        "doc_id",
+        ((F.expr("argkey div 1000000000000") + 1) * stride - F.col("argkey") - 1)
+        .cast("bigint")
+        .alias("id2"),
+        (F.expr("argkey div 1000000000000") + 1 - 100000)
+        .cast("bigint")
+        .alias("score2"),
+    )
+    for r in dec.collect():
+        assert r["id2"] == r["doc_id"] and r["score2"] == r["score_bp"], r

@@ -408,3 +408,25 @@ def test_streaming_value_trend_converges_to_batch(spark, tdir):
         assert last["slope_cents_per_day"] == batch["slope_cents_per_day"] == 25.0
     finally:
         q.stop()
+
+
+def test_streaming_cents_match_batch_decimal_cast(spark):
+    """Regression (review-caught): streaming cents must match Spark's
+    CAST(double AS DECIMAL(18,2))*100 — HALF_UP on the shortest
+    decimal representation. (v*100).round() fails both on half-cents
+    (numpy half-even: 10.125 -> 1012) and on binary drift
+    (0.615*100 = 61.4999… -> 61)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from kaflow_spark.streaming.stateful import _cents_half_up
+
+    vals = [10.125, 0.615, -10.125, 2.675, 185.22, 0.005, -0.005]
+    got = list(_cents_half_up(pd.Series(vals)))
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    want = [
+        r["c"]
+        for r in df.select(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c")
+        ).collect()
+    ]
+    assert got == want, (got, want)

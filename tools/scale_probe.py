@@ -274,7 +274,7 @@ def main() -> None:
     from kaflow_spark.operators.events import retention_cohorts, transition_counts
 
     events = cat_load(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "event_type"
+        "event_id", "user_id", "ts", "event_type", "value"
     )
     n_events = events.count()
 
@@ -388,15 +388,11 @@ def main() -> None:
         lambda d: ngram_diversity(d, "source", "text", n=3),
     )
 
-    events_v = cat_load(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "ts", "value"
-    )
-    probe_events_v = make_prober(rows, events_v, ["user_id", "event_id"])
-    probe_events_v(
+    probe_events(
         f"OLS value trend q131 ({n_events} events/x)",
         lambda e: value_trend(e, "event_type"),
     )
-    probe_events_v(
+    probe_events(
         f"z-score outliers q132 ({n_events} events/x)",
         lambda e: zscore_anomalies(e, "event_type"),
     )
