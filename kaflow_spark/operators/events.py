@@ -218,3 +218,72 @@ def zscore_anomalies(
         .filter(d * d > F.lit(nsigma * nsigma) * var_n2)
         .select(id_col, group_col, F.col("_y").alias("value_cents"))
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "event_id",
+    value_col: str = "value",
+    k: int = 3,
+) -> DataFrame:
+    """Robust outlier report: events whose metric deviates more than
+    ``k`` MADs (median absolute deviations) from their group MEDIAN —
+    the quarantine rule that, unlike the z-score (:func:`
+    zscore_anomalies`), a few extreme values cannot drag.
+
+    Determinism: both medians are exact SET-SELECTIONS, not
+    interpolations — the smallest value whose cumulative count reaches
+    half the group (lower median), chosen over per-group COUNT tables
+    with integer 2·cum >= n tests; the final flag |y − med| > k·mad is
+    pure bigint cents. No floats anywhere, so any engine reproduces
+    the row set bit-for-bit.
+
+    Shape at scale: the (id, group, cents) projection is built once;
+    each median reduces a per-(group, value) COUNT table — bounded by
+    the metric's distinct-cent range, corpus-size-independent for
+    bounded metrics (bin first if the metric is unbounded) — through
+    one per-group sorted window, and the resulting |groups|-row maps
+    broadcast back. NULL values are excluded outright."""
+    w = Window.partitionBy(group_col).orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    def lower_median(frame: DataFrame, val_col: str) -> DataFrame:
+        counts = frame.groupBy(group_col, F.col(val_col).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        return (
+            counts.select(
+                group_col,
+                "_v",
+                F.sum("_c").over(w).alias("_cum"),
+                F.sum("_c").over(w_all).alias("_n"),
+            )
+            .filter(2 * F.col("_cum") >= F.col("_n"))
+            .groupBy(group_col)
+            .agg(F.min("_v").alias("_med"))
+        )
+
+    s = (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            (F.col(value_col).cast("decimal(18,2)") * 100).cast("long").alias("_y"),
+        )
+        .repartition(F.col(id_col))
+    )
+    med = lower_median(s, "_y")
+    dev = s.join(F.broadcast(med), group_col).withColumn(
+        "_d", F.abs(F.col("_y") - F.col("_med"))
+    )
+    mad = lower_median(dev, "_d").withColumnRenamed("_med", "_mad")
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .filter(F.col("_d") > F.lit(k) * F.col("_mad"))
+        .select(id_col, group_col, F.col("_y").alias("value_cents"))
+    )

@@ -438,3 +438,58 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load(spark, sf, "events")
     return zscore_anomalies(e, "event_type").orderBy("event_id")
+
+
+@declare(
+    "q138_mad_outliers",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    c1 AS (SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS c
+           FROM s GROUP BY event_type, y),
+    m1 AS (SELECT event_type, MIN(y) AS med FROM (
+             SELECT event_type, y,
+                    SUM(c) OVER (PARTITION BY event_type ORDER BY y
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum,
+                    SUM(c) OVER (PARTITION BY event_type) AS n
+             FROM c1)
+           WHERE 2 * cum >= n GROUP BY event_type),
+    d AS (SELECT s.event_id, s.event_type, s.y, ABS(s.y - m1.med) AS dv
+          FROM s JOIN m1 USING (event_type)),
+    c2 AS (SELECT event_type, dv, CAST(COUNT(*) AS BIGINT) AS c
+           FROM d GROUP BY event_type, dv),
+    m2 AS (SELECT event_type, MIN(dv) AS mad FROM (
+             SELECT event_type, dv,
+                    SUM(c) OVER (PARTITION BY event_type ORDER BY dv
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum,
+                    SUM(c) OVER (PARTITION BY event_type) AS n
+             FROM c2)
+           WHERE 2 * cum >= n GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.y AS value_cents
+    FROM d JOIN m2 USING (event_type)
+    WHERE d.dv > 3 * m2.mad
+    ORDER BY event_id
+    """,
+    doc="Robust MAD outliers per event type — the quarantine rule the "
+    "z-score (q132) can't provide: a few extreme values drag a mean "
+    "and inflate sigma, but not a median. Both medians are exact "
+    "set-selections (smallest value whose cumulative count reaches "
+    "half the group — integer 2*cum >= n, never interpolation), each "
+    "computed over a per-(type, cents) COUNT table bounded by the "
+    "metric's distinct-cent range (corpus-size-independent for "
+    "bounded metrics; bin first otherwise). The flag |y - med| > "
+    "3*mad is pure bigint. Plan: one narrow (id, type, cents) "
+    "projection; the two |types|-row median maps broadcast back onto "
+    "it; shuffles carry count-table rows, never events.",
+    tags=("events", "stats", "window"),
+)
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.events import mad_outliers
+
+    e = load(spark, sf, "events")
+    return mad_outliers(e, "event_type").orderBy("event_id")

@@ -83,3 +83,30 @@ def test_zscore_anomalies_flags_only_outlier(spark, sf_dir):
     out = zscore_anomalies(df, "event_type").collect()
     assert [r["event_id"] for r in out] == [99]
     assert out[0]["value_cents"] == 50000
+
+
+def test_mad_outliers_robust_to_contamination(spark, sf_dir):
+    """A cluster of extreme values inflates sigma enough to hide from
+    the z-score but not from the MAD rule (median unmoved)."""
+    from kaflow_spark.operators.events import mad_outliers, zscore_anomalies
+
+    rows = [(i, "t", 10.00 + (i % 5) / 100.0) for i in range(50)]
+    rows += [(100 + i, "t", 400.00 + i) for i in range(6)]  # 6 extremes
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    mad_ids = {r["event_id"] for r in mad_outliers(df, "event_type").collect()}
+    z_ids = {r["event_id"] for r in zscore_anomalies(df, "event_type").collect()}
+    assert {100 + i for i in range(6)} <= mad_ids  # MAD flags all extremes
+    assert len(mad_ids) == 6  # and nothing else
+    # the extreme cluster inflates sigma: z-score misses some of them
+    assert len(z_ids) < 6
+
+
+def test_mad_lower_median_even_group(spark):
+    """Even-sized group: lower median (2*cum >= n) — deterministic."""
+    from kaflow_spark.operators.events import mad_outliers
+
+    rows = [(1, "t", 1.00), (2, "t", 2.00), (3, "t", 3.00), (4, "t", 40.00)]
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    # med = 2.00 (lower), devs = [100,0,100,3800] cents, mad = 100
+    out = {r["event_id"] for r in mad_outliers(df, "event_type").collect()}
+    assert out == {4}
