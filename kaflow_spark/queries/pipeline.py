@@ -493,3 +493,96 @@ def q138(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load(spark, sf, "events")
     return mad_outliers(e, "event_type").orderBy("event_id")
+
+
+@declare(
+    "q139_gapfill_locf",
+    oracle="""
+    WITH bars AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+        GROUP BY event_type, DATE_TRUNC('hour', ts)),
+    rng AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM bars),
+    spine AS (
+        SELECT t.event_type, h.hour
+        FROM (SELECT DISTINCT event_type FROM bars) t
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                        AS hour FROM rng) h)
+    SELECT event_type, hour,
+           last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_cents,
+           cents IS NULL AS is_gap
+    FROM spine LEFT JOIN bars USING (event_type, hour)
+    ORDER BY event_type, hour
+    """,
+    doc="Hourly gap-fill with last-observation-carried-forward — the "
+    "resample step a time-series consumer runs before charting or "
+    "joining ('every (type, hour) cell exists; silent hours repeat "
+    "the last bar'). The spine is generated, not scanned: distinct "
+    "types x an hour sequence spanning the observed range (both "
+    "derived from the already-aggregated |types x hours| bar table, "
+    "never from raw events rows — the fused summary costs one extra "
+    "column-pruned (ts, type) scan aggregated map-side to a single "
+    "row; fused because separate range/distinct branches cost a scan "
+    "EACH). Fill = one last-non-null window per "
+    "type over the spine — hours are unique within a type, so the "
+    "frame is deterministic; bars carry exact bigint cents; leading "
+    "gaps before a type's first bar stay NULL on both engines. "
+    "Shuffles touch bar/spine rows only.",
+    tags=("events", "window", "asof"),
+)
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    bars = (
+        e.filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    # ONE summary aggregate derives the hour range AND the type set.
+    # Separate min/max and distinct branches cost a scan each (three
+    # events passes measured); fused, the optimizer collapses this to
+    # a single extra column-pruned (ts, type) pass aggregated map-side
+    # to one row — min/max/collect_set are duplicate-insensitive, so
+    # it legally bypasses the bars aggregate. Two scans total: the
+    # full bars pass plus this metadata-cheap one (at rest, parquet
+    # min/max stats serve it; callers with known bounds can skip it
+    # by passing an explicit spine). collect_set is bounded by the
+    # event-type taxonomy.
+    summary = bars.agg(
+        F.min("hour").alias("lo"),
+        F.max("hour").alias("hi"),
+        F.sort_array(F.collect_set("event_type")).alias("_types"),
+    )
+    spine = (
+        summary.select(
+            F.explode("_types").alias("event_type"),
+            F.sequence(
+                F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR")
+            ).alias("_hours"),
+        )
+        .select("event_type", F.explode("_hours").alias("hour"))
+    )
+    w = W.partitionBy("event_type").orderBy("hour").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        spine.join(bars, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+            F.col("cents").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "hour")
+    )
