@@ -1273,3 +1273,60 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@declare(
+    "q140_fuzzy_decontamination",
+    oracle=f"""
+    WITH {EXACT_JACCARD_CTE}
+    SELECT CASE WHEN id_a % 20 = 0 THEN id_b ELSE id_a END AS corpus_id,
+           CASE WHEN id_a % 20 = 0 THEN id_a ELSE id_b END AS bench_id,
+           jaccard
+    FROM p
+    WHERE jaccard >= 0.5 AND ((id_a % 20 = 0) <> (id_b % 20 = 0))
+    ORDER BY corpus_id, bench_id
+    """,
+    doc="FUZZY benchmark decontamination: corpus documents that are "
+    "near-duplicates (5-gram Jaccard >= 0.5) of a benchmark item — "
+    "the screen that catches lightly-edited eval copies the exact "
+    "n-gram screens (q68/q95) miss entirely (one changed word per "
+    "window zeroes every exact gram). End-to-end and exact: MinHash "
+    "candidates at 32 bands x 2 rows (collision prob ~1.0 at j=0.5 "
+    "vs 0.64 for q41's 16x4 banding — the banding must match the "
+    "THRESHOLD, not be copied between pipelines) piped through the "
+    "exact-Jaccard verify, so the O(n·m) brute-force oracle "
+    "hash-attests recall. The fixture benchmark is every 20th doc; "
+    "pairs are normalized (corpus_id, bench_id). Scale shape: "
+    "identical to q41 — banded equi-join, id-only band rows, shared "
+    "persisted shingle frame; the cross-set restriction is a post "
+    "filter on ids, so one pipeline serves within-corpus dedup AND "
+    "cross-set decontamination.",
+    tags=("dedup", "curation"),
+)
+def q140(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.dedup import ngram_jaccard_pairs, shingle_frame
+
+    d = load(spark, sf, "documents")
+    sh = shingle_frame(d, "doc_id", "text", 5)
+    cand = (
+        minhash_lsh_candidates(
+            d, "doc_id", "text", bands=32, min_bands=2, shingles=sh
+        )
+        .filter(
+            ((F.col("id_a") % 20 == 0) | (F.col("id_b") % 20 == 0))
+            & ~((F.col("id_a") % 20 == 0) & (F.col("id_b") % 20 == 0))
+        )
+        .select("id_a", "id_b")
+    )
+    pairs = ngram_jaccard_pairs(d, cand, "doc_id", "text", shingles=sh).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return pairs.select(
+        F.when(F.col("id_a") % 20 == 0, F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("corpus_id"),
+        F.when(F.col("id_a") % 20 == 0, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("bench_id"),
+        "jaccard",
+    ).orderBy("corpus_id", "bench_id")
