@@ -229,6 +229,16 @@ HEADLINERS: dict[str, str] = {
         "subtree, so constraint inference on either attribute would "
         "split the diamond."
     ),
+    "q139_gapfill_locf": (
+        "Resample-then-fill without materializing raw events twice "
+        "per spine input: the (type, hour) spine is generated from a "
+        "FUSED one-row summary (min/max hour + collect_set of types "
+        "in a single aggregate — separate range and distinct branches "
+        "each cost another full scan; fused, the optimizer collapses "
+        "it to one extra column-pruned map-side pass). The fill is "
+        "one last-non-null window per type over spine-sized rows; "
+        "bars carry exact bigint cents."
+    ),
     "q130_tpch_q11_important_stock": (
         "Q11's HAVING-over-total as a scalar diamond: the per-part "
         "value aggregate (lineitem shuffled once, on l_partkey, after "
