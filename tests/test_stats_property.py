@@ -1,0 +1,105 @@
+"""Property-based checks for the exact-integer stats operators
+(q131/q132/q138) against independent pure-Python references — the
+operators' whole claim is engine-independent exactness, so a second,
+structurally different implementation must agree bit-for-bit on
+arbitrary inputs, not just the fixture."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import ROUND_HALF_UP, Decimal
+from fractions import Fraction
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+# two-decimal metric values in a realistic range, as exact doubles
+values = st.decimals(
+    min_value=Decimal("-500.00"),
+    max_value=Decimal("500.00"),
+    places=2,
+    allow_nan=False,
+    allow_infinity=False,
+)
+days = st.integers(min_value=0, max_value=29)
+groups = st.sampled_from(["a", "b"])
+
+rows = st.lists(
+    st.tuples(groups, days, values), min_size=1, max_size=40
+)
+
+
+def _cents(v: Decimal) -> int:
+    return int(v.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP) * 100)
+
+
+@st.composite
+def frames(draw):
+    rs = draw(rows)
+    return [
+        (i, g, dt.datetime(2024, 1, 1 + d, 12, 0, 0), float(v))
+        for i, (g, d, v) in enumerate(rs)
+    ]
+
+
+@given(frames())
+@settings(max_examples=12, deadline=None)
+def test_value_trend_matches_fraction_reference(spark, data):
+    from kaflow_spark.operators.events import value_trend
+
+    df = spark.createDataFrame(
+        data, "event_id bigint, event_type string, ts timestamp, value double"
+    )
+    got = {
+        r["event_type"]: (r["n"], r["slope_cents_per_day"])
+        for r in value_trend(df, "event_type").collect()
+    }
+    by_g: dict[str, list[tuple[int, int]]] = {}
+    for _i, g, ts, v in data:
+        x = (ts.date() - dt.date(2024, 1, 1)).days
+        by_g.setdefault(g, []).append((x, _cents(Decimal(repr(v)))))
+    for g, pts in by_g.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        den = n * sxx - sx * sx
+        want = None if den == 0 else float(n * sxy - sx * sy) / float(den)
+        assert got[g][0] == n
+        assert got[g][1] == want, (g, pts)
+
+
+@given(frames())
+@settings(max_examples=12, deadline=None)
+def test_zscore_and_mad_match_integer_references(spark, data):
+    from kaflow_spark.operators.events import mad_outliers, zscore_anomalies
+
+    df = spark.createDataFrame(
+        data, "event_id bigint, event_type string, ts timestamp, value double"
+    )
+    z_got = {r["event_id"] for r in zscore_anomalies(df, "event_type").collect()}
+    m_got = {r["event_id"] for r in mad_outliers(df, "event_type").collect()}
+
+    by_g: dict[str, list[tuple[int, int]]] = {}
+    for i, g, _ts, v in data:
+        by_g.setdefault(g, []).append((i, _cents(Decimal(repr(v)))))
+
+    z_want, m_want = set(), set()
+    for g, pts in by_g.items():
+        n = len(pts)
+        sy = sum(y for _, y in pts)
+        syy = sum(y * y for _, y in pts)
+        for i, y in pts:
+            if (n * y - sy) ** 2 > 9 * (n * syy - sy * sy):
+                z_want.add(i)
+        ys = sorted(y for _, y in pts)
+        # lower median: smallest value whose cumulative count reaches n/2
+        med = ys[(n - 1) // 2] if n % 2 == 1 else ys[n // 2 - 1]
+        devs = sorted(abs(y - med) for _, y in pts)
+        mad = devs[(n - 1) // 2] if n % 2 == 1 else devs[n // 2 - 1]
+        for i, y in pts:
+            if abs(y - med) > 3 * mad:
+                m_want.add(i)
+    assert z_got == z_want
+    assert m_got == m_want
