@@ -335,6 +335,8 @@ def minhash_lsh_candidates(
     max_bucket: int = 1000,
     min_bands: int = 1,
     shingles: DataFrame | None = None,
+    side_a=None,
+    side_b=None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -357,6 +359,15 @@ def minhash_lsh_candidates(
 
     ``shingles`` takes a precomputed :func:`shingle_frame` so a
     pipeline with an exact-verify stage shingleizes the corpus once.
+
+    ``side_a`` / ``side_b`` (each a ``Column -> Column`` predicate
+    over the id) restrict the two sides of the bucket join for
+    CROSS-SET screens (corpus-vs-benchmark decontamination): the
+    sides must be DISJOINT id sets, pairs come out as (a-side,
+    b-side) without the within-set ``id_a < id_b`` dedup, and —
+    the point — within-set bucket collisions never materialize, so
+    the join output scales with |A|x|B| bucket overlap instead of
+    the corpus's own collision volume.
     """
     rows_per_band = num_hashes // bands
     # signatures computed ONCE (the expensive S x H kernel) and
@@ -397,9 +408,16 @@ def minhash_lsh_candidates(
     ).filter(F.col("_bn") <= max_bucket)
     left = counted.select("band", "bucket", F.col("_id").alias("id_a"))
     right = counted.select("band", "bucket", F.col("_id").alias("id_b"))
+    if side_a is not None:
+        left = left.filter(side_a(F.col("id_a")))
+    if side_b is not None:
+        right = right.filter(side_b(F.col("id_b")))
+    cross = side_a is not None or side_b is not None
+    joined = left.join(right, ["band", "bucket"])
+    if not cross:
+        joined = joined.filter(F.col("id_a") < F.col("id_b"))
     pairs = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        joined
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_nbands"))
         .filter(F.col("_nbands") >= F.lit(min_bands))

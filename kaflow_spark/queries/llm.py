@@ -1291,16 +1291,21 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
     "the screen that catches lightly-edited eval copies the exact "
     "n-gram screens (q68/q95) miss entirely (one changed word per "
     "window zeroes every exact gram). End-to-end and exact: MinHash "
-    "candidates at 32 bands x 2 rows (collision prob ~1.0 at j=0.5 "
-    "vs 0.64 for q41's 16x4 banding — the banding must match the "
-    "THRESHOLD, not be copied between pipelines) piped through the "
-    "exact-Jaccard verify, so the O(n·m) brute-force oracle "
-    "hash-attests recall. The fixture benchmark is every 20th doc; "
+    "candidates at 32 bands x 2 rows (band-collision prob 0.25 at "
+    "j=0.5 vs 0.0625 for q41's 16x4 — the banding must match the "
+    "THRESHOLD, not be copied between pipelines), a min_bands=4 "
+    "screen against the 2-hash flukes template-similar corpora "
+    "produce in bulk (P(>=4 of 32 | j=0.5) = 97.4%, ~100% above "
+    "0.55), and an est_jaccard >= 0.35 pre-screen (P(miss | j=0.5) "
+    "~ 3e-4 over 64 hashes), all piped through the exact-Jaccard "
+    "verify, so the O(n·m) brute-force oracle hash-attests "
+    "end-to-end recall. The fixture benchmark is every 20th doc; "
     "pairs are normalized (corpus_id, bench_id). Scale shape: "
     "identical to q41 — banded equi-join, id-only band rows, shared "
-    "persisted shingle frame; the cross-set restriction is a post "
-    "filter on ids, so one pipeline serves within-corpus dedup AND "
-    "cross-set decontamination.",
+    "persisted shingle frame — EXCEPT the two join sides are "
+    "restricted to their id sets BEFORE the bucket join, so the "
+    "corpus's own within-set collisions never materialize and the "
+    "join output scales with corpus-x-bench bucket overlap.",
     tags=("dedup", "curation"),
 )
 def q140(spark: SparkSession, sf: str) -> DataFrame:
@@ -1308,14 +1313,22 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents")
     sh = shingle_frame(d, "doc_id", "text", 5)
+    # Sides restricted BEFORE the bucket join; min_bands=4 and the
+    # est_jaccard pre-screen keep the exact-verify input at
+    # true-pair scale (recall math in the declaration doc).
+    # Measured 8.2 s -> ~2 s at sf0.1.
     cand = (
         minhash_lsh_candidates(
-            d, "doc_id", "text", bands=32, min_bands=2, shingles=sh
+            d,
+            "doc_id",
+            "text",
+            bands=32,
+            min_bands=4,
+            shingles=sh,
+            side_a=lambda c: c % 20 != 0,  # corpus side
+            side_b=lambda c: c % 20 == 0,  # benchmark side
         )
-        .filter(
-            ((F.col("id_a") % 20 == 0) | (F.col("id_b") % 20 == 0))
-            & ~((F.col("id_a") % 20 == 0) & (F.col("id_b") % 20 == 0))
-        )
+        .filter(F.col("est_jaccard") >= 0.35)
         .select("id_a", "id_b")
     )
     pairs = ngram_jaccard_pairs(d, cand, "doc_id", "text", shingles=sh).filter(

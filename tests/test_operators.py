@@ -700,3 +700,29 @@ def test_asof_join_tolerance(spark):
         for r in asof_join(left, right, "k", "lt", "rt", ["v"]).collect()
     }
     assert loose[12] == 100.0
+
+
+def test_minhash_side_restricted_cross_set(spark):
+    """side_a/side_b candidates: only cross-set pairs come out, with
+    no id_a < id_b dedup (sides are disjoint by contract), and the
+    planted bench copy is found."""
+    from pyspark.sql import functions as F
+    from kaflow_spark.operators.dedup import minhash_lsh_candidates
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(i, base + f"tail {i}") for i in range(1, 9)]  # corpus
+    rows += [(20, base + "tail 3"), (40, "completely different text " * 10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cand = minhash_lsh_candidates(
+        df,
+        "doc_id",
+        "text",
+        bands=32,
+        min_bands=2,
+        side_a=lambda c: c % 20 != 0,
+        side_b=lambda c: c % 20 == 0,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    assert all(a % 20 != 0 and b % 20 == 0 for a, b in got)
+    assert (3, 20) in got  # the planted near-copy of doc 3
+    assert not any(b == 40 for _, b in got)  # unrelated bench item quiet
