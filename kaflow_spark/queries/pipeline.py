@@ -586,3 +586,84 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@declare(
+    "q141_scd2_intervals",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN prev_type IS NULL
+                         OR prev_type <> event_type THEN 1 ELSE 0
+               END AS chg
+        FROM o),
+    islands AS (
+        SELECT user_id, event_type, ts,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+        FROM flagged),
+    runs AS (
+        SELECT user_id, island,
+               MIN(event_type) AS event_type,
+               MIN(ts) AS valid_from,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM islands GROUP BY user_id, island)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY island) AS valid_to,
+           n_events
+    FROM runs
+    ORDER BY user_id, valid_from
+    """,
+    doc="SCD Type-2 interval build: collapse each user's timeline into "
+    "runs of the same event_type and emit validity intervals "
+    "[valid_from, valid_to) — the slowly-changing-dimension history a "
+    "warehouse keeps for point-in-time joins (valid_to NULL = current "
+    "run). Pure gaps-and-islands: one lag window flags changes, a "
+    "running sum numbers islands, a partial-agg'd groupBy collapses "
+    "runs, and a lead window closes the intervals. Determinism: every "
+    "window orders by (ts, event_id) — the unique-key tie-break "
+    "discipline; island MIN(event_type) is constant within a run by "
+    "construction. Scale: all three windows and the groupBy share the "
+    "ONE user_id hash partitioning — a single shuffle of (user, type, "
+    "ts, id) rows end-to-end, and runs-per-user is bounded by the "
+    "user's own event count (no skew beyond the data's).",
+    tags=("events", "window", "scd"),
+)
+def q141(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(
+            F.lag("event_type").over(w_order).isNull()
+            | (F.lag("event_type").over(w_order) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    islands = flagged.withColumn("island", F.sum("chg").over(w_cum))
+    runs = islands.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    w_next = W.partitionBy("user_id").orderBy("island")
+    return (
+        runs.select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            F.lead("valid_from").over(w_next).alias("valid_to"),
+            "n_events",
+        )
+        .orderBy("user_id", "valid_from")
+    )

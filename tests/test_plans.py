@@ -406,3 +406,24 @@ def test_q136_single_scan_decile_diamond(spark, sf_dir):
         assert plan.count("documents") == 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q141_single_user_shuffle(spark, sf_dir):
+    """SCD2 intervals: the change-flag window, island sum, run groupBy
+    (key (user, island) is co-located under hash(user)), and the
+    closing lead window all share ONE user_id hash exchange; the only
+    other exchange is the output ORDER BY's range partitioning."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q141_scd2_intervals"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        hashes = [
+            l for l in plan.splitlines()
+            if "Exchange hashpartitioning" in l
+        ]
+        assert len(hashes) == 1, hashes
+        assert plan.count("events") == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
