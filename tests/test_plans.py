@@ -424,6 +424,6 @@ def test_q141_single_user_shuffle(spark, sf_dir):
             if "Exchange hashpartitioning" in l
         ]
         assert len(hashes) == 1, hashes
-        assert plan.count("events") == 1
+        assert plan.count("Scan parquet") == 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
