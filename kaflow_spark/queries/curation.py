@@ -915,3 +915,55 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
     return lexical_retrieval_topk(d, q, "doc_id", "text", "doc_id", "text", k=3).orderBy(
         "query_id", "rank"
     )
+
+
+@declare(
+    "q142_readability_grade",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, source,
+               GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                             AS BIGINT), 1) AS sentences,
+               GREATEST(CAST(len(regexp_extract_all(text, '\\S+'))
+                             AS BIGINT), 1) AS words,
+               CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                    AS BIGINT) AS syllables
+        FROM documents),
+    g AS (SELECT doc_id, source,
+                 3900 * (words // sentences)
+                 + 11800 * (syllables // words) - 15590 AS grade_bp
+          FROM c)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(grade_bp) AS BIGINT) AS min_grade_bp,
+           CAST(MAX(grade_bp) AS BIGINT) AS max_grade_bp,
+           CAST(SUM(grade_bp) AS BIGINT) AS sum_grade_bp
+    FROM g GROUP BY source ORDER BY source
+    """,
+    doc="Per-source readability profile — Flesch-Kincaid-style grade "
+    "level as the education/complexity curation signal (the "
+    "FineWeb-Edu-style filter axis), in the q35 exactness "
+    "discipline: regexp run counts + exact floor division only, so "
+    "the integer grade is engine-reproducible (a floor-biased "
+    "variant of the float FK formula, identically biased on both "
+    "engines). The per-source rollup reports exact (n, min, max, "
+    "sum) — mean = sum/n is the caller's one division. Plan: one "
+    "scan-side projection of three regexp counts, one partial-agg'd "
+    "groupBy of |sources| rows.",
+    tags=("curation", "text"),
+)
+def q142(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.functions.textstats import readability_grade_bp
+
+    d = load(spark, sf, "documents")
+    return (
+        d.select("source", readability_grade_bp(F.col("text")).alias("g"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("g").cast("bigint").alias("min_grade_bp"),
+            F.max("g").cast("bigint").alias("max_grade_bp"),
+            F.sum("g").cast("bigint").alias("sum_grade_bp"),
+        )
+        .orderBy("source")
+    )

@@ -73,3 +73,18 @@ def test_vector_math(spark):
     assert abs(r["c"] - 0.6) < 1e-12
     assert r["s"] == [4.0, 4.0]
     assert r["x2"] == [6.0, 8.0]
+
+
+def test_readability_grade_hand_example(spark):
+    """'The cat sat. It ran far.' — 6 words, 2 sentences, 6 vowel
+    groups: grade_bp = 3900*(6//2) + 11800*(6//6) - 15590 = 7910."""
+    from pyspark.sql import functions as F
+    from kaflow_spark.functions.textstats import readability_grade_bp
+
+    df = spark.createDataFrame(
+        [("The cat sat. It ran far.",), ("",)], "text string"
+    )
+    out = [r["g"] for r in df.select(readability_grade_bp("text").alias("g")).collect()]
+    assert out[0] == 3900 * 3 + 11800 * 1 - 15590
+    # empty text: words=sentences=1 (floors), syllables=0
+    assert out[1] == 3900 * 1 + 11800 * 0 - 15590
