@@ -252,3 +252,100 @@ def streaming_value_trend(
     return df.groupBy(group_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def streaming_gapfill_locf(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    *,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of q139's hourly LOCF gap-fill: per-key state is
+    (last completed hour emitted, that hour's summed cents, the
+    running sum of the currently-open hour). When a batch moves a
+    key's clock past one or more hour boundaries, every closed hour
+    emits — observed hours with their exact cent sum, silent hours
+    repeating the last observed sum (``is_gap = true``).
+
+    Semantics note (the honest streaming restriction): a key's clock
+    only advances when ITS events arrive — cross-key gap emission on
+    wall-clock silence needs event-time timers (transformWithState,
+    version-gated in streaming/tws.py), so a fully-quiet key emits
+    nothing until its next event, at which point the interim gap
+    hours backfill. Replaying a bounded history therefore converges
+    to the batch q139 rows for every hour up to each key's last
+    completed hour. Cents use the same HALF_UP conversion as every
+    batch twin."""
+    out_schema = (
+        f"{group_col} string, hour timestamp, filled_cents bigint, is_gap boolean"
+    )
+    state_schema = "last_hour long, last_cents bigint, open_hour long, open_cents bigint"
+
+    HOUR = 3600
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_hour, last_cents, open_hour, open_cents = (
+            state.get if state.exists else (None, None, None, 0)
+        )
+        events = []
+        for pdf in pdfs:
+            pdf = pdf[pdf[value_col].notna() & pdf[ts_col].notna()]
+            if not len(pdf):
+                continue
+            hrs = (
+                pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000_000
+            ) // HOUR * HOUR
+            cents = _cents_half_up(pdf[value_col])
+            events.append(pd.DataFrame({"h": hrs, "c": cents}))
+        out = []
+        if events:
+            ev = pd.concat(events).groupby("h", sort=True)["c"].sum()
+            for h, c in ev.items():
+                h = int(h)
+                if open_hour is None:
+                    open_hour, open_cents = h, int(c)
+                    continue
+                if h == open_hour:
+                    open_cents += int(c)
+                    continue
+                if h < open_hour:
+                    # later batch delivered an hour older than the open
+                    # one — already closed, watermark-dropped (the same
+                    # contract a withWatermark aggregate applies)
+                    continue
+                # close every hour strictly before h
+                out.append((open_hour, open_cents, False))
+                for gap in range(open_hour + HOUR, h, HOUR):
+                    out.append((gap, open_cents, True))
+                last_hour, last_cents = open_hour, open_cents
+                open_hour, open_cents = h, int(c)
+        state.update((last_hour, last_cents, open_hour, open_cents))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(
+                {
+                    group_col: key[0],
+                    "hour": [pd.Timestamp(h, unit="s") for h, _, _ in out],
+                    "filled_cents": [c for _, c, _ in out],
+                    "is_gap": [g for _, _, g in out],
+                }
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

@@ -430,3 +430,37 @@ def test_streaming_cents_match_batch_decimal_cast(spark):
         ).collect()
     ]
     assert got == want, (got, want)
+
+
+def test_streaming_gapfill_locf_backfills_silent_hours(spark, tdir):
+    """Two batches: hours 10:xx and 13:xx — closing hour 10 emits its
+    exact sum, hours 11 and 12 backfill as gaps repeating it."""
+    from kaflow_spark.streaming.stateful import streaming_gapfill_locf
+
+    name = f"gf_{uuid.uuid4().hex[:8]}"
+    ddl = "event_id bigint, event_type string, ts timestamp, value double"
+
+    def chunk(rows):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode("append").parquet(tdir)
+
+    chunk([
+        (1, "t", _ts("2024-01-01 10:05:00"), 1.25),
+        (2, "t", _ts("2024-01-01 10:40:00"), 2.00),
+    ])
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(tdir)
+    )
+    out = streaming_gapfill_locf(stream, "event_type")
+    q = out.writeStream.format("memory").queryName(name).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        assert spark.sql(f"SELECT * FROM {name}").count() == 0  # hour still open
+        chunk([(3, "t", _ts("2024-01-01 13:10:00"), 9.99)])
+        q.processAllAvailable()
+        rows = spark.sql(
+            f"SELECT hour, filled_cents, is_gap FROM {name} ORDER BY hour"
+        ).collect()
+        got = [(r["hour"].hour, r["filled_cents"], r["is_gap"]) for r in rows]
+        assert got == [(10, 325, False), (11, 325, True), (12, 325, True)]
+    finally:
+        q.stop()
