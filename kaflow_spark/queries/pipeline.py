@@ -667,3 +667,103 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+@declare(
+    "q143_ordered_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id),
+    n AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+                 (SELECT COUNT(*) FROM s2) AS n2,
+                 (SELECT COUNT(*) FROM s3) AS n3)
+    SELECT step, n_users, conv_bp FROM (
+        SELECT 1 AS step, 'view' AS step_name, n1 AS n_users,
+               CAST(10000 AS BIGINT) AS conv_bp FROM n
+        UNION ALL
+        SELECT 2, 'click', n2, (n2 * 10000) // GREATEST(n1, 1) FROM n
+        UNION ALL
+        SELECT 3, 'purchase', n3, (n3 * 10000) // GREATEST(n2, 1) FROM n)
+    ORDER BY step
+    """,
+    doc="ORDERED conversion funnel (view -> click -> purchase, each "
+    "step strictly after the previous one's first occurrence) — the "
+    "sequence-constrained matching q87's unordered funnel can't "
+    "express (a purchase BEFORE the first view must not count). "
+    "Cascaded earliest-step semantics: t1 = first view; t2 = first "
+    "click after t1; t3 = first purchase after t2 — each step is a "
+    "per-user conditional MIN, deterministic under ties by value "
+    "equality. Per-step conversion is exact integer bp. Scale: three "
+    "type-pushed scans each collapse to per-user minima BEFORE "
+    "joining (the join sides are one row per surviving user, "
+    "co-partitioned on user_id); counts are 1-row aggregates "
+    "assembled by a 3-row union — nothing wide ever moves.",
+    tags=("events", "funnel", "join"),
+)
+def q143(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n")).withColumn("step", F.lit(1))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n")).withColumn("step", F.lit(2))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n")).withColumn("step", F.lit(3))
+    from kaflow_spark.functions.textstats import int_div
+
+    counts = (
+        n1.unionAll(n2)
+        .unionAll(n3)
+        .groupBy()
+        .pivot("step", [1, 2, 3])
+        .sum("n")
+        .select(
+            F.col("1").alias("n1"), F.col("2").alias("n2"), F.col("3").alias("n3")
+        )
+    )
+    one = counts.select(
+        F.lit(1).alias("step"),
+        F.col("n1").cast("bigint").alias("n_users"),
+        F.lit(10000).cast("bigint").alias("conv_bp"),
+    )
+    two = counts.select(
+        F.lit(2).alias("step"),
+        F.col("n2").cast("bigint").alias("n_users"),
+        int_div(F.col("n2") * 10000, F.greatest(F.col("n1"), F.lit(1))).alias(
+            "conv_bp"
+        ),
+    )
+    three = counts.select(
+        F.lit(3).alias("step"),
+        F.col("n3").cast("bigint").alias("n_users"),
+        int_div(F.col("n3") * 10000, F.greatest(F.col("n2"), F.lit(1))).alias(
+            "conv_bp"
+        ),
+    )
+    return one.unionAll(two).unionAll(three).orderBy("step")
