@@ -1254,3 +1254,84 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
         .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
         .orderBy(F.desc("part_value"), "l_partkey")
     )
+
+
+@declare(
+    "q144_yoy_revenue_growth",
+    oracle="""
+    WITH rev AS (
+        SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, EXTRACT(year FROM o_orderdate))
+    SELECT cur.n_name, cur.yr, cur.cents,
+           ((cur.cents - prev.cents) * 10000) // prev.cents AS growth_bp
+    FROM rev cur
+    JOIN rev prev ON cur.n_name = prev.n_name AND cur.yr = prev.yr + 1
+    ORDER BY cur.n_name, cur.yr
+    """,
+    doc="Year-over-year revenue growth per nation — the shifted-key "
+    "SELF-JOIN of an aggregate (prev-period comparison) no other "
+    "declared query exercises: the same (nation, year) revenue "
+    "aggregate is joined to itself on (nation, year-1). Plan: the "
+    "aggregate's exchange is built once and ReusedExchange feeds "
+    "both sides (identical subtrees; the +1 shift happens in the "
+    "join key ABOVE the shared aggregate). Growth is exact-cents "
+    "FLOOR division — pmod-based, because Spark's (a - a%b)/b "
+    "truncates toward zero on negative numerators while DuckDB's "
+    "// floors (a shrinking year would silently diverge by one bp); "
+    "operands stay under 2^53 at cents scale through ~10^9 "
+    "orders/nation-year, past which cast the cents to DECIMAL "
+    "before the division.",
+    tags=("join", "agg", "window", "tpch"),
+)
+def q144(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .select(
+            "o_custkey",
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            (dec("o_totalprice") * 100).cast("long").alias("_cents"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "yr")
+        .agg(F.sum("_cents").cast("bigint").alias("cents"))
+    )
+    # Null-safe year keys on BOTH sides (distinct sentinels so a null
+    # year can never spuriously match): a bare `yr == p_yr + 1` lets
+    # InferFiltersFromConstraints push isnotnull(yr) into one branch
+    # and isnotnull(yr + 1) into the other — asymmetric filters below
+    # the shared aggregate, de-canonicalized diamond, orders scanned
+    # twice (observed). Coalesced keys are provably non-null, nothing
+    # is inferred, and the aggregate's exchange is reused.
+    prev = rev.select(
+        F.col("n_name").alias("p_name"),
+        (F.coalesce(F.col("yr"), F.lit(-(10**6))) + 1).alias("p_yr"),
+        F.col("cents").alias("p_cents"),
+    )
+    return (
+        rev.join(
+            prev,
+            (F.col("n_name") == F.col("p_name"))
+            & (F.coalesce(F.col("yr"), F.lit(-999983)) == F.col("p_yr")),
+        )
+        .withColumn("_num", (F.col("cents") - F.col("p_cents")) * 10000)
+        # `div` = exact bigint division truncating toward zero — the
+        # semantics DuckDB's integer `//` actually has (measured:
+        # -7 // 2 = -3, NOT a floor; a pmod-based floor emulation
+        # diverged by one bp on every shrinking year).
+        .select(
+            "n_name",
+            "yr",
+            "cents",
+            F.expr("_num div p_cents").alias("growth_bp"),
+        )
+        .orderBy("n_name", "yr")
+    )

@@ -427,3 +427,20 @@ def test_q141_single_user_shuffle(spark, sf_dir):
         assert plan.count("Scan parquet") == 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q144_shifted_self_join_reuses_aggregate(spark, sf_dir):
+    """YoY growth: the (nation, year) revenue aggregate self-joins on
+    (nation, year-1) — ONE orders scan via ReusedExchange. Guards the
+    asymmetric isnotnull(yr) / isnotnull(yr+1) inference that split
+    the diamond before the null-safe keys."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q144_yoy_revenue_growth"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert "ReusedExchange" in plan
+        assert plan.count("orders.parquet") == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
