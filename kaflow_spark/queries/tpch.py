@@ -1335,3 +1335,77 @@ def q144(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("n_name", "yr")
     )
+
+
+@declare(
+    "q145_basket_affinity",
+    oracle="""
+    WITH dp AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pairs AS (
+        SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM dp a JOIN dp b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p),
+    sup AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM dp GROUP BY p),
+    tot AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM dp)
+    SELECT p1, p2, n_both,
+           (n_both * n_orders * 10000) // (s1.n * s2.n) AS lift_bp
+    FROM pairs
+    JOIN sup s1 ON p1 = s1.p
+    JOIN sup s2 ON p2 = s2.p
+    CROSS JOIN tot
+    WHERE n_both >= 3
+    ORDER BY lift_bp DESC, p1, p2
+    LIMIT 20
+    """,
+    doc="Market-basket affinity: part pairs co-occurring in the same "
+    "order, ranked by exact integer lift (observed co-rate over the "
+    "independence expectation, x10000) — the association-rules / "
+    "co-occurrence family (frequently-bought-together, co-citation) "
+    "no other declared query exercises. Shape: distinct (order, part) "
+    "pairs self-join ON THE ORDER KEY — co-partitioned, so the pair "
+    "enumeration is per-order local and bounded by basket size "
+    "squared (TPC-H baskets are ~4-7 lines; a pathological basket "
+    "would need a per-order cap, the q41 max_bucket pattern); "
+    "supports and the 1-row order total join back onto the "
+    "already-aggregated pair table, never the raw pairs. Lift stays "
+    "bigint-exact (n_both * n_orders * 10^4 ~ 10^12 at sf0.1), "
+    "truncating div == DuckDB integer //; n_both >= 3 prunes noise "
+    "pairs before the support joins.",
+    tags=("join", "agg", "tpch", "curation"),
+)
+def q145(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    dp = (
+        l.filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = dp.select("o", F.col("p").alias("p1"))
+    b = dp.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    sup = dp.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    tot = dp.agg(F.count_distinct("o").alias("n_orders"))
+    return (
+        pairs.join(
+            sup.select(F.col("p").alias("p1"), F.col("n").alias("_n1")), "p1"
+        )
+        .join(sup.select(F.col("p").alias("p2"), F.col("n").alias("_n2")), "p2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_num", F.col("n_both") * F.col("n_orders") * 10000)
+        .withColumn("_den", F.col("_n1") * F.col("_n2"))
+        .select(
+            "p1",
+            "p2",
+            "n_both",
+            F.expr("_num div _den").alias("lift_bp"),
+        )
+        .orderBy(F.desc("lift_bp"), "p1", "p2")
+        .limit(20)
+    )
