@@ -774,3 +774,79 @@ def minimizers(
         F.col("_mk.pos").cast("bigint").alias("pos"),
         F.col("_mk.gram").alias("gram"),
     )
+
+
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    *,
+    max_dist: int = 1,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Fuzzy ENTITY-KEY matching: all equal-length pairs whose keys
+    differ in at most ``max_dist`` character positions (Hamming
+    distance) — the typo/OCR-noise matcher entity resolution runs on
+    codes, SKUs, and normalized names, where Jaccard-style shingles
+    (MinHash above) are the wrong granularity.
+
+    Exact end-to-end by the pigeonhole principle: characters are
+    round-robin-split into ``max_dist + 1`` interleaved projections
+    (char i -> chunk i mod (d+1)); any <= d substitutions leave at
+    least one projection UNTOUCHED, so the (chunk, length, projection)
+    equi-join has recall 1 by construction — interleaving matters,
+    because contiguous chunks of structured keys (shared prefixes,
+    zero padding) collapse into degenerate buckets while interleaved
+    positions carry the low-entropy and high-entropy characters
+    together. The verify stage recomputes the exact distance, so a
+    brute-force oracle hash-attests the whole pipeline.
+
+    Scale shape: the only shuffle is the blocking equi-join on
+    (chunk, length, projection); ``max_bucket`` bounds degenerate
+    buckets like the MinHash path. Pairs colliding in several chunks
+    dedupe through the final aggregate. Same-length only (Hamming);
+    indel-tolerant matching needs the shifted-substring blocking of
+    the Levenshtein family — out of scope here and stated so."""
+    c = max_dist + 1
+    projs = [
+        F.expr(
+            f"array_join(filter(transform(sequence(1, length(_k)), i -> "
+            f"CASE WHEN (i - 1) % {c} = {i} THEN substring(_k, i, 1) END), "
+            "x -> x IS NOT NULL), '')"
+        ).alias(f"_p{i}")
+        for i in range(c)
+    ]
+    keyed = df.select(
+        F.col(id_col).alias("_id"), F.col(key_col).alias("_k")
+    ).select("_id", "_k", F.length("_k").alias("_len"), *projs)
+    chunk_structs = F.array(
+        *[
+            F.struct(F.lit(i).alias("chunk"), F.col(f"_p{i}").alias("proj"))
+            for i in range(c)
+        ]
+    )
+    banded = keyed.select(
+        "_id", "_k", "_len", F.explode(chunk_structs).alias("b")
+    ).select("_id", "_k", "_len", "b.chunk", "b.proj")
+    counted = banded.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("chunk", "_len", "proj"))
+    ).filter(F.col("_bn") <= max_bucket)
+    left = counted.select(
+        "chunk", "_len", "proj", F.col("_id").alias("id_a"), F.col("_k").alias("_ka")
+    )
+    right = counted.select(
+        "chunk", "_len", "proj", F.col("_id").alias("id_b"), F.col("_k").alias("_kb")
+    )
+    ham = F.expr(
+        "aggregate(transform(sequence(1, length(_ka)), i -> "
+        "CASE WHEN substring(_ka, i, 1) = substring(_kb, i, 1) "
+        "THEN 0 ELSE 1 END), 0, (acc, v) -> acc + v)"
+    ).cast("bigint")
+    return (
+        left.join(right, ["chunk", "_len", "proj"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("_ka").alias("_ka"), F.first("_kb").alias("_kb"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_dist)
+    )

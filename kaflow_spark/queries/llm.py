@@ -1343,3 +1343,45 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
         .alias("bench_id"),
         "jaccard",
     ).orderBy("corpus_id", "bench_id")
+
+
+@declare(
+    "q146_fuzzy_key_match",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(hamming(a.c_name, b.c_name) AS BIGINT) AS hamming
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE LENGTH(a.c_name) = LENGTH(b.c_name)
+      AND hamming(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+    doc="Fuzzy entity-key matching: customer-name pairs within Hamming "
+    "distance 1 — the typo/OCR-noise matcher entity resolution runs "
+    "on codes and normalized names, a different similarity family "
+    "from the shingle/Jaccard pipelines (one changed character barely "
+    "moves an edit distance but rewrites every overlapping shingle). "
+    "Exact end-to-end by the pigeonhole principle: characters "
+    "round-robin-split into d+1 INTERLEAVED projections — any <= d "
+    "substitutions leave one projection untouched, so the (chunk, "
+    "length, projection) equi-join has recall 1 by construction "
+    "(interleaving is load-bearing: contiguous chunks of structured "
+    "keys collapse into shared-prefix/zero-pad degenerate buckets; "
+    "interleaved positions mix low- and high-entropy characters). "
+    "Exact Hamming verify in pure expressions; brute-force O(n²) "
+    "oracle attests recall. Same-length only (stated — "
+    "indel-tolerant matching needs shifted-substring blocking).",
+    tags=("dedup", "join"),
+)
+def q146(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.dedup import hamming_pairs
+
+    c = load(spark, sf, "customer")
+    return (
+        hamming_pairs(c, "c_custkey", "c_name", max_dist=1)
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            "hamming",
+        )
+        .orderBy("id_a", "id_b")
+    )

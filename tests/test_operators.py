@@ -726,3 +726,20 @@ def test_minhash_side_restricted_cross_set(spark):
     assert all(a % 20 != 0 and b % 20 == 0 for a, b in got)
     assert (3, 20) in got  # the planted near-copy of doc 3
     assert not any(b == 40 for _, b in got)  # unrelated bench item quiet
+
+
+def test_hamming_pairs_pigeonhole_recall(spark):
+    """All <=1-substitution pairs found; a 2-substitution pair is not;
+    interleaved chunks beat the shared prefix."""
+    from kaflow_spark.operators.dedup import hamming_pairs
+
+    rows = [
+        (1, "KEY-0001"), (2, "KEY-0002"),  # differ in 1 pos
+        (3, "KEY-1002"),                   # 1 from id2, 2 from id1
+        (4, "XXX-9999"),                   # far from everything
+        (5, "KEY-001"),                    # shorter: excluded (length)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, key string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           hamming_pairs(df, "id", "key", max_dist=1).collect()}
+    assert got == {(1, 2): 1, (2, 3): 1}
