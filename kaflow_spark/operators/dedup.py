@@ -842,6 +842,14 @@ def hamming_pairs(
         "CASE WHEN substring(_ka, i, 1) = substring(_kb, i, 1) "
         "THEN 0 ELSE 1 END), 0, (acc, v) -> acc + v)"
     ).cast("bigint")
+    # Dedup BEFORE verify — measured 2-4x faster than verify-first at
+    # sf0.1 despite shuffling more rows: a filter on the interpreted
+    # aggregate(transform(...)) expression plants it in the join's
+    # post-condition AND re-evaluates it under the downstream
+    # distinct's inferred isnotnull (the CLAUDE.md no-cross-operator-
+    # subexpression-elimination trap), tripling the per-char work;
+    # after the groupBy the expression evaluates exactly once per
+    # candidate pair.
     return (
         left.join(right, ["chunk", "_len", "proj"])
         .filter(F.col("id_a") < F.col("id_b"))
