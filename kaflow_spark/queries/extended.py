@@ -662,3 +662,45 @@ def q80(spark: SparkSession, sf: str) -> DataFrame:
     load(spark, sf, "customer").createOrReplaceTempView("customer")
     load(spark, sf, "orders").createOrReplaceTempView("orders")
     return spark.sql(_Q80_SQL)
+
+
+@declare(
+    "q147_bitmap_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="EXACT distinct counting via bitmap buckets — the scale "
+    "pattern for repeated exact distincts over dense integer ids: "
+    "ids map to (bucket = id div 63, bit = 1 << (id % 63)) and the "
+    "aggregation is bit_or per (group, bucket) then a sum of "
+    "bit_count — fully mergeable integer state, so the shuffle "
+    "carries |groups| x |buckets| masks (63 ids per 8-byte mask) "
+    "instead of the expanded (group, id) pairs a two-phase "
+    "count_distinct dedups through (q13's plan). 63 bits, not 64: "
+    "1 << 63 wraps into the sign bit, and while bit_or/bit_count "
+    "are sign-agnostic, keeping masks non-negative keeps every "
+    "engine's semantics trivially identical. The ORACLE is the "
+    "specification — a plain COUNT(DISTINCT) — so the hash match "
+    "attests the bitmap algorithm against the straightforward "
+    "semantics, not against itself.",
+    tags=("agg", "events"),
+)
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    masks = (
+        e.select(
+            "event_type",
+            F.expr("user_id div 63").alias("_bucket"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+            .alias("_bit"),
+        )
+        .groupBy("event_type", "_bucket")
+        .agg(F.expr("bit_or(_bit)").alias("_mask"))
+    )
+    return (
+        masks.groupBy("event_type")
+        .agg(F.sum(F.bit_count("_mask")).cast("bigint").alias("n_users"))
+        .orderBy("event_type")
+    )
