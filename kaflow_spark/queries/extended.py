@@ -704,3 +704,80 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(F.bit_count("_mask")).cast("bigint").alias("n_users"))
         .orderBy("event_type")
     )
+
+
+@declare(
+    "q148_weighted_median_price",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS price_cents,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem),
+    g AS (SELECT l_returnflag, price_cents, SUM(qty) AS wsum
+          FROM w GROUP BY l_returnflag, price_cents),
+    c AS (SELECT l_returnflag, price_cents,
+                 SUM(wsum) OVER (PARTITION BY l_returnflag
+                                 ORDER BY price_cents
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cumw,
+                 SUM(wsum) OVER (PARTITION BY l_returnflag) AS totw
+          FROM g)
+    SELECT l_returnflag,
+           CAST(MIN(price_cents) AS BIGINT) AS wmedian_cents,
+           CAST(MIN(totw) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cumw >= totw
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="WEIGHTED median unit price per return flag (weights = "
+    "shipped quantity) — the quantity-weighted center a pricing "
+    "report wants, which q53's unweighted percentiles can't express. "
+    "Exact weighted set-selection: per (flag, price) the weights "
+    "partial-agg first (shuffle = distinct prices per flag, not "
+    "line items), then the smallest price whose cumulative weight "
+    "reaches half the total — integer 2*cumw >= totw, no "
+    "interpolation, no floats (quantities are integral, prices "
+    "exact cents). The cumulative window runs over the aggregated "
+    "price table only; at extreme price cardinality, bucket prices "
+    "first (q136's bounded-table argument).",
+    tags=("agg", "window", "tpch"),
+)
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    l = load(spark, sf, "lineitem")
+    g = (
+        l.select(
+            "l_returnflag",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("price_cents"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("l_returnflag", "price_cents")
+        .agg(F.sum("qty").alias("wsum"))
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        g.select(
+            "l_returnflag",
+            "price_cents",
+            F.sum("wsum").over(w_cum).alias("cumw"),
+            F.sum("wsum").over(w_all).alias("totw"),
+        )
+        .filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_cents").cast("bigint").alias("wmedian_cents"),
+            F.min("totw").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
