@@ -60,6 +60,15 @@ def main() -> None:
     gaps = filled.filter(F.col("is_gap")).count()
     cells = filled.count()
 
+    # 6. history + sequence: SCD2 validity intervals and the ordered
+    #    view->click->purchase funnel
+    scd2 = REGISTRY["q141_scd2_intervals"].spark(spark, sf_dir)
+    n_runs = scd2.count()
+    funnel = {
+        r["step"]: r for r in
+        REGISTRY["q143_ordered_funnel"].spark(spark, sf_dir).collect()
+    }
+
     print(f"events:                  {n0}")
     print(f"day-1 returners:         {day1}")
     print(
@@ -73,6 +82,14 @@ def main() -> None:
     print(f"outliers (3-sigma):      {z}")
     print(f"outliers (3-MAD):        {m}  (robust to the extremes themselves)")
     print(f"hourly series:           {cells} cells, {gaps} gap-filled by LOCF")
+    print(f"SCD2 history rows:       {n_runs} validity intervals")
+    print(
+        "ordered funnel:          "
+        + " -> ".join(
+            f"step{st} {funnel[st]['n_users']} ({funnel[st]['conv_bp'] / 100:.0f}%)"
+            for st in sorted(funnel)
+        )
+    )
     spark.stop()
 
 

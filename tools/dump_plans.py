@@ -229,6 +229,18 @@ HEADLINERS: dict[str, str] = {
         "subtree, so constraint inference on either attribute would "
         "split the diamond."
     ),
+    "q146_fuzzy_key_match": (
+        "Edit-distance-family matching as an equi-join: d+1 "
+        "interleaved character projections guarantee any <= d "
+        "substitutions leave one projection untouched (recall 1 by "
+        "construction — the brute-force oracle attests it), so the "
+        "blocking join is hash-partitionable on (chunk, length, "
+        "projection). The exact Hamming verify evaluates ONCE per "
+        "candidate pair, above the dedup aggregate — a verify-first "
+        "ordering re-evaluates the interpreted per-char expression "
+        "under the join post-condition and the inferred isnotnull "
+        "(measured 2-4x slower)."
+    ),
     "q139_gapfill_locf": (
         "Resample-then-fill without materializing raw events twice "
         "per spine input: the (type, hour) spine is generated from a "

@@ -397,6 +397,46 @@ def main() -> None:
         lambda e: zscore_anomalies(e, "event_type"),
     )
 
+    # Fuzzy key matching (q146): replicate customers with id shifts —
+    # names stay identical across replicas, so replication multiplies
+    # both sides of every block; near-linear totals mean the
+    # interleaved pigeonhole buckets, not pair enumeration, dominate.
+    from kaflow_spark.operators.dedup import hamming_pairs
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    n_cust = cust.count()
+    probe_cust = make_prober(rows, cust, "c_custkey")
+    probe_cust(
+        f"hamming<=1 key pairs q146 ({n_cust} names/x)",
+        lambda d: hamming_pairs(d, "c_custkey", "c_name", max_dist=1),
+    )
+
+    # Basket affinity (q145): replicate lineitem with consistent order
+    # shifts so baskets replicate whole (pair volume grows linearly
+    # with orders, quadratic only within a basket).
+    li_b = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    n_lib = li_b.count()
+
+    def basket(d):
+        dp = d.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+        a = dp.select("o", F.col("p").alias("p1"))
+        b = dp.select("o", F.col("p").alias("p2"))
+        return (
+            a.join(b, "o")
+            .filter(F.col("p1") < F.col("p2"))
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("n_both"))
+        )
+
+    probe_li = make_prober(rows, li_b, "l_orderkey")
+    probe_li(f"basket pair counts q145 ({n_lib} lineitems/x)", basket)
+
     # TPC-H Q3 join-agg at 1x/5x/10x: replicate all three tables with
     # CONSISTENT key shifts so join fan-out stays exactly 1:1 — the
     # curve then measures shuffle-join scaling, not artificial skew.
@@ -475,7 +515,7 @@ def main() -> None:
         "to 10x (2.6s -> 6.5s for 2x data = sort-merge spill "
         "territory on one node), and the plan itself — two hash "
         "exchanges, partial aggregation, no broadcast of a large "
-        "side — is exactly what distributes across executors. New round-5 operator rows: minimizers is one explode + one doc_id shuffle of short rows (tracks gram volume); shuffle-shards is a scan-side hash + one shard-partitioned window (near-flat until data volume dominates); hard negatives scales with corpus x anchors under a fixed broadcast anchor set; OHLC is a pure partial-agg whose shuffle is |type x hour| rows, so replication cost is map-side only. Late round-5 rows: bigram surprisal and 3-gram diversity shuffle (gram, count) / distinct (source, gram) pairs, never text — both track gram volume; the OLS trend is a single partial-agg'd groupBy of five bigint sums (map-side cost only); the z-score diamond is one events scan plus a broadcast of |types| stat rows, so its curve tracks scan volume. Wall-clocks are single runs on a shared sandbox: the iterative rows (CC, dedup clusters) carry +-2-3x run-to-run noise from co-tenant load; curve SHAPE across 1x/5x/10x, not any absolute point, is the signal this table exists for."
+        "side — is exactly what distributes across executors. New round-5 operator rows: minimizers is one explode + one doc_id shuffle of short rows (tracks gram volume); shuffle-shards is a scan-side hash + one shard-partitioned window (near-flat until data volume dominates); hard negatives scales with corpus x anchors under a fixed broadcast anchor set; OHLC is a pure partial-agg whose shuffle is |type x hour| rows, so replication cost is map-side only. Late round-5 rows: bigram surprisal and 3-gram diversity shuffle (gram, count) / distinct (source, gram) pairs, never text — both track gram volume; the OLS trend is a single partial-agg'd groupBy of five bigint sums (map-side cost only); the z-score diamond is one events scan plus a broadcast of |types| stat rows, so its curve tracks scan volume. Newest rows: the hamming-pair probe replicates names verbatim (ids shift), so every block gains mult-squared within-name-group pairs — near-linear totals mean bucket structure, not enumeration, dominates; basket pairs replicate whole orders, so pair volume grows linearly with order count. Wall-clocks are single runs on a shared sandbox: the iterative rows (CC, dedup clusters) carry +-2-3x run-to-run noise from co-tenant load; curve SHAPE across 1x/5x/10x, not any absolute point, is the signal this table exists for."
     )
     with open("SCALING.md", "w") as f:
         f.write("\n".join(rows) + "\n")
