@@ -103,3 +103,28 @@ def test_zscore_and_mad_match_integer_references(spark, data):
                 m_want.add(i)
     assert z_got == z_want
     assert m_got == m_want
+
+
+import itertools
+
+keys = st.text(alphabet="AB1", min_size=3, max_size=6)
+
+
+@given(st.lists(keys, min_size=2, max_size=12, unique=True))
+@settings(max_examples=10, deadline=None)
+def test_hamming_pairs_recall_equals_brute_force(spark, ks):
+    """Pigeonhole blocking must have recall 1 vs brute force on
+    arbitrary keys (tiny alphabet maximizes collisions and near-miss
+    pairs — the adversarial regime for blocking)."""
+    from kaflow_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame(list(enumerate(ks)), "id bigint, key string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           hamming_pairs(df, "id", "key", max_dist=1).collect()}
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(ks), 2):
+        if len(a) == len(b):
+            h = sum(x != y for x, y in zip(a, b))
+            if h <= 1:
+                want[(min(i, j), max(i, j))] = h
+    assert got == want, (got, want)
