@@ -781,3 +781,106 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@declare(
+    "q149_data_quality_report",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(COUNT(*) FILTER (l_orderkey IS NULL) AS BIGINT)
+                   AS null_ok,
+               CAST(COUNT(*) FILTER (l_quantity IS NULL
+                     OR l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+                   AS bad_qty,
+               CAST(COUNT(*) FILTER (l_discount IS NULL
+                     OR l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+                   AS bad_disc
+        FROM lineitem),
+    dupkey AS (
+        SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS extra
+        FROM (SELECT COUNT(*) AS n FROM lineitem
+              GROUP BY l_orderkey, l_linenumber) WHERE n > 1),
+    orphan AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+    SELECT rule, violations, total FROM (
+        SELECT 'orderkey_not_null' AS rule, null_ok AS violations, total
+        FROM base
+        UNION ALL
+        SELECT 'quantity_in_1_50', bad_qty, total FROM base
+        UNION ALL
+        SELECT 'discount_in_0_0.1', bad_disc, total FROM base
+        UNION ALL
+        SELECT 'orderkey_linenumber_unique', extra, total
+        FROM dupkey, base
+        UNION ALL
+        SELECT 'orderkey_refs_orders', n, total FROM orphan, base)
+    ORDER BY rule
+    """,
+    doc="Declarative data-quality expectations (the Deequ-style "
+    "constraint suite a pipeline gates ingestion on): NOT NULL, "
+    "range, composite-key uniqueness, and referential integrity — "
+    "each reported as exact violation counts against the row total. "
+    "Plan: the three scalar row checks share ONE conditional-agg "
+    "scan (a rule per FILTER expression, no per-rule pass); "
+    "uniqueness is a two-phase groupBy on the composite key "
+    "(violations = sum of duplicates beyond the first); referential "
+    "integrity is a LEFT ANTI join against the parent keys. Report "
+    "assembly unions five 1-row frames — nothing wide moves twice.",
+    tags=("agg", "join", "quality"),
+)
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").select("o_orderkey")
+    base = l.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias("null_ok"),
+        F.count(
+            F.when(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+                1,
+            )
+        ).alias("bad_qty"),
+        F.count(
+            F.when(
+                F.col("l_discount").isNull()
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 0.1),
+                1,
+            )
+        ).alias("bad_disc"),
+    )
+    dup = (
+        l.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("extra"))
+    )
+    orphan = l.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+    def row(rule: str, col: str, frame) -> DataFrame:
+        return frame.crossJoin(F.broadcast(base.select("total"))).select(
+            F.lit(rule).alias("rule"),
+            F.col(col).cast("bigint").alias("violations"),
+            F.col("total").cast("bigint").alias("total"),
+        ) if frame is not base else base.select(
+            F.lit(rule).alias("rule"),
+            F.col(col).cast("bigint").alias("violations"),
+            F.col("total").cast("bigint").alias("total"),
+        )
+
+    return (
+        row("orderkey_not_null", "null_ok", base)
+        .unionAll(row("quantity_in_1_50", "bad_qty", base))
+        .unionAll(row("discount_in_0_0.1", "bad_disc", base))
+        .unionAll(row("orderkey_linenumber_unique", "extra", dup))
+        .unionAll(row("orderkey_refs_orders", "n", orphan))
+        .orderBy("rule")
+    )
