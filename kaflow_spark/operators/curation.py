@@ -980,6 +980,32 @@ def lexical_retrieval_topk(
     )
 
 
+def basket_pairs(
+    df: DataFrame, basket_col: str, item_col: str
+) -> DataFrame:
+    """Within-basket item-pair counts — the enumeration stage of
+    market-basket / co-occurrence analysis (q145 layers supports and
+    lift on top; the scale probe measures this stage directly).
+    Distinct (basket, item) rows self-join ON THE BASKET KEY, so the
+    pair enumeration is co-partitioned and bounded by basket size
+    squared; emits ``(p1, p2, n_both)`` with ``p1 < p2``. A
+    pathological basket would need a per-basket cap (the MinHash
+    ``max_bucket`` pattern) before this join."""
+    dp = (
+        df.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(basket_col).alias("_o"), F.col(item_col).alias("_p"))
+        .distinct()
+    )
+    a = dp.select("_o", F.col("_p").alias("p1"))
+    b = dp.select("_o", F.col("_p").alias("p2"))
+    return (
+        a.join(b, "_o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+
+
 __all__ = [
     "contamination_overlaps",
     "quota_per_key",
@@ -1003,6 +1029,7 @@ __all__ = [
     "ngram_surprisal",
     "ngram_diversity",
     "lexical_retrieval_topk",
+    "basket_pairs",
     "cross_split_pairs",
     "split_counts_exact",
     "shuffle_shards",

@@ -408,11 +408,18 @@ def minhash_lsh_candidates(
     ).filter(F.col("_bn") <= max_bucket)
     left = counted.select("band", "bucket", F.col("_id").alias("id_a"))
     right = counted.select("band", "bucket", F.col("_id").alias("id_b"))
+    if (side_a is None) != (side_b is None):
+        raise ValueError(
+            "side_a and side_b must be given together (disjoint id "
+            "sets): a one-sided restriction would drop the id_a < "
+            "id_b dedup while the other side still contains the "
+            "restricted ids — self-pairs and mirrored duplicates"
+        )
     if side_a is not None:
         left = left.filter(side_a(F.col("id_a")))
     if side_b is not None:
         right = right.filter(side_b(F.col("id_b")))
-    cross = side_a is not None or side_b is not None
+    cross = side_a is not None
     joined = left.join(right, ["band", "bucket"])
     if not cross:
         joined = joined.filter(F.col("id_a") < F.col("id_b"))

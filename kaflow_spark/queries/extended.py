@@ -689,11 +689,15 @@ def q80(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q147(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    # pmod keeps the mapping injective for NEGATIVE ids too (signed %
+    # plus Java shift-masking would alias -62 and 2 into one bit —
+    # review-caught): bit position is the non-negative residue and the
+    # bucket is the matching floor quotient.
     masks = (
         e.select(
             "event_type",
-            F.expr("user_id div 63").alias("_bucket"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+            F.expr("(user_id - pmod(user_id, 63)) div 63").alias("_bucket"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 63) AS INT))")
             .alias("_bit"),
         )
         .groupBy("event_type", "_bucket")

@@ -1290,16 +1290,16 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
     "near-duplicates (5-gram Jaccard >= 0.5) of a benchmark item — "
     "the screen that catches lightly-edited eval copies the exact "
     "n-gram screens (q68/q95) miss entirely (one changed word per "
-    "window zeroes every exact gram). End-to-end and exact: MinHash "
-    "candidates at 32 bands x 2 rows (band-collision prob 0.25 at "
-    "j=0.5 vs 0.0625 for q41's 16x4 — the banding must match the "
-    "THRESHOLD, not be copied between pipelines), a min_bands=4 "
-    "screen against the 2-hash flukes template-similar corpora "
-    "produce in bulk (P(>=4 of 32 | j=0.5) = 97.4%, ~100% above "
-    "0.55), and an est_jaccard >= 0.35 pre-screen (P(miss | j=0.5) "
-    "~ 3e-4 over 64 hashes), all piped through the exact-Jaccard "
-    "verify, so the O(n·m) brute-force oracle hash-attests "
-    "end-to-end recall. The fixture benchmark is every 20th doc; "
+    "window zeroes every exact gram). End-to-end, with QUANTIFIED "
+    "probabilistic recall (LSH recall is never exactly 1 — q41's "
+    "honesty discipline): 32 bands x 2 rows (band-collision prob "
+    "0.25 at j=0.5 vs 0.0625 for q41's 16x4 — the banding must "
+    "match the THRESHOLD, not be copied between pipelines), "
+    "min_bands=2 (P(miss | j exactly 0.5) = 1.2e-3, < 1e-4 above "
+    "0.55, ~1e-12 for the >=0.8 pairs the fixture contains) and an "
+    "est_jaccard >= 0.35 pre-screen (P(miss | j=0.5) ~ 3e-4), then "
+    "the exact-Jaccard verify; the O(n·m) brute-force oracle "
+    "hash-attests recall on the fixture's actual pair population. The fixture benchmark is every 20th doc; "
     "pairs are normalized (corpus_id, bench_id). Scale shape: "
     "identical to q41 — banded equi-join, id-only band rows, shared "
     "persisted shingle frame — EXCEPT the two join sides are "
@@ -1313,17 +1313,18 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents")
     sh = shingle_frame(d, "doc_id", "text", 5)
-    # Sides restricted BEFORE the bucket join; min_bands=4 and the
+    # Sides restricted BEFORE the bucket join; min_bands=2 (chosen
+    # for recall — mb=4's boundary miss is 2.6% vs 0.12% here, and
+    # sandbox noise swamps the runtime difference) and the
     # est_jaccard pre-screen keep the exact-verify input at
     # true-pair scale (recall math in the declaration doc).
-    # Measured 8.2 s -> ~2 s at sf0.1.
     cand = (
         minhash_lsh_candidates(
             d,
             "doc_id",
             "text",
             bands=32,
-            min_bands=4,
+            min_bands=2,
             shingles=sh,
             side_a=lambda c: c % 20 != 0,  # corpus side
             side_b=lambda c: c % 20 == 0,  # benchmark side

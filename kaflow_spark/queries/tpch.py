@@ -1280,12 +1280,12 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
     "aggregate's exchange is built once and ReusedExchange feeds "
     "both sides (identical subtrees; the +1 shift happens in the "
     "join key ABOVE the shared aggregate). Growth is exact-cents "
-    "FLOOR division — pmod-based, because Spark's (a - a%b)/b "
-    "truncates toward zero on negative numerators while DuckDB's "
-    "// floors (a shrinking year would silently diverge by one bp); "
-    "operands stay under 2^53 at cents scale through ~10^9 "
-    "orders/nation-year, past which cast the cents to DECIMAL "
-    "before the division.",
+    "TRUNCATING integer division via Spark's `div`, which matches "
+    "DuckDB's integer `//` exactly INCLUDING negative numerators — "
+    "both truncate toward zero (measured: -7 // 2 = -3 in DuckDB, "
+    "NOT a floor; a pmod-based floor emulation diverged by one bp "
+    "on every shrinking year). Pure bigint arithmetic, no 2^53 "
+    "bound.",
     tags=("join", "agg", "window", "tpch"),
 )
 def q144(spark: SparkSession, sf: str) -> DataFrame:
@@ -1375,20 +1375,16 @@ def q144(spark: SparkSession, sf: str) -> DataFrame:
     tags=("join", "agg", "tpch", "curation"),
 )
 def q145(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import basket_pairs
+
     l = load(spark, sf, "lineitem")
     dp = (
         l.filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    a = dp.select("o", F.col("p").alias("p1"))
-    b = dp.select("o", F.col("p").alias("p2"))
-    pairs = (
-        a.join(b, "o")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n_both"))
-        .filter(F.col("n_both") >= 3)
+    pairs = basket_pairs(l, "l_orderkey", "l_partkey").filter(
+        F.col("n_both") >= 3
     )
     sup = dp.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
     tot = dp.agg(F.count_distinct("o").alias("n_orders"))

@@ -263,11 +263,12 @@ def streaming_gapfill_locf(
     timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming twin of q139's hourly LOCF gap-fill: per-key state is
-    (last completed hour emitted, that hour's summed cents, the
-    running sum of the currently-open hour). When a batch moves a
-    key's clock past one or more hour boundaries, every closed hour
-    emits — observed hours with their exact cent sum, silent hours
-    repeating the last observed sum (``is_gap = true``).
+    the currently-open hour and its running cent sum. When a batch
+    moves a key's clock past one or more hour boundaries, every closed
+    hour emits — observed hours with their exact cent sum, silent
+    hours repeating the last observed sum (``is_gap = true``). A key
+    evicted by the processing timeout FLUSHES its open hour on the way
+    out (review-caught: a bare remove() silently dropped that bar).
 
     Semantics note (the honest streaming restriction): a key's clock
     only advances when ITS events arrive — cross-key gap emission on
@@ -281,7 +282,7 @@ def streaming_gapfill_locf(
     out_schema = (
         f"{group_col} string, hour timestamp, filled_cents bigint, is_gap boolean"
     )
-    state_schema = "last_hour long, last_cents bigint, open_hour long, open_cents bigint"
+    state_schema = "open_hour long, open_cents bigint"
 
     HOUR = 3600
 
@@ -291,11 +292,22 @@ def streaming_gapfill_locf(
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         if state.hasTimedOut:
+            open_hour, open_cents = state.get if state.exists else (None, 0)
             state.remove()
+            if open_hour is not None:
+                # flush the accumulated open bar before eviction — a
+                # bare remove() would lose it, and a later event for
+                # this key would restart past the gap
+                yield pd.DataFrame(
+                    {
+                        group_col: [key[0]],
+                        "hour": [pd.Timestamp(int(open_hour), unit="s")],
+                        "filled_cents": [int(open_cents)],
+                        "is_gap": [False],
+                    }
+                )
             return
-        last_hour, last_cents, open_hour, open_cents = (
-            state.get if state.exists else (None, None, None, 0)
-        )
+        open_hour, open_cents = state.get if state.exists else (None, 0)
         events = []
         for pdf in pdfs:
             pdf = pdf[pdf[value_col].notna() & pdf[ts_col].notna()]
@@ -326,9 +338,8 @@ def streaming_gapfill_locf(
                 out.append((open_hour, open_cents, False))
                 for gap in range(open_hour + HOUR, h, HOUR):
                     out.append((gap, open_cents, True))
-                last_hour, last_cents = open_hour, open_cents
                 open_hour, open_cents = h, int(c)
-        state.update((last_hour, last_cents, open_hour, open_cents))
+        state.update((open_hour, open_cents))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
         if out:

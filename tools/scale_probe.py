@@ -432,26 +432,17 @@ def main() -> None:
     # Basket affinity (q145): replicate lineitem with consistent order
     # shifts so baskets replicate whole (pair volume grows linearly
     # with orders, quadratic only within a basket).
+    from kaflow_spark.operators.curation import basket_pairs
+
     li_b = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey"
     )
     n_lib = li_b.count()
-
-    def basket(d):
-        dp = d.select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        ).distinct()
-        a = dp.select("o", F.col("p").alias("p1"))
-        b = dp.select("o", F.col("p").alias("p2"))
-        return (
-            a.join(b, "o")
-            .filter(F.col("p1") < F.col("p2"))
-            .groupBy("p1", "p2")
-            .agg(F.count(F.lit(1)).alias("n_both"))
-        )
-
     probe_li = make_prober(rows, li_b, "l_orderkey")
-    probe_li(f"basket pair counts q145 ({n_lib} lineitems/x)", basket)
+    probe_li(
+        f"basket pair counts q145 ({n_lib} lineitems/x)",
+        lambda d: basket_pairs(d, "l_orderkey", "l_partkey"),
+    )
 
     # TPC-H Q3 join-agg at 1x/5x/10x: replicate all three tables with
     # CONSISTENT key shifts so join fan-out stays exactly 1:1 — the
