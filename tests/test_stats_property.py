@@ -128,3 +128,80 @@ def test_hamming_pairs_recall_equals_brute_force(spark, ks):
             if h <= 1:
                 want[(min(i, j), max(i, j))] = h
     assert got == want, (got, want)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 6)),  # (basket, item)
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_basket_pairs_matches_brute_force(spark, rows_):
+    from kaflow_spark.operators.curation import basket_pairs
+
+    df = spark.createDataFrame(rows_, "o bigint, p bigint")
+    got = {(r["p1"], r["p2"]): r["n_both"] for r in
+           basket_pairs(df, "o", "p").collect()}
+    baskets = {}
+    for o, p in set(rows_):
+        baskets.setdefault(o, set()).add(p)
+    want = {}
+    for items in baskets.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.integers(1, 40),  # price cents (small domain forces ties)
+            st.integers(1, 5),   # weight
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_weighted_median_selector_matches_reference(spark, rows_):
+    """The 2*cumw >= totw selector == smallest value at or past half
+    the total weight, on arbitrary weighted multisets."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(rows_, "g string, v bigint, w bigint")
+    gagg = df.groupBy("g", "v").agg(F.sum("w").alias("ws"))
+    w_cum = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    got = {
+        r["g"]: r["m"]
+        for r in gagg.select(
+            "g", "v",
+            F.sum("ws").over(w_cum).alias("cw"),
+            F.sum("ws").over(w_all).alias("tw"),
+        )
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("g")
+        .agg(F.min("v").alias("m"))
+        .collect()
+    }
+    by_g = {}
+    for g, v, w in rows_:
+        by_g.setdefault(g, []).append((v, w))
+    for g, vw in by_g.items():
+        tot = sum(w for _, w in vw)
+        cum = 0
+        want = None
+        for v in sorted({v for v, _ in vw}):
+            cum += sum(w for vv, w in vw if vv == v)
+            if 2 * cum >= tot:
+                want = v
+                break
+        assert got[g] == want, (g, vw)
