@@ -205,3 +205,66 @@ def test_weighted_median_selector_matches_reference(spark, rows_):
                 want = v
                 break
         assert got[g] == want, (g, vw)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_scd2_intervals_match_run_length_reference(spark, evs):
+    """q141's gaps-and-islands collapse == a straightforward per-user
+    run-length encoding of the (ts, id)-ordered type sequence."""
+    import datetime as dt
+    from kaflow_spark.queries import REGISTRY  # noqa: F401 (registry import)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    rows = [
+        (i, u, t, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i))
+        for i, (u, t) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+    # replicate the q141 pipeline over this frame
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = df.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(
+            F.lag("event_type").over(w_order).isNull()
+            | (F.lag("event_type").over(w_order) != F.col("event_type")),
+            1,
+        ).otherwise(0).alias("chg"),
+    )
+    runs = (
+        flagged.withColumn("island", F.sum("chg").over(w_cum))
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("event_type").alias("t"),
+            F.min("ts").alias("vf"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    got = sorted(
+        (r["user_id"], r["t"], r["vf"], r["n"]) for r in runs.collect()
+    )
+    # reference: plain run-length encoding per user
+    want = []
+    by_u = {}
+    for i, (u, t) in enumerate(evs):
+        by_u.setdefault(u, []).append((i, t))
+    for u, seq in by_u.items():
+        run_t, run_start, run_n = None, None, 0
+        for i, t in seq:  # already ts-ordered (ts == minutes(i))
+            if t != run_t:
+                if run_t is not None:
+                    want.append((u, run_t, run_start, run_n))
+                run_t, run_start, run_n = t, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), 0
+            run_n += 1
+        want.append((u, run_t, run_start, run_n))
+    assert got == sorted(want)
