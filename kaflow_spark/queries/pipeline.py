@@ -767,3 +767,81 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     return one.unionAll(two).unionAll(three).orderBy("step")
+
+
+@declare(
+    "q150_cohort_ltv_curve",
+    oracle="""
+    WITH om AS (
+        SELECT o_custkey,
+               CAST(EXTRACT(year FROM o_orderdate) * 12
+                    + EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+        FROM orders),
+    coh AS (SELECT o_custkey, MIN(m) AS cm FROM om GROUP BY o_custkey),
+    sz AS (SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_custs
+           FROM coh GROUP BY cm),
+    rev AS (
+        SELECT coh.cm, om.m - coh.cm AS off, SUM(om.cents) AS cents
+        FROM om JOIN coh USING (o_custkey)
+        GROUP BY coh.cm, om.m - coh.cm),
+    cum AS (
+        SELECT cm, off,
+               SUM(cents) OVER (PARTITION BY cm ORDER BY off
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_cents
+        FROM rev)
+    SELECT cum.cm AS cohort_month, cum.off AS offset_months,
+           sz.n_custs, CAST(cum.cum_cents AS BIGINT) AS cum_cents,
+           cum.cum_cents // sz.n_custs AS ltv_cents
+    FROM cum JOIN sz USING (cm)
+    ORDER BY cohort_month, offset_months
+    """,
+    doc="Cohort LTV curve: customers cohorted by first-order month; "
+    "per (cohort, months-since) the cumulative revenue and the "
+    "per-customer lifetime value — the product-analytics deliverable "
+    "that q93's retention counts feed into. Exactness: months are "
+    "integer year*12+month, revenue is exact cents, the cumulative "
+    "window orders by the integer offset (unique within a cohort), "
+    "and ltv = truncating integer division. Scale: orders collapse "
+    "to per-customer first-month (one custkey shuffle the revenue "
+    "join reuses — same-key diamond), revenue partial-aggs to "
+    "|cohorts x offsets| rows before the window, and cohort sizes "
+    "join the windowed table, never raw orders.",
+    tags=("events", "agg", "window", "join"),
+)
+def q150(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    om = o.filter(F.col("o_custkey").isNotNull()).select(
+        "o_custkey",
+        (F.year("o_orderdate").cast("bigint") * 12
+         + F.month("o_orderdate").cast("bigint")).alias("m"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    coh = om.groupBy("o_custkey").agg(F.min("m").alias("cm"))
+    sz = coh.groupBy("cm").agg(F.count(F.lit(1)).cast("bigint").alias("n_custs"))
+    rev = (
+        om.join(coh, "o_custkey")
+        .groupBy("cm", (F.col("m") - F.col("cm")).alias("off"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w_cum = W.partitionBy("cm").orderBy("off").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = rev.select(
+        "cm", "off", F.sum("cents").over(w_cum).alias("cum_cents")
+    )
+    return (
+        cum.join(F.broadcast(sz), "cm")
+        .select(
+            F.col("cm").alias("cohort_month"),
+            F.col("off").alias("offset_months"),
+            "n_custs",
+            F.col("cum_cents").cast("bigint").alias("cum_cents"),
+            F.expr("cum_cents div n_custs").alias("ltv_cents"),
+        )
+        .orderBy("cohort_month", "offset_months")
+    )
