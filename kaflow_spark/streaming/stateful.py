@@ -278,12 +278,36 @@ def streaming_gapfill_locf(
     hours backfill. Replaying a bounded history therefore converges
     to the batch q139 rows for every hour up to each key's last
     completed hour. Cents use the same HALF_UP conversion as every
-    batch twin."""
+    batch twin.
+
+    Environment gate: this sandbox's PySpark build hangs on ANY
+    ProcessingTimeTimeout eviction (a minimal upstream
+    applyInPandasWithState timeout example hangs identically), so the
+    timeout path cannot run under Structured Streaming here; the
+    flush-on-timeout branch is unit-tested directly against a fake
+    GroupState instead (test_streaming's fake-state test)."""
     out_schema = (
         f"{group_col} string, hour timestamp, filled_cents bigint, is_gap boolean"
     )
     state_schema = "open_hour long, open_cents bigint"
 
+    update = _gapfill_update(group_col, ts_col, value_col, timeout_ms)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
+def _gapfill_update(group_col, ts_col, value_col, timeout_ms):
+    """The stateful kernel of :func:`streaming_gapfill_locf`, exposed
+    module-level so the timeout branch is testable against a fake
+    GroupState (the sandbox's PySpark hangs on real
+    ProcessingTimeTimeout eviction — see the operator docstring)."""
     HOUR = 3600
 
     def update(
@@ -352,11 +376,4 @@ def streaming_gapfill_locf(
                 }
             )
 
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if timeout_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
-    return df.groupBy(group_col).applyInPandasWithState(
-        update, out_schema, state_schema, "update", timeout
-    )
+    return update

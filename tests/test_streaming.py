@@ -464,3 +464,40 @@ def test_streaming_gapfill_locf_backfills_silent_hours(spark, tdir):
         assert got == [(10, 325, False), (11, 325, True), (12, 325, True)]
     finally:
         q.stop()
+
+
+def test_gapfill_timeout_branch_flushes_open_hour():
+    """Direct kernel test of the flush-on-timeout contract (the
+    sandbox's PySpark hangs on real ProcessingTimeTimeout eviction —
+    minimal upstream repro hangs identically — so the branch is
+    driven against a fake GroupState)."""
+    from kaflow_spark.streaming.stateful import _gapfill_update
+
+    class FakeState:
+        def __init__(self, value):
+            self._v = value
+            self.hasTimedOut = True
+            self.removed = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def remove(self):
+            self.removed = True
+
+    update = _gapfill_update("event_type", "ts", "value", timeout_ms=200)
+    # open hour accumulated -> flushed exactly once, not a gap
+    st = FakeState((36000, 325))
+    out = list(update(("quiet",), iter([]), st))
+    assert st.removed and len(out) == 1
+    row = out[0].iloc[0]
+    assert row["filled_cents"] == 325 and not row["is_gap"]
+    assert row["hour"] == __import__("pandas").Timestamp(36000, unit="s")
+    # no state -> nothing to flush
+    st2 = FakeState(None)
+    assert list(update(("quiet",), iter([]), st2)) == [] and st2.removed
