@@ -444,3 +444,30 @@ def test_q144_shifted_self_join_reuses_aggregate(spark, sf_dir):
         assert plan.count("orders.parquet") == 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q133_partial_aggs_and_broadcast_grand_total(spark, sf_dir):
+    """Bigram surprisal: every aggregate partial-aggs map-side and the
+    1-row grand total reaches the scoring join as a broadcast."""
+    df = REGISTRY["q133_bigram_surprisal"].spark(spark, sf_dir)
+    assert has_partial_aggregate(df)
+    assert has_broadcast_join(df)
+
+
+def test_q148_weighted_median_partial_aggs_no_nlj(spark, sf_dir):
+    """Weighted median: weights partial-agg BEFORE the cumulative
+    window; no nested-loop anywhere."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q148_weighted_median_price"].spark(spark, sf_dir)
+    assert has_partial_aggregate(df)
+    assert "NestedLoop" not in explain_str(df)
+
+
+def test_q150_cohort_ltv_single_custkey_diamond(spark, sf_dir):
+    """Cohort LTV: the per-customer first-month aggregate and the
+    revenue join share the custkey partitioning — orders scans once
+    per branch at most, sizes broadcast."""
+    df = REGISTRY["q150_cohort_ltv_curve"].spark(spark, sf_dir)
+    assert has_partial_aggregate(df)
+    assert has_broadcast_join(df)
