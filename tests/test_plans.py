@@ -471,3 +471,32 @@ def test_q150_cohort_ltv_single_custkey_diamond(spark, sf_dir):
     df = REGISTRY["q150_cohort_ltv_curve"].spark(spark, sf_dir)
     assert has_partial_aggregate(df)
     assert has_broadcast_join(df)
+
+
+def test_q145_basket_pairs_equi_join_no_nlj(spark, sf_dir):
+    """Basket affinity: the pair enumeration is an equi-join on the
+    order key — a nested-loop regression would break the
+    large-by-large guarantee."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q145_basket_affinity"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert "NestedLoop" not in txt or "BroadcastNestedLoop" in txt  # 1-row tot ok
+    assert has_partial_aggregate(df)
+    assert has_top_k(df)
+
+
+def test_q147_bitmap_masks_partial_agg(spark, sf_dir):
+    """Bitmap distinct: both aggregation levels partial-agg — the
+    shuffle carries (group, bucket, mask) rows, never raw ids."""
+    df = REGISTRY["q147_bitmap_distinct_users"].spark(spark, sf_dir)
+    assert has_partial_aggregate(df)
+
+
+def test_q149_referential_check_is_left_anti(spark, sf_dir):
+    """Data quality: the referential rule must plan as LEFT ANTI
+    against the parent keys, never a nested-loop scan."""
+    from kaflow_spark.plans.explain import explain_str
+
+    txt = explain_str(REGISTRY["q149_data_quality_report"].spark(spark, sf_dir))
+    assert "LeftAnti" in txt
