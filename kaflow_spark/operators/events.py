@@ -287,3 +287,49 @@ def mad_outliers(
         .filter(F.col("_d") > F.lit(k) * F.col("_mad"))
         .select(id_col, group_col, F.col("_y").alias("value_cents"))
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """SCD Type-2 interval build (q141's operator form): collapse each
+    key's timeline into runs of the same attribute value and emit
+    validity intervals ``(user, type, valid_from, valid_to, n_events)``
+    — ``valid_to`` NULL marks the current run. Gaps-and-islands: a
+    change-flag lag window, a running-sum island id, a partial-agg'd
+    run groupBy, and a closing lead window — all four stages share ONE
+    hash exchange on the key (the (key, island) groupBy is co-located
+    under hash(key)); every window orders by (ts, unique id)."""
+    w_order = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = df.select(
+        user_col,
+        type_col,
+        ts_col,
+        id_col,
+        F.when(
+            F.lag(type_col).over(w_order).isNull()
+            | (F.lag(type_col).over(w_order) != F.col(type_col)),
+            1,
+        )
+        .otherwise(0)
+        .alias("_chg"),
+    )
+    islands = flagged.withColumn("_isl", F.sum("_chg").over(w_cum))
+    runs = islands.groupBy(user_col, "_isl").agg(
+        F.min(type_col).alias(type_col),
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    w_next = Window.partitionBy(user_col).orderBy("_isl")
+    return runs.select(
+        user_col,
+        type_col,
+        "valid_from",
+        F.lead("valid_from").over(w_next).alias("valid_to"),
+        "n_events",
+    )

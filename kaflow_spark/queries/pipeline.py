@@ -637,35 +637,11 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
     tags=("events", "window", "scd"),
 )
 def q141(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.events import scd2_intervals
+
     e = load(spark, sf, "events")
-    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    w_cum = w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
-    flagged = e.select(
-        "user_id", "event_type", "ts", "event_id",
-        F.when(
-            F.lag("event_type").over(w_order).isNull()
-            | (F.lag("event_type").over(w_order) != F.col("event_type")),
-            1,
-        )
-        .otherwise(0)
-        .alias("chg"),
-    )
-    islands = flagged.withColumn("island", F.sum("chg").over(w_cum))
-    runs = islands.groupBy("user_id", "island").agg(
-        F.min("event_type").alias("event_type"),
-        F.min("ts").alias("valid_from"),
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-    )
-    w_next = W.partitionBy("user_id").orderBy("island")
-    return (
-        runs.select(
-            "user_id",
-            "event_type",
-            "valid_from",
-            F.lead("valid_from").over(w_next).alias("valid_to"),
-            "n_events",
-        )
-        .orderBy("user_id", "valid_from")
+    return scd2_intervals(e, "user_id", "event_type").orderBy(
+        "user_id", "valid_from"
     )
 
 

@@ -377,3 +377,106 @@ def _gapfill_update(group_col, ts_col, value_col, timeout_ms):
             )
 
     return update
+
+
+def _scd2_update(user_col, type_col, ts_col, id_col, timeout_ms):
+    """Stateful kernel of :func:`streaming_scd2` — module-level for
+    fake-GroupState testing (same ProcessingTimeTimeout sandbox gate
+    as the gap-fill kernel)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            cur = state.get if state.exists else None
+            state.remove()
+            if cur is not None:
+                # flush the open run as CURRENT (valid_to null)
+                yield pd.DataFrame(
+                    {
+                        user_col: [key[0]],
+                        type_col: [cur[0]],
+                        "valid_from": [pd.Timestamp(cur[1], unit="us")],
+                        "valid_to": [pd.NaT],
+                        "n_events": [int(cur[2])],
+                    }
+                )
+            return
+        cur = state.get if state.exists else None  # (type, from_us, n)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf[pdf[ts_col].notna() & pdf[type_col].notna()]
+            if len(pdf):
+                rows.append(pdf[[ts_col, id_col, type_col]])
+        out = []
+        if rows:
+            ev = pd.concat(rows).sort_values([ts_col, id_col])
+            for _, r in ev.iterrows():
+                t = r[type_col]
+                us = int(pd.Timestamp(r[ts_col]).value // 1000)
+                if cur is None:
+                    cur = (t, us, 0)
+                if t != cur[0]:
+                    # close the run at the new run's start
+                    out.append((cur[0], cur[1], us, cur[2]))
+                    cur = (t, us, 1)
+                else:
+                    cur = (cur[0], cur[1], cur[2] + 1)
+        if cur is not None:
+            state.update(tuple(cur))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(
+                {
+                    user_col: key[0],
+                    type_col: [t for t, _, _, _ in out],
+                    "valid_from": [pd.Timestamp(f, unit="us") for _, f, _, _ in out],
+                    "valid_to": [pd.Timestamp(e, unit="us") for _, _, e, _ in out],
+                    "n_events": [int(n) for _, _, _, n in out],
+                }
+            )
+
+    return update
+
+
+def streaming_scd2(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    *,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.events.scd2_intervals`` — the
+    CDC-style history builder: per-key state carries the OPEN run
+    (type, valid_from, n); an attribute change closes the run and
+    emits its [valid_from, valid_to) interval; the open run stays in
+    state until closed (or flushed as current on timeout eviction).
+    Closed intervals match the batch operator's rows exactly for
+    in-order input; the batch posture falls back to the exact batch
+    operator so one definition serves both."""
+    if not df.isStreaming:
+        from kaflow_spark.operators.events import scd2_intervals
+
+        return scd2_intervals(
+            df, user_col, type_col, ts_col=ts_col, id_col=id_col
+        )
+
+    out_schema = (
+        f"{user_col} bigint, {type_col} string, valid_from timestamp, "
+        "valid_to timestamp, n_events bigint"
+    )
+    state_schema = "cur_type string, from_us long, n bigint"
+    update = _scd2_update(user_col, type_col, ts_col, id_col, timeout_ms)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

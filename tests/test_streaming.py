@@ -501,3 +501,75 @@ def test_gapfill_timeout_branch_flushes_open_hour():
     # no state -> nothing to flush
     st2 = FakeState(None)
     assert list(update(("quiet",), iter([]), st2)) == [] and st2.removed
+
+
+def test_streaming_scd2_closes_runs_across_batches(spark, tdir):
+    from kaflow_spark.streaming.stateful import streaming_scd2
+    from kaflow_spark.operators.events import scd2_intervals
+
+    name = f"sc_{uuid.uuid4().hex[:8]}"
+    ddl = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    rows1 = [
+        (1, 7, "view", _ts("2024-01-01 10:00:00")),
+        (2, 7, "view", _ts("2024-01-01 10:05:00")),
+    ]
+    rows2 = [
+        (3, 7, "click", _ts("2024-01-01 10:10:00")),
+        (4, 7, "purchase", _ts("2024-01-01 10:20:00")),
+    ]
+    spark.createDataFrame(rows1, ddl).coalesce(1).write.mode("append").parquet(tdir)
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(tdir)
+    )
+    out = streaming_scd2(stream, "user_id", "event_type")
+    q = out.writeStream.format("memory").queryName(name).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        assert spark.sql(f"SELECT * FROM {name}").count() == 0  # run open
+        spark.createDataFrame(rows2, ddl).coalesce(1).write.mode("append").parquet(tdir)
+        q.processAllAvailable()
+        got = sorted(
+            (r["event_type"], r["valid_from"], r["valid_to"], r["n_events"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        # the CLOSED intervals must equal the batch operator's closed rows
+        batch = scd2_intervals(
+            spark.createDataFrame(rows1 + rows2, ddl), "user_id", "event_type"
+        ).filter("valid_to IS NOT NULL")
+        want = sorted(
+            (r["event_type"], r["valid_from"], r["valid_to"], r["n_events"])
+            for r in batch.collect()
+        )
+        assert got == want and len(got) == 2  # view run + click run closed
+    finally:
+        q.stop()
+
+
+def test_scd2_timeout_branch_flushes_current_run():
+    """Kernel test: eviction flushes the open run as CURRENT
+    (valid_to null) — fake GroupState, same sandbox gate as gapfill."""
+    import pandas as pd
+    from kaflow_spark.streaming.stateful import _scd2_update
+
+    class FakeState:
+        def __init__(self, v):
+            self._v, self.hasTimedOut, self.removed = v, True, False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def remove(self):
+            self.removed = True
+
+    update = _scd2_update("user_id", "event_type", "ts", "event_id", 200)
+    st = FakeState(("view", 1_700_000_000_000_000, 3))
+    out = list(update((7,), iter([]), st))
+    assert st.removed and len(out) == 1
+    row = out[0].iloc[0]
+    assert row["event_type"] == "view" and row["n_events"] == 3
+    assert pd.isna(row["valid_to"])
