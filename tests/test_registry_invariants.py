@@ -26,3 +26,47 @@ def test_names_and_docs():
     for name, q in REGISTRY.items():
         assert q.doc, f"{name} needs a doc line (judge-facing)"
         assert name[0] == "q" and name[1:3].isdigit(), name
+
+
+def test_registry_size_floor_round5():
+    # round-5-end inventory: 150 declared queries
+    assert len(REGISTRY) >= 150
+
+
+# 1-row global aggregates: a single-row result is trivially ordered.
+_SINGLE_ROW = {
+    "q13_global_agg_distinct",
+    "q74_corr_from_exact_sums",
+    "q77_vocab_stats",
+    "q109_tpch_q14_promo_share",
+    "q110_tpch_q17_small_qty_revenue",
+    "q111_tpch_q19_disjunctive",
+    "q113_tpch_q6_forecast_revenue",
+}
+
+
+def test_every_oracle_has_total_order():
+    """Determinism rule 1 (SURVEY §2B): every multi-row oracle carries
+    an ORDER BY — a missing one signals a determinism-discipline slip.
+    The explicit single-row allowlist keeps the exception auditable."""
+    missing = [
+        name
+        for name, q in REGISTRY.items()
+        if q.oracle is not None
+        and name not in _SINGLE_ROW
+        and "ORDER BY" not in q.oracle.upper()
+    ]
+    assert missing == []
+
+
+def test_no_nondeterministic_functions_declared():
+    """Determinism rule 3: no rand/uuid/current-time in any oracle."""
+    import re
+
+    banned = re.compile(r"\b(random|rand|uuid|now|current_timestamp|current_date)\s*\(", re.I)
+    offenders = [
+        name
+        for name, q in REGISTRY.items()
+        if q.oracle is not None and banned.search(q.oracle)
+    ]
+    assert offenders == []
