@@ -821,3 +821,75 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cohort_month", "offset_months")
     )
+
+
+@declare(
+    "q151_longest_streak",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d
+        FROM events),
+    isl AS (
+        SELECT user_id, d,
+               d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                   AS grp
+        FROM days),
+    runs AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+               MIN(d) AS start_d
+        FROM isl GROUP BY user_id, grp),
+    best AS (
+        SELECT user_id, len, start_d,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY len DESC, start_d) AS rn
+        FROM runs)
+    SELECT user_id, len AS streak_days,
+           CAST(start_d AS BIGINT) AS start_day
+    FROM best WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="Longest consecutive-day activity streak per user — the "
+    "engagement metric behind 'N-day streak' product features, and "
+    "the VALUE-based island idiom (day minus row_number is constant "
+    "within a consecutive run) that complements the gap-based "
+    "islands of q31/q141. Ties break to the EARLIEST streak "
+    "(deterministic row_number with start_d tie-break). Days "
+    "collapse to distinct (user, day) integers first — partial-agg'd "
+    "like q93 — so both windows and the run groupBy ride one "
+    "user_id-compatible partitioning over day-grain rows, never raw "
+    "events.",
+    tags=("events", "window"),
+)
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("bigint")
+            .alias("d"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("d")
+    runs = (
+        days.withColumn("grp", F.col("d") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("len"),
+            F.min("d").alias("start_d"),
+        )
+    )
+    w_best = W.partitionBy("user_id").orderBy(F.desc("len"), "start_d")
+    return (
+        runs.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("streak_days"),
+            F.col("start_d").cast("bigint").alias("start_day"),
+        )
+        .orderBy("user_id")
+    )
