@@ -893,3 +893,111 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@declare(
+    "q152_interval_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) // 1000000 AS s,
+               epoch_us(ts) // 1000000
+                   + CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
+                   AS e
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL),
+    flagged AS (
+        SELECT user_id, s, e, event_id,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775808)
+                    THEN 1 ELSE 0 END AS brk
+        FROM iv),
+    isl AS (
+        SELECT user_id, s, e,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS grp
+        FROM flagged),
+    merged AS (
+        SELECT user_id, grp, MIN(s) AS ms, MAX(e) AS me
+        FROM isl GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_seconds
+    FROM merged GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Overlapping-interval coalescing: treat each event as an "
+    "active span [ts, ts + floor(value) seconds), merge overlaps per "
+    "user, and report merged-interval counts and total covered "
+    "seconds — the utilization/downtime-merging interval-algebra "
+    "family (distinct from point-event islands: the break test "
+    "compares each START against the RUNNING MAX of preceding ENDS, "
+    "because an early long interval can swallow several later "
+    "ones). Exactness: epoch seconds and cents-derived durations are "
+    "pure bigint (cents div 100 truncates identically on both "
+    "engines — never a raw double->bigint cast, which Spark "
+    "truncates and DuckDB rounds; the second-grain timestamps use "
+    "epoch_us // 1e6 for the same reason, CAST(epoch(ts)) would "
+    "ROUND fractional seconds). Both windows share ONE total "
+    "order (s, e, event_id) — a break flag computed under one "
+    "ordering but summed under another mis-assembles islands "
+    "whenever starts tie (caught at sf0.01). One user_id shuffle "
+    "end-to-end.",
+    tags=("events", "window"),
+)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    iv = e.filter(F.col("ts").isNotNull() & F.col("value").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("s"),
+        (
+            F.col("ts").cast("long")
+            + F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"
+            )
+        ).alias("e"),
+    )
+    # ONE total order for BOTH windows (s, e, event_id): the break
+    # flag computed under one ordering but summed under another
+    # mis-assembles islands whenever starts tie (caught at sf0.01 as
+    # one-second coverage drift).
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(
+            F.col("s")
+            > F.coalesce(F.max("e").over(w_prev), F.lit(-(2**63))),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    merged = (
+        flagged.withColumn("grp", F.sum("brk").over(w_cum))
+        .groupBy("user_id", "grp")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("covered_seconds"),
+        )
+        .orderBy("user_id")
+    )
