@@ -1405,3 +1405,117 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("lift_bp"), "p1", "p2")
         .limit(20)
     )
+
+
+_RFM_BUCKET_CTE = """
+    {name} AS (
+        SELECT v, LEAST(5, 1 + (5 * (cum - cnt)) // n) AS b
+        FROM (SELECT v, cnt,
+                     SUM(cnt) OVER (ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                     SUM(cnt) OVER () AS n
+              FROM (SELECT {expr} AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM rfm GROUP BY {expr})))"""
+
+
+def _rfm_oracle() -> str:
+    cte = "".join(
+        "," + _RFM_BUCKET_CTE.format(name=n, expr=e)
+        for n, e in (("rb", "r_days"), ("fb", "f_orders"), ("mb", "m_dollars"))
+    )
+    return f"""
+    WITH rfm AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                              DATE '2002-01-01') AS BIGINT) AS r_days,
+               CAST(COUNT(*) AS BIGINT) AS f_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) // 10000 AS m_dollars
+        FROM orders GROUP BY o_custkey){cte}
+    SELECT (6 - rb.b) * 100 + fb.b * 10 + mb.b AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM rfm
+    JOIN rb ON rfm.r_days = rb.v
+    JOIN fb ON rfm.f_orders = fb.v
+    JOIN mb ON rfm.m_dollars = mb.v
+    GROUP BY (6 - rb.b) * 100 + fb.b * 10 + mb.b
+    ORDER BY segment
+    """
+
+
+@declare(
+    "q153_rfm_segments",
+    oracle=_rfm_oracle(),
+    doc="RFM segmentation — the classic retail scoring deliverable, "
+    "composed from THREE exact quintile selectors (q136's bounded "
+    "count-table idiom, once per metric): recency (days before a "
+    "fixed anchor, inverted so 5 = most recent), frequency (order "
+    "count), monetary (whole dollars — quantized BEFORE bucketing so "
+    "the count table stays bounded; cent-grain values are near-unique "
+    "per customer and would single-task the cumulative window at "
+    "scale). segment = R*100 + F*10 + M with quintile = "
+    "least(5, 1 + 5*cum_below // n), all integer. Plan: one orders "
+    "scan aggregates to the per-customer RFM frame; each metric's "
+    "value-count table is bounded (days / order counts / dollar "
+    "grid), the three tiny bucket maps broadcast back, and the "
+    "segment rollup is a |segments|-row aggregate.",
+    tags=("agg", "window", "tpch", "curation"),
+)
+def q153(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        )
+        .cast("bigint")
+        .alias("r_days"),
+        F.count(F.lit(1)).cast("bigint").alias("f_orders"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"
+            " div 10000"
+        ).alias("m_dollars"),
+    )
+
+    def bucket(col: str, alias: str):
+        w_cum = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_all = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        counts = rfm.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        pre = counts.select(
+            "v",
+            (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("cume"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+        return pre.select(
+            F.col("v").alias(f"{alias}_v"),
+            F.least(F.lit(5), F.lit(1) + F.expr("(5 * cume) div n"))
+            .cast("bigint")
+            .alias(f"{alias}_b"),
+        )
+
+    out = (
+        rfm.join(F.broadcast(bucket("r_days", "r")), F.col("r_days") == F.col("r_v"))
+        .join(F.broadcast(bucket("f_orders", "f")), F.col("f_orders") == F.col("f_v"))
+        .join(
+            F.broadcast(bucket("m_dollars", "m")), F.col("m_dollars") == F.col("m_v")
+        )
+        .select(
+            (
+                (F.lit(6) - F.col("r_b")) * 100
+                + F.col("f_b") * 10
+                + F.col("m_b")
+            ).alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("segment")
+    )
+    return out
