@@ -29,8 +29,8 @@ def test_names_and_docs():
 
 
 def test_registry_size_floor_round5():
-    # round-5-end inventory: 150 declared queries
-    assert len(REGISTRY) >= 150
+    # round-5-end inventory: 153 declared queries
+    assert len(REGISTRY) >= 153
 
 
 # 1-row global aggregates: a single-row result is trivially ordered.
