@@ -110,3 +110,69 @@ def test_mad_lower_median_even_group(spark):
     # med = 2.00 (lower), devs = [100,0,100,3800] cents, mad = 100
     out = {r["event_id"] for r in mad_outliers(df, "event_type").collect()}
     assert out == {4}
+
+
+def test_interval_coverage_merges_swallowed_intervals(spark):
+    """q152 semantics: an early long interval swallows later short
+    ones; a true gap starts a new island."""
+    from kaflow_spark.queries import REGISTRY  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    # user 1: [0,100) swallows [10,20) and [50,150)->extends to 150;
+    # then gap; [200,210). covered = 150 + 10 = 160, 2 intervals.
+    rows = [
+        (1, 1, 0, 100),
+        (2, 1, 10, 20),
+        (3, 1, 50, 150),
+        (4, 1, 200, 210),
+    ]
+    iv = spark.createDataFrame(rows, "event_id bigint, user_id bigint, s bigint, e bigint")
+    w_prev = W.partitionBy("user_id").orderBy("s", "e", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    w_cum = W.partitionBy("user_id").orderBy("s", "e", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    flagged = iv.select(
+        "user_id", "s", "e", "event_id",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-(2**63))), 1)
+        .otherwise(0).alias("brk"),
+    )
+    merged = (
+        flagged.withColumn("grp", F.sum("brk").over(w_cum))
+        .groupBy("user_id", "grp")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+    out = merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("me") - F.col("ms")).alias("cov")
+    ).collect()[0]
+    assert out["n"] == 2 and out["cov"] == 160
+
+
+def test_longest_streak_prefers_earliest_on_tie(spark, sf_dir):
+    """q151 tie-break: two equal-length streaks -> the earlier wins."""
+    import datetime as dt
+    from kaflow_spark.queries import REGISTRY
+
+    # fabricate via the registry function's logic on a tiny frame:
+    # days 0,1  and  5,6 -> two 2-day streaks; expect start_day 0
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    days = spark.createDataFrame(
+        [(7, d) for d in (0, 1, 5, 6)], "user_id bigint, d bigint"
+    )
+    w = W.partitionBy("user_id").orderBy("d")
+    runs = (
+        days.withColumn("grp", F.col("d") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"), F.min("d").alias("start_d"))
+    )
+    w_best = W.partitionBy("user_id").orderBy(F.desc("len"), "start_d")
+    best = (
+        runs.withColumn("rn", F.row_number().over(w_best))
+        .filter("rn = 1")
+        .collect()[0]
+    )
+    assert best["len"] == 2 and best["start_d"] == 0
