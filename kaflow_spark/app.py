@@ -894,6 +894,15 @@ class App:
 
         return build_asyncapi(self)
 
+    def asyncapi_html(self, title: str | None = None) -> str:
+        """Self-contained HTML docs page for :meth:`asyncapi` using
+        the official AsyncAPI web-component viewer (parity with the
+        reference's ``get_asyncapi_html``, kaflow/asyncapi/docs.py:9-37,
+        which over there renders the never-built document)."""
+        from kaflow_spark.asyncapi import get_asyncapi_html
+
+        return get_asyncapi_html(title or self.name, self.asyncapi())
+
     def describe(self) -> dict[str, Any]:
         """Topic->pipeline schema catalog: the engine's answer to the
         reference's AsyncAPI builder (which is dead code there —

@@ -182,4 +182,64 @@ def build_asyncapi(app: Any) -> dict[str, Any]:
     return doc
 
 
-__all__ = ["build_asyncapi"]
+_ASYNCAPI_JS_URL = (
+    "https://unpkg.com/@asyncapi/web-component@1.0.0-next.47"
+    "/lib/asyncapi-web-component.js"
+)
+_ASYNCAPI_CSS_URL = (
+    "https://unpkg.com/@asyncapi/react-component@1.0.0-next.12"
+    "/styles/default.min.css"
+)
+
+
+def get_asyncapi_html(
+    title: str,
+    asyncapi_schema: dict[str, Any],
+    asyncapi_react_component_js_url: str = _ASYNCAPI_JS_URL,
+    asyncapi_react_component_css_url: str = _ASYNCAPI_CSS_URL,
+) -> str:
+    """Standalone HTML page rendering the AsyncAPI document with the
+    official web-component viewer (parity with the reference's
+    ``get_asyncapi_html``, kaflow/asyncapi/docs.py:9-37 — same page
+    structure: stylesheet link + deferred component script +
+    ``<asyncapi-component schema='...'>``).
+
+    One hardening delta vs the reference: the schema JSON is embedded
+    in a single-quoted HTML attribute, so any ``'`` / ``&`` / ``<``
+    inside the document (e.g. in a model description) is escaped as an
+    HTML entity — the reference interpolates the raw JSON and a quote
+    in a docstring would truncate the attribute.
+    """
+    import json as _json
+
+    payload = (
+        _json.dumps(asyncapi_schema, separators=(",", ":"))
+        .replace("&", "&amp;")
+        .replace("'", "&#39;")
+        .replace("<", "&lt;")
+    )
+    return f"""
+    <!DOCTYPE html>
+    <html>
+    <head>
+        <link
+            rel="stylesheet"
+            href="{asyncapi_react_component_css_url}"
+        />
+        <title>{title}</title>
+    </head>
+    <body>
+        <script
+            src="{asyncapi_react_component_js_url}"
+            defer
+        ></script>
+        <asyncapi-component
+            schema='{payload}'
+            cssImportPath="{asyncapi_react_component_css_url}"
+        ></asyncapi-component>
+    </body>
+    </html>
+    """
+
+
+__all__ = ["build_asyncapi", "get_asyncapi_html"]

@@ -183,27 +183,29 @@ def fingerprint_fast(text: Column | str, k: int = 8, stride: int = 1) -> Column:
 
 
 def readability_grade_bp(text: Column | str) -> Column:
-    """Flesch-Kincaid-style grade level in integer basis points: the
-    standard readability/education-level curation signal (FineWeb-Edu
-    style filtering buckets on exactly this kind of score), computed
-    with the q35 exactness discipline — regexp counts + integer
-    division only, no IEEE arithmetic, so any engine reproduces it
-    bit-for-bit.
+    """Flesch-Kincaid-style grade level in integer thousandths (grade
+    x1000): the standard readability/education-level curation signal
+    (FineWeb-Edu style filtering buckets on exactly this kind of
+    score), computed with the q35 exactness discipline — regexp
+    counts + integer division only, no IEEE arithmetic, so any engine
+    reproduces it bit-for-bit.
 
-    grade_bp = 39*100 * words//sentences + 118*100 * syllables//words
-               - 1559*10,
+    grade_bp = 390 * words//sentences + 11800 * syllables//words
+               - 15590,
     with sentences = [.!?]+ runs (min 1), words = \\S+ runs (min 1),
     and syllables approximated as vowel-group count ([aeiouyAEIOUY]+
     runs) — the classic dictionary-free estimator. The coefficients
-    are the FK constants x100; the two ratios use exact floor
-    division, so the score is a deterministic integer (a floor-biased
-    variant of the float formula, consistently on both engines)."""
+    are the FK constants (0.39, 11.8, 15.59) uniformly scaled x1000,
+    so the two ratio terms keep their real relative weights; the
+    ratios use exact floor division, so the score is a deterministic
+    integer (a floor-biased variant of the float formula, identically
+    biased on both engines)."""
     t = _c(text)
     sentences = F.greatest(_count(t, "[.!?]+"), F.lit(1))
     words = F.greatest(_count(t, r"\S+"), F.lit(1))
     syllables = _count(t, "[aeiouyAEIOUY]+")
     return (
-        3900 * int_div(words, sentences)
+        390 * int_div(words, sentences)
         + 11800 * int_div(syllables, words)
         - 15590
     ).cast("bigint")

@@ -70,13 +70,15 @@ def duplicated_spans(
     footprint a substring-dedup pass would clip.
 
     Plan shape: one position-exploded projection (``(id, pos,
-    xxhash64(window))`` — 24-byte rows, the window TEXT never
-    shuffles), a window count per hash for the >1 occurrence test, and
+    h1, h2)`` with a 128-bit two-seed xxhash64 window identity —
+    32-byte rows, the window TEXT never shuffles; 64 bits would mint
+    ~10^4 birthday-collision false dups at 10^12 windows), a window
+    count per hash pair for the >1 occurrence test, and
     a per-document gaps-and-islands pass to merge windows. Duplicate
     counting is hash-equality based, so the DuckDB oracle groups the
     raw window strings and gets identical counts (same argument as the
     q68 contamination screen). The corpus-wide partition-by-hash is
-    the intrinsic cost of EXACT substring dedup — ~24 bytes per
+    the intrinsic cost of EXACT substring dedup — ~32 bytes per
     character position; at 100 TB that is the suffix-array batch job's
     territory, with MinHash (q41) and winnowed/word-gram screens (q95)
     as the approximate scale paths. Documents shorter than ``min_len``
@@ -107,17 +109,36 @@ def duplicated_span_ranges(
     per-document aggregation."""
     t = F.col(text_col)
     n = F.length(t) - (min_len - 1)
-    hashes = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.xxhash64(t.substr(i, F.lit(min_len))),
-    )
+    # 128-bit window identity: TWO independent-seed xxhash64 columns
+    # (the second folds in a literal discriminator). A single 64-bit
+    # key is fine at test SF but the operator's pitch is corpus scale:
+    # at ~10^12 windows the 64-bit birthday bound mints ~10^4 false
+    # "duplicated" windows, each of which q124 would clip from GOOD
+    # text. 2^128 pushes collision odds below 1e-14 at that scale.
+    # The gram is materialized as its own projection BEFORE hashing
+    # (CLAUDE.md trap 1: an expression inside a HOF lambda or repeated
+    # across sibling expressions re-evaluates per use — one substring
+    # extraction feeds both hashes here), and rows shuffle as
+    # (id, pos, h1, h2) = 32 bytes; the window text never moves.
     g = (
         df.filter(F.length(t) >= min_len)
-        .select(F.col(id_col).alias("_id"), F.posexplode(hashes).alias("_p", "_h"))
-        .select("_id", (F.col("_p") + 1).alias("_pos"), "_h")  # 1-based
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.sequence(F.lit(1), n)).alias("_pos"),
+            t.alias("_t"),
+        )
+        .select(
+            "_id", "_pos", F.expr(f"substring(_t, _pos, {min_len})").alias("_g")
+        )
+        .select(
+            "_id",
+            "_pos",
+            F.xxhash64("_g").alias("_h1"),
+            F.xxhash64(F.lit(1), F.col("_g")).alias("_h2"),
+        )
     )
     dup = g.withColumn(
-        "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_h"))
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_h1", "_h2"))
     ).filter(F.col("_cnt") > 1)
     wd = Window.partitionBy("_id").orderBy("_pos")
     prev = F.lag("_pos").over(wd)
@@ -369,6 +390,16 @@ def minhash_lsh_candidates(
     the join output scales with |A|x|B| bucket overlap instead of
     the corpus's own collision volume.
     """
+    # validate the pairing BEFORE the S x H signature kernel runs:
+    # failing after sig.count() would bill the full MinHash cost (and
+    # leak a persisted frame) to a call that was never going to work
+    if (side_a is None) != (side_b is None):
+        raise ValueError(
+            "side_a and side_b must be given together (disjoint id "
+            "sets): a one-sided restriction would drop the id_a < "
+            "id_b dedup while the other side still contains the "
+            "restricted ids — self-pairs and mirrored duplicates"
+        )
     rows_per_band = num_hashes // bands
     # signatures computed ONCE (the expensive S x H kernel) and
     # persisted: the plan reads them three times (banding + both pair
@@ -408,13 +439,6 @@ def minhash_lsh_candidates(
     ).filter(F.col("_bn") <= max_bucket)
     left = counted.select("band", "bucket", F.col("_id").alias("id_a"))
     right = counted.select("band", "bucket", F.col("_id").alias("id_b"))
-    if (side_a is None) != (side_b is None):
-        raise ValueError(
-            "side_a and side_b must be given together (disjoint id "
-            "sets): a one-sided restriction would drop the id_a < "
-            "id_b dedup while the other side still contains the "
-            "restricted ids — self-pairs and mirrored duplicates"
-        )
     if side_a is not None:
         left = left.filter(side_a(F.col("id_a")))
     if side_b is not None:

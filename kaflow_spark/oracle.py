@@ -79,8 +79,40 @@ def compare(
         res = con.execute(q.oracle)
         d_cols = [d[0] for d in res.description]
         d_rows = res.fetchall()
+        # Driver-canon dtype audit: the driver hashes the PANDAS
+        # string form of both frames, so an uncast DuckDB HUGEINT
+        # (e.g. SUM over int, or windowed-SUM arithmetic) renders as
+        # float64 ("770.0") against Spark's int64 ("770") and
+        # hash-mismatches even though the VALUES are equal —
+        # fetchall() hides this (HUGEINT -> python int), which is how
+        # q117/q150/q153 stayed green here while failing the driver
+        # gate. Enforce: any column Spark declares integral must not
+        # come back float64 from DuckDB's pandas conversion (NaN-free
+        # float64 only — with NULLs both engines degrade to float64
+        # identically, so the driver hash agrees and we stay quiet).
+        d_pd = con.execute(q.oracle).df()
     finally:
         con.close()
+    integral = {
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("byte", "short", "integer", "long")
+    }
+    for c in d_pd.columns:
+        if (
+            c in integral
+            and d_pd[c].dtype.kind == "f"
+            and not d_pd[c].isna().any()
+        ):
+            return CompareResult(
+                q.name,
+                False,
+                f"driver-canon dtype trap: oracle column {c!r} is "
+                "float64 in pandas (uncast HUGEINT/DOUBLE?) while "
+                "Spark declares an integral type — the driver's "
+                "stringified hash will mismatch ('1.0' vs '1'). Add "
+                "an explicit CAST(... AS BIGINT) in the oracle SQL.",
+            )
 
     if sorted(s_cols) != sorted(d_cols):
         return CompareResult(

@@ -930,7 +930,7 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
                     AS BIGINT) AS syllables
         FROM documents),
     g AS (SELECT doc_id, source,
-                 3900 * (words // sentences)
+                 390 * (words // sentences)
                  + 11800 * (syllables // words) - 15590 AS grade_bp
           FROM c)
     SELECT source,

@@ -680,8 +680,10 @@ _SPAN_L = 40
     "substring dedup, declarative Spark shape): every 40-char window "
     "occurring more than once corpus-wide, merged per document into "
     "maximal spans; emits the duplicated footprint a substring-dedup "
-    "pass would clip. The plan shuffles (id, pos, xxhash64) 24-byte "
-    "rows — window text never moves; the oracle groups raw window "
+    "pass would clip. The plan shuffles (id, pos, h1, h2) 32-byte "
+    "rows (128-bit two-seed window identity — 64 bits would mint "
+    "birthday-collision false dups at 10^12-window corpus scale) — "
+    "window text never moves; the oracle groups raw window "
     "strings (counts are hash-equality-invariant, same argument as "
     "q68).",
     tags=("dedup", "text"),
@@ -1349,11 +1351,16 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
 @declare(
     "q146_fuzzy_key_match",
     oracle="""
+    -- length guard is STRUCTURAL (join equi-key), not a sibling WHERE
+    -- conjunct: DuckDB's hamming() errors on unequal-length inputs and
+    -- conjunct evaluation order is unspecified, so hamming() must only
+    -- ever see pairs the length join already equalized.
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
            CAST(hamming(a.c_name, b.c_name) AS BIGINT) AS hamming
-    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-    WHERE LENGTH(a.c_name) = LENGTH(b.c_name)
-      AND hamming(a.c_name, b.c_name) <= 1
+    FROM customer a JOIN customer b
+      ON LENGTH(a.c_name) = LENGTH(b.c_name)
+     AND a.c_custkey < b.c_custkey
+    WHERE hamming(a.c_name, b.c_name) <= 1
     ORDER BY id_a, id_b
     """,
     doc="Fuzzy entity-key matching: customer-name pairs within Hamming "

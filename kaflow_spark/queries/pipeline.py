@@ -770,7 +770,7 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
         FROM rev)
     SELECT cum.cm AS cohort_month, cum.off AS offset_months,
            sz.n_custs, CAST(cum.cum_cents AS BIGINT) AS cum_cents,
-           cum.cum_cents // sz.n_custs AS ltv_cents
+           CAST(cum.cum_cents // sz.n_custs AS BIGINT) AS ltv_cents
     FROM cum JOIN sz USING (cm)
     ORDER BY cohort_month, offset_months
     """,

@@ -879,11 +879,13 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
 @declare(
     "q117_tpch_q12_priority_lines",
     oracle="""
+    -- CAST: DuckDB SUM over int is HUGEINT, which pandas renders as
+    -- float64 ("770.0") and the driver's stringified hash mismatches
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
       AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1431,9 +1433,12 @@ def _rfm_oracle() -> str:
                               DATE '2002-01-01') AS BIGINT) AS r_days,
                CAST(COUNT(*) AS BIGINT) AS f_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
-                    AS BIGINT) // 10000 AS m_dollars
+                    AS BIGINT) // 100 AS m_dollars
         FROM orders GROUP BY o_custkey){cte}
-    SELECT (6 - rb.b) * 100 + fb.b * 10 + mb.b AS segment,
+    -- explicit BIGINT cast: b descends from a windowed SUM, which is
+    -- HUGEINT in DuckDB; uncast, pandas renders segment as float64
+    -- ("111.0") and the driver's stringified hash mismatches.
+    SELECT CAST((6 - rb.b) * 100 + fb.b * 10 + mb.b AS BIGINT) AS segment,
            CAST(COUNT(*) AS BIGINT) AS n_customers
     FROM rfm
     JOIN rb ON rfm.r_days = rb.v
@@ -1451,9 +1456,10 @@ def _rfm_oracle() -> str:
     "composed from THREE exact quintile selectors (q136's bounded "
     "count-table idiom, once per metric): recency (days before a "
     "fixed anchor, inverted so 5 = most recent), frequency (order "
-    "count), monetary (whole dollars — quantized BEFORE bucketing so "
-    "the count table stays bounded; cent-grain values are near-unique "
-    "per customer and would single-task the cumulative window at "
+    "count), monetary (whole dollars: cents div 100 — quantized "
+    "BEFORE bucketing so the count table stays bounded by the dollar "
+    "grid, not by customers; cent-grain values are near-unique per "
+    "customer and would single-task the cumulative window at "
     "scale). segment = R*100 + F*10 + M with quintile = "
     "least(5, 1 + 5*cum_below // n), all integer. Plan: one orders "
     "scan aggregates to the per-customer RFM frame; each metric's "
@@ -1475,7 +1481,7 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("f_orders"),
         F.expr(
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"
-            " div 10000"
+            " div 100"
         ).alias("m_dollars"),
     )
 

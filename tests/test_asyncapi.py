@@ -191,3 +191,41 @@ def test_nested_then_different_toplevel_collision_raises():
 
     with pytest.raises(ValueError, match="collision"):
         app.asyncapi()
+
+
+def test_html_page_embeds_schema_and_viewer():
+    """get_asyncapi_html parity (reference kaflow/asyncapi/docs.py:9-37):
+    stylesheet link, deferred web-component script, and the document
+    JSON embedded in the <asyncapi-component schema='...'> attribute."""
+    import json
+
+    app = _app()
+    html = app.asyncapi_html()
+    assert "<!DOCTYPE html>" in html
+    assert "<title>orders-app</title>" in html
+    assert "asyncapi-web-component.js" in html and "defer" in html
+    assert "default.min.css" in html
+    # the embedded attribute round-trips to the exact document
+    start = html.index("schema='") + len("schema='")
+    end = html.index("'", start)
+    payload = (
+        html[start:end]
+        .replace("&#39;", "'")
+        .replace("&lt;", "<")
+        .replace("&amp;", "&")
+    )
+    assert json.loads(payload) == app.asyncapi()
+
+
+def test_html_page_escapes_quotes_in_descriptions():
+    """A single quote in an app description must not truncate the
+    single-quoted schema attribute (hardening delta vs the reference,
+    which interpolates raw JSON)."""
+    app = App(name="q'app", version="1", description="it's quoted", brokers="")
+
+    html = app.asyncapi_html(title="T")
+    start = html.index("schema='") + len("schema='")
+    end = html.index("'", start)
+    # the raw quote never appears inside the attribute body
+    assert "'" not in html[start:end]
+    assert "&#39;" in html[start:end]
