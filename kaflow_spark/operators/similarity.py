@@ -62,6 +62,51 @@ def _signature_of(query: list[float], planes: list[list[float]]) -> int:
     return sig
 
 
+def ann_candidates(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    *,
+    num_planes: int = 8,
+    probe_hamming: int = 1,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate set for hyperplane-LSH ANN: rows whose signature in
+    AT LEAST ONE of ``num_tables`` independent tables lands within
+    ``probe_hamming`` bits of the query's signature (multi-probe,
+    union-of-tables — the standard L-tables construction: per-table
+    recall p becomes 1-(1-p)^L overall, bought with an L-way-OR
+    filter instead of more per-table probes whose bucket volume grows
+    combinatorially). Everything is JVM expressions over plan-literal
+    planes — no shuffle, no UDF. At rest, store the table-0 signature
+    as the partition column (partition pruning serves its IN-list)
+    and the remaining signatures as ordinary columns whose min/max
+    parquet stats give file-level skipping for the OR terms.
+
+    Recall is data-dependent and NOT a constructive guarantee (unlike
+    the Hamming/pigeonhole blocking): on a uniform sphere with
+    neighbours barely closer than random (the adversarial case — the
+    test fixture measures cos(top-10) ~ 0.33 vs ~0 mean), candidate
+    selectivity s buys only ~s + 0.3 recall@10 no matter the scheme;
+    on real clustered embeddings the same settings prune hard at high
+    recall. tests/test_ann_recall.py pins BOTH measured points."""
+    cond = None
+    for t in range(num_tables):
+        planes = make_planes(len(query), num_planes, seed + 1000 * t)
+        qsig = _signature_of(query, planes)
+        probes = {qsig}
+        for r in range(1, probe_hamming + 1):
+            for bits in itertools.combinations(range(num_planes), r):
+                flipped = qsig
+                for b in bits:
+                    flipped ^= 1 << b
+                probes.add(flipped)
+        hit = hyperplane_sign_bits(vec_col, planes).isin(*sorted(probes))
+        cond = hit if cond is None else (cond | hit)
+    return df.filter(cond)
+
+
 def ann_topk(
     df: DataFrame,
     vec_col: str,
@@ -69,25 +114,22 @@ def ann_topk(
     query: list[float],
     k: int = 10,
     *,
-    num_planes: int = 12,
+    num_planes: int = 8,
     probe_hamming: int = 1,
+    num_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: restrict the exact rerank to rows whose LSH
-    signature is within ``probe_hamming`` bits of the query signature
-    (multi-probe). The bucket filter is a plain IN-list predicate —
-    pushdown-eligible when the table is stored partitioned by bucket."""
-    planes = make_planes(len(query), num_planes, seed)
-    qsig = _signature_of(query, planes)
-    probes = {qsig}
-    for r in range(1, probe_hamming + 1):
-        for bits in itertools.combinations(range(num_planes), r):
-            flipped = qsig
-            for b in bits:
-                flipped ^= 1 << b
-            probes.add(flipped)
-    bucketed = df.withColumn("_bucket", hyperplane_sign_bits(vec_col, planes))
-    pruned = bucketed.filter(F.col("_bucket").isin(*sorted(probes)))
+    """Approximate top-k: exact cosine rerank restricted to
+    :func:`ann_candidates` (multi-probe, multi-table LSH)."""
+    pruned = ann_candidates(
+        df,
+        vec_col,
+        query,
+        num_planes=num_planes,
+        probe_hamming=probe_hamming,
+        num_tables=num_tables,
+        seed=seed,
+    )
     return cosine_topk(pruned, vec_col, id_col, query, k)
 
 
@@ -156,6 +198,32 @@ def ivf_topk(
     an IN predicate — partition-prunable when the table is stored
     partitioned by ``_ivf_list`` (scan reads nprobe/n_lists of data).
     """
+    pruned = ivf_candidates(
+        df,
+        vec_col,
+        query,
+        centroids=centroids,
+        n_lists=n_lists,
+        nprobe=nprobe,
+        seed=seed,
+    )
+    return cosine_topk(pruned, vec_col, id_col, query, k)
+
+
+def ivf_candidates(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    *,
+    centroids: list[list[float]] | None = None,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate set for IVF ANN: rows assigned to the ``nprobe``
+    centroid lists nearest the query. Factored out of
+    :func:`ivf_topk` so recall tests (and callers composing their own
+    rerank) can measure candidate selectivity directly."""
     if centroids is None:
         centroids = ivf_fit(df, vec_col, n_lists=n_lists, seed=seed)
     cents = np.array(centroids, dtype=np.float64)
@@ -164,8 +232,7 @@ def ivf_topk(
     qn = q / max(np.linalg.norm(q), 1e-12)
     probes = (qn @ cn.T).argsort()[::-1][:nprobe].tolist()
     assigned = ivf_assign(df, vec_col, centroids)
-    pruned = assigned.filter(F.col("_ivf_list").isin(*[int(p) for p in probes]))
-    return cosine_topk(pruned, vec_col, id_col, query, k)
+    return assigned.filter(F.col("_ivf_list").isin(*[int(p) for p in probes]))
 
 
 def similarity_join(

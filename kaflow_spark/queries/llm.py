@@ -535,14 +535,18 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
 @declare(
     "q44_ann_topk",
     oracle=None,
-    doc="LSH-bucketed approximate nearest neighbours (multi-probe "
-    "hamming<=1) for the vec_id=1 embedding; approx => rows-only.",
+    doc="LSH-bucketed approximate nearest neighbours for the vec_id=1 "
+    "embedding: 4 independent 8-plane tables, multi-probe hamming<=1 "
+    "in each (union-of-tables — per-table recall p becomes 1-(1-p)^4 "
+    "for ~13%% candidate selectivity on the fixture). Approx => "
+    "rows-only; tests/test_ann_recall.py pins the measured recall "
+    "floor and a planted-structure recall=1 check.",
     tags=("similarity", "approx"),
 )
 def q44(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
     query = _fixture_query_vec(sf)
-    return ann_topk(e, "embedding", "vec_id", query, k=10, num_planes=10)
+    return ann_topk(e, "embedding", "vec_id", query, k=10)
 
 
 @declare(
