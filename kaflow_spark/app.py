@@ -618,6 +618,40 @@ class App:
         spark = envelope.sparkSession
         outputs: list[DataFrame] = []
         dlqs: list[DataFrame] = []
+        # corruption sentinels from the segment reader (torn tail
+        # records surfaced as rows with CORRUPT_HEADER) go straight to
+        # the DLQ — no handler ever sees bytes the source itself could
+        # not frame; the raw tail rides in `value` for forensics
+        from kaflow_spark.sources.segments import CORRUPT_HEADER
+
+        is_corrupt = F.coalesce(
+            F.exists(
+                F.col("headers"), lambda h: h["key"] == F.lit(CORRUPT_HEADER)
+            ),
+            F.lit(False),
+        )
+        corrupt_src = envelope.filter(is_corrupt)
+        dlqs.append(
+            corrupt_src.select(
+                "topic",
+                "partition",
+                "offset",
+                "timestamp",
+                "value",
+                "key",
+                F.concat(
+                    F.lit("segment:corrupt: "),
+                    F.try_element_at(
+                        F.filter(
+                            F.col("headers"),
+                            lambda h: h["key"] == F.lit(CORRUPT_HEADER),
+                        ),
+                        F.lit(1),
+                    )["value"].cast("string"),
+                ).alias("error"),
+            )
+        )
+        envelope = envelope.filter(~is_corrupt)
         for topic, reg in self._consumers.items():
             src = envelope.filter(F.col("topic") == topic)
             if isinstance(reg, _Transform):

@@ -49,9 +49,79 @@ def _ts(ms: int) -> _dt.datetime:
     )
 
 
-def _rows(path: str) -> Iterator[tuple]:
-    for topic, part, offset, ts_ms, tstype, key, value, headers in iter_segment(path):
-        yield (topic, part, offset, _ts(ts_ms), tstype, key, value, headers)
+# canonical envelope column order; the `columns` option may list any
+# subset (any order) and the emitted schema keeps THIS order so the
+# frame shape is deterministic regardless of how the option was written
+_ENVELOPE_FIELDS: tuple[tuple[str, str], ...] = (
+    ("topic", "string"),
+    ("partition", "int"),
+    ("offset", "bigint"),
+    ("timestamp", "timestamp"),
+    ("timestamp_type", "int"),
+    ("key", "binary"),
+    ("value", "binary"),
+    ("headers", "array<struct<key: string, value: binary>>"),
+)
+_PAYLOAD_COLS = {"key", "value", "headers"}
+
+
+def _parse_columns(options: dict) -> list[str] | None:
+    """Validated, canonically-ordered projection from the ``columns``
+    option, or None for the full envelope."""
+    raw = options.get("columns")
+    if raw is None:
+        return None
+    want = {c.strip() for c in str(raw).split(",") if c.strip()}
+    known = {n for n, _ in _ENVELOPE_FIELDS}
+    bad = want - known
+    if bad:
+        raise ValueError(
+            f"kafka_segment: unknown columns {sorted(bad)}; "
+            f"envelope columns are {sorted(known)}"
+        )
+    if not want:
+        raise ValueError("kafka_segment: columns option is empty")
+    return [n for n, _ in _ENVELOPE_FIELDS if n in want]
+
+
+def _rows(path: str, columns: list[str] | None = None) -> Iterator[tuple]:
+    """Decoded rows in envelope (or projected) column order. A
+    metadata-only projection (no key/value/headers) walks record
+    length prefixes without materializing payload bytes — the
+    explicit column-pruning path, since this Spark build's Python
+    DataSource API does not forward Catalyst's column pruning to the
+    reader (verified: reader() receives the full schema and BatchScan
+    lists every column even under a narrow Project)."""
+    payload = columns is None or bool(set(columns) & _PAYLOAD_COLS)
+    # corrupt="record": a torn tail becomes ONE sentinel envelope row
+    # (CORRUPT_HEADER + raw bytes) that process_batch DLQ-routes,
+    # instead of an exception killing the whole batch/micro-batch
+    for topic, part, offset, ts_ms, tstype, key, value, headers in iter_segment(
+        path, payload=payload, corrupt="record"
+    ):
+        full = {
+            "topic": topic,
+            "partition": part,
+            "offset": offset,
+            "timestamp": _ts(ts_ms),
+            "timestamp_type": tstype,
+            "key": key,
+            "value": value,
+            "headers": headers,
+        }
+        if columns is None:
+            yield (
+                topic,
+                part,
+                offset,
+                full["timestamp"],
+                tstype,
+                key,
+                value,
+                headers,
+            )
+        else:
+            yield tuple(full[c] for c in columns)
 
 
 @dataclass
@@ -76,6 +146,7 @@ def _topics_from_filters(filters: Sequence[Filter]) -> set[str] | None:
 class SegmentBatchReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.directory = options["path"]
+        self.columns = _parse_columns(options)
         self._topics: set[str] | None = None
 
     def pushFilters(self, filters: list[Filter]) -> list[Filter]:
@@ -98,7 +169,7 @@ class SegmentBatchReader(DataSourceReader):
     def read(self, partition: SegmentPartition) -> Iterator[tuple]:
         if not partition.path:
             return iter(())
-        return _rows(partition.path)
+        return _rows(partition.path, self.columns)
 
 
 class SegmentStreamReader(DataSourceStreamReader):
@@ -111,6 +182,7 @@ class SegmentStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict) -> None:
         self.directory = options["path"]
+        self.columns = _parse_columns(options)
 
     def initialOffset(self) -> dict:
         return {"idx": 0}
@@ -125,7 +197,7 @@ class SegmentStreamReader(DataSourceStreamReader):
     def read(self, partition: SegmentPartition) -> Iterator[tuple]:
         if not partition.path:
             return iter(())
-        return _rows(partition.path)
+        return _rows(partition.path, self.columns)
 
     def commit(self, end: dict) -> None:
         pass  # archives are immutable; nothing to clean up
@@ -210,7 +282,11 @@ class KafkaSegmentDataSource(DataSource):
         return "kafka_segment"
 
     def schema(self) -> str:
-        return ENVELOPE_DDL
+        cols = _parse_columns(dict(self.options))
+        if cols is None:
+            return ENVELOPE_DDL
+        types = dict(_ENVELOPE_FIELDS)
+        return ", ".join(f"{c} {types[c]}" for c in cols)
 
     def reader(self, schema: StructType) -> SegmentBatchReader:
         return SegmentBatchReader(dict(self.options))
@@ -226,10 +302,16 @@ def register(spark: Any) -> None:
     spark.dataSource.register(KafkaSegmentDataSource)
 
 
-def read_segments(spark: Any, directory: str):
-    """Batch envelope frame from a segment archive."""
+def read_segments(spark: Any, directory: str, columns: Sequence[str] | None = None):
+    """Batch envelope frame from a segment archive. ``columns``
+    projects at the SOURCE (canonical envelope order): a metadata-only
+    projection never materializes key/value/header bytes — use it for
+    offset/lag audits over large archives."""
     register(spark)
-    return spark.read.format("kafka_segment").option("path", directory).load()
+    r = spark.read.format("kafka_segment").option("path", directory)
+    if columns is not None:
+        r = r.option("columns", ",".join(columns))
+    return r.load()
 
 
 def stream_segments(spark: Any, directory: str):

@@ -122,11 +122,72 @@ def _read_sized(buf: bytes, pos: int) -> tuple[bytes | None, int]:
     return buf[pos : pos + n], pos + n
 
 
+# header key marking a corruption-sentinel record (iter_segment
+# corrupt="record" mode); App.process_batch routes rows carrying it
+# straight to the DLQ without dispatching a handler
+CORRUPT_HEADER = "__segment_corrupt__"
+
+
+class SegmentCorruption(ValueError):
+    """A segment file's byte stream stopped making sense mid-record
+    (truncated tail, impossible length prefix, undecodable header
+    key). Carries the position where parsing derailed."""
+
+    def __init__(self, path: str, pos: int, why: str) -> None:
+        super().__init__(f"{path}: corrupt record at byte {pos}: {why}")
+        self.pos = pos
+        self.why = why
+
+
+def _skip_sized(buf: bytes, pos: int, end: int) -> int:
+    if pos + 4 > end:
+        raise SegmentCorruption("", pos, "truncated length prefix")
+    (n,) = _I32.unpack_from(buf, pos)
+    pos += 4
+    if n < 0:
+        return pos
+    if pos + n > end:
+        raise SegmentCorruption("", pos, f"length {n} overruns file")
+    return pos + n
+
+
+def _read_sized(buf: bytes, pos: int, end: int) -> tuple[bytes | None, int]:
+    npos = _skip_sized(buf, pos, end)
+    (n,) = _I32.unpack_from(buf, pos)
+    return (None if n < 0 else buf[pos + 4 : npos]), npos
+
+
 def iter_segment(
     path: str,
+    *,
+    payload: bool = True,
+    corrupt: str = "raise",
 ) -> Iterator[tuple[str, int, int, int, int, bytes | None, bytes | None, list]]:
     """Yield (topic, partition, offset, ts_ms, tstype, key, value,
-    headers) for every record in one segment file."""
+    headers) for every record in one segment file.
+
+    ``payload=False`` is the metadata-only projection path: record
+    boundaries are found by walking the length prefixes, but key,
+    value, and header bytes are never sliced out of the buffer and
+    header keys are never utf-8 decoded — a metadata scan (offset
+    audits, lag/throughput accounting) pays length arithmetic only.
+    The payload fields then yield as (None, None, []).
+
+    ``corrupt`` controls what a torn byte stream does (every length
+    prefix and slice is bounds-checked, so a truncated tail can never
+    silently yield a wrong record):
+
+    - ``"raise"`` (default): raise :class:`SegmentCorruption` — the
+      right behavior for tooling that must not paper over damage;
+    - ``"record"``: emit ONE final sentinel record carrying the raw
+      undecodable tail as ``value`` and a ``CORRUPT_HEADER`` header
+      naming the parse failure (offset -1, tstype -1), then stop.
+      This is the pipeline route: the kafka_segment reader uses it so
+      a torn archive file flows into ``App.process_batch``'s DLQ with
+      its bytes preserved for forensics, instead of killing the batch.
+    """
+    if corrupt not in ("raise", "record"):
+        raise ValueError(f"corrupt={corrupt!r}: expected 'raise' or 'record'")
     topic, partition, start = read_header(path)
     with open(path, "rb") as f:
         f.seek(start)
@@ -134,20 +195,70 @@ def iter_segment(
     pos = 0
     end = len(buf)
     while pos < end:
-        offset, ts_ms, tstype = _REC_FIXED.unpack_from(buf, pos)
-        pos += _REC_FIXED.size
-        key, pos = _read_sized(buf, pos)
-        value, pos = _read_sized(buf, pos)
-        (nh,) = _I32.unpack_from(buf, pos)
-        pos += 4
-        headers = []
-        for _ in range(nh):
-            (klen,) = _U16.unpack_from(buf, pos)
-            pos += 2
-            hk = buf[pos : pos + klen].decode("utf-8")
-            pos += klen
-            hv, pos = _read_sized(buf, pos)
-            headers.append((hk, hv))
+        rec_start = pos
+        try:
+            if pos + _REC_FIXED.size > end:
+                raise SegmentCorruption(path, pos, "truncated record head")
+            offset, ts_ms, tstype = _REC_FIXED.unpack_from(buf, pos)
+            pos += _REC_FIXED.size
+            if not payload:
+                pos = _skip_sized(buf, pos, end)  # key
+                pos = _skip_sized(buf, pos, end)  # value
+                if pos + 4 > end:
+                    raise SegmentCorruption(path, pos, "truncated header count")
+                (nh,) = _I32.unpack_from(buf, pos)
+                pos += 4
+                if nh < 0:
+                    raise SegmentCorruption(path, pos, f"negative header count {nh}")
+                for _ in range(nh):
+                    if pos + 2 > end:
+                        raise SegmentCorruption(path, pos, "truncated header key")
+                    (klen,) = _U16.unpack_from(buf, pos)
+                    pos += 2 + klen
+                    if pos > end:
+                        raise SegmentCorruption(path, pos, "header key overruns file")
+                    pos = _skip_sized(buf, pos, end)
+                yield topic, partition, offset, ts_ms, tstype, None, None, []
+                continue
+            key, pos = _read_sized(buf, pos, end)
+            value, pos = _read_sized(buf, pos, end)
+            if pos + 4 > end:
+                raise SegmentCorruption(path, pos, "truncated header count")
+            (nh,) = _I32.unpack_from(buf, pos)
+            pos += 4
+            if nh < 0:
+                raise SegmentCorruption(path, pos, f"negative header count {nh}")
+            headers = []
+            for _ in range(nh):
+                if pos + 2 > end:
+                    raise SegmentCorruption(path, pos, "truncated header key")
+                (klen,) = _U16.unpack_from(buf, pos)
+                pos += 2
+                if pos + klen > end:
+                    raise SegmentCorruption(path, pos, "header key overruns file")
+                try:
+                    hk = buf[pos : pos + klen].decode("utf-8")
+                except UnicodeDecodeError as e:
+                    raise SegmentCorruption(path, pos, f"header key not utf-8: {e}")
+                pos += klen
+                hv, pos = _read_sized(buf, pos, end)
+                headers.append((hk, hv))
+        except SegmentCorruption as e:
+            if corrupt == "raise":
+                if not e.args[0].startswith(path):
+                    raise SegmentCorruption(path, e.pos, e.why) from None
+                raise
+            yield (
+                topic,
+                partition,
+                -1,
+                0,
+                -1,
+                None,
+                bytes(buf[rec_start:]),
+                [(CORRUPT_HEADER, str(e).encode("utf-8"))],
+            )
+            return
         yield topic, partition, offset, ts_ms, tstype, key, value, headers
 
 

@@ -214,3 +214,130 @@ def test_segment_write_roundtrip(spark, archive, tmp_path):
     assert r1[("clicks", 0)]["key"] is None
     hdrs = {h["key"]: h["value"] for h in r1[("clicks", 1)]["headers"]}
     assert hdrs["corr"] == b"c1"
+
+
+def test_columns_option_projects_at_source(spark, tmp_path):
+    """`columns` projects in the SOURCE schema (canonical envelope
+    order regardless of option order) — the explicit pruning path,
+    since this Spark build's Python DataSource API does not forward
+    Catalyst column pruning to the reader."""
+    d = str(tmp_path / "seg")
+    import os
+
+    os.makedirs(d)
+    write_segment(f"{d}/t-0-00000.seg", "t", 0, list(_recs("t", 4)))
+    df = read_segments(spark, d, columns=["offset", "topic"])
+    assert df.columns == ["topic", "offset"]  # canonical order wins
+    rows = sorted((r["topic"], r["offset"]) for r in df.collect())
+    assert rows == [("t", 0), ("t", 1), ("t", 2), ("t", 3)]
+
+
+def test_columns_option_rejects_unknown(spark, tmp_path):
+    d = str(tmp_path / "seg")
+    import os
+
+    os.makedirs(d)
+    write_segment(f"{d}/t-0-00000.seg", "t", 0, list(_recs("t", 1)))
+    with pytest.raises(Exception, match="unknown columns"):
+        read_segments(spark, d, columns=["offset", "nope"]).collect()
+
+
+def test_metadata_projection_never_decodes_payload(spark, tmp_path):
+    """Observable proof the metadata path skips payload decode: a
+    header KEY holding invalid UTF-8 makes the full read fail, while
+    the metadata-only projection (which only walks length prefixes)
+    reads the same file fine."""
+    import os
+    import struct
+
+    d = str(tmp_path / "seg")
+    os.makedirs(d)
+    p = f"{d}/t-0-00000.seg"
+    write_segment(
+        p, "t", 0, [{"offset": 7, "ts_ms": 1_700_000_000_000,
+                     "key": None, "value": b"v", "headers": [("ok", b"h")]}]
+    )
+    raw = bytearray(open(p, "rb").read())
+    at = raw.find(b"ok")
+    assert at > 0
+    raw[at] = 0xFF  # header key is no longer valid UTF-8
+    open(p, "wb").write(bytes(raw))
+
+    from kaflow_spark.sources.segments import SegmentCorruption
+
+    with pytest.raises(SegmentCorruption, match="not utf-8"):
+        list(iter_segment(p))
+    meta = list(iter_segment(p, payload=False))
+    assert [(m[2], m[5], m[6], m[7]) for m in meta] == [(7, None, None, [])]
+
+    got = read_segments(spark, d, columns=["topic", "offset"]).collect()
+    assert [(r["topic"], r["offset"]) for r in got] == [("t", 7)]
+
+
+def test_truncation_fuzz_never_garbage(tmp_path):
+    """Cut a segment file at EVERY byte position inside the record
+    region: corrupt='record' mode must never raise, never fabricate a
+    record, and always report the torn tail as one sentinel. The
+    yielded clean records must be an exact prefix of the originals."""
+    import os
+
+    from kaflow_spark.sources.segments import CORRUPT_HEADER
+
+    d = str(tmp_path / "seg")
+    os.makedirs(d)
+    p = f"{d}/t-0-00000.seg"
+    recs = list(_recs("t", 5))
+    write_segment(p, "t", 0, recs)
+    good = list(iter_segment(p))
+    full = open(p, "rb").read()
+    _, _, data_start = read_header(p)
+
+    for cut in range(data_start, len(full)):
+        open(p, "wb").write(full[:cut])
+        got = list(iter_segment(p, corrupt="record"))
+        sentinels = [g for g in got if g[7] and g[7][0][0] == CORRUPT_HEADER]
+        clean = [g for g in got if g not in sentinels]
+        # clean records are an exact prefix of the uncorrupted read
+        assert clean == good[: len(clean)], f"garbage record at cut={cut}"
+        if cut == data_start:
+            assert not sentinels  # empty record region is just empty
+        else:
+            assert len(sentinels) <= 1
+            if sentinels:
+                s = sentinels[0]
+                assert s[2] == -1 and s[4] == -1
+                # the sentinel's value is exactly the undecodable tail
+                assert len(s[6]) > 0
+                assert full[:cut].endswith(bytes(s[6]))
+    open(p, "wb").write(full)  # restore
+
+
+def test_corrupt_tail_routes_to_dlq(spark, tmp_path):
+    """End to end: a torn segment tail flows through read_segments ->
+    App.process_batch as a DLQ row (error named, raw bytes preserved)
+    while every intact record is still processed."""
+    import os
+
+    d = str(tmp_path / "seg")
+    os.makedirs(d)
+    p = f"{d}/t-0-00000.seg"
+    write_segment(p, "clicks", 0, list(_recs("clicks", 4)))
+    raw = open(p, "rb").read()
+    open(p, "wb").write(raw[:-7])  # tear the last record mid-payload
+
+    app = App("corrupt-test")
+
+    @app.consume(topic="clicks", sink_topics=("out",))
+    def handle(value: FromValue[Json]) -> Message:
+        return Message(value=json.dumps({"i2": value["i"] * 2}).encode())
+
+    env = read_segments(spark, d)
+    outs, dlq = app.process_batch(env)
+    ok = [json.loads(bytes(r["value"])) for r in outs.collect()]
+    assert sorted(o["i2"] for o in ok) == [0, 2, 4]  # records 0-2 intact
+    bad = dlq.collect()
+    assert len(bad) == 1
+    assert bad[0]["error"].startswith("segment:corrupt: ")
+    assert "truncated" in bad[0]["error"] or "overruns" in bad[0]["error"]
+    assert bad[0]["offset"] == -1
+    assert bad[0]["value"] is not None  # raw tail kept for forensics
