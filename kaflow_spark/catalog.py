@@ -118,3 +118,51 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (idempotent) for spark.sql."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# the relational TPC-H tables: safe to expose as external parquet
+# tables verbatim. events is deliberately absent — its parquet
+# timestamp flavor varies by fixture generation (TIMESTAMP(NANOS)-as-
+# long vs TIMESTAMP_NTZ) and must go through load()'s normalization,
+# which a bare external table would bypass.
+STATS_TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+
+
+def register_tables_with_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] | None = None,
+    *,
+    suffix: str = "_st",
+) -> None:
+    """Catalog posture for the cost-based optimizer: expose each
+    parquet table as an EXTERNAL table (no data copy — the table
+    points at the existing files) and run ``ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR ALL COLUMNS``, so row counts, ndv, and min/max land
+    in the metastore. With ``spark.sql.cbo.enabled`` and
+    ``spark.sql.cbo.joinReorder.enabled`` set, CostBasedJoinReorder
+    then re-orders inner-join chains by estimated cost — measured on
+    this build: a worst-first-written TPC-H star join (lineitem
+    leading) is rewritten to reduce through the selective dims first
+    (region -> nation -> customer -> orders -> lineitem), exactly the
+    plan a human would stage (tests/test_cbo.py locks it in).
+
+    At 100 TB this is the difference between shuffling a fact table
+    into a dim chain and broadcasting dims into one fact pass; stats
+    collection is a metadata-only scan per table and is amortized
+    across every query in the session/metastore lifetime."""
+    for name in tables or STATS_TABLES:
+        t = f"{name}{suffix}"
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(
+            f"CREATE TABLE {t} USING parquet LOCATION '{sf_dir}/{name}.parquet'"
+        )
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
