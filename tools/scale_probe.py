@@ -490,6 +490,229 @@ def main() -> None:
     )
     print(rows[-1], flush=True)
 
+    # ---- round-6 additions: the round-5 event/warehouse suite ----
+    # (q141 SCD2, q143 ordered funnel, q150 LTV, q151 streak,
+    #  q152 interval coalescing, q153 RFM) — probes mirror the
+    # declared query bodies over replicated frames; replication adds
+    # NEW users/customers (linear state growth), as a real corpus does.
+
+    from kaflow_spark.operators.events import scd2_intervals
+
+    probe_events(
+        f"SCD2 intervals q141 ({n_events} events/x)",
+        lambda e: scd2_intervals(e, "user_id", "event_type"),
+    )
+
+    def funnel(e):
+        s1 = (
+            e.filter(F.col("event_type") == "view")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t1"))
+        )
+        s2 = (
+            e.filter(F.col("event_type") == "click")
+            .join(s1, "user_id")
+            .filter(F.col("ts") > F.col("t1"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t2"))
+        )
+        s3 = (
+            e.filter(F.col("event_type") == "purchase")
+            .join(s2, "user_id")
+            .filter(F.col("ts") > F.col("t2"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t3"))
+        )
+        return (
+            s1.agg(F.count(F.lit(1)).alias("n1"))
+            .crossJoin(s2.agg(F.count(F.lit(1)).alias("n2")))
+            .crossJoin(s3.agg(F.count(F.lit(1)).alias("n3")))
+        )
+
+    probe_events(f"ordered funnel q143 ({n_events} events/x)", funnel)
+
+    def streak(e):
+        from pyspark.sql.window import Window as W
+
+        days = (
+            e.select(
+                "user_id",
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+                )
+                .cast("bigint")
+                .alias("d"),
+            )
+            .distinct()
+        )
+        w = W.partitionBy("user_id").orderBy("d")
+        runs = (
+            days.withColumn("grp", F.col("d") - F.row_number().over(w))
+            .groupBy("user_id", "grp")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("len"),
+                F.min("d").alias("start_d"),
+            )
+        )
+        w_best = W.partitionBy("user_id").orderBy(F.desc("len"), "start_d")
+        return runs.withColumn("rn", F.row_number().over(w_best)).filter(
+            F.col("rn") == 1
+        )
+
+    probe_events(f"longest streak q151 ({n_events} events/x)", streak)
+
+    def intervals(e):
+        from pyspark.sql.window import Window as W
+
+        iv = e.filter(
+            F.col("ts").isNotNull() & F.col("value").isNotNull()
+        ).select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("long").alias("s"),
+            (
+                F.col("ts").cast("long")
+                + F.expr(
+                    "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 100"
+                )
+            ).alias("e"),
+        )
+        w_prev = (
+            W.partitionBy("user_id")
+            .orderBy("s", "e", "event_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        w_cum = (
+            W.partitionBy("user_id")
+            .orderBy("s", "e", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        flagged = iv.select(
+            "user_id",
+            "s",
+            "e",
+            "event_id",
+            F.when(
+                F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-(2**63))),
+                1,
+            )
+            .otherwise(0)
+            .alias("brk"),
+        )
+        return (
+            flagged.withColumn("grp", F.sum("brk").over(w_cum))
+            .groupBy("user_id", "grp")
+            .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_intervals"),
+                F.sum(F.col("me") - F.col("ms")).alias("covered_seconds"),
+            )
+        )
+
+    probe_events(f"interval coalescing q152 ({n_events} events/x)", intervals)
+
+    # q150 LTV + q153 RFM over replicated orders (new customers per
+    # replica: consistent o_custkey/o_orderkey shifts)
+    ord_full = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    n_ord = ord_full.count()
+    probe_ord = make_prober(rows, ord_full, ["o_orderkey", "o_custkey"])
+
+    def ltv(o):
+        from pyspark.sql.window import Window as W
+
+        om = o.filter(F.col("o_custkey").isNotNull()).select(
+            "o_custkey",
+            (
+                F.year("o_orderdate").cast("bigint") * 12
+                + F.month("o_orderdate").cast("bigint")
+            ).alias("m"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        coh = om.groupBy("o_custkey").agg(F.min("m").alias("cm"))
+        sz = coh.groupBy("cm").agg(F.count(F.lit(1)).alias("n_custs"))
+        rev = (
+            om.join(coh, "o_custkey")
+            .groupBy("cm", (F.col("m") - F.col("cm")).alias("off"))
+            .agg(F.sum("cents").alias("cents"))
+        )
+        w_cum = W.partitionBy("cm").orderBy("off").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        return (
+            rev.select("cm", "off", F.sum("cents").over(w_cum).alias("cum_cents"))
+            .join(F.broadcast(sz), "cm")
+            .select("cm", "off", "n_custs", "cum_cents")
+        )
+
+    probe_ord(f"cohort LTV q150 ({n_ord} orders/x)", ltv)
+
+    def rfm(o):
+        from pyspark.sql.window import Window as W
+
+        base = o.groupBy("o_custkey").agg(
+            F.datediff(
+                F.lit("2002-01-01").cast("date"),
+                F.max(F.col("o_orderdate").cast("date")),
+            )
+            .cast("bigint")
+            .alias("r_days"),
+            F.count(F.lit(1)).cast("bigint").alias("f_orders"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"
+                " div 100"
+            ).alias("m_dollars"),
+        )
+
+        def bucket(col, alias):
+            w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+            w_all = W.orderBy("v").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+            counts = base.groupBy(F.col(col).alias("v")).agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            pre = counts.select(
+                "v",
+                (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("cume"),
+                F.sum("cnt").over(w_all).alias("n"),
+            )
+            return pre.select(
+                F.col("v").alias(f"{alias}_v"),
+                F.least(F.lit(5), F.lit(1) + F.expr("(5 * cume) div n")).alias(
+                    f"{alias}_b"
+                ),
+            )
+
+        return (
+            base.join(
+                F.broadcast(bucket("r_days", "r")), F.col("r_days") == F.col("r_v")
+            )
+            .join(
+                F.broadcast(bucket("f_orders", "f")),
+                F.col("f_orders") == F.col("f_v"),
+            )
+            .join(
+                F.broadcast(bucket("m_dollars", "m")),
+                F.col("m_dollars") == F.col("m_v"),
+            )
+            .select(
+                (
+                    (F.lit(6) - F.col("r_b")) * 100
+                    + F.col("f_b") * 10
+                    + F.col("m_b")
+                ).alias("segment")
+            )
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+        )
+
+    probe_ord(f"RFM segmentation q153 ({n_ord} orders/x)", rfm)
+
     rows.append("")
     rows.append(
         "Interpretation: replication multiplies duplicate groups too "
@@ -522,7 +745,7 @@ def main() -> None:
         "to 10x (2.6s -> 6.5s for 2x data = sort-merge spill "
         "territory on one node), and the plan itself — two hash "
         "exchanges, partial aggregation, no broadcast of a large "
-        "side — is exactly what distributes across executors. New round-5 operator rows: minimizers is one explode + one doc_id shuffle of short rows (tracks gram volume); shuffle-shards is a scan-side hash + one shard-partitioned window (near-flat until data volume dominates); hard negatives scales with corpus x anchors under a fixed broadcast anchor set; OHLC is a pure partial-agg whose shuffle is |type x hour| rows, so replication cost is map-side only. Late round-5 rows: bigram surprisal and 3-gram diversity shuffle (gram, count) / distinct (source, gram) pairs, never text — both track gram volume; the OLS trend is a single partial-agg'd groupBy of five bigint sums (map-side cost only); the z-score diamond is one events scan plus a broadcast of |types| stat rows, so its curve tracks scan volume. Newest rows: the hamming-pair probe rebuilds each replica's name from its shifted id (verbatim copies would hand every name mult exact duplicates — mult^2 pairs per bucket, a density no deduped entity table has; measured 69x before the fix), so the curve tracks the blocking join under a ~constant neighbor count; basket pairs replicate whole orders, so pair volume grows linearly with order count. Wall-clocks are single runs on a shared sandbox: the iterative rows (CC, dedup clusters) carry +-2-3x run-to-run noise from co-tenant load; curve SHAPE across 1x/5x/10x, not any absolute point, is the signal this table exists for."
+        "side — is exactly what distributes across executors. New round-5 operator rows: minimizers is one explode + one doc_id shuffle of short rows (tracks gram volume); shuffle-shards is a scan-side hash + one shard-partitioned window (near-flat until data volume dominates); hard negatives scales with corpus x anchors under a fixed broadcast anchor set; OHLC is a pure partial-agg whose shuffle is |type x hour| rows, so replication cost is map-side only. Late round-5 rows: bigram surprisal and 3-gram diversity shuffle (gram, count) / distinct (source, gram) pairs, never text — both track gram volume; the OLS trend is a single partial-agg'd groupBy of five bigint sums (map-side cost only); the z-score diamond is one events scan plus a broadcast of |types| stat rows, so its curve tracks scan volume. Newest rows: the hamming-pair probe rebuilds each replica's name from its shifted id (verbatim copies would hand every name mult exact duplicates — mult^2 pairs per bucket, a density no deduped entity table has; measured 69x before the fix), so the curve tracks the blocking join under a ~constant neighbor count; basket pairs replicate whole orders, so pair volume grows linearly with order count. Round-6 rows (the event/warehouse suite): SCD2, streak, and interval coalescing each ride ONE user_id hash partitioning (windows + run groupBys share it) over day-/second-grain integer rows, so their curves track event volume; the ordered funnel is three type-pushed scans collapsing to per-user minima BEFORE their co-partitioned joins; cohort LTV's windows partition by cohort month over (cohort, offset) rollup rows (bounded, never raw orders) with the cohort-size table broadcast; RFM is one orders aggregate plus three bounded value-count quintile maps broadcast back — the single-partition window each quintile map uses runs over the bounded count table, not the data. Wall-clocks are single runs on a shared sandbox: the iterative rows (CC, dedup clusters) carry +-2-3x run-to-run noise from co-tenant load; curve SHAPE across 1x/5x/10x, not any absolute point, is the signal this table exists for."
     )
     with open("SCALING.md", "w") as f:
         f.write("\n".join(rows) + "\n")
