@@ -500,3 +500,24 @@ def test_q149_referential_check_is_left_anti(spark, sf_dir):
 
     txt = explain_str(REGISTRY["q149_data_quality_report"].spark(spark, sf_dir))
     assert "LeftAnti" in txt
+
+
+def test_q146_two_level_blocking_equi_join_no_nlj(spark, sf_dir):
+    """Fuzzy key matching: the candidate stage must stay an EQUI join
+    on the (chunk, length, projection) blocking keys — a cartesian or
+    nested-loop regression (e.g. someone 'simplifying' the projection
+    keys into a non-equi condition) turns recall-exact blocking into
+    an O(n^2) scan. Also locks the two-level key count: d=1 explodes
+    each key into (d+1)^2 = 4 blocking rows, visible as the explode's
+    4-element array constructor."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q146_fuzzy_key_match"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoop" not in txt
+    assert has_partial_aggregate(df)  # pair dedup partial-aggs
+
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # four two-level projections feed the explode (chunk ids 0..3)
+    assert all(f"chunk, {i}" in opt or f"{i} AS chunk" in opt for i in (0, 1, 2, 3))
