@@ -792,12 +792,22 @@ def minimizers(
     # concat + lpad per POSITION and the substring decode per
     # selection: measured ~13% faster at sf0.1 than the string key.
     win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    # the start filter must sit ABOVE the window: a filter below it
+    # removes the last w-1 grams from the window INPUT, silently
+    # truncating every tail window (the final w-1 grams of a document
+    # could then never be selected, and a shared substring at a doc
+    # tail could yield no shared fingerprint — breaking the winnowing
+    # guarantee; caught r6 by diffing against an independent
+    # expression-level implementation)
     sel = (
-        pos_gram.filter(F.col("pos") <= F.col("_n") - w)
-        .select(
+        pos_gram.select(
             id_col,
+            "pos",
+            "_n",
             F.min(F.struct(F.col("gram"), F.col("pos"))).over(win).alias("_mk"),
         )
+        .filter(F.col("pos") <= F.col("_n") - w)
+        .select(id_col, "_mk")
         .distinct()
     )
     return sel.select(

@@ -801,11 +801,16 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, pos, n_grams,
              gram || lpad(CAST(pos AS VARCHAR), 8, '0') AS key
       FROM g),
+    -- start filter ABOVE the window (matching the Spark operator): a
+    -- WHERE below it would drop the last w-1 grams from the window
+    -- input and truncate every tail window
     sel AS (
-      SELECT DISTINCT doc_id,
-             min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
-      FROM keyed WHERE pos <= n_grams - 4)
+      SELECT DISTINCT doc_id, mk FROM (
+        SELECT doc_id, pos, n_grams,
+               min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+        FROM keyed)
+      WHERE pos <= n_grams - 4)
     SELECT doc_id,
            CAST(substring(mk, length(mk) - 7, 8) AS BIGINT) AS pos,
            substring(mk, 1, length(mk) - 8) AS gram

@@ -743,3 +743,23 @@ def test_hamming_pairs_pigeonhole_recall(spark):
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
            hamming_pairs(df, "id", "key", max_dist=1).collect()}
     assert got == {(1, 2): 1, (2, 3): 1}
+
+
+def test_minimizers_tail_window_guarantee(spark):
+    """Regression (r6): the window-start filter must sit ABOVE the
+    window. Below it, the last w-1 grams drop out of the window INPUT
+    and tail windows truncate — a shared 4-char run ('zabc', w+k-1)
+    sitting at the TAIL of one doc but mid-document in the other then
+    yields NO shared fingerprint (doc1 selects 'zab' from its
+    truncated tail window while doc2 selects 'abc' from the full one),
+    violating the winnowing guarantee the docstring promises."""
+    from kaflow_spark.operators.dedup import minimizers
+
+    df = spark.createDataFrame(
+        [(1, "mmmzabc"), (2, "nnzabcQQ")], "id long, text string"
+    )
+    sel = minimizers(df, "id", "text", k=3, w=2).collect()
+    g1 = {r["gram"] for r in sel if r["id"] == 1}
+    g2 = {r["gram"] for r in sel if r["id"] == 2}
+    assert "abc" in g1  # the tail window's true minimum is selected
+    assert g1 & g2, f"no shared fingerprint: {g1} vs {g2}"
