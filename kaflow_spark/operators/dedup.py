@@ -508,6 +508,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_candidates(
+    shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Deterministic recall-1 candidate pairs for an EXACT Jaccard
+    set-similarity self-join (AllPairs / PPJoin prefix filtering,
+    Bayardo et al. WWW'07 — public algorithm), over a
+    :func:`shingle_frame` ``(_sid, _sh)`` input.
+
+    The third candidate-generation family next to MinHash banding
+    (probabilistic recall) and SimHash pigeonhole chunks (recall
+    bounded by a Hamming radius): order every document's distinct
+    shingles by one GLOBAL total order — ascending document frequency,
+    ties by hash — and keep only the first
+    ``|A| - ceil(threshold * |A|) + 1`` ("prefix").  If
+    ``J(A, B) >= t`` then ``|A ∩ B| >= t * max(|A|, |B|)`` (from
+    ``o/(a + b - o) >= t`` with ``b >= o``), so the intersection
+    cannot fit entirely in both suffixes and the prefixes must share
+    a shingle — recall 1 with NO probabilistic argument.  A size
+    filter (``t * |A| <= |B| <= |A| / t``) prunes candidates the
+    Jaccard bound already excludes.
+
+    Scale: shuffles only (id, hash, df) rows; the per-document window
+    ranks within a document (never a global sort); rare-first
+    ordering keeps join buckets small — a shingle shared by f
+    documents contributes at most f² candidate rows and frequent
+    shingles are exactly the ones the prefix drops.  Skew bound: the
+    worst bucket is the most document-frequent shingle that still
+    lands in some prefix, i.e. low-|A| documents — cap via
+    ``threshold`` (higher t, shorter prefixes).
+    """
+    from pyspark.sql.window import Window
+
+    tok = shingles.select(
+        F.col("_sid").alias("id"), F.explode("_sh").alias("h")
+    )
+    sizes = tok.groupBy("id").agg(F.count("*").alias("n"))
+    dfreq = tok.groupBy("h").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "h")
+    ranked = (
+        tok.join(dfreq, "h")
+        .join(sizes, "id")
+        .withColumn("r", F.row_number().over(w))
+    )
+    prefix = ranked.filter(
+        (F.col("r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        # a token shared by two documents has df >= 2, so df = 1 prefix
+        # rows can never produce a candidate — dropping them shrinks the
+        # join shuffle with zero recall impact
+        & (F.col("df") >= 2)
+    ).select("id", "h", "n")
+    a = prefix.select(
+        F.col("id").alias("id_a"), "h", F.col("n").alias("n_a")
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), "h", F.col("n").alias("n_b")
+    )
+    t = F.lit(threshold)
+    return (
+        a.join(b, ["h"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_b") >= F.ceil(t * F.col("n_a")))
+            & (F.col("n_a") >= F.ceil(t * F.col("n_b")))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def simhash_expr(text_col: str, ngram: int = 3) -> F.Column:
     """Pure-expression SimHash: ONE fold over the n-gram array
     maintaining all 64 vote counters (zip_with), then one pass packing

@@ -1,0 +1,93 @@
+"""Entity-resolution operators: edit-distance joins without all-pairs.
+
+The reference engine has no entity-resolution surface (it is a Kafka
+record router — SURVEY §2A); this module is part of the
+training-data-pipeline extension: key/name matching under *insertions
+and deletions*, the similarity family the Hamming matcher
+(operators/dedup.hamming_pairs, q146) cannot express — one inserted
+character shifts every later position, so substitution-only blocking
+misses it, while a single indel barely moves Levenshtein distance.
+
+Scale design (SymSpell / FastSS deletion-neighborhood blocking):
+every key of length L expands to at most L+1 variants (itself plus
+each single-character deletion).  Two keys within Levenshtein
+distance 1 ALWAYS share a variant:
+
+- equal keys share the identity variant;
+- a substitution at position i: deleting position i from both keys
+  yields the same string;
+- an insertion/deletion: the shorter key IS a deletion variant of the
+  longer one, and every key's own identity variant is in its set.
+
+So an equi-join on the variant key has recall 1 for d<=1 by
+construction — no probabilistic argument needed — and the exact
+``levenshtein`` verify keeps precision 1.  Only (id, key, variant)
+rows shuffle: entity keys are tens of bytes, never documents.  Work
+is sum-of-bucket-squares over variant buckets; bucket size is bounded
+by the number of keys within distance 1 of a given variant (alphabet
+x positions), not by table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# i = 0 keeps the key itself; i = 1..L deletes character i.  The
+# CASE avoids a second explode-union pass over the table.
+_VARIANTS_SQL = (
+    "array_distinct(transform(sequence(0, length(_k)), i -> "
+    "CASE WHEN i = 0 THEN _k "
+    "ELSE substring(_k, 1, i - 1) || substring(_k, i + 1) END))"
+)
+
+
+def deletion_variants(key_col: str) -> F.Column:
+    """Distinct deletion-neighborhood variants (self + each single
+    deletion) of ``key_col`` — at most ``length + 1`` strings."""
+    return F.expr(_VARIANTS_SQL.replace("_k", f"`{key_col}`"))
+
+
+def edit_distance_pairs(
+    df: DataFrame, id_col: str, key_col: str
+) -> DataFrame:
+    """All pairs of rows whose ``key_col`` values are within
+    Levenshtein distance 1 (including exact duplicates at distance 0).
+
+    Returns ``(id_a, id_b, lev)`` with ``id_a < id_b``; ``lev`` is the
+    exact distance (BIGINT).  Recall is 1 for d<=1 by the
+    deletion-neighborhood argument in the module docstring; the
+    ``levenshtein`` verify makes precision exact, so a brute-force
+    O(n²) oracle hash-checks the output end-to-end.
+    """
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("_id"), F.col(key_col).alias("_k")
+    )
+    variants = base.select(
+        "_id", "_k", F.explode(deletion_variants("_k")).alias("_v")
+    )
+    a = variants.select(
+        F.col("_id").alias("id_a"),
+        F.col("_k").alias("key_a"),
+        F.col("_v").alias("_v"),
+    )
+    b = variants.select(
+        F.col("_id").alias("id_b"),
+        F.col("_k").alias("key_b"),
+        F.col("_v").alias("_v"),
+    )
+    cand = (
+        a.join(b, ["_v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair can share several variants (e.g. adjacent equal
+        # characters); contract before the verify join fan-out
+        .select("id_a", "id_b", "key_a", "key_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # project the distance once, then filter on the projected column —
+    # filtering on the raw expression would evaluate levenshtein twice
+    lev = F.levenshtein(F.col("key_a"), F.col("key_b"))
+    return (
+        cand.select("id_a", "id_b", lev.cast("bigint").alias("lev"))
+        .filter(F.col("lev") <= 1)
+    )

@@ -5,6 +5,7 @@ Importing this package materializes every declared query into
 tests consume it.
 """
 
+from kaflow_spark.queries import audits as _audits  # noqa: F401
 from kaflow_spark.queries import base as _base
 from kaflow_spark.queries import curation as _curation  # noqa: F401
 from kaflow_spark.queries import extended as _extended  # noqa: F401

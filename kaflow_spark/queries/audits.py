@@ -1,0 +1,467 @@
+"""Declared corpus-audit / entity-resolution queries (round-6 widening).
+
+Six operator families a 100 TB training-data pipeline runs that the
+round-5 registry did not yet cover as first-class declared queries:
+indel edit-distance entity matching (q154), embedding int8
+quantization audit (q155), cross-source quantile normalization
+(q156), source-pair corpus overlap (q157), source distribution drift
+(q158), and an exact set-similarity join via prefix filtering (q159).
+Every query keeps the determinism discipline (integer basis points,
+total ORDER BY, BIGINT casts against DuckDB HUGEINT rendering) and an
+exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kaflow_spark.catalog import load
+from kaflow_spark.queries.base import declare
+
+
+@declare(
+    "q154_edit_distance_join",
+    oracle="""
+    -- brute force; the length prefilter only prunes |len diff| > 1
+    -- pairs (levenshtein >= length difference)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND abs(length(a.c_name) - length(b.c_name)) <= 1
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+    doc="Entity-key matching under INSERTIONS/DELETIONS: customer-name "
+    "pairs within Levenshtein distance 1 — the indel family q146's "
+    "Hamming matcher cannot express (one inserted character shifts "
+    "every later position, rewriting all positional blocks, while "
+    "barely moving the edit distance). SymSpell/FastSS deletion-"
+    "neighborhood blocking: each key expands to <= L+1 variants (self "
+    "+ single deletions); any two keys at distance <= 1 provably "
+    "share a variant (substitution: delete the differing position "
+    "from both; indel: the shorter key IS a variant of the longer), "
+    "so the variant equi-join has recall 1 by construction, no "
+    "probabilistic argument. Exact levenshtein verify keeps precision "
+    "1; only (id, key, variant) short-string rows shuffle. Brute-"
+    "force O(n²) DuckDB oracle attests recall end-to-end.",
+    tags=("resolution", "dedup"),
+)
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.resolution import edit_distance_pairs
+
+    cu = load(spark, sf, "customer").select("c_custkey", "c_name")
+    return edit_distance_pairs(cu, "c_custkey", "c_name").orderBy(
+        "id_a", "id_b"
+    )
+
+
+@declare(
+    "q155_int8_quantization",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    a AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS amax
+        FROM v),
+    s AS (
+        SELECT vec_id,
+               list_transform(v, x -> CASE WHEN amax = 0 THEN 0.0
+                   ELSE (x * 127.0) / amax END) AS sv
+        FROM a),
+    q AS (
+        SELECT vec_id,
+               list_transform(sv, y -> CASE WHEN y >= 0
+                   THEN CAST(FLOOR(y + 0.5) AS BIGINT)
+                   ELSE CAST(CEIL(y - 0.5) AS BIGINT) END) AS qv
+        FROM s)
+    SELECT vec_id,
+           CAST(list_sum(qv) AS BIGINT) AS sum_q,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1_q,
+           CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+    FROM q ORDER BY vec_id
+    """,
+    doc="Int8 scalar-quantization audit of the embedding column — the "
+    "compression step vector stores and ANN indexes apply before "
+    "serving (symmetric per-vector absmax scaling, the faiss/SQ8 "
+    "layout). Per vector: quantized checksum (sum_q), L1 mass (l1_q) "
+    "and saturation count (n_sat, |q|=127 — the argmax element "
+    "always saturates: (v*127)/v is exactly 127 in IEEE). "
+    "Determinism: float32 widens to float64 exactly, both engines "
+    "evaluate the identical (x*127)/amax double expression, and "
+    "rounding is spelled floor(y+0.5)/ceil(y-0.5) so no engine "
+    "round() tie-semantics can diverge. Scale: one narrow projection "
+    "per vector, zero shuffles, zero UDFs — amax is materialized as "
+    "its own projection so the per-element lambda references an "
+    "attribute, not a re-evaluated subtree (CLAUDE.md trap 1).",
+    tags=("embedding", "curation"),
+)
+def q155(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    v = e.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    a = v.select(
+        "vec_id", "v", F.expr("array_max(transform(v, x -> abs(x)))").alias("amax")
+    )
+    s = a.select(
+        "vec_id",
+        F.expr(
+            "transform(v, x -> CASE WHEN amax = 0.0D THEN 0.0D"
+            " ELSE (x * 127.0D) / amax END)"
+        ).alias("sv"),
+    )
+    q = s.select(
+        "vec_id",
+        F.expr(
+            "transform(sv, y -> CASE WHEN y >= 0.0D"
+            " THEN CAST(FLOOR(y + 0.5D) AS BIGINT)"
+            " ELSE CAST(CEIL(y - 0.5D) AS BIGINT) END)"
+        ).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        F.expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x)").alias(
+            "sum_q"
+        ),
+        F.expr(
+            "aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + abs(x))"
+        ).alias("l1_q"),
+        F.expr("CAST(size(filter(qv, x -> abs(x) = 127)) AS BIGINT)").alias(
+            "n_sat"
+        ),
+    ).orderBy("vec_id")
+
+
+@declare(
+    "q156_quantile_normalization",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, n_chars),
+    s AS (
+        SELECT source, v, c,
+               SUM(c) OVER (PARTITION BY source ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - c AS cume,
+               SUM(c) OVER (PARTITION BY source) AS n
+        FROM cnt),
+    g AS (SELECT v, CAST(SUM(c) AS BIGINT) AS gc FROM cnt GROUP BY v),
+    gg AS (
+        SELECT v, gc,
+               SUM(gc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - gc AS gcume,
+               SUM(gc) OVER () AS N
+        FROM g),
+    m AS (
+        SELECT s.source, s.v,
+               CAST((s.cume * 10000) // s.n AS BIGINT) AS src_pct_bp,
+               CAST(gg2.v AS BIGINT) AS calib
+        FROM s JOIN gg ON gg.v = s.v
+        JOIN gg gg2 ON (s.cume * gg.N) // s.n + 1 > gg2.gcume
+                   AND (s.cume * gg.N) // s.n + 1 <= gg2.gcume + gg2.gc)
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+           m.src_pct_bp, m.calib AS calib_n_chars
+    FROM documents d JOIN m ON m.source = d.source AND m.v = d.n_chars
+    ORDER BY d.doc_id
+    """,
+    doc="Cross-source quantile normalization of document length — the "
+    "score-calibration step heterogeneous-source curation needs "
+    "before any global threshold is meaningful (each source's length "
+    "distribution is mapped onto the corpus-global one: a doc at its "
+    "source's p-th percentile is assigned the GLOBAL value at that "
+    "percentile). Scale-safe like q136: all ranks come from the "
+    "bounded (source, value) count table, never a global row sort — "
+    "cumulative windows run over that table (|sources| x |distinct "
+    "lengths| rows), the source-local position maps to a global "
+    "order-statistic index in exact integers ((cume*N) div n + 1), "
+    "and the global range lookup is a broadcast interval join against "
+    "the tiny global count table. Doc-level output reattaches by "
+    "(source, value) equi-join.",
+    tags=("curation", "window"),
+)
+def q156(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    cnt = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = cnt.select(
+        "source",
+        "v",
+        "c",
+        (F.sum("c").over(w_src) - F.col("c")).alias("cume"),
+        F.sum("c").over(Window.partitionBy("source")).alias("n"),
+    )
+    g = cnt.groupBy("v").agg(F.sum("c").alias("gc"))
+    w_g = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gg = g.select(
+        "v",
+        "gc",
+        (F.sum("gc").over(w_g) - F.col("gc")).alias("gcume"),
+        # NOT named "N": Spark resolution is case-insensitive, so a
+        # bare "N" would collide with the per-source "n" after the join
+        F.sum("gc").over(Window.partitionBy()).alias("g_total"),
+    )
+    # global order-statistic index of the source-local position
+    s2 = s.join(gg.select(F.col("v"), F.col("g_total")), "v").select(
+        "source",
+        "v",
+        F.expr("(cume * 10000) div n").alias("src_pct_bp"),
+        F.expr("(cume * g_total) div n + 1").alias("gpos"),
+    )
+    lookup = gg.select(
+        F.col("v").alias("calib"), "gcume", (F.col("gcume") + F.col("gc")).alias("ghi")
+    )
+    # m descends from d, so the reattach below is a self-join — rename
+    # m's key columns to keep attribute lineage unambiguous
+    m = s2.join(
+        F.broadcast(lookup),
+        (F.col("gpos") > F.col("gcume")) & (F.col("gpos") <= F.col("ghi")),
+    ).select(
+        F.col("source").alias("m_source"),
+        F.col("v").alias("m_v"),
+        "src_pct_bp",
+        "calib",
+    )
+    return (
+        d.join(
+            m,
+            (F.col("source") == F.col("m_source"))
+            & (F.col("n_chars") == F.col("m_v")),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("src_pct_bp").cast("bigint").alias("src_pct_bp"),
+            F.col("calib").cast("bigint").alias("calib_n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declare(
+    "q157_source_overlap_matrix",
+    oracle="""
+    WITH t AS (
+        SELECT DISTINCT source, substring(text, CAST(i AS INT), 5) AS g
+        FROM (SELECT source, text,
+                     unnest(range(1, greatest(length(text)-4, 1)+1)) AS i
+              FROM documents)),
+    n AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+          FROM t GROUP BY source),
+    i AS (SELECT a.source AS sa, b.source AS sb,
+                 CAST(count(*) AS BIGINT) AS shared
+          FROM t a JOIN t b ON a.g = b.g AND a.source < b.source
+          GROUP BY a.source, b.source)
+    SELECT sa AS source_a, sb AS source_b, shared,
+           CAST(shared * 10000 // (na.n + nb.n - shared) AS BIGINT)
+               AS jaccard_bp
+    FROM i JOIN n na ON na.source = sa JOIN n nb ON nb.source = sb
+    ORDER BY source_a, source_b
+    """,
+    doc="Source-pair corpus-overlap matrix: exact Jaccard (integer "
+    "basis points) between every two sources' distinct char-5-gram "
+    "shingle sets — the mixture-audit that tells a pretraining run "
+    "which 'independent' crawls are actually the same corpus before "
+    "sampling weights are assigned. Source grain, not doc grain: the "
+    "(source, shingle-hash) frame contracts map-side via DISTINCT "
+    "partial aggregation, then one equi-join on the 8-byte hash; a "
+    "shingle shared by f sources fans out f² rows with f bounded by "
+    "|sources|, so total work is linear in corpus size times a "
+    "bounded constant — no doc×doc pairs anywhere. Hash-set counts "
+    "equal string-set counts absent xxhash64 collisions (same "
+    "precedent as q41's verify stage; the oracle uses the strings).",
+    tags=("curation", "dedup"),
+)
+def q157(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.dedup import char_shingles
+
+    d = load(spark, sf, "documents")
+    tok = (
+        d.select("source", F.explode(char_shingles("text", 5)).alias("h"))
+        .distinct()
+    )
+    n = tok.groupBy("source").agg(F.count("*").alias("n"))
+    a = tok.select(F.col("source").alias("source_a"), "h")
+    b = tok.select(F.col("source").alias("source_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            F.expr("shared * 10000 div (n_a + n_b - shared)").alias(
+                "jaccard_bp"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@declare(
+    "q158_source_drift_l1",
+    oracle="""
+    WITH b AS (
+        SELECT source, n_chars // 64 AS bucket, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, n_chars // 64),
+    s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM b GROUP BY source),
+    g AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS gc FROM b GROUP BY bucket),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM b),
+    grid AS (
+        SELECT s.source, g.bucket, s.t, g.gc, tot.n,
+               COALESCE(b.c, 0) AS c
+        FROM s CROSS JOIN g CROSS JOIN tot
+        LEFT JOIN b ON b.source = s.source AND b.bucket = g.bucket)
+    SELECT source, t AS n_docs,
+           CAST(SUM(abs(c * 10000 // t - gc * 10000 // n)) AS BIGINT)
+               AS l1_bp
+    FROM grid GROUP BY source, t
+    ORDER BY source
+    """,
+    doc="Distribution-drift audit: per-source L1 distance (integer "
+    "basis points) between the source's length histogram (64-char "
+    "buckets) and the corpus-global one — the monitoring check that "
+    "flags a crawl snapshot whose documents stopped looking like the "
+    "mixture it was weighted for. All mass is integer counts; the "
+    "histogram grid is |sources| x |buckets| (both bounded — bucket "
+    "count by max document length, not corpus size), built by "
+    "broadcast cross join so missing (source, bucket) cells "
+    "contribute their full global share to the distance instead of "
+    "silently dropping out. One groupBy shuffle of (source, bucket) "
+    "rows; everything after runs on the bounded grid.",
+    tags=("curation",),
+)
+def q158(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    b = d.groupBy(
+        "source", F.expr("n_chars div 64").alias("bucket")
+    ).agg(F.count("*").alias("c"))
+    s = b.groupBy("source").agg(F.sum("c").alias("t"))
+    g = b.groupBy("bucket").agg(F.sum("c").alias("gc"))
+    tot = b.agg(F.sum("c").alias("n"))
+    grid = (
+        s.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(tot))
+        .join(b, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "t",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "gc",
+            "n",
+        )
+    )
+    return (
+        grid.groupBy("source", "t")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.expr("c * 10000 div t") - F.expr("gc * 10000 div n")
+                )
+            ).alias("l1_bp")
+        )
+        .select(
+            "source",
+            F.col("t").cast("bigint").alias("n_docs"),
+            F.col("l1_bp").cast("bigint").alias("l1_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+_WORDGRAM5_ORACLE = r"""
+    WITH g AS (
+      SELECT DISTINCT doc_id AS id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(words)-4, 1)+1),
+                   j -> array_to_string(list_slice(words, j, j+4), ' ')))
+                   AS g
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+              FROM documents))),
+    s AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+    i AS (SELECT a.id AS ia, b.id AS ib, count(*) AS i
+          FROM g a JOIN g b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2)
+    SELECT ia AS id_a, ib AS id_b,
+           CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+    FROM i JOIN s na ON na.id = ia JOIN s nb ON nb.id = ib
+    WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.5
+    ORDER BY id_a, id_b
+"""
+
+
+@declare(
+    "q159_prefix_filter_setjoin",
+    oracle=_WORDGRAM5_ORACLE,
+    doc="Exact set-similarity self-join (word-5-gram Jaccard >= 0.5) "
+    "via AllPairs/PPJoin PREFIX FILTERING — the third candidate-"
+    "generation family beside MinHash banding (q41, probabilistic "
+    "recall) and SimHash pigeonhole chunks (q42, Hamming-radius "
+    "recall): order each document's grams by one global "
+    "(doc-frequency, hash) total order and join only on the first "
+    "|A| - ceil(t|A|) + 1; if J(A,B) >= t the intersection is >= "
+    "t*max(|A|,|B|) and cannot fit in both suffixes, so prefixes "
+    "must share a gram — deterministic recall 1, important exactly "
+    "where banding recall degrades (moderate thresholds like 0.5). "
+    "Word grams, not char shingles, are the feature: prefix "
+    "filtering discriminates by document frequency, and the word-"
+    "gram df distribution is near-unique per doc (char-5-grams on "
+    "this corpus have ~2k distinct values at df~50 — no ordering "
+    "helps; measured 5x slower). df=1 prefix rows are dropped "
+    "outright (two docs sharing a gram imply df >= 2), and a size "
+    "filter prunes |B| outside [t|A|, |A|/t] before the exact "
+    "array-intersect verify. Brute-force O(n²) DuckDB oracle "
+    "attests recall end-to-end, same style as q41/q42.",
+    tags=("dedup",),
+)
+def q159(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import word_ngrams, words_of
+    from kaflow_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_candidates,
+    )
+
+    d = load(spark, sf, "documents")
+    # materialize the words array, then the gram-hash set, as separate
+    # projections (trap 1: lambdas re-evaluate referenced subtrees)
+    w = d.select(F.col("doc_id").alias("_sid"), words_of("text").alias("_w"))
+    sh = (
+        w.select("_sid", word_ngrams("_w", 5).alias("_g"))
+        .select(
+            "_sid",
+            F.transform(F.col("_g"), lambda g: F.xxhash64(g)).alias("_sh"),
+        )
+        .persist()
+    )
+    sh.count()  # eager, same rationale as shingle_frame
+    cand = prefix_filter_candidates(sh, 0.5)
+    return (
+        ngram_jaccard_pairs(d, cand, "doc_id", "text", shingles=sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )

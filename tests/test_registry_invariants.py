@@ -33,6 +33,11 @@ def test_registry_size_floor_round5():
     assert len(REGISTRY) >= 153
 
 
+def test_registry_size_floor_round6():
+    # round-6 widening: q154-q159 (resolution / audits families)
+    assert len(REGISTRY) >= 159
+
+
 # 1-row global aggregates: a single-row result is trivially ordered.
 _SINGLE_ROW = {
     "q13_global_agg_distinct",
