@@ -1035,3 +1035,157 @@ __all__ = [
     "shuffle_shards",
     "PII_PATTERNS",
 ]
+
+
+def group_shingle_overlap(
+    df: DataFrame, group_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Exact pairwise Jaccard (integer basis points) between every two
+    groups' distinct char-``k``-gram shingle sets — the corpus-overlap
+    matrix a mixture audit runs before assigning sampling weights
+    (q157). The (group, shingle-hash) frame contracts map-side via
+    DISTINCT partial aggregation; one equi-join on the 8-byte hash; a
+    shingle shared by f groups fans out f² rows with f bounded by the
+    number of groups, so total work is linear in corpus size times a
+    bounded constant. Returns (group_a, group_b, shared, jaccard_bp)
+    for pairs sharing at least one shingle."""
+    g = F.col(group_col)
+    tok = df.select(
+        g.alias("_grp"), F.explode(char_shingles(text_col, k)).alias("_h")
+    ).distinct()
+    n = tok.groupBy("_grp").agg(F.count("*").alias("_n"))
+    a = tok.select(F.col("_grp").alias("group_a"), "_h")
+    b = tok.select(F.col("_grp").alias("group_b"), "_h")
+    shared = (
+        a.join(b, "_h")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = n.select(F.col("_grp").alias("group_a"), F.col("_n").alias("n_a"))
+    nb = n.select(F.col("_grp").alias("group_b"), F.col("_n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "group_a")
+        .join(F.broadcast(nb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "shared",
+            F.expr("shared * 10000 div (n_a + n_b - shared)").alias(
+                "jaccard_bp"
+            ),
+        )
+    )
+
+
+def quantile_normalize(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Cross-group quantile normalization MAPPING at (group, value)
+    grain (q156): a row at its group's p-th percentile is assigned the
+    GLOBAL value at that percentile. Returns (group, value,
+    src_pct_bp, calib) — callers reattach row-level frames by
+    (group, value) equi-join.
+
+    Scale-safe like q136's selector: every rank comes from the bounded
+    (group, value) count table, never a global row sort; the
+    group-local position maps to a global order-statistic index in
+    exact integers ((cume * N) div n + 1), and the global range lookup
+    is a broadcast interval join against the tiny global count
+    table."""
+    from pyspark.sql.window import Window
+
+    cnt = df.groupBy(
+        F.col(group_col).alias("_grp"), F.col(value_col).alias("_v")
+    ).agg(F.count("*").alias("_c"))
+    w_src = (
+        Window.partitionBy("_grp")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = cnt.select(
+        "_grp",
+        "_v",
+        (F.sum("_c").over(w_src) - F.col("_c")).alias("_cume"),
+        F.sum("_c").over(Window.partitionBy("_grp")).alias("_n"),
+    )
+    g = cnt.groupBy("_v").agg(F.sum("_c").alias("_gc"))
+    w_g = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gg = g.select(
+        "_v",
+        "_gc",
+        (F.sum("_gc").over(w_g) - F.col("_gc")).alias("_gcume"),
+        F.sum("_gc").over(Window.partitionBy()).alias("_gt"),
+    )
+    s2 = s.join(gg.select("_v", "_gt"), "_v").select(
+        "_grp",
+        "_v",
+        F.expr("(_cume * 10000) div _n").alias("src_pct_bp"),
+        F.expr("(_cume * _gt) div _n + 1").alias("_gpos"),
+    )
+    lookup = gg.select(
+        F.col("_v").alias("calib"),
+        "_gcume",
+        (F.col("_gcume") + F.col("_gc")).alias("_ghi"),
+    )
+    return (
+        s2.join(
+            F.broadcast(lookup),
+            (F.col("_gpos") > F.col("_gcume"))
+            & (F.col("_gpos") <= F.col("_ghi")),
+        )
+        .select(
+            F.col("_grp").alias(group_col),
+            F.col("_v").alias(value_col),
+            "src_pct_bp",
+            "calib",
+        )
+    )
+
+
+def histogram_drift_l1(
+    df: DataFrame, group_col: str, value_col: str, bucket_width: int = 64
+) -> DataFrame:
+    """Per-group L1 distance (integer basis points) between the
+    group's value histogram and the global one (q158) — the
+    distribution-drift monitor for mixture weights. The grid is
+    |groups| x |buckets| (both bounded — buckets by the value range,
+    not corpus size), built by broadcast cross join so missing
+    (group, bucket) cells contribute their full global share instead
+    of silently dropping out. Returns (group, n_docs, l1_bp)."""
+    b = df.groupBy(
+        F.col(group_col).alias("_grp"),
+        F.expr(f"`{value_col}` div {bucket_width}").alias("_bucket"),
+    ).agg(F.count("*").alias("_c"))
+    s = b.groupBy("_grp").agg(F.sum("_c").alias("_t"))
+    g = b.groupBy("_bucket").agg(F.sum("_c").alias("_gc"))
+    tot = b.agg(F.sum("_c").alias("_gn"))
+    grid = (
+        s.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(tot))
+        .join(b, ["_grp", "_bucket"], "left")
+        .select(
+            "_grp",
+            "_t",
+            F.coalesce(F.col("_c"), F.lit(0)).alias("_c"),
+            "_gc",
+            "_gn",
+        )
+    )
+    return (
+        grid.groupBy("_grp", "_t")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.expr("_c * 10000 div _t") - F.expr("_gc * 10000 div _gn")
+                )
+            ).alias("_l1")
+        )
+        .select(
+            F.col("_grp").alias(group_col),
+            F.col("_t").cast("bigint").alias("n_docs"),
+            F.col("_l1").cast("bigint").alias("l1_bp"),
+        )
+    )

@@ -991,3 +991,33 @@ def hamming_pairs(
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_dist)
     )
+
+
+def wordgram_shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, eager: bool = True
+) -> DataFrame:
+    """Persisted ``(_sid, _sh)`` frame of distinct WORD-``n``-gram
+    hashes — the word-grain sibling of :func:`shingle_frame` for
+    similarity joins whose discriminating signal is document
+    frequency (q159's prefix filter: the char-shingle vocabulary on
+    word-soup corpora is tiny and uniformly frequent, measured ~2k
+    distinct values at df~50, while word grams are near-unique per
+    document). Words array and gram array are materialized as
+    separate projections (trap 1: lambdas re-evaluate referenced
+    subtrees per element)."""
+    from kaflow_spark.operators.curation import word_ngrams, words_of
+
+    w = df.select(
+        F.col(id_col).alias("_sid"), words_of(text_col).alias("_w")
+    )
+    sh = (
+        w.select("_sid", word_ngrams("_w", n).alias("_g"))
+        .select(
+            "_sid",
+            F.transform(F.col("_g"), lambda g: F.xxhash64(g)).alias("_sh"),
+        )
+        .persist()
+    )
+    if eager:
+        sh.count()
+    return sh

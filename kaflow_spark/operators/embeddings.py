@@ -259,3 +259,57 @@ def pca_project(
             expr = term if expr is None else expr + term
         proj_cols.append(expr)
     return df.select(F.col(id_col), F.array(*proj_cols).alias("proj"))
+
+
+def int8_quantization_audit(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 absmax scalar-quantization audit (q155): the
+    SQ8 compression step vector stores apply before ANN serving.
+    Returns (id, sum_q, l1_q, n_sat): quantized checksum, L1 mass and
+    saturation count (|q| = 127; the argmax element always saturates —
+    (v*127)/v is exactly 127 in IEEE).
+
+    Determinism across engines: float32 widens to float64 exactly,
+    the scale expression is the literal ``(x * 127) / amax`` double
+    computation, and rounding is spelled floor(y+0.5)/ceil(y-0.5) so
+    no engine round() tie-semantics can diverge. Scale posture: one
+    narrow per-row projection, zero shuffles, zero UDFs; ``amax`` is
+    materialized as its own projection so the per-element lambda
+    references an attribute, not a re-evaluated subtree (trap 1)."""
+    v = df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.expr(f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))").alias("_v"),
+    )
+    a = v.select(
+        id_col,
+        "_v",
+        F.expr("array_max(transform(_v, x -> abs(x)))").alias("_amax"),
+    )
+    s = a.select(
+        id_col,
+        F.expr(
+            "transform(_v, x -> CASE WHEN _amax = 0.0D THEN 0.0D"
+            " ELSE (x * 127.0D) / _amax END)"
+        ).alias("_sv"),
+    )
+    q = s.select(
+        id_col,
+        F.expr(
+            "transform(_sv, y -> CASE WHEN y >= 0.0D"
+            " THEN CAST(FLOOR(y + 0.5D) AS BIGINT)"
+            " ELSE CAST(CEIL(y - 0.5D) AS BIGINT) END)"
+        ).alias("_qv"),
+    )
+    return q.select(
+        id_col,
+        F.expr("aggregate(_qv, CAST(0 AS BIGINT), (a, x) -> a + x)").alias(
+            "sum_q"
+        ),
+        F.expr(
+            "aggregate(_qv, CAST(0 AS BIGINT), (a, x) -> a + abs(x))"
+        ).alias("l1_q"),
+        F.expr("CAST(size(filter(_qv, x -> abs(x) = 127)) AS BIGINT)").alias(
+            "n_sat"
+        ),
+    )

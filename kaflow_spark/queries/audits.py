@@ -100,41 +100,10 @@ def q154(spark: SparkSession, sf: str) -> DataFrame:
     tags=("embedding", "curation"),
 )
 def q155(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.embeddings import int8_quantization_audit
+
     e = load(spark, sf, "embeddings")
-    v = e.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-    )
-    a = v.select(
-        "vec_id", "v", F.expr("array_max(transform(v, x -> abs(x)))").alias("amax")
-    )
-    s = a.select(
-        "vec_id",
-        F.expr(
-            "transform(v, x -> CASE WHEN amax = 0.0D THEN 0.0D"
-            " ELSE (x * 127.0D) / amax END)"
-        ).alias("sv"),
-    )
-    q = s.select(
-        "vec_id",
-        F.expr(
-            "transform(sv, y -> CASE WHEN y >= 0.0D"
-            " THEN CAST(FLOOR(y + 0.5D) AS BIGINT)"
-            " ELSE CAST(CEIL(y - 0.5D) AS BIGINT) END)"
-        ).alias("qv"),
-    )
-    return q.select(
-        "vec_id",
-        F.expr("aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + x)").alias(
-            "sum_q"
-        ),
-        F.expr(
-            "aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + abs(x))"
-        ).alias("l1_q"),
-        F.expr("CAST(size(filter(qv, x -> abs(x) = 127)) AS BIGINT)").alias(
-            "n_sat"
-        ),
-    ).orderBy("vec_id")
+    return int8_quantization_audit(e, "vec_id", "embedding").orderBy("vec_id")
 
 
 @declare(
@@ -185,65 +154,14 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
     tags=("curation", "window"),
 )
 def q156(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from kaflow_spark.operators.curation import quantile_normalize
 
     d = load(spark, sf, "documents").select(
         "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars")
     )
-    cnt = d.groupBy("source", F.col("n_chars").alias("v")).agg(
-        F.count("*").alias("c")
-    )
-    w_src = (
-        Window.partitionBy("source")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    s = cnt.select(
-        "source",
-        "v",
-        "c",
-        (F.sum("c").over(w_src) - F.col("c")).alias("cume"),
-        F.sum("c").over(Window.partitionBy("source")).alias("n"),
-    )
-    g = cnt.groupBy("v").agg(F.sum("c").alias("gc"))
-    w_g = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    gg = g.select(
-        "v",
-        "gc",
-        (F.sum("gc").over(w_g) - F.col("gc")).alias("gcume"),
-        # NOT named "N": Spark resolution is case-insensitive, so a
-        # bare "N" would collide with the per-source "n" after the join
-        F.sum("gc").over(Window.partitionBy()).alias("g_total"),
-    )
-    # global order-statistic index of the source-local position
-    s2 = s.join(gg.select(F.col("v"), F.col("g_total")), "v").select(
-        "source",
-        "v",
-        F.expr("(cume * 10000) div n").alias("src_pct_bp"),
-        F.expr("(cume * g_total) div n + 1").alias("gpos"),
-    )
-    lookup = gg.select(
-        F.col("v").alias("calib"), "gcume", (F.col("gcume") + F.col("gc")).alias("ghi")
-    )
-    # m descends from d, so the reattach below is a self-join — rename
-    # m's key columns to keep attribute lineage unambiguous
-    m = s2.join(
-        F.broadcast(lookup),
-        (F.col("gpos") > F.col("gcume")) & (F.col("gpos") <= F.col("ghi")),
-    ).select(
-        F.col("source").alias("m_source"),
-        F.col("v").alias("m_v"),
-        "src_pct_bp",
-        "calib",
-    )
+    m = quantile_normalize(d, "source", "n_chars")
     return (
-        d.join(
-            m,
-            (F.col("source") == F.col("m_source"))
-            & (F.col("n_chars") == F.col("m_v")),
-        )
+        d.join(m, ["source", "n_chars"])
         .select(
             "doc_id",
             "source",
@@ -290,34 +208,16 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
     tags=("curation", "dedup"),
 )
 def q157(spark: SparkSession, sf: str) -> DataFrame:
-    from kaflow_spark.operators.dedup import char_shingles
+    from kaflow_spark.operators.curation import group_shingle_overlap
 
     d = load(spark, sf, "documents")
-    tok = (
-        d.select("source", F.explode(char_shingles("text", 5)).alias("h"))
-        .distinct()
-    )
-    n = tok.groupBy("source").agg(F.count("*").alias("n"))
-    a = tok.select(F.col("source").alias("source_a"), "h")
-    b = tok.select(F.col("source").alias("source_b"), "h")
-    shared = (
-        a.join(b, "h")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count("*").alias("shared"))
-    )
-    na = n.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
-    nb = n.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
     return (
-        shared.join(F.broadcast(na), "source_a")
-        .join(F.broadcast(nb), "source_b")
+        group_shingle_overlap(d, "source", "text", 5)
         .select(
-            "source_a",
-            "source_b",
+            F.col("group_a").alias("source_a"),
+            F.col("group_b").alias("source_b"),
             "shared",
-            F.expr("shared * 10000 div (n_a + n_b - shared)").alias(
-                "jaccard_bp"
-            ),
+            "jaccard_bp",
         )
         .orderBy("source_a", "source_b")
     )
@@ -357,41 +257,10 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
     tags=("curation",),
 )
 def q158(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import histogram_drift_l1
+
     d = load(spark, sf, "documents")
-    b = d.groupBy(
-        "source", F.expr("n_chars div 64").alias("bucket")
-    ).agg(F.count("*").alias("c"))
-    s = b.groupBy("source").agg(F.sum("c").alias("t"))
-    g = b.groupBy("bucket").agg(F.sum("c").alias("gc"))
-    tot = b.agg(F.sum("c").alias("n"))
-    grid = (
-        s.crossJoin(F.broadcast(g))
-        .crossJoin(F.broadcast(tot))
-        .join(b, ["source", "bucket"], "left")
-        .select(
-            "source",
-            "t",
-            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
-            "gc",
-            "n",
-        )
-    )
-    return (
-        grid.groupBy("source", "t")
-        .agg(
-            F.sum(
-                F.abs(
-                    F.expr("c * 10000 div t") - F.expr("gc * 10000 div n")
-                )
-            ).alias("l1_bp")
-        )
-        .select(
-            "source",
-            F.col("t").cast("bigint").alias("n_docs"),
-            F.col("l1_bp").cast("bigint").alias("l1_bp"),
-        )
-        .orderBy("source")
-    )
+    return histogram_drift_l1(d, "source", "n_chars", 64).orderBy("source")
 
 
 _WORDGRAM5_ORACLE = r"""
@@ -440,25 +309,14 @@ _WORDGRAM5_ORACLE = r"""
     tags=("dedup",),
 )
 def q159(spark: SparkSession, sf: str) -> DataFrame:
-    from kaflow_spark.operators.curation import word_ngrams, words_of
     from kaflow_spark.operators.dedup import (
         ngram_jaccard_pairs,
         prefix_filter_candidates,
+        wordgram_shingle_frame,
     )
 
     d = load(spark, sf, "documents")
-    # materialize the words array, then the gram-hash set, as separate
-    # projections (trap 1: lambdas re-evaluate referenced subtrees)
-    w = d.select(F.col("doc_id").alias("_sid"), words_of("text").alias("_w"))
-    sh = (
-        w.select("_sid", word_ngrams("_w", 5).alias("_g"))
-        .select(
-            "_sid",
-            F.transform(F.col("_g"), lambda g: F.xxhash64(g)).alias("_sh"),
-        )
-        .persist()
-    )
-    sh.count()  # eager, same rationale as shingle_frame
+    sh = wordgram_shingle_frame(d, "doc_id", "text", 5)
     cand = prefix_filter_candidates(sh, 0.5)
     return (
         ngram_jaccard_pairs(d, cand, "doc_id", "text", shingles=sh)

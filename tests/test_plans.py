@@ -521,3 +521,78 @@ def test_q146_two_level_blocking_equi_join_no_nlj(spark, sf_dir):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     # four two-level projections feed the explode (chunk ids 0..3)
     assert all(f"chunk, {i}" in opt or f"{i} AS chunk" in opt for i in (0, 1, 2, 3))
+
+
+def test_q154_deletion_blocking_equi_join_no_nlj(spark, sf_dir):
+    """Edit-distance join: the candidate stage must stay an EQUI join
+    on the deletion-variant key — a non-equi regression (e.g. joining
+    on a levenshtein condition directly) is the O(n²) scan the
+    blocking exists to avoid."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q154_edit_distance_join"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoop" not in txt
+    assert has_partial_aggregate(df)  # pair dedup partial-aggs
+
+
+def test_q155_no_shuffle_no_python(spark, sf_dir):
+    """Quantization audit is a pure per-row projection: any Exchange
+    beyond the output sort, or any Python/Arrow eval node, is a
+    regression."""
+    from kaflow_spark.plans.explain import count_exchanges, explain_str
+
+    df = REGISTRY["q155_int8_quantization"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert "ArrowEvalPython" not in txt and "BatchEvalPython" not in txt
+    # one range exchange for the ORDER BY, nothing else
+    assert count_exchanges(df) <= 1
+
+
+def test_q156_bounded_interval_join_is_broadcast(spark, sf_dir):
+    """Quantile normalization: the global order-statistic lookup is a
+    non-equi join BY DESIGN, legal only because the global count table
+    is bounded — it must plan as BroadcastNestedLoop over that tiny
+    table, never a cartesian over doc-level rows."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q156_quantile_normalization"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoop" in txt  # the bounded lookup
+    assert has_partial_aggregate(df)  # (source, value) count table
+
+
+def test_q157_overlap_hash_equi_join(spark, sf_dir):
+    """Source-overlap matrix: the shingle join must be an equi join on
+    the hash with partial aggregation on both sides of the shuffle."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q157_source_overlap_matrix"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoop" not in txt
+    assert has_partial_aggregate(df)
+
+
+def test_q158_drift_grid_broadcasts(spark, sf_dir):
+    """Drift audit: the source x bucket grid is built by broadcast
+    joins over the two bounded histogram tables — a shuffled join for
+    the grid would imply the histogram escaped its bound."""
+    df = REGISTRY["q158_source_drift_l1"].spark(spark, sf_dir)
+    assert has_broadcast_join(df, count=2)
+    assert has_partial_aggregate(df)
+
+
+def test_q159_prefix_filter_equi_join_no_nlj(spark, sf_dir):
+    """Prefix-filter set join: candidates come from an EQUI join on
+    the gram hash (rare-first prefixes); a cartesian/NLJ regression
+    would mean the size-filter conditions leaked into the join keys'
+    place. The verify stage joins by id — also equi."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q159_prefix_filter_setjoin"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoop" not in txt

@@ -729,6 +729,119 @@ def main() -> None:
 
     probe_ord(f"RFM segmentation q153 ({n_ord} orders/x)", rfm)
 
+    # ---- round-6 audit / resolution suite (q154-q159) ----------------
+    from kaflow_spark.operators.curation import (
+        group_shingle_overlap,
+        histogram_drift_l1,
+        quantile_normalize,
+    )
+    from kaflow_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_candidates,
+        wordgram_shingle_frame,
+    )
+    from kaflow_spark.operators.embeddings import int8_quantization_audit
+    from kaflow_spark.operators.resolution import edit_distance_pairs
+
+    # q154: distinct-name rebuild, same rationale as the q146 probe
+    # (verbatim copies would hand every name mult exact duplicates)
+    times = {}
+    for mult in (1, 5, 10):
+        d = replicate(cust, mult, "c_custkey", 23_456_789).withColumn(
+            "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
+        )
+        times[mult] = timed(
+            lambda: edit_distance_pairs(d, "c_custkey", "c_name")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    rows.append(
+        f"| edit-distance<=1 pairs q154 ({n_cust} names/x, distinct names) "
+        f"| {times[1]:.1f}s | {times[5]:.1f}s | {times[10]:.1f}s "
+        f"| {times[10] / times[1]:.1f}x |"
+    )
+    print(rows[-1], flush=True)
+
+    docs_full = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    probe_audit = make_prober(rows, docs_full, "doc_id")
+    probe_audit(
+        f"quantile normalization q156 ({n_docs} docs/x)",
+        lambda d: d.join(
+            quantile_normalize(d, "source", "n_chars"), ["source", "n_chars"]
+        ),
+    )
+    probe_audit(
+        f"source overlap matrix q157 ({n_docs} docs/x)",
+        lambda d: group_shingle_overlap(d, "source", "text", 5),
+    )
+    probe_audit(
+        f"histogram drift L1 q158 ({n_docs} docs/x)",
+        lambda d: histogram_drift_l1(d, "source", "n_chars", 64),
+    )
+    n_emb = emb.count()
+    probe_emb2 = make_prober(rows, emb, "vec_id")
+    probe_emb2(
+        f"int8 quantization audit q155 ({n_emb} vecs/x)",
+        lambda d: int8_quantization_audit(d),
+    )
+
+    # q159: replicas must NOT be near-dups of the original (every
+    # verbatim copy shares every word-gram -> mult^2 Jaccard-1 pairs,
+    # a density no deduped corpus has), so every 4th word of replica i
+    # is tagged with an i-marker — any 5 consecutive words include a
+    # tagged one, so replicas share NO word-5-gram while each replica
+    # keeps the fixture's internal near-dup structure.
+    times = {}
+    for mult in (1, 5, 10):
+        reps = []
+        for i in range(mult):
+            p = docs_full.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+            )
+            if i:
+                p = p.withColumn(
+                    "text",
+                    F.expr(
+                        "array_join(transform(split(trim(text), '\\\\s+'),"
+                        f" (w, j) -> CASE WHEN j % 4 = 0 THEN"
+                        f" concat('r{i}~', w) ELSE w END), ' ')"
+                    ),
+                )
+            reps.append(p)
+        d = reps[0]
+        for p in reps[1:]:
+            d = d.unionAll(p)
+
+        def run_q159(d=d):
+            sh = wordgram_shingle_frame(d, "doc_id", "text", 5, eager=False)
+            try:
+                (
+                    ngram_jaccard_pairs(
+                        d,
+                        prefix_filter_candidates(sh, 0.5),
+                        "doc_id",
+                        "text",
+                        shingles=sh,
+                    )
+                    .filter(F.col("jaccard") >= 0.5)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+            finally:
+                sh.unpersist()
+
+        times[mult] = timed(run_q159)
+    rows.append(
+        f"| prefix-filter set join q159 ({n_docs} docs/x, gram-disjoint "
+        f"replicas) | {times[1]:.1f}s | {times[5]:.1f}s | {times[10]:.1f}s "
+        f"| {times[10] / times[1]:.1f}x |"
+    )
+    print(rows[-1], flush=True)
+
     rows.append("")
     rows.append(
         "Interpretation: replication multiplies duplicate groups too "
@@ -761,7 +874,7 @@ def main() -> None:
         "to 10x (2.6s -> 6.5s for 2x data = sort-merge spill "
         "territory on one node), and the plan itself — two hash "
         "exchanges, partial aggregation, no broadcast of a large "
-        "side — is exactly what distributes across executors. New round-5 operator rows: minimizers is one explode + one doc_id shuffle of short rows (tracks gram volume); shuffle-shards is a scan-side hash + one shard-partitioned window (near-flat until data volume dominates); hard negatives scales with corpus x anchors under a fixed broadcast anchor set; OHLC is a pure partial-agg whose shuffle is |type x hour| rows, so replication cost is map-side only. Late round-5 rows: bigram surprisal and 3-gram diversity shuffle (gram, count) / distinct (source, gram) pairs, never text — both track gram volume; the OLS trend is a single partial-agg'd groupBy of five bigint sums (map-side cost only); the z-score diamond is one events scan plus a broadcast of |types| stat rows, so its curve tracks scan volume. Newest rows: the hamming-pair probe rebuilds each replica's name from its shifted id (verbatim copies would hand every name mult exact duplicates — mult^2 pairs per bucket, a density no deduped entity table has; measured 69x before the fix), so the curve tracks the blocking join under a ~constant neighbor count; basket pairs replicate whole orders, so pair volume grows linearly with order count. Round-6 rows (the event/warehouse suite): SCD2, streak, and interval coalescing each ride ONE user_id hash partitioning (windows + run groupBys share it) over day-/second-grain integer rows, so their curves track event volume; the ordered funnel is three type-pushed scans collapsing to per-user minima BEFORE their co-partitioned joins; cohort LTV's windows partition by cohort month over (cohort, offset) rollup rows (bounded, never raw orders) with the cohort-size table broadcast; RFM is one orders aggregate plus three bounded value-count quintile maps broadcast back — the single-partition window each quintile map uses runs over the bounded count table, not the data. Wall-clocks are single runs on a shared sandbox: the iterative rows (CC, dedup clusters) carry +-2-3x run-to-run noise from co-tenant load; curve SHAPE across 1x/5x/10x, not any absolute point, is the signal this table exists for. One ratio artifact to read past even with best-of-2: when a row's 1x point lands sub-second, it is measuring fixed stage/scheduling overhead more than the operator, and the printed 10x/1x ratio inflates (e.g. a 0.5s->3.6s SimHash row is 6.7x by division while its 10x ABSOLUTE cost matches runs whose 1x point was 3.3s); cross-check suspicious ratios against the operator's absolute 10x cost across runs before reading them as a scaling defect."
+        "side — is exactly what distributes across executors. New round-5 operator rows: minimizers is one explode + one doc_id shuffle of short rows (tracks gram volume); shuffle-shards is a scan-side hash + one shard-partitioned window (near-flat until data volume dominates); hard negatives scales with corpus x anchors under a fixed broadcast anchor set; OHLC is a pure partial-agg whose shuffle is |type x hour| rows, so replication cost is map-side only. Late round-5 rows: bigram surprisal and 3-gram diversity shuffle (gram, count) / distinct (source, gram) pairs, never text — both track gram volume; the OLS trend is a single partial-agg'd groupBy of five bigint sums (map-side cost only); the z-score diamond is one events scan plus a broadcast of |types| stat rows, so its curve tracks scan volume. Newest rows: the hamming-pair probe rebuilds each replica's name from its shifted id (verbatim copies would hand every name mult exact duplicates — mult^2 pairs per bucket, a density no deduped entity table has; measured 69x before the fix), so the curve tracks the blocking join under a ~constant neighbor count; basket pairs replicate whole orders, so pair volume grows linearly with order count. Round-6 rows (the event/warehouse suite): SCD2, streak, and interval coalescing each ride ONE user_id hash partitioning (windows + run groupBys share it) over day-/second-grain integer rows, so their curves track event volume; the ordered funnel is three type-pushed scans collapsing to per-user minima BEFORE their co-partitioned joins; cohort LTV's windows partition by cohort month over (cohort, offset) rollup rows (bounded, never raw orders) with the cohort-size table broadcast; RFM is one orders aggregate plus three bounded value-count quintile maps broadcast back — the single-partition window each quintile map uses runs over the bounded count table, not the data. Wall-clocks are single runs on a shared sandbox: the iterative rows (CC, dedup clusters) carry +-2-3x run-to-run noise from co-tenant load; curve SHAPE across 1x/5x/10x, not any absolute point, is the signal this table exists for. One ratio artifact to read past even with best-of-2: when a row's 1x point lands sub-second, it is measuring fixed stage/scheduling overhead more than the operator, and the printed 10x/1x ratio inflates (e.g. a 0.5s->3.6s SimHash row is 6.7x by division while its 10x ABSOLUTE cost matches runs whose 1x point was 3.3s); cross-check suspicious ratios against the operator's absolute 10x cost across runs before reading them as a scaling defect. Round-6 audit rows: the q154 probe rebuilds distinct names per replica (q146's lesson); q156's cost is the (source, value) count-table groupBy plus the doc-level reattach join — the windows run over the bounded count table so replication only grows the groupBy input; q157 is one shingle explode + map-side DISTINCT (the pair join runs over the contracted (source, hash) frame, whose size is corpus-vocabulary-bound, not row-bound); q158 is a single (source, bucket) partial agg; q155 is a pure per-row projection (tracks vector count exactly); the q159 probe gram-tags replicas so they share no word-gram — its curve measures the df-ordered prefix join under linear corpus growth, not an artificial mult^2 near-dup flood."
     )
     with open("SCALING.md", "w") as f:
         f.write("\n".join(rows) + "\n")
