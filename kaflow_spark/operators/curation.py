@@ -1189,3 +1189,66 @@ def histogram_drift_l1(
             F.col("_l1").cast("bigint").alias("l1_bp"),
         )
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorized mean (q163): clamp values to the exact
+    [p_lo, p_hi] order statistics before averaging — the robust-mean
+    companion to the MAD outlier filter (q138), standard for quality
+    metrics whose tails are crawl garbage. Returns
+    ``(group, n_docs, lo, hi, wmean_c)`` with ``wmean_c`` the clamped
+    mean scaled x100, all exact integers.
+
+    Scale shape (the q136/q148 bounded-selector family): every rank
+    comes from the (group, value) count table — cumulative windows run
+    over that bounded table, the clamp bounds join back to it, and the
+    clamped sum is Σ clamp(v)·count — the raw rows are touched exactly
+    once, by the initial partial-agg'd groupBy."""
+    cnt = df.groupBy(
+        F.col(group_col).alias("_grp"), F.col(value_col).alias("_v")
+    ).agg(F.count("*").alias("_c"))
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("_grp")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c2 = cnt.select(
+        "_grp",
+        "_v",
+        "_c",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy("_grp")).alias("_n"),
+    )
+    # k = ceil(pct * n / 100) as pure integers, 1-based rank
+    k_lo = F.expr(f"({lo_pct} * _n + 99) div 100")
+    k_hi = F.expr(f"({hi_pct} * _n + 99) div 100")
+    bounds = c2.groupBy("_grp").agg(
+        F.max("_n").alias("_n"),
+        F.min(F.when(F.col("_cum") >= k_lo, F.col("_v"))).alias("_lo"),
+        F.min(F.when(F.col("_cum") >= k_hi, F.col("_v"))).alias("_hi"),
+    )
+    clamped = (
+        cnt.join(F.broadcast(bounds), "_grp")
+        .groupBy("_grp", "_n", "_lo", "_hi")
+        .agg(
+            F.sum(
+                F.greatest(F.col("_lo"), F.least(F.col("_hi"), F.col("_v")))
+                * F.col("_c")
+            ).alias("_s")
+        )
+    )
+    return clamped.select(
+        F.col("_grp").alias(group_col),
+        F.col("_n").cast("bigint").alias("n_docs"),
+        F.col("_lo").cast("bigint").alias("lo"),
+        F.col("_hi").cast("bigint").alias("hi"),
+        F.expr("(_s * 100) div _n").cast("bigint").alias("wmean_c"),
+    )

@@ -99,6 +99,7 @@ def duplicated_span_ranges(
     text_col: str,
     *,
     min_len: int = 40,
+    within_doc: bool = False,
 ) -> DataFrame:
     """The maximal duplicated spans themselves: ``(id, span_start,
     span_end)``, 1-based inclusive, disjoint per document (merged
@@ -137,8 +138,13 @@ def duplicated_span_ranges(
             F.xxhash64(F.lit(1), F.col("_g")).alias("_h2"),
         )
     )
+    # within_doc scopes the >1-occurrence test to the SAME document
+    # (Gopher-style intra-document repetition) instead of the corpus;
+    # the partition gains _id, turning the corpus-wide hash shuffle
+    # into a per-document one — strictly cheaper, same plan shape
+    cnt_keys = ["_id", "_h1", "_h2"] if within_doc else ["_h1", "_h2"]
     dup = g.withColumn(
-        "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_h1", "_h2"))
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy(*cnt_keys))
     ).filter(F.col("_cnt") > 1)
     wd = Window.partitionBy("_id").orderBy("_pos")
     prev = F.lag("_pos").over(wd)
@@ -1021,3 +1027,35 @@ def wordgram_shingle_frame(
     if eager:
         sh.count()
     return sh
+
+
+def intra_doc_repetition(
+    df: DataFrame, id_col: str, text_col: str, *, min_len: int = 15
+) -> DataFrame:
+    """Per-document duplicated-window coverage (the Gopher "fraction
+    of characters in duplicate n-grams" repetition filter, Rae et al.
+    2021 — the INTRA-document sibling of the corpus-level
+    duplicated_spans): the share of each document's characters lying
+    inside maximal spans whose ``min_len``-char window repeats WITHIN
+    that same document. Returns ``(id, dup_chars, rep_bp)`` for every
+    document (0 for clean ones); ``rep_bp`` is integer basis points of
+    the document length.
+
+    Strictly cheaper than the corpus-level operator: the occurrence
+    count partitions by (id, hash), so window-hash rows shuffle by
+    DOCUMENT — a per-doc-bounded partition no corpus-wide boilerplate
+    key can skew."""
+    spans = duplicated_span_ranges(
+        df, id_col, text_col, min_len=min_len, within_doc=True
+    )
+    per = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("_dup")
+    )
+    base = df.select(F.col(id_col), F.length(F.col(text_col)).alias("_n"))
+    return base.join(per, [id_col], "left").select(
+        id_col,
+        F.coalesce(F.col("_dup"), F.lit(0)).cast("bigint").alias("dup_chars"),
+        F.expr("coalesce(_dup, 0) * 10000 div greatest(_n, 1)")
+        .cast("bigint")
+        .alias("rep_bp"),
+    )

@@ -294,3 +294,53 @@ def pagerank(
 
 
 __all__ = ["connected_components", "pagerank"]
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    sources: list[int],
+    *,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source breadth-first hop distance: ``(node, hop)`` for
+    every node reachable from ``sources`` within ``max_hops`` directed
+    hops (hop = length of the SHORTEST path; sources report hop 0).
+
+    Distributed frontier expansion, the textbook Pregel shape
+    re-expressed declaratively: each round joins the current frontier
+    to the edge list (one equi-join shuffle on the edge source), then
+    a min-aggregate + LEFT ANTI against the visited set keeps only
+    newly discovered nodes. Rounds are ``max_hops`` — a FIXED,
+    caller-declared bound, so the loop builds one lazy plan of
+    ``max_hops`` join stages with NO driver-side action inside (unlike
+    the convergence-detected CC iteration above, which must count per
+    round); the unioned result materializes once. At 100 TB each
+    round's shuffle is (node, hop) rows — never paths — and frontier
+    size is bounded by |V|.
+    """
+    e = edges.select(
+        F.col(src_col).cast("bigint").alias("_src"),
+        F.col(dst_col).cast("bigint").alias("_dst"),
+    )
+    visited = None
+    frontier = None
+    for s in sorted(set(sources)):
+        row = e.sparkSession.range(1).select(
+            F.lit(int(s)).cast("bigint").alias("node"),
+            F.lit(0).cast("bigint").alias("hop"),
+        )
+        frontier = row if frontier is None else frontier.unionAll(row)
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_src"])
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("bigint").alias("hop"))
+        )
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return visited

@@ -323,3 +323,214 @@ def q159(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("id_a", "id_b")
     )
+
+
+@declare(
+    "q160_asof_nearest",
+    oracle="""
+    WITH cutoffs AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS cutoff
+        FROM events),
+    b AS (SELECT c.user_id, c.cutoff, MAX(e.ts) AS bts
+          FROM cutoffs c LEFT JOIN events e
+            ON e.user_id = c.user_id AND e.ts <= c.cutoff
+          GROUP BY c.user_id, c.cutoff),
+    f AS (SELECT c.user_id, c.cutoff, MIN(e.ts) AS fts
+          FROM cutoffs c LEFT JOIN events e
+            ON e.user_id = c.user_id AND e.ts >= c.cutoff
+          GROUP BY c.user_id, c.cutoff)
+    SELECT b.user_id, b.cutoff,
+           CASE WHEN bts IS NULL THEN fts
+                WHEN fts IS NULL THEN bts
+                WHEN (b.cutoff - bts) <= (fts - b.cutoff) THEN bts
+                ELSE fts END AS nearest_ts
+    FROM b JOIN f ON b.user_id = f.user_id AND b.cutoff = f.cutoff
+    ORDER BY b.user_id, b.cutoff
+    """,
+    doc="As-of join, direction='nearest' (pandas merge_asof parity, "
+    "completing the backward q40 / tolerance q127 family): for each "
+    "per-user day cutoff, the event MINIMIZING |ts - cutoff|, exact "
+    "ties taking the backward (earlier) match. Same one-shuffle "
+    "union-and-window composition as the directional paths — one "
+    "exchange on the key feeds the backward carry-forward AND the "
+    "forward carry-backward over the identical (ts, side) sort "
+    "prefix, then a row-local interval comparison picks the closer "
+    "candidate. No range explosion, no second shuffle; the oracle "
+    "states the same semantics as two directional group-extremes "
+    "plus the tie rule.",
+    tags=("join", "asof"),
+)
+def q160(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.asof import asof_join
+
+    e = load(spark, sf, "events")
+    cutoffs = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("cutoff")
+    ).distinct()
+    j = asof_join(
+        cutoffs,
+        e.select("user_id", "ts"),
+        on="user_id",
+        left_ts="cutoff",
+        right_ts="ts",
+        value_cols=["ts"],
+        direction="nearest",
+    )
+    return j.select(
+        "user_id", "cutoff", F.col("ts_right").alias("nearest_ts")
+    ).orderBy("user_id", "cutoff")
+
+
+@declare(
+    "q161_bfs_hops",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT CAST(s.s_nationkey AS BIGINT) AS src,
+                        CAST(c.c_nationkey AS BIGINT) AS dst
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey),
+    walk(node, hop) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        UNION
+        SELECT e.dst, w.hop + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.hop < 4)
+    SELECT node, CAST(MIN(hop) AS BIGINT) AS hop
+    FROM walk GROUP BY node ORDER BY hop, node
+    """,
+    doc="Breadth-first shortest-hop distance from nation 0 over the "
+    "supplier->customer trade graph (q122's edge build), max 4 hops — "
+    "the graph-TRAVERSAL family next to the label-propagation (q83 "
+    "CC) and fixed-point-iteration (q122 PageRank) families. "
+    "Distributed frontier expansion with a FIXED round bound: each "
+    "round is one equi-join on the edge source + distinct + LEFT ANTI "
+    "vs the visited set, all composed into ONE lazy plan with no "
+    "driver-side action inside the loop (unlike convergence-detected "
+    "CC, which must count per round). Frontier rows are (node, hop) "
+    "bigints — paths never materialize. Oracle: DuckDB recursive CTE "
+    "with UNION dedup; MIN(hop) over all enumerated walks = the BFS "
+    "distance.",
+    tags=("graph",),
+)
+def q161(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.graph import bfs_hops
+
+    li = load(spark, sf, "lineitem").select("l_suppkey", "l_orderkey")
+    su = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    od = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cu = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+        .select(
+            F.col("s_nationkey").cast("bigint").alias("src"),
+            F.col("c_nationkey").cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    return bfs_hops(edges, "src", "dst", [0], max_hops=4).orderBy(
+        "hop", "node"
+    )
+
+
+@declare(
+    "q162_intra_doc_repetition",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             substring(text, CAST(i AS INT), 15) AS g
+      FROM (SELECT doc_id, text, unnest(range(1, length(text)-15+2)) AS i
+            FROM documents WHERE length(text) >= 15)),
+    d AS (SELECT doc_id, pos FROM
+            (SELECT doc_id, pos,
+                    count(*) OVER (PARTITION BY doc_id, g) AS c FROM g)
+          WHERE c > 1),
+    i AS (SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          IS NULL
+                        OR pos - lag(pos)
+                             OVER (PARTITION BY doc_id ORDER BY pos) > 15
+                      THEN 1 ELSE 0 END AS brk
+          FROM d),
+    s AS (SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+          FROM i),
+    sp AS (SELECT doc_id, isl, MIN(pos) AS st, MAX(pos)+15-1 AS en
+           FROM s GROUP BY doc_id, isl),
+    per AS (SELECT doc_id, SUM(en - st + 1) AS dup FROM sp GROUP BY doc_id)
+    SELECT d2.doc_id,
+           CAST(COALESCE(per.dup, 0) AS BIGINT) AS dup_chars,
+           CAST(COALESCE(per.dup, 0) * 10000
+                // greatest(length(d2.text), 1) AS BIGINT) AS rep_bp
+    FROM documents d2 LEFT JOIN per USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Intra-document repetition coverage (the Gopher 'fraction of "
+    "characters in duplicate n-grams' filter, Rae et al. 2021): share "
+    "of each document's characters inside maximal spans whose 15-char "
+    "window repeats WITHIN the same document — the templated/looping-"
+    "text signal the corpus-level q96 cannot give (q76's top-token "
+    "ratio sees single tokens, not phrases). Same 128-bit span "
+    "machinery as q96 with the occurrence count scoped per document, "
+    "which turns the corpus-wide hash shuffle into a per-doc-bounded "
+    "one — strictly cheaper, no boilerplate-key skew possible. Every "
+    "document reports (0 for clean ones).",
+    tags=("curation", "text"),
+)
+def q162(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.dedup import intra_doc_repetition
+
+    d = load(spark, sf, "documents")
+    return intra_doc_repetition(d, "doc_id", "text", min_len=15).orderBy(
+        "doc_id"
+    )
+
+
+@declare(
+    "q163_winsorized_stats",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, n_chars),
+    c2 AS (
+        SELECT source, v, c,
+               SUM(c) OVER (PARTITION BY source ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(c) OVER (PARTITION BY source) AS n
+        FROM cnt),
+    bounds AS (
+        SELECT source, MAX(n) AS n,
+               MIN(CASE WHEN cum >= (5 * n + 99) // 100 THEN v END) AS lo,
+               MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN v END) AS hi
+        FROM c2 GROUP BY source),
+    s AS (
+        SELECT cnt.source, b.n, b.lo, b.hi,
+               SUM(GREATEST(b.lo, LEAST(b.hi, cnt.v)) * cnt.c) AS sc
+        FROM cnt JOIN bounds b ON b.source = cnt.source
+        GROUP BY cnt.source, b.n, b.lo, b.hi)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+           CAST((sc * 100) // n AS BIGINT) AS wmean_c
+    FROM s ORDER BY source
+    """,
+    doc="Per-source winsorized mean of document length (p05/p95 exact "
+    "order-statistic clamp, mean scaled x100) — the robust-mean "
+    "companion to the MAD outlier filter (q138), standard for metrics "
+    "whose tails are crawl garbage. The q136/q148 bounded-selector "
+    "family again: ranks come from the (source, value) count table, "
+    "the clamp bounds are conditional aggregates over it, and the "
+    "winsorized sum is Σ clamp(v)·count — raw rows are touched "
+    "exactly once by the initial partial-agg'd groupBy. All integer "
+    "arithmetic; ceil-rank k = (pct·n + 99) div 100 on both engines.",
+    tags=("curation",),
+)
+def q163(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import winsorized_stats
+
+    d = load(spark, sf, "documents")
+    return winsorized_stats(d, "source", "n_chars", 5, 95).orderBy("source")

@@ -75,3 +75,9 @@ def test_no_nondeterministic_functions_declared():
         if q.oracle is not None and banned.search(q.oracle)
     ]
     assert offenders == []
+
+
+def test_registry_size_floor_round6_batch2():
+    # q160-q163: nearest as-of, BFS hops, intra-doc repetition,
+    # winsorized stats
+    assert len(REGISTRY) >= 163

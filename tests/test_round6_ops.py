@@ -1,0 +1,120 @@
+"""Hand-case semantics for the round-6 batch-2 operators: nearest
+as-of (tie and one-sided cases the fixture may not exercise), BFS hop
+distances on a known graph, intra-document repetition coverage, and
+the winsorized-mean selector."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kaflow_spark.operators.asof import asof_join
+from kaflow_spark.operators.curation import winsorized_stats
+from kaflow_spark.operators.dedup import intra_doc_repetition
+from kaflow_spark.operators.graph import bfs_hops
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_asof_nearest_picks_closer_side_and_backward_ties(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(10)),  # backward at 9:00 (1h) vs forward 12:00 (2h) -> b
+            (1, _ts(11, 30)),  # backward 9:00 (2.5h) vs forward 12:00 (0.5h) -> f
+            (2, _ts(10)),  # only forward exists
+            (3, _ts(10)),  # only backward exists
+            (4, _ts(10)),  # no right rows at all -> null
+            (5, _ts(10)),  # exact tie: 9:00 and 11:00 -> backward
+        ],
+        ["k", "lts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(9), "b1"),
+            (1, _ts(12), "f1"),
+            (2, _ts(12), "f2"),
+            (3, _ts(9), "b3"),
+            (5, _ts(9), "b5"),
+            (5, _ts(11), "f5"),
+        ],
+        ["k", "rts", "v"],
+    )
+    out = {
+        (r.k, r.lts): r.v_right
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            value_cols=["v"], direction="nearest",
+        ).collect()
+    }
+    assert out[(1, _ts(10))] == "b1"
+    assert out[(1, _ts(11, 30))] == "f1"
+    assert out[(2, _ts(10))] == "f2"
+    assert out[(3, _ts(10))] == "b3"
+    assert out[(4, _ts(10))] is None
+    assert out[(5, _ts(10))] == "b5"  # exact tie -> backward
+
+
+def test_asof_nearest_tolerance_nulls_out_far_matches(spark):
+    left = spark.createDataFrame([(1, _ts(10))], ["k", "lts"])
+    right = spark.createDataFrame([(1, _ts(15), "far")], ["k", "rts", "v"])
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        value_cols=["v"], direction="nearest", tolerance="2 hours",
+    ).head()
+    assert out.v_right is None
+    out2 = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        value_cols=["v"], direction="nearest", tolerance="6 hours",
+    ).head()
+    assert out2.v_right == "far"
+
+
+def test_bfs_hops_shortest_paths(spark):
+    # 0->1->2->3->4->5 path, shortcut 0->3, cycle 5->0, island 9->10
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 3), (5, 0), (9, 10)],
+        ["src", "dst"],
+    )
+    got = {
+        r.node: r.hop
+        for r in bfs_hops(edges, "src", "dst", [0], max_hops=4).collect()
+    }
+    # 3 via the shortcut at hop 1, NOT hop 3; island unreachable
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2, 5: 3}
+
+
+def test_bfs_hops_multi_source(spark):
+    edges = spark.createDataFrame([(0, 1), (5, 1), (1, 2)], ["src", "dst"])
+    got = {
+        r.node: r.hop
+        for r in bfs_hops(edges, "src", "dst", [0, 5], max_hops=2).collect()
+    }
+    assert got == {0: 0, 5: 0, 1: 1, 2: 2}
+
+
+def test_intra_doc_repetition_hand_case(spark):
+    rep = "abcdefghijklmnop"  # 16 chars >= window 15
+    doc1 = rep + "XXXX" + rep  # the 16-char run repeats within the doc
+    doc2 = "completely unique text with no repeats at all here"
+    df = spark.createDataFrame([(1, doc1), (2, doc2)], ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.dup_chars, r.rep_bp)
+        for r in intra_doc_repetition(df, "doc_id", "text", min_len=15).collect()
+    }
+    # each occurrence contributes its 15-char windows: positions 1..2
+    # and 21..22 -> spans [1,16] and [21,36] -> 32 duplicated chars
+    assert out[1] == (32, 32 * 10000 // len(doc1))
+    assert out[2] == (0, 0)
+
+
+def test_winsorized_stats_hand_case(spark):
+    # n=20: k_lo = ceil(5*20/100) = 1, k_hi = ceil(95*20/100) = 19
+    vals = list(range(1, 20)) + [1000]  # one huge outlier
+    df = spark.createDataFrame([("s", v) for v in vals], ["g", "v"])
+    r = winsorized_stats(df, "g", "v", 5, 95).head()
+    assert (r.n_docs, r.lo, r.hi) == (20, 1, 19)
+    # clamped sum = 1..19 + clamp(1000->19) = 190 + 19 = 209
+    assert r.wmean_c == 209 * 100 // 20
