@@ -1059,3 +1059,122 @@ def intra_doc_repetition(
         .cast("bigint")
         .alias("rep_bp"),
     )
+
+
+def minimizer_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 5,
+    max_df: int = 100,
+    unit: str = "char",
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints
+    (the MOSS screen, Schleimer et al. SIGMOD 2003) — the FOURTH
+    candidate-generation family: MinHash banding samples the shingle
+    set probabilistically, SimHash chunks a vote signature, prefix
+    filtering keys on globally-rare grams; winnowing keys on
+    POSITION-LOCAL minima, which makes its guarantee substring-based:
+    any shared run of >= w+k-1 characters yields at least one shared
+    fingerprint, so high-Jaccard pairs (which share long runs) share
+    MANY and a ``min_shared`` count threshold screens the noise
+    floor. Join is equi-keyed on the gram; only (id, gram) rows
+    shuffle (~1/w of all grams by the winnowing density bound).
+    ``max_df`` drops fingerprints shared by more than that many
+    documents before the join — MOSS's own over-common-fingerprint
+    filter: a gram appearing in thousands of documents is corpus
+    boilerplate carrying no pair-specific signal, and its f² join
+    fan-out is exactly the quadratic flood the screen exists to
+    avoid (measured: without it, a low-vocabulary corpus at sf0.1
+    turns the join into billions of rows). Recall is therefore
+    conditional on true pairs sharing at least ``min_shared``
+    sub-``max_df`` fingerprints — attested by the exact oracle at
+    both test SFs (a miss fails the row compare).
+
+    ``unit`` picks the alphabet: ``'char'`` (the q118 fingerprints)
+    or ``'word'`` (:func:`word_minimizers`) — on low-vocabulary
+    corpora char-gram document frequency is uniformly huge and the
+    cap would have to discard most fingerprints (measured recall
+    loss at sf0.1), while word grams are near-unique per document,
+    so the word unit keeps both recall and a sparse join.
+
+    Returns (id_a, id_b, shared) with id_a < id_b."""
+    mk = word_minimizers if unit == "word" else minimizers
+    sel = mk(df, id_col, text_col, k=k, w=w).select(
+        F.col(id_col).alias("_mid"), "gram"
+    ).distinct()
+    rare = sel.groupBy("gram").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") <= max_df
+    )
+    sel = sel.join(rare.select("gram"), "gram")
+    a = sel.select(F.col("_mid").alias("id_a"), "gram")
+    b = sel.select(F.col("_mid").alias("id_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+def word_minimizers(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(w,k)-minimizer selection at the WORD grain: from every window
+    of ``w`` consecutive word-``k``-grams keep the lexicographically
+    smallest (leftmost-position tie-break) — the winnowing scheme of
+    :func:`minimizers` with words as the alphabet. Same guarantee,
+    re-based: any shared run of >= w+k-1 WORDS yields a shared
+    fingerprint. The word grain is the right feature when character
+    grams have no document-frequency discrimination (low-vocabulary
+    corpora — the q159 lesson: char-gram df is uniformly huge, word
+    grams are near-unique per document, so downstream joins stay
+    sparse). Plan shape identical to the char version: position
+    explode, one id shuffle, frame min, distinct — and the full-window
+    start filter sits ABOVE the window (the tail-truncation trap
+    fixed in the char operator)."""
+    from kaflow_spark.operators.curation import words_of
+
+    wdf = df.select(F.col(id_col), words_of(text_col).alias("_w"))
+    n_grams = F.size(F.col("_w")) - (k - 1)
+    pos_gram = (
+        wdf.filter(F.size(F.col("_w")) >= k + w - 1)
+        .select(
+            id_col,
+            n_grams.alias("_n"),
+            F.explode(F.sequence(F.lit(0), n_grams - 1)).alias("pos"),
+            "_w",
+        )
+        .select(
+            id_col,
+            "_n",
+            "pos",
+            F.expr(f"array_join(slice(_w, pos + 1, {k}), ' ')").alias("gram"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        pos_gram.select(
+            id_col,
+            "pos",
+            "_n",
+            F.min(F.struct(F.col("gram"), F.col("pos"))).over(win).alias("_mk"),
+        )
+        .filter(F.col("pos") <= F.col("_n") - w)
+        .select(id_col, "_mk")
+        .distinct()
+    )
+    return sel.select(
+        id_col,
+        F.col("_mk.pos").cast("bigint").alias("pos"),
+        F.col("_mk.gram").alias("gram"),
+    )

@@ -534,3 +534,58 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents")
     return winsorized_stats(d, "source", "n_chars", 5, 95).orderBy("source")
+
+
+def _winnow_jaccard_oracle() -> str:
+    from kaflow_spark.queries.llm import EXACT_JACCARD_CTE
+
+    return f"""
+    WITH {EXACT_JACCARD_CTE}
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.9
+    ORDER BY id_a, id_b
+    """
+
+
+@declare(
+    "q164_winnow_near_dup",
+    oracle=_winnow_jaccard_oracle(),
+    doc="Winnowing-fingerprint near-duplicate pipeline, end-to-end "
+    "(the MOSS screen, Schleimer et al. SIGMOD 2003): (4,5)-WORD-"
+    "minimizer selection, candidate pairs sharing >= 1 distinct "
+    "fingerprint, exact char-5-gram Jaccard verify >= 0.9 — the "
+    "FOURTH independent candidate generator attested against the "
+    "same brute-force O(n²) oracle as q41 (MinHash banding), q42 "
+    "(SimHash chunks) and q159 (prefix filtering), deliberately "
+    "sharing their output contract. Winnowing's recall argument is "
+    "SUBSTRING-based, not set-based: any shared run of >= w+k-1 = 8 "
+    "words yields a shared fingerprint, and 0.9-Jaccard pairs share "
+    "long runs; short documents can carry a SINGLE fingerprint "
+    "(measured: the sf0.1 pairs q41 finds include one-minimizer "
+    "docs), so the threshold is 1 — the word-gram noise floor makes "
+    "that cheap (unrelated docs share no word-5-gram at all). A "
+    "miss would fail the row compare. The WORD alphabet is load-bearing (q159's lesson "
+    "remeasured here): char-8-gram minimizers on this corpus have "
+    "~3.4k distinct values at median df 22 / max 3826, so the join "
+    "either floods (billions of rows uncapped at sf0.1) or the MOSS "
+    "over-common-fingerprint cap discards real signal (144/~255 "
+    "pairs survived at sf0.1); word-gram fingerprints are near-"
+    "unique per doc, keeping the join sparse AND recall intact. "
+    "Only (id, gram) rows shuffle — ~1/w of gram positions by the "
+    "winnowing density bound.",
+    tags=("dedup",),
+)
+def q164(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.dedup import (
+        minimizer_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    d = load(spark, sf, "documents")
+    cand = minimizer_candidates(
+        d, "doc_id", "text", k=5, w=4, min_shared=1, unit="word"
+    ).select("id_a", "id_b")
+    return (
+        ngram_jaccard_pairs(d, cand, "doc_id", "text")
+        .filter(F.col("jaccard") >= 0.9)
+        .orderBy("id_a", "id_b")
+    )

@@ -78,6 +78,6 @@ def test_no_nondeterministic_functions_declared():
 
 
 def test_registry_size_floor_round6_batch2():
-    # q160-q163: nearest as-of, BFS hops, intra-doc repetition,
-    # winsorized stats
-    assert len(REGISTRY) >= 163
+    # q160-q164: nearest as-of, BFS hops, intra-doc repetition,
+    # winsorized stats, winnowing near-dup
+    assert len(REGISTRY) >= 164
