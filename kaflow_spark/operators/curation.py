@@ -1252,3 +1252,49 @@ def winsorized_stats(
         F.col("_hi").cast("bigint").alias("hi"),
         F.expr("(_s * 100) div _n").cast("bigint").alias("wmean_c"),
     )
+
+
+def histogram_drift_vs_ref(
+    df: DataFrame,
+    ref_hist: DataFrame,
+    value_col: str,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """One-row L1 distance (integer bp) between ``df``'s value
+    histogram and a PRECOMPUTED reference histogram ``(bucket, rc)``
+    — the against-a-baseline sibling of :func:`histogram_drift_l1`
+    (which compares groups to their own global). This is the kernel
+    the streaming drift monitor runs per micro-batch: the reference
+    is computed once from the corpus the mixture weights were fitted
+    on, then every arriving batch is scored against it. Buckets
+    present on only one side contribute their full share (full outer
+    grid). Returns ``(n_docs, l1_bp)``."""
+    b = df.groupBy(
+        F.expr(f"`{value_col}` div {bucket_width}").alias("_bucket")
+    ).agg(F.count("*").alias("_c"))
+    r = ref_hist.select(
+        F.col("bucket").alias("_bucket"), F.col("rc").alias("_rc")
+    )
+    grid = b.join(r, ["_bucket"], "full_outer").select(
+        F.coalesce(F.col("_c"), F.lit(0)).alias("_c"),
+        F.coalesce(F.col("_rc"), F.lit(0)).alias("_rc"),
+    )
+    tot = grid.agg(
+        F.sum("_c").alias("_t"), F.sum("_rc").alias("_rn")
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("_t").alias("_t"),
+            F.sum(
+                F.abs(
+                    F.expr("_c * 10000 div greatest(_t, 1)")
+                    - F.expr("_rc * 10000 div greatest(_rn, 1)")
+                )
+            ).alias("_l1"),
+        )
+        .select(
+            F.col("_t").cast("bigint").alias("n_docs"),
+            F.col("_l1").cast("bigint").alias("l1_bp"),
+        )
+    )

@@ -61,3 +61,36 @@ def streaming_contamination_flags(
 
 
 __all__ = ["streaming_contamination_flags"]
+
+
+def drift_monitor(
+    ref_hist: DataFrame,
+    value_col: str,
+    bucket_width: int = 64,
+    on_result=None,
+):
+    """foreachBatch handler factory: score every micro-batch's value
+    histogram against a STATIC reference distribution (integer-bp L1,
+    operators.curation.histogram_drift_vs_ref) — the live mixture
+    alarm that flags a crawl feed drifting away from the corpus its
+    sampling weights were fitted on.
+
+    Design mirrors streaming_contamination_flags: completely
+    STATELESS across batches — the reference frame is the only
+    shared input (bounded: one row per bucket), each batch is scored
+    independently, so no watermark and no state store. The handler
+    runs ONE action per batch (a single head() over the 1-row drift
+    frame — trap 3: a second action over the same staged frame would
+    re-execute upstream user handlers). ``on_result(batch_id, row)``
+    receives the scored row."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from kaflow_spark.operators.curation import histogram_drift_vs_ref
+
+        row = histogram_drift_vs_ref(
+            batch_df, ref_hist, value_col, bucket_width
+        ).head()
+        if on_result is not None:
+            on_result(batch_id, row)
+
+    return handle

@@ -50,3 +50,43 @@ def test_streaming_contamination_across_batches(spark, tmp_path):
         assert rows[0]["overlap"] >= 20
     finally:
         q.stop()
+
+
+def test_streaming_drift_monitor_flags_shifted_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kaflow_spark.streaming.curation import drift_monitor
+
+    path = str(tmp_path / f"dm-{uuid.uuid4().hex[:6]}")
+    ddl = "doc_id bigint, n_chars bigint"
+    # reference: lengths spread over buckets 1-3 (64-char buckets)
+    ref_rows = [(i, 64 + (i % 3) * 64) for i in range(30)]
+    ref = (
+        spark.createDataFrame(ref_rows, ddl)
+        .groupBy(F.expr("n_chars div 64").alias("bucket"))
+        .agg(F.count("*").alias("rc"))
+    )
+    results = {}
+    handle = drift_monitor(
+        ref, "n_chars", 64, on_result=lambda bid, row: results.__setitem__(bid, row)
+    )
+    # batch 0 matches the reference mixture; batch 1 is all-bucket-10
+    spark.createDataFrame(ref_rows, ddl).coalesce(1).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    q = stream.writeStream.foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(100 + i, 640) for i in range(30)], ddl
+        ).coalesce(1).write.mode("append").parquet(path)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert set(results) == {0, 1}
+    assert results[0].l1_bp == 0  # identical mixture
+    # fully disjoint: batch bucket 10000 bp + ref 3x(10*10000 div 30
+    # = 3333) = 9999 bp (floor-div shares don't sum to exactly 10000)
+    assert results[1].l1_bp == 19999
+    assert results[1].n_docs == 30
