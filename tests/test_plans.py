@@ -596,3 +596,67 @@ def test_q159_prefix_filter_equi_join_no_nlj(spark, sf_dir):
     txt = explain_str(df)
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoop" not in txt
+
+
+def test_q160_nearest_single_exchange_two_windows(spark, sf_dir):
+    """Nearest as-of: ONE hash exchange on the join key must feed both
+    direction windows — a second exchange means the backward/forward
+    passes stopped sharing the union's partitioning."""
+    from kaflow_spark.plans.explain import explain_str
+
+    import re
+
+    df = REGISTRY["q160_asof_nearest"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    # key-only partitioning (the union window exchange) appears once;
+    # the cutoffs-distinct exchange hashes (user_id, cutoff) and the
+    # final ORDER BY is a range exchange — neither matches
+    assert len(re.findall(r"hashpartitioning\(user_id#\d+L?, \d+\)", txt)) == 1
+    assert "CartesianProduct" not in txt
+
+
+def test_q161_bfs_rounds_stay_equi_join(spark, sf_dir):
+    """BFS: every frontier expansion is an equi join on the edge
+    source and every visited check a LeftAnti — a cartesian or
+    non-anti regression breaks the frontier contract."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q161_bfs_hops"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt
+    assert "LeftAnti" in txt
+
+
+def test_q162_per_doc_count_partition(spark, sf_dir):
+    """Intra-doc repetition: the occurrence-count window must
+    partition by (_id, hash) — per-doc-bounded — not by hash alone
+    (which would silently revert to the corpus-level semantics AND
+    reintroduce boilerplate-key skew)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q162_intra_doc_repetition"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert "partitionspec=[_id" in txt.lower().replace(" ", "") or (
+        "_id" in txt and "_h1" in txt
+    )
+    assert has_partial_aggregate(df)
+
+
+def test_q163_winsorized_touches_rows_once(spark, sf_dir):
+    """Winsorized stats: raw rows feed exactly one partial-agg'd
+    groupBy; the selector windows and the clamp join run over the
+    bounded count table (broadcast)."""
+    df = REGISTRY["q163_winsorized_stats"].spark(spark, sf_dir)
+    assert has_partial_aggregate(df)
+    assert has_broadcast_join(df, count=1)
+
+
+def test_q164_winnow_equi_join_no_nlj(spark, sf_dir):
+    """Winnowing screen: candidates from an equi join on the
+    fingerprint gram; verify joins by id — no cartesian anywhere."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q164_winnow_near_dup"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoop" not in txt
