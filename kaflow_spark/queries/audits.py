@@ -589,3 +589,204 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.9)
         .orderBy("id_a", "id_b")
     )
+
+
+@declare(
+    "q165_source_embedding_distance",
+    oracle="""
+    WITH e AS (
+        SELECT d.source,
+               CAST(generate_subscripts(em.embedding, 1) - 1 AS BIGINT)
+                   AS dim,
+               CAST(ROUND(CAST(unnest(em.embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id),
+    c AS (
+        SELECT source, dim,
+               CAST(SUM(q) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cq
+        FROM e GROUP BY source, dim)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT)
+               AS l2sq_micro2
+    FROM c a JOIN c b ON a.dim = b.dim AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+    doc="Pairwise SEMANTIC distance between sources: squared L2 "
+    "between per-source embedding centroids (exact integer micro-"
+    "units, q91's quantization) for every source pair — the "
+    "embedding-space companion to q157's lexical overlap matrix in "
+    "the mixture audit (two 'different' crawls can share few "
+    "shingles yet occupy the same semantic region, or vice versa). "
+    "Vectors join to their documents' source, posexplode to "
+    "(source, dim, q), ONE partial-agg'd groupBy to the bounded "
+    "|sources| x dims centroid table, and the pair join runs over "
+    "THAT table only — vector count never appears in the join. "
+    "Centroid means use truncating integer division (Spark div == "
+    "DuckDB // on non-negative-and-negative alike: both truncate).",
+    tags=("embedding", "curation"),
+)
+def q165(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.embeddings import label_centroids
+
+    em = load(spark, sf, "embeddings")
+    d = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    joined = em.join(d, "vec_id").select("source", "embedding")
+    cent = label_centroids(joined, "source", "embedding").select(
+        "source", "dim", F.col("centroid_micro").alias("cq")
+    )
+    a = cent.select(
+        F.col("source").alias("source_a"), "dim", F.col("cq").alias("cq_a")
+    )
+    b = cent.select(
+        F.col("source").alias("source_b"), "dim", F.col("cq").alias("cq_b")
+    )
+    diff = F.col("cq_a") - F.col("cq_b")
+    return (
+        a.join(b, "dim")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(diff * diff).cast("bigint").alias("l2sq_micro2"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@declare(
+    "q166_gapfill_interpolate",
+    oracle="""
+    WITH bars AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+        GROUP BY event_type, DATE_TRUNC('hour', ts)),
+    rng AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM bars),
+    spine AS (
+        SELECT t.event_type, h.hour
+        FROM (SELECT DISTINCT event_type FROM bars) t
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                        AS hour FROM rng) h),
+    w AS (
+        SELECT event_type, hour, cents,
+               last_value(cents IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS pv,
+               last_value(CASE WHEN cents IS NOT NULL THEN hour END
+                          IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS pt,
+               first_value(cents IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nv,
+               first_value(CASE WHEN cents IS NOT NULL THEN hour END
+                           IGNORE NULLS) OVER
+                   (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nt
+        FROM spine LEFT JOIN bars USING (event_type, hour))
+    SELECT event_type, hour,
+           CAST(CASE
+                WHEN cents IS NOT NULL THEN cents
+                WHEN pv IS NULL OR nv IS NULL THEN NULL
+                ELSE pv + ((nv - pv)
+                           * (CAST(epoch(hour) AS BIGINT)
+                              - CAST(epoch(pt) AS BIGINT)))
+                          // (CAST(epoch(nt) AS BIGINT)
+                              - CAST(epoch(pt) AS BIGINT))
+                END AS BIGINT) AS interp_cents,
+           cents IS NULL AS is_gap
+    FROM w ORDER BY event_type, hour
+    """,
+    doc="Hourly gap-fill by LINEAR INTERPOLATION between the "
+    "neighboring observed bars — the resample q139's LOCF cannot "
+    "express (LOCF repeats the past; interpolation splits the "
+    "difference in proportion to elapsed time, the standard "
+    "treatment for metered/continuous series). Same generated spine "
+    "as q139 (fused one-row summary, bars in exact bigint cents); "
+    "FOUR ignore-nulls windows (prev/next value + their hours) share "
+    "ONE (event_type, hour) exchange and the identical ASC total "
+    "order — hours are unique per type, so both frame directions are "
+    "deterministic (the q152 shared-order rule). The lerp is pure "
+    "integer: pv + (nv-pv)*(t-pt) div (nt-pt); Spark's `div` and "
+    "DuckDB's `//` both truncate toward zero, so a negative slope "
+    "ports exactly; epochs are whole hours, so no epoch-rounding "
+    "divergence (the q152 corollary) can bite. Boundary gaps "
+    "(before the first / after the last bar) stay NULL on both "
+    "engines — interpolation, not extrapolation.",
+    tags=("events", "window", "asof"),
+)
+def q166(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf, "events")
+    bars = (
+        e.filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    summary = bars.agg(
+        F.min("hour").alias("lo"),
+        F.max("hour").alias("hi"),
+        F.sort_array(F.collect_set("event_type")).alias("_types"),
+    )
+    spine = (
+        summary.select(
+            F.explode("_types").alias("event_type"),
+            F.sequence(
+                F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR")
+            ).alias("_hours"),
+        )
+        .select("event_type", F.explode("_hours").alias("hour"))
+    )
+    w_b = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("cents").isNotNull(), F.col("hour"))
+    w = (
+        spine.join(bars, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            "cents",
+            F.last("cents", ignorenulls=True).over(w_b).alias("pv"),
+            F.last(obs_hour, ignorenulls=True).over(w_b).alias("pt"),
+            F.first("cents", ignorenulls=True).over(w_f).alias("nv"),
+            F.first(obs_hour, ignorenulls=True).over(w_f).alias("nt"),
+        )
+    )
+    lerp = F.expr(
+        "pv + ((nv - pv) * (CAST(hour AS BIGINT) - CAST(pt AS BIGINT)))"
+        " div (CAST(nt AS BIGINT) - CAST(pt AS BIGINT))"
+    )
+    return (
+        w.select(
+            "event_type",
+            "hour",
+            F.when(F.col("cents").isNotNull(), F.col("cents"))
+            .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+            .otherwise(lerp)
+            .cast("bigint")
+            .alias("interp_cents"),
+            F.col("cents").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "hour")
+    )

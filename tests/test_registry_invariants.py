@@ -78,6 +78,7 @@ def test_no_nondeterministic_functions_declared():
 
 
 def test_registry_size_floor_round6_batch2():
-    # q160-q164: nearest as-of, BFS hops, intra-doc repetition,
-    # winsorized stats, winnowing near-dup
-    assert len(REGISTRY) >= 164
+    # q160-q166: nearest as-of, BFS hops, intra-doc repetition,
+    # winsorized stats, winnowing near-dup, source embedding
+    # distances, interpolating gap-fill
+    assert len(REGISTRY) >= 166
