@@ -660,3 +660,29 @@ def test_q164_winnow_equi_join_no_nlj(spark, sf_dir):
     txt = explain_str(df)
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoop" not in txt
+
+
+def test_q165_pair_join_over_bounded_centroids(spark, sf_dir):
+    """Source semantic distances: the pair join must consume the
+    AGGREGATED centroid table (partial-agg'd), never raw vectors, and
+    the doc->source attach stays a broadcast-able equi join."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q165_source_embedding_distance"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt
+    assert has_partial_aggregate(df)
+
+
+def test_q166_four_windows_one_exchange(spark, sf_dir):
+    """Interpolating gap-fill: all four ignore-nulls windows share one
+    (event_type) exchange and one ASC order — a second event_type
+    hash exchange means the frames stopped sharing the sort."""
+    import re
+
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q166_gapfill_interpolate"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert len(re.findall(r"hashpartitioning\(event_type#\d+, \d+\)", txt)) <= 2
+    assert "CartesianProduct" not in txt
