@@ -261,6 +261,40 @@ HEADLINERS: dict[str, str] = {
         "boundary flips between engines. One fact scan via "
         "ReusedExchange."
     ),
+    "q154_edit_distance_join": (
+        "Deletion-neighborhood blocking planned as a plain hash "
+        "equi-join on the variant string: explode (<= L+1 variants "
+        "per key), SortMerge/ShuffledHash on _v, partial-agg'd pair "
+        "dedup, then the levenshtein verify as a projected filter — "
+        "no NestedLoop anywhere. The O(n²) semantics ride an O(n) "
+        "blocking join with recall 1 by construction."
+    ),
+    "q156_quantile_normalization": (
+        "Every window in the plan runs over the (source, value) "
+        "COUNT table — the raw scan feeds one partial-agg'd groupBy "
+        "and is never globally sorted. The only non-equi join is the "
+        "global order-statistic lookup, visible as "
+        "BroadcastNestedLoopJoin over the bounded global count table "
+        "(legal precisely because that table is value-domain-sized); "
+        "the doc-level reattach is a plain equi-join."
+    ),
+    "q160_asof_nearest": (
+        "ONE hash exchange on user_id feeds BOTH direction windows "
+        "(backward carry-forward, forward carry-backward) over the "
+        "same (ts, side) sort prefix — the nearest pick is a "
+        "row-local CASE afterwards. No join operator at all: the "
+        "union-and-window composition replaces the range join that "
+        "would fan out unboundedly on skewed time ranges."
+    ),
+    "q164_winnow_near_dup": (
+        "Winnowing screen: per-doc window-min selects ~1/w of word "
+        "grams (one id-partitioned window), the candidate stage is a "
+        "hash equi-join on the gram with partial-agg'd pair counts, "
+        "and the exact verify joins by id. Fingerprint df is "
+        "near-unique per doc (word grain), so bucket fan-out stays "
+        "linear — the char-grain variant measured here floods or "
+        "loses recall (CLAUDE.md trap 8)."
+    ),
 }
 
 
