@@ -546,6 +546,17 @@ def prefix_filter_candidates(
     """
     from pyspark.sql.window import Window
 
+    # ceil(t * n) in EXACT integer basis points: the float form
+    # ceil(lit(0.7) * n) is a recall hazard — 0.7 has no binary
+    # representation, 0.7 * 10 evaluates to 7.000000000000001, and
+    # ceiling that OVERSTATES the required overlap, silently
+    # shortening the prefix below the lemma's bound. (0.5 happens to
+    # be exact; any other threshold is not.)
+    t_bp = int(round(threshold * 10_000))
+
+    def ceil_t(n_col: str) -> F.Column:
+        return F.expr(f"({t_bp} * {n_col} + 9999) div 10000")
+
     tok = shingles.select(
         F.col("_sid").alias("id"), F.explode("_sh").alias("h")
     )
@@ -558,7 +569,7 @@ def prefix_filter_candidates(
         .withColumn("r", F.row_number().over(w))
     )
     prefix = ranked.filter(
-        (F.col("r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        (F.col("r") <= F.col("n") - ceil_t("n") + 1)
         # a token shared by two documents has df >= 2, so df = 1 prefix
         # rows can never produce a candidate — dropping them shrinks the
         # join shuffle with zero recall impact
@@ -570,13 +581,12 @@ def prefix_filter_candidates(
     b = prefix.select(
         F.col("id").alias("id_b"), "h", F.col("n").alias("n_b")
     )
-    t = F.lit(threshold)
     return (
         a.join(b, ["h"])
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            & (F.col("n_b") >= F.ceil(t * F.col("n_a")))
-            & (F.col("n_a") >= F.ceil(t * F.col("n_b")))
+            & (F.col("n_b") >= ceil_t("n_a"))
+            & (F.col("n_a") >= ceil_t("n_b"))
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])

@@ -108,3 +108,25 @@ def test_prefix_filter_recall_exact(spark, threshold):
         union = len(sets[a] | sets[b])
         if union and inter / union >= threshold:
             assert (a, b) in cand, (a, b, inter / union)
+
+
+def test_prefix_threshold_ceiling_is_exact_integer(spark):
+    """Regression pin for the float-ceil hazard: thresholds whose
+    binary representation OVERSHOOTS the decimal (0.8 is
+    0.8000000000000000444...) make ceil(lit(t) * n) overstate the
+    required overlap — ceil(0.8 * 5) = ceil(4.000000000000001) = 5,
+    not 4 — which silently SHORTENS the prefix below the lemma's
+    bound. (Undershooting thresholds like 0.7 err in the safe,
+    prefix-lengthening direction; the failure is representation-
+    dependent, which is exactly why the operator must use the exact
+    integer basis-point form.)"""
+    r = (
+        spark.range(1)
+        .select(
+            F.ceil(F.lit(0.8) * F.lit(5)).alias("float_ceil"),
+            F.expr("(8000 * 5 + 9999) div 10000").alias("bp_ceil"),
+        )
+        .head()
+    )
+    assert r.float_ceil == 5  # the hazard, demonstrated
+    assert r.bp_ceil == 4  # the exact form the operator uses
