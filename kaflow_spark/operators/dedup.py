@@ -546,12 +546,14 @@ def prefix_filter_candidates(
     """
     from pyspark.sql.window import Window
 
-    # ceil(t * n) in EXACT integer basis points: the float form
-    # ceil(lit(0.7) * n) is a recall hazard — 0.7 has no binary
-    # representation, 0.7 * 10 evaluates to 7.000000000000001, and
-    # ceiling that OVERSTATES the required overlap, silently
-    # shortening the prefix below the lemma's bound. (0.5 happens to
-    # be exact; any other threshold is not.)
+    # ceil(t * n) in EXACT integer basis points. The float form
+    # ceil(lit(t) * n) agrees at small magnitudes only by rounding
+    # accident (the 1-ulp product error of an inexact threshold like
+    # 0.7/0.8 happens not to cross an integer boundary for small n);
+    # an overstated ceiling would silently SHORTEN the prefix below
+    # the lemma's bound — a recall bug — so the bound is computed
+    # exactly by construction instead of by luck (test_resolution
+    # pins it to the rational ceiling).
     t_bp = int(round(threshold * 10_000))
 
     def ceil_t(n_col: str) -> F.Column:

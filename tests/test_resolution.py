@@ -111,22 +111,27 @@ def test_prefix_filter_recall_exact(spark, threshold):
 
 
 def test_prefix_threshold_ceiling_is_exact_integer(spark):
-    """Regression pin for the float-ceil hazard: thresholds whose
-    binary representation OVERSHOOTS the decimal (0.8 is
-    0.8000000000000000444...) make ceil(lit(t) * n) overstate the
-    required overlap — ceil(0.8 * 5) = ceil(4.000000000000001) = 5,
-    not 4 — which silently SHORTENS the prefix below the lemma's
-    bound. (Undershooting thresholds like 0.7 err in the safe,
-    prefix-lengthening direction; the failure is representation-
-    dependent, which is exactly why the operator must use the exact
-    integer basis-point form.)"""
-    r = (
-        spark.range(1)
+    """The prefix/size ceilings use (t_bp * n + 9999) div 10000 —
+    exact by CONSTRUCTION, with no dependence on how the threshold
+    rounds to binary. ceil(lit(t) * n) happens to agree at the
+    magnitudes probed here (the 1-ulp product error never crosses an
+    integer boundary for 4-decimal thresholds and small n), but that
+    agreement is a rounding accident per (t, n), not a guarantee —
+    this sweep pins the integer form to the rational ceiling so any
+    future 'simplification' back to float ceil must re-prove itself
+    against it."""
+    import math
+    from fractions import Fraction
+
+    rows = (
+        spark.range(1, 500)
         .select(
-            F.ceil(F.lit(0.8) * F.lit(5)).alias("float_ceil"),
-            F.expr("(8000 * 5 + 9999) div 10000").alias("bp_ceil"),
+            F.col("id").alias("n"),
+            F.expr("(8000 * id + 9999) div 10000").alias("bp8"),
+            F.expr("(7000 * id + 9999) div 10000").alias("bp7"),
         )
-        .head()
+        .collect()
     )
-    assert r.float_ceil == 5  # the hazard, demonstrated
-    assert r.bp_ceil == 4  # the exact form the operator uses
+    for r in rows:
+        assert r.bp8 == math.ceil(Fraction(8, 10) * r.n), r.n
+        assert r.bp7 == math.ceil(Fraction(7, 10) * r.n), r.n
