@@ -790,3 +790,106 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@declare(
+    "q167_funnel_latency_quantiles",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    p AS (
+        SELECT e.user_id, v.t1, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.t1
+        GROUP BY e.user_id, v.t1),
+    lat AS (
+        SELECT (epoch_us(t2) // 1000000 - epoch_us(t1) // 1000000) // 60
+               AS m
+        FROM p),
+    cnt AS (SELECT m, CAST(count(*) AS BIGINT) AS c FROM lat GROUP BY m),
+    cum AS (
+        SELECT m,
+               SUM(c) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               SUM(c) OVER () AS n
+        FROM cnt),
+    qs AS (SELECT unnest([5000, 9000, 9900]) AS quantile_bp)
+    SELECT CAST(quantile_bp AS BIGINT) AS quantile_bp,
+           CAST(MIN(CASE WHEN cum >= (quantile_bp * n + 9999) // 10000
+                    THEN m END) AS BIGINT) AS latency_min
+    FROM qs CROSS JOIN cum
+    GROUP BY quantile_bp ORDER BY quantile_bp
+    """,
+    doc="Funnel time-to-convert distribution: exact p50/p90/p99 of the "
+    "first-view -> first-subsequent-purchase latency (whole minutes) — "
+    "the product-analytics deliverable that sits next to q143's "
+    "conversion rates. Latency population: per-user MIN(view ts), "
+    "then conditional MIN(purchase ts > it) — both collapse to one "
+    "row per user before any join (the q143 pattern). Quantiles come "
+    "from the bounded minute-latency count table with the q136 "
+    "selector (k = ceil-rank in exact integer bp, value = min m with "
+    "cum >= k) — never a global row sort; the 3-row quantile spec "
+    "cross-joins the broadcast count table. Seconds are derived "
+    "epoch_us div 1e6 on BOTH engines (the q152 corollary: "
+    "CAST(epoch) ROUNDS in DuckDB while Spark's cast truncates), and "
+    "the minute floor-div keeps the count table bounded by the time "
+    "range, not the user count.",
+    tags=("events", "curation"),
+)
+def q167(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    lat = p.select(
+        F.expr(
+            "(unix_micros(t2) div 1000000 - unix_micros(t1) div 1000000)"
+            " div 60"
+        ).alias("m")
+    )
+    cnt = lat.groupBy("m").agg(F.count("*").alias("c"))
+    w = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cnt.select(
+        "m",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(5000), F.lit(9000), F.lit(9900))).alias(
+            "quantile_bp"
+        )
+    )
+    return (
+        qs.crossJoin(F.broadcast(cum))
+        .groupBy("quantile_bp")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr("(quantile_bp * n + 9999) div 10000"),
+                    F.col("m"),
+                )
+            )
+            .cast("bigint")
+            .alias("latency_min")
+        )
+        .select(
+            F.col("quantile_bp").cast("bigint").alias("quantile_bp"),
+            "latency_min",
+        )
+        .orderBy("quantile_bp")
+    )

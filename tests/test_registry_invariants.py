@@ -78,7 +78,7 @@ def test_no_nondeterministic_functions_declared():
 
 
 def test_registry_size_floor_round6_batch2():
-    # q160-q166: nearest as-of, BFS hops, intra-doc repetition,
+    # q160-q167: nearest as-of, BFS hops, intra-doc repetition,
     # winsorized stats, winnowing near-dup, source embedding
-    # distances, interpolating gap-fill
-    assert len(REGISTRY) >= 166
+    # distances, interpolating gap-fill, funnel latency quantiles
+    assert len(REGISTRY) >= 167
