@@ -71,6 +71,7 @@ def ann_candidates(
     probe_hamming: int = 1,
     num_tables: int = 4,
     seed: int = 42,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Candidate set for hyperplane-LSH ANN: rows whose signature in
     AT LEAST ONE of ``num_tables`` independent tables lands within
@@ -90,8 +91,22 @@ def ann_candidates(
     test fixture measures cos(top-10) ~ 0.33 vs ~0 mean), candidate
     selectivity s buys only ~s + 0.3 recall@10 no matter the scheme;
     on real clustered embeddings the same settings prune hard at high
-    recall. tests/test_ann_recall.py pins BOTH measured points."""
-    cond = None
+    recall. tests/test_ann_recall.py pins BOTH measured points.
+
+    Execution: the membership test runs as ONE Arrow-batched numpy
+    kernel — a single (batch x dim) @ (dim x tables*planes) matmul,
+    sign-pack, probe-set isin — because the pure-expression form is
+    ``num_tables * num_planes`` interpreted dot-folds per row and was
+    MEASURED 10x slower than the exact brute-force rerank it exists
+    to avoid (2.2 s vs 0.2 s at sf0.1, linear in num_tables — the
+    CLAUDE.md "UDFs are the slow path" rule cuts the other way here,
+    exactly like the MinHash/SimHash signature kernels). Set
+    ``use_arrow=False`` for the pure-JVM expression fallback
+    (Arrow-less environments) — semantically identical; only a dot
+    product landing within one ulp of exactly 0 could flip a bit
+    between numpy's and the fold's summation orders, and the planes
+    are random gaussians."""
+    tables = []
     for t in range(num_tables):
         planes = make_planes(len(query), num_planes, seed + 1000 * t)
         qsig = _signature_of(query, planes)
@@ -102,9 +117,34 @@ def ann_candidates(
                 for b in bits:
                     flipped ^= 1 << b
                 probes.add(flipped)
-        hit = hyperplane_sign_bits(vec_col, planes).isin(*sorted(probes))
-        cond = hit if cond is None else (cond | hit)
-    return df.filter(cond)
+        tables.append((planes, sorted(probes)))
+
+    if not use_arrow:
+        cond = None
+        for planes, probes in tables:
+            hit = hyperplane_sign_bits(vec_col, planes).isin(*probes)
+            cond = hit if cond is None else (cond | hit)
+        return df.filter(cond)
+
+    from pyspark.sql.functions import pandas_udf
+
+    all_planes = np.array(
+        [p for planes, _ in tables for p in planes], dtype=np.float64
+    )  # (num_tables*num_planes, dim)
+    probe_arrays = [np.array(probes, dtype=np.int64) for _, probes in tables]
+    weights = (1 << np.arange(num_planes, dtype=np.int64))
+
+    @pandas_udf("boolean")
+    def _hit(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy())  # (batch, dim)
+        bits = (x @ all_planes.T) >= 0  # (batch, T*P)
+        ok = np.zeros(len(x), dtype=bool)
+        for t, probes in enumerate(probe_arrays):
+            sig = bits[:, t * num_planes : (t + 1) * num_planes] @ weights
+            ok |= np.isin(sig, probes)
+        return pd.Series(ok)
+
+    return df.filter(_hit(F.col(vec_col)))
 
 
 def ann_topk(
