@@ -1190,3 +1190,101 @@ def word_minimizers(
         F.col("_mk.pos").cast("bigint").alias("pos"),
         F.col("_mk.gram").alias("gram"),
     )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    method: str = "minhash",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """One-call near-duplicate PAIR detection: candidate generation by
+    ``method``, then the shared exact char-5-gram Jaccard verify at
+    ``threshold`` — the single entry point over the four independent
+    generator families this module implements (each oracle-attested to
+    produce the identical verified pair set on the test corpus):
+
+    - ``'minhash'``  — 64-hash signatures, 16-band bucket join
+      (probabilistic recall, quantified per threshold)
+    - ``'simhash'``  — 64-bit vote signature, pigeonhole chunk blocking
+      (recall guaranteed up to a Hamming radius)
+    - ``'prefix'``   — AllPairs/PPJoin word-gram prefix filtering
+      (deterministic recall 1 by the prefix lemma)
+    - ``'winnow'``   — MOSS word-minimizer fingerprints
+      (recall via the shared-substring winnowing guarantee)
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.  The
+    verify stage makes precision exact for every method; they differ
+    only in candidate-generation cost profile and recall argument —
+    pick by corpus shape (see each generator's docstring)."""
+    d = df
+    if method == "minhash":
+        sh = shingle_frame(d, id_col, text_col, 5)
+        cand = (
+            minhash_lsh_candidates(d, id_col, text_col, min_bands=2, shingles=sh)
+            .filter(F.col("est_jaccard") >= F.lit(max(0.0, threshold - 0.2)))
+            .select("id_a", "id_b")
+        )
+    elif method == "simhash":
+        sh = shingle_frame(d, id_col, text_col, 5)
+        cand = simhash_near_dups(
+            d, id_col, text_col, ngram=5, max_hamming=10, block_bits=8,
+            shingles=sh,
+        ).select("id_a", "id_b")
+    elif method == "prefix":
+        sh = wordgram_shingle_frame(d, id_col, text_col, 5)
+        cand = prefix_filter_candidates(sh, min(threshold, 0.5))
+        # prefix candidates are word-gram based; verify below re-scores
+        # on char shingles, so rebuild the char frame for the verify
+        sh = shingle_frame(d, id_col, text_col, 5)
+    elif method == "winnow":
+        cand = minimizer_candidates(
+            d, id_col, text_col, k=5, w=4, min_shared=1, unit="word"
+        ).select("id_a", "id_b")
+        sh = shingle_frame(d, id_col, text_col, 5)
+    else:
+        raise ValueError(
+            f"unknown method {method!r}: expected minhash|simhash|prefix|winnow"
+        )
+    return ngram_jaccard_pairs(d, cand, id_col, text_col, shingles=sh).filter(
+        F.col("jaccard") >= F.lit(threshold)
+    )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    method: str = "minhash",
+    threshold: float = 0.9,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL: detect pairs
+    (:func:`near_dup_pairs` via ``method``), cluster them (connected
+    components — the min-member label IS the canonical keeper), and
+    return ``df`` minus every non-canonical duplicate.  The one-call
+    composition of the pipeline the declared queries attest piecewise
+    (q41/q42/q159/q164 pairs -> q83 clusters -> q137 keeper).
+
+    ``pairs`` short-circuits detection with a caller-provided
+    ``(id_a, id_b, ...)`` frame (e.g. one already computed for a
+    report). Scale shape: everything upstream is the attested
+    operators; the removal itself is one LEFT ANTI join against the
+    (tiny by construction) drop-list of non-canonical members."""
+    from kaflow_spark.operators.graph import connected_components
+
+    p = (
+        pairs
+        if pairs is not None
+        else near_dup_pairs(
+            df, id_col, text_col, method=method, threshold=threshold
+        )
+    )
+    cc = connected_components(p.select("id_a", "id_b"), "id_a", "id_b")
+    drop = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, [id_col], "left_anti")

@@ -267,8 +267,9 @@ def int8_quantization_audit(
     """Per-vector int8 absmax scalar-quantization audit (q155): the
     SQ8 compression step vector stores apply before ANN serving.
     Returns (id, sum_q, l1_q, n_sat): quantized checksum, L1 mass and
-    saturation count (|q| = 127; the argmax element always saturates —
-    (v*127)/v is exactly 127 in IEEE).
+    saturation count (|q| = 127; a nonzero vector's argmax element
+    always saturates — (v*127)/v is exactly 127 in IEEE — while the
+    all-zero vector quantizes to all zeros).
 
     Determinism across engines: float32 widens to float64 exactly,
     the scale expression is the literal ``(x * 127) / amax`` double

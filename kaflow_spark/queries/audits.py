@@ -88,8 +88,9 @@ def q154(spark: SparkSession, sf: str) -> DataFrame:
     "compression step vector stores and ANN indexes apply before "
     "serving (symmetric per-vector absmax scaling, the faiss/SQ8 "
     "layout). Per vector: quantized checksum (sum_q), L1 mass (l1_q) "
-    "and saturation count (n_sat, |q|=127 — the argmax element "
-    "always saturates: (v*127)/v is exactly 127 in IEEE). "
+    "and saturation count (n_sat, |q|=127 — a nonzero vector's "
+    "argmax element always saturates: (v*127)/v is exactly 127 in "
+    "IEEE; the all-zero vector quantizes to all zeros). "
     "Determinism: float32 widens to float64 exactly, both engines "
     "evaluate the identical (x*127)/amax double expression, and "
     "rounding is spelled floor(y+0.5)/ceil(y-0.5) so no engine "

@@ -118,3 +118,49 @@ def test_winsorized_stats_hand_case(spark):
     assert (r.n_docs, r.lo, r.hi) == (20, 1, 19)
     # clamped sum = 1..19 + clamp(1000->19) = 190 + 19 = 209
     assert r.wmean_c == 209 * 100 // 20
+
+
+def test_near_dup_pairs_methods_agree(spark, sf_dir):
+    from kaflow_spark.catalog import load
+    from kaflow_spark.operators.dedup import dedup_corpus, near_dup_pairs
+
+    d = load(spark, sf_dir, "documents")
+    sets = {}
+    for m in ("minhash", "simhash", "prefix", "winnow"):
+        sets[m] = {
+            (r.id_a, r.id_b)
+            for r in near_dup_pairs(
+                d, "doc_id", "text", method=m, threshold=0.9
+            ).collect()
+        }
+    assert sets["minhash"]  # the fixture plants near-dups
+    assert sets["minhash"] == sets["simhash"] == sets["prefix"] == sets["winnow"]
+
+    kept = dedup_corpus(d, "doc_id", "text", method="minhash", threshold=0.9)
+    n0, n1 = d.count(), kept.count()
+    # one canonical keeper survives per cluster; the drop count equals
+    # nodes minus components of the pair graph
+    nodes = {i for p in sets["minhash"] for i in p}
+    comps = {min(c) for c in _components(sets["minhash"])}
+    assert n0 - n1 == len(nodes) - len(comps)
+
+
+def _components(pairs):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen, out = set(), []
+    for s in adj:
+        if s in seen:
+            continue
+        comp, stack = set(), [s]
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            stack.extend(adj[x] - comp)
+        seen |= comp
+        out.append(comp)
+    return out
