@@ -1298,3 +1298,55 @@ def histogram_drift_vs_ref(
             F.col("_l1").cast("bigint").alias("l1_bp"),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    *,
+    method: str = "wordgram",
+    min_overlap: int = 8,
+    remove: bool = True,
+) -> DataFrame:
+    """One-call benchmark decontamination — the companion entry point
+    to ``dedup.dedup_corpus``: flag (or remove) corpus documents that
+    collide with a benchmark suite, by ``method``:
+
+    - ``'chargram'`` — exact char-8-gram inverted-index screen
+      (q68's operator; the strictest surface-form match)
+    - ``'wordgram'`` — exact word-8-gram screen (q95; the GPT-3-style
+      detection semantics, ~6x fewer join rows)
+
+    ``min_overlap`` is the shared-distinct-gram threshold. With
+    ``remove=True`` (default) returns ``docs`` minus every flagged
+    document (one LEFT ANTI join against the flagged-id set — the
+    benchmark side is broadcast throughout, the corpus never
+    shuffles); with ``remove=False`` returns the flag frame
+    ``(id, bench_id, overlap)`` for reporting. For fuzzy
+    (near-miss) decontamination compose a near-dup candidate
+    generator with side predicates instead (the q140 pattern:
+    ``dedup.minhash_lsh_candidates(side_a=..., side_b=...)`` +
+    ``ngram_jaccard_pairs``)."""
+    if method == "chargram":
+        flags = contamination_overlaps(
+            docs, bench, id_col, text_col, bench_id_col, bench_text_col,
+            k=8, min_overlap=min_overlap,
+        )
+    elif method == "wordgram":
+        flags = contamination_overlaps_wordgrams(
+            docs, bench, id_col, text_col, bench_id_col, bench_text_col,
+            n=8, min_overlap=min_overlap,
+        )
+    else:
+        raise ValueError(
+            f"unknown method {method!r}: expected chargram|wordgram"
+        )
+    if not remove:
+        return flags
+    return docs.join(
+        flags.select(id_col).distinct(), [id_col], "left_anti"
+    )

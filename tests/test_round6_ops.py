@@ -164,3 +164,34 @@ def _components(pairs):
         seen |= comp
         out.append(comp)
     return out
+
+
+def test_decontaminate_one_call(spark):
+    from kaflow_spark.operators.curation import decontaminate
+
+    bench_text = (
+        "what is the capital of france paris is the capital and "
+        "largest city of france"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "clean document about spark shuffle partitioning"),
+            (2, "leaked: " + bench_text + " end"),
+            (3, "another clean one about parquet row groups"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(900, bench_text)], ["bench_id", "btext"]
+    )
+    for method in ("chargram", "wordgram"):
+        kept = decontaminate(
+            docs, bench, "doc_id", "text", "bench_id", "btext",
+            method=method, min_overlap=5,
+        )
+        assert {r.doc_id for r in kept.collect()} == {1, 3}, method
+        flags = decontaminate(
+            docs, bench, "doc_id", "text", "bench_id", "btext",
+            method=method, min_overlap=5, remove=False,
+        ).collect()
+        assert [(r.doc_id, r.bench_id) for r in flags] == [(2, 900)], method
