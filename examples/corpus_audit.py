@@ -132,6 +132,14 @@ def main() -> None:
     print(f"int8 quantization: {stats.n} vectors, {stats.sat} saturated "
           f"lanes total, max per-vector L1 {stats.max_l1}")
 
+    # ---- 6. one-call entry points ------------------------------------
+    from kaflow_spark.operators.dedup import dedup_corpus
+
+    kept = dedup_corpus(docs, "doc_id", "text", method="winnow",
+                        threshold=0.9, pairs=None)
+    print(f"dedup_corpus(method='winnow'): {docs.count()} -> "
+          f"{kept.count()} docs after canonical-keeper removal")
+
     spark.stop()
     print("corpus audit complete.")
 
