@@ -894,3 +894,69 @@ def q167(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("quantile_bp")
     )
+
+
+@declare(
+    "q168_join_key_skew_report",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY o_custkey),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+    top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 25),
+    r AS (SELECT key, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rnk,
+                 SUM(cnt) OVER (ORDER BY cnt DESC, key
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+          FROM top)
+    SELECT CAST(rnk AS BIGINT) AS rnk, CAST(key AS BIGINT) AS key, cnt,
+           CAST(cnt * 10000 // t.total AS BIGINT) AS share_bp,
+           CAST(cum * 10000 // t.total AS BIGINT) AS cum_share_bp
+    FROM r CROSS JOIN t ORDER BY rnk
+    """,
+    doc="Join-key skew diagnosis: the 25 heaviest o_custkey values "
+    "with exact integer-bp share and cumulative share of all orders — "
+    "the operational report that DECIDES when the salted-join/agg "
+    "operators (q61/q62) or AQE skew splitting are worth applying, "
+    "run before every large fact-fact join at 100 TB. Scale shape: "
+    "one partial-agg'd groupBy to the per-key count table, "
+    "TakeOrderedAndProject for the top-25 (per-partition heaps — "
+    "never a global sort of the key table), a 1-row total broadcast, "
+    "and the rank/cumulative windows run over the 25-row result "
+    "only. Ties break on the key itself, so the report is a total "
+    "order.",
+    tags=("curation", "window"),
+)
+def q168(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf, "orders")
+    c = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    t = c.agg(F.sum("cnt").alias("total"))
+    top = c.orderBy(F.col("cnt").desc(), "key").limit(25)
+    w = Window.orderBy(F.col("cnt").desc(), "key")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(t))
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            F.col("key").cast("bigint").alias("key"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.expr("cnt * 10000 div total").cast("bigint").alias("share_bp"),
+            (F.sum("cnt").over(wc) * 10000)
+            .cast("bigint")
+            .alias("_cum10k"),
+            F.col("total"),
+        )
+        .select(
+            "rnk",
+            "key",
+            "cnt",
+            "share_bp",
+            F.expr("_cum10k div total").cast("bigint").alias("cum_share_bp"),
+        )
+        .orderBy("rnk")
+    )

@@ -686,3 +686,13 @@ def test_q166_four_windows_one_exchange(spark, sf_dir):
     txt = explain_str(df)
     assert len(re.findall(r"hashpartitioning\(event_type#\d+, \d+\)", txt)) <= 2
     assert "CartesianProduct" not in txt
+
+
+def test_q168_topk_heap_not_global_sort(spark, sf_dir):
+    """Skew report: the top-25 must come from TakeOrderedAndProject
+    over the aggregated key-count table — a global Sort of all keys
+    defeats the point of a diagnosis meant to run before every big
+    join."""
+    df = REGISTRY["q168_join_key_skew_report"].spark(spark, sf_dir)
+    assert has_top_k(df)
+    assert has_partial_aggregate(df)

@@ -80,5 +80,6 @@ def test_no_nondeterministic_functions_declared():
 def test_registry_size_floor_round6_batch2():
     # q160-q167: nearest as-of, BFS hops, intra-doc repetition,
     # winsorized stats, winnowing near-dup, source embedding
-    # distances, interpolating gap-fill, funnel latency quantiles
-    assert len(REGISTRY) >= 167
+    # distances, interpolating gap-fill, funnel latency quantiles,
+    # join-key skew report
+    assert len(REGISTRY) >= 168
