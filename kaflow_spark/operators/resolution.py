@@ -91,3 +91,105 @@ def edit_distance_pairs(
         cand.select("id_a", "id_b", lev.cast("bigint").alias("lev"))
         .filter(F.col("lev") <= 1)
     )
+
+
+def composite_er_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    group_col: str,
+    segment_col: str,
+    amount_cents_col: str,
+    *,
+    max_cents_diff: int = 100,
+) -> DataFrame:
+    """Rule-based entity resolution with a UNION of blocking
+    strategies — the composite-match pattern production ER runs when
+    no single field is reliable: two records match iff they share
+    ``group_col`` AND (their names are within Hamming distance 1 OR
+    they share ``segment_col`` with amounts within
+    ``max_cents_diff``).
+
+    Each disjunct gets its own recall-complete blocking:
+
+    - name path: the two-level pigeonhole Hamming blocking
+      (:func:`~kaflow_spark.operators.dedup.hamming_pairs`), then a
+      group-equality filter;
+    - amount path: banded numeric blocking (the q64 binned-range-join
+      idea applied to ER) — bucket = cents div band with a
+      3-bucket probe on one side, so any pair within the band
+      tolerance shares a probed bucket by construction; exact
+      |diff| <= tolerance verify.
+
+    The union is deduplicated per pair and labeled with match
+    provenance (``path`` in {'name','amount','both'}) — the audit
+    column reviewers need to tune each rule independently. Returns
+    ``(id_a, id_b, path)`` with ``id_a < id_b``."""
+    from kaflow_spark.operators.dedup import hamming_pairs
+
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(name_col).alias("_nm"),
+        F.col(group_col).alias("_grp"),
+        F.col(segment_col).alias("_seg"),
+        F.col(amount_cents_col).cast("bigint").alias("_amt"),
+    )
+    attrs_a = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_grp").alias("grp_a"),
+    )
+    attrs_b = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_grp").alias("grp_b"),
+    )
+    name_pairs = (
+        hamming_pairs(base, "_id", "_nm", max_dist=1)
+        .select("id_a", "id_b")
+        .join(attrs_a, "id_a")
+        .join(attrs_b, "id_b")
+        .filter(F.col("grp_a") == F.col("grp_b"))
+        .select("id_a", "id_b", F.lit(True).alias("by_name"))
+    )
+    band = max_cents_diff
+    probe = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_grp").alias("g"),
+        F.col("_seg").alias("s"),
+        F.col("_amt").alias("amt_a"),
+        F.explode(
+            F.array(
+                F.expr(f"_amt div {band} - 1"),
+                F.expr(f"_amt div {band}"),
+                F.expr(f"_amt div {band} + 1"),
+            )
+        ).alias("bkt"),
+    )
+    exact = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_grp").alias("g"),
+        F.col("_seg").alias("s"),
+        F.col("_amt").alias("amt_b"),
+        F.expr(f"_amt div {band}").alias("bkt"),
+    )
+    amount_pairs = (
+        probe.join(exact, ["g", "s", "bkt"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("amt_a") - F.col("amt_b")) <= band)
+        )
+        .select("id_a", "id_b", F.lit(True).alias("by_amount"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    merged = name_pairs.join(amount_pairs, ["id_a", "id_b"], "full_outer")
+    return merged.select(
+        "id_a",
+        "id_b",
+        F.when(
+            F.coalesce(F.col("by_name"), F.lit(False))
+            & F.coalesce(F.col("by_amount"), F.lit(False)),
+            F.lit("both"),
+        )
+        .when(F.coalesce(F.col("by_name"), F.lit(False)), F.lit("name"))
+        .otherwise(F.lit("amount"))
+        .alias("path"),
+    )

@@ -960,3 +960,63 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@declare(
+    "q169_composite_entity_match",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey AS id, c_name, c_nationkey, c_mktsegment,
+               CAST(CASE WHEN c_acctbal >= 0
+                    THEN FLOOR(c_acctbal * 100.0 + 0.5)
+                    ELSE CEIL(c_acctbal * 100.0 - 0.5) END AS BIGINT)
+                   AS cents
+        FROM customer)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CASE WHEN t.nm AND t.am THEN 'both'
+                WHEN t.nm THEN 'name' ELSE 'amount' END AS path
+    FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey AND a.id < b.id
+    CROSS JOIN LATERAL (SELECT
+        (length(a.c_name) = length(b.c_name)
+         AND CASE WHEN length(a.c_name) = length(b.c_name)
+              THEN hamming(a.c_name, b.c_name) <= 1 END) AS nm,
+        (a.c_mktsegment = b.c_mktsegment
+         AND abs(a.cents - b.cents) <= 100) AS am) t
+    WHERE t.nm OR t.am
+    ORDER BY id_a, id_b
+    """,
+    doc="Composite rule-based entity resolution: within a nation, two "
+    "customers match iff their names are within Hamming distance 1 "
+    "OR they share a market segment with account balances within one "
+    "dollar — the union-of-blocking-strategies pattern production ER "
+    "uses when no single field is reliable. Each disjunct gets its "
+    "own recall-complete blocking (two-level pigeonhole for the name "
+    "path; banded numeric buckets with a 3-bucket probe for the "
+    "amount path — the q64 binned-range idea applied to ER, complete "
+    "under truncating division because a <=band interval spans at "
+    "most two adjacent trunc-buckets), the union deduplicates per "
+    "pair, and the output carries match PROVENANCE ('name'/'amount'/"
+    "'both') so each rule tunes independently. Cents via the q155 "
+    "floor(x+0.5)/ceil(x-0.5) spelling; the oracle is the O(n²)-"
+    "within-nation brute force with DuckDB's hamming() structurally "
+    "guarded on equal length.",
+    tags=("resolution",),
+)
+def q169(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.resolution import composite_er_pairs
+
+    cu = load(spark, sf, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(CASE WHEN c_acctbal >= 0.0D"
+            " THEN FLOOR(c_acctbal * 100.0D + 0.5D)"
+            " ELSE CEIL(c_acctbal * 100.0D - 0.5D) END AS BIGINT)"
+        ).alias("cents"),
+    )
+    return composite_er_pairs(
+        cu, "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "cents",
+        max_cents_diff=100,
+    ).orderBy("id_a", "id_b")

@@ -81,5 +81,5 @@ def test_registry_size_floor_round6_batch2():
     # q160-q167: nearest as-of, BFS hops, intra-doc repetition,
     # winsorized stats, winnowing near-dup, source embedding
     # distances, interpolating gap-fill, funnel latency quantiles,
-    # join-key skew report
-    assert len(REGISTRY) >= 168
+    # join-key skew report, composite entity match
+    assert len(REGISTRY) >= 169
