@@ -136,6 +136,8 @@ def ann_candidates(
 
     @pandas_udf("boolean")
     def _hit(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # np.vstack raises on an empty batch
+            return pd.Series([], dtype=bool)
         x = np.vstack(vecs.to_numpy())  # (batch, dim)
         bits = (x @ all_planes.T) >= 0  # (batch, T*P)
         ok = np.zeros(len(x), dtype=bool)
