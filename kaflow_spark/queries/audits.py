@@ -1020,3 +1020,160 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
         cu, "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "cents",
         max_cents_diff=100,
     ).orderBy("id_a", "id_b")
+
+
+@declare(
+    "q170_snapshot_state_diff",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(CASE WHEN value >= 0
+                    THEN FLOOR(value * 100.0 + 0.5)
+                    ELSE CEIL(value * 100.0 - 0.5) END AS BIGINT) AS cents
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    s1 AS (
+        SELECT user_id, event_type AS t1_type, cents AS t1_cents FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM e WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        WHERE rn = 1),
+    s2 AS (
+        SELECT user_id, event_type AS t2_type, cents AS t2_cents FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM e WHERE ts <= TIMESTAMP '2024-01-25 00:00:00')
+        WHERE rn = 1)
+    SELECT s2.user_id,
+           CASE WHEN s1.user_id IS NULL THEN 'new'
+                WHEN s1.t1_type = s2.t2_type
+                 AND s1.t1_cents = s2.t2_cents THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           s1.t1_type, s2.t2_type
+    FROM s2 LEFT JOIN s1 USING (user_id)
+    ORDER BY user_id
+    """,
+    doc="Snapshot state-diff audit (the CDC / MERGE-INTO planning "
+    "step): each user's LAST (event_type, value) state as of two "
+    "cutoffs, classified new / changed / unchanged — the change-set "
+    "a warehouse merge or incremental materialization would apply "
+    "between versions. Deterministic keeper per snapshot via a "
+    "(ts DESC, event_id DESC) row_number — the unique-key window "
+    "tie-break rule; values in tie-free floor/ceil cents. Both "
+    "snapshots collapse to one row per user BEFORE the diff join, "
+    "so the join moves |users| rows regardless of event volume; "
+    "both argmax windows share one user_id partitioning.",
+    tags=("events", "window"),
+)
+def q170(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = (
+        load(spark, sf, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.expr(
+                "CAST(CASE WHEN value >= 0.0D"
+                " THEN FLOOR(value * 100.0D + 0.5D)"
+                " ELSE CEIL(value * 100.0D - 0.5D) END AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+    def snapshot(cutoff: str, prefix: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            e.filter(F.col("ts") <= F.lit(cutoff).cast(e.schema["ts"].dataType))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_type").alias(f"{prefix}_type"),
+                F.col("cents").alias(f"{prefix}_cents"),
+            )
+        )
+
+    s1 = snapshot("2024-01-15 00:00:00", "t1")
+    s2 = snapshot("2024-01-25 00:00:00", "t2")
+    return (
+        s2.join(s1, ["user_id"], "left")
+        .select(
+            "user_id",
+            F.when(F.col("t1_type").isNull(), F.lit("new"))
+            .when(
+                (F.col("t1_type") == F.col("t2_type"))
+                & (F.col("t1_cents") == F.col("t2_cents")),
+                F.lit("unchanged"),
+            )
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+            "t1_type",
+            "t2_type",
+        )
+        .orderBy("user_id")
+    )
+
+
+@declare(
+    "q171_last_touch_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS pts
+        FROM events WHERE event_type = 'purchase'),
+    c AS (
+        -- one deterministic click per (user, ts): max event_id
+        SELECT user_id, ts AS cts, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    m AS (
+        SELECT p.purchase_id, p.user_id, p.pts, MAX(c.cts) AS cts
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id AND c.cts <= p.pts
+         AND c.cts >= p.pts - INTERVAL 7 DAY
+        GROUP BY p.purchase_id, p.user_id, p.pts)
+    SELECT m.purchase_id, m.user_id, c2.click_id
+    FROM m LEFT JOIN c c2 ON c2.user_id = m.user_id AND c2.cts = m.cts
+    ORDER BY purchase_id
+    """,
+    doc="Last-touch marketing attribution: every purchase attributed "
+    "to the user's LATEST click within the preceding 7 days (or "
+    "unattributed NULL) — the named business op on top of the "
+    "tolerance-bounded backward as-of join (q127's operator, here "
+    "joining two different event-type streams of the same table). "
+    "Clicks pre-aggregate to one deterministic row per (user, ts) "
+    "(max event_id — the unique-key tie-break rule) BEFORE the "
+    "as-of, so equal-timestamp clicks cannot make the carried value "
+    "partition-order-dependent. One key shuffle end-to-end; the "
+    "oracle states the identical semantics as a range join + "
+    "group-max + reattach.",
+    tags=("events", "asof", "join"),
+)
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.asof import asof_join
+
+    e = load(spark, sf, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("pts"),
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("cts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    j = asof_join(
+        p,
+        c,
+        on="user_id",
+        left_ts="pts",
+        right_ts="cts",
+        value_cols=["click_id"],
+        tolerance="7 days",
+    )
+    return j.select(
+        "purchase_id", "user_id", F.col("click_id_right").alias("click_id")
+    ).orderBy("purchase_id")

@@ -81,5 +81,6 @@ def test_registry_size_floor_round6_batch2():
     # q160-q167: nearest as-of, BFS hops, intra-doc repetition,
     # winsorized stats, winnowing near-dup, source embedding
     # distances, interpolating gap-fill, funnel latency quantiles,
-    # join-key skew report, composite entity match
-    assert len(REGISTRY) >= 169
+    # join-key skew report, composite entity match, snapshot state
+    # diff, last-touch attribution
+    assert len(REGISTRY) >= 171
