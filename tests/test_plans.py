@@ -696,3 +696,27 @@ def test_q168_topk_heap_not_global_sort(spark, sf_dir):
     df = REGISTRY["q168_join_key_skew_report"].spark(spark, sf_dir)
     assert has_top_k(df)
     assert has_partial_aggregate(df)
+
+
+def test_q170_snapshots_share_user_partitioning(spark, sf_dir):
+    """State diff: both argmax windows and the diff join ride user_id
+    hash partitioning; no cartesian anywhere."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q170_snapshot_state_diff"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert "CartesianProduct" not in txt
+    assert "Window" in txt
+
+
+def test_q171_attribution_is_union_window_not_range_join(spark, sf_dir):
+    """Last-touch attribution must plan as the union-and-window as-of
+    (one key shuffle) — a SortMergeJoin on a range condition would be
+    the unbounded fan-out the operator exists to avoid."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q171_last_touch_attribution"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert "Window" in txt
+    assert "NestedLoop" not in txt
+    assert has_partial_aggregate(df)  # the per-(user, ts) click collapse
