@@ -95,3 +95,63 @@ def test_edit_distance_pairs_random_keys(spark):
     }
     assert got == want
     assert want  # tiny alphabet guarantees distance-1 structure exists
+
+
+def test_quantile_normalize_invariants(spark):
+    """Random data invariants: the calibrated value is always an
+    actually-occurring global value, lies within the global range, and
+    is monotone non-decreasing in the source-local value within each
+    group (a rank mapping cannot invert order)."""
+    from kaflow_spark.operators.curation import quantile_normalize
+
+    rng = random.Random(11)
+    rows = [
+        (f"s{i % 7}", rng.randint(0, 50)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = quantile_normalize(df, "g", "v").collect()
+    values = {v for _, v in rows}
+    lo, hi = min(values), max(values)
+    by_group: dict[str, list] = {}
+    for r in out:
+        assert r.calib in values
+        assert lo <= r.calib <= hi
+        assert 0 <= r.src_pct_bp < 10000
+        by_group.setdefault(r.g, []).append((r.v, r.calib))
+    for g, pairs in by_group.items():
+        pairs.sort()
+        calibs = [c for _, c in pairs]
+        assert calibs == sorted(calibs), g
+
+
+def test_histogram_drift_l1_bounds_and_identity(spark):
+    """Drift is 0 for a group that IS the global distribution (single
+    source) and bounded by 20000 bp always."""
+    from kaflow_spark.operators.curation import histogram_drift_l1
+
+    rng = random.Random(5)
+    one = spark.createDataFrame(
+        [("only", rng.randint(0, 1000)) for _ in range(100)], ["g", "v"]
+    )
+    r = histogram_drift_l1(one, "g", "v", 64).head()
+    assert r.l1_bp == 0
+    two = spark.createDataFrame(
+        [("a", 10)] * 50 + [("b", 900)] * 50, ["g", "v"]
+    )
+    for row in histogram_drift_l1(two, "g", "v", 64).collect():
+        # each source holds half the mass of a fully disjoint mixture:
+        # |10000-5000| + |0-5000| = 10000 exactly
+        assert row.l1_bp == 10000
+        assert 0 <= row.l1_bp <= 20000
+
+
+def test_winsorized_stats_bounds(spark):
+    """Winsorized mean always lies within [lo, hi] and [min, max]."""
+    from kaflow_spark.operators.curation import winsorized_stats
+
+    rng = random.Random(3)
+    rows = [(f"g{i % 4}", rng.randint(-500, 500)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    for r in winsorized_stats(df, "g", "v", 5, 95).collect():
+        assert r.lo <= r.hi
+        assert r.lo * 100 <= r.wmean_c <= r.hi * 100
