@@ -919,6 +919,55 @@ def main() -> None:
         ),
     )
 
+    # q170/q171 ride full event rows (type/value/event_id needed)
+    from pyspark.sql.window import Window as _W
+
+    ev_full = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probe_evf = make_prober(rows, ev_full, ["user_id", "event_id"])
+
+    def state_diff(e):
+        e = e.filter(
+            F.col("event_type").isNotNull() & F.col("value").isNotNull()
+        )
+
+        def snap(cut, p):
+            w = _W.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+            return (
+                e.filter(F.col("ts") <= F.lit(cut).cast(e.schema["ts"].dataType))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(
+                    "user_id",
+                    F.col("event_type").alias(f"{p}_type"),
+                    F.col("value").alias(f"{p}_v"),
+                )
+            )
+
+        return snap("2024-01-15 00:00:00", "t1").join(
+            snap("2024-01-25 00:00:00", "t2"), ["user_id"], "full_outer"
+        )
+
+    probe_evf(f"snapshot state diff q170 ({n_ev} events/x)", state_diff)
+
+    def attribution(e):
+        p = e.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            F.col("ts").alias("pts"),
+        )
+        c = (
+            e.filter(F.col("event_type") == "click")
+            .groupBy("user_id", F.col("ts").alias("cts"))
+            .agg(F.max("event_id").alias("click_id"))
+        )
+        return asof_join(
+            p, c, on="user_id", left_ts="pts", right_ts="cts",
+            value_cols=["click_id"], tolerance="7 days",
+        )
+
+    probe_evf(f"last-touch attribution q171 ({n_ev} events/x)", attribution)
+
     rows.append("")
     rows.append(
         "Interpretation: replication multiplies duplicate groups too "
