@@ -1177,3 +1177,77 @@ def q171(spark: SparkSession, sf: str) -> DataFrame:
     return j.select(
         "purchase_id", "user_id", F.col("click_id_right").alias("click_id")
     ).orderBy("purchase_id")
+
+
+@declare(
+    "q172_share_of_parent",
+    oracle="""
+    WITH base AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name),
+    reg AS (SELECT region, CAST(SUM(cents) AS BIGINT) AS rc
+            FROM base GROUP BY region),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS tc FROM base)
+    SELECT b.region, b.nation, b.cents,
+           CAST(b.cents * 10000 // reg.rc AS BIGINT) AS share_of_region_bp,
+           CAST(reg.rc * 10000 // tot.tc AS BIGINT) AS region_share_bp
+    FROM base b JOIN reg USING (region) CROSS JOIN tot
+    ORDER BY region, nation
+    """,
+    doc="Contribution / share-of-parent analysis: revenue by (region, "
+    "nation) with each nation's exact-bp share of its region and each "
+    "region's share of the corpus — the ratio-to-parent report every "
+    "BI rollup ships, which plain ROLLUP (q15) cannot express because "
+    "the child row needs its PARENT's aggregate as a divisor. Shape: "
+    "ONE fact aggregation to the bounded (region, nation) grain "
+    "(orders shuffled once; nation/region dims broadcast), then the "
+    "parent and grand totals REAGGREGATE the child table — no second "
+    "fact scan — and come back via broadcast joins onto it. Exact "
+    "cents (DECIMAL before the cast, per the determinism rules), "
+    "truncating integer bp both engines.",
+    tags=("agg", "curation"),
+)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load(spark, sf, "region").select("r_regionkey", "r_name")
+    base = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    reg = base.groupBy("region").agg(F.sum("cents").alias("rc"))
+    tot = base.agg(F.sum("cents").alias("tc"))
+    return (
+        base.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "cents",
+            F.expr("cents * 10000 div rc").cast("bigint").alias(
+                "share_of_region_bp"
+            ),
+            F.expr("rc * 10000 div tc").cast("bigint").alias(
+                "region_share_bp"
+            ),
+        )
+        .orderBy("region", "nation")
+    )
