@@ -195,3 +195,83 @@ def test_decontaminate_one_call(spark):
             method=method, min_overlap=5, remove=False,
         ).collect()
         assert [(r.doc_id, r.bench_id) for r in flags] == [(2, 900)], method
+
+
+def test_composite_er_hand_case(spark):
+    from kaflow_spark.operators.resolution import composite_er_pairs
+
+    rows = [
+        # id, name, group, segment, cents
+        (1, "alpha", "g1", "A", 1000),
+        (2, "alphb", "g1", "B", 9000),   # name-only match with 1
+        (3, "gamma", "g1", "A", 1050),   # amount-only match with 1
+        (4, "alphc", "g2", "A", 1000),   # other group: no match with 1
+        (5, "alpha", "g1", "A", 1001),   # name AND amount match with 1
+        (6, "zzzzz", "g1", "Z", 50_000), # matches nothing
+    ]
+    df = spark.createDataFrame(rows, ["id", "nm", "g", "s", "cents"])
+    got = {
+        (r.id_a, r.id_b): r.path
+        for r in composite_er_pairs(df, "id", "nm", "g", "s", "cents").collect()
+    }
+    assert got[(1, 2)] == "name"
+    assert got[(1, 3)] == "amount"
+    assert got[(1, 5)] == "both"
+    assert (1, 4) not in got  # group boundary respected
+    assert (2, 5) in got and got[(2, 5)] == "name"
+    assert all(6 not in pair for pair in got)
+
+
+def test_snapshot_state_diff_semantics_hand_case(spark):
+    """Mirror of q170's logic on a hand dataset: classification hits
+    all three classes (the fixture might not)."""
+    import datetime as dtm
+
+    from pyspark.sql.window import Window
+
+    rows = [
+        # user, ts, event_id, type, cents
+        (1, dtm.datetime(2024, 1, 10), 1, "a", 100),  # unchanged
+        (2, dtm.datetime(2024, 1, 10), 2, "a", 100),
+        (2, dtm.datetime(2024, 1, 20), 3, "b", 200),  # changed
+        (3, dtm.datetime(2024, 1, 20), 4, "a", 100),  # new
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, "
+        "event_type string, cents bigint"
+    )
+
+    def snap(cut, p):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            e.filter(F.col("ts") <= F.lit(cut).cast("timestamp"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select(
+                "user_id",
+                F.col("event_type").alias(f"{p}_type"),
+                F.col("cents").alias(f"{p}_cents"),
+            )
+        )
+
+    s1 = snap("2024-01-15 00:00:00", "t1")
+    s2 = snap("2024-01-25 00:00:00", "t2")
+    got = {
+        r.user_id: r.status
+        for r in s2.join(s1, ["user_id"], "left")
+        .select(
+            "user_id",
+            F.when(F.col("t1_type").isNull(), "new")
+            .when(
+                (F.col("t1_type") == F.col("t2_type"))
+                & (F.col("t1_cents") == F.col("t2_cents")),
+                "unchanged",
+            )
+            .otherwise("changed")
+            .alias("status"),
+        )
+        .collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "new"}
