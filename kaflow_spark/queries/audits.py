@@ -1251,3 +1251,44 @@ def q172(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+@declare(
+    "q173_unpivot_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O', 'P')
+    GROUP BY o_orderpriority, o_orderstatus
+    ORDER BY o_orderpriority, status
+    """,
+    doc="UNPIVOT (wide->long), the inverse of q52's pivot, attested "
+    "as a ROUNDTRIP: the pivoted (priority x {F,O,P}) count matrix "
+    "unpivots back to long form and must equal the direct long GROUP "
+    "BY the oracle states — pivot-then-unpivot composing to identity "
+    "is a stronger check than either direction against a fixture. "
+    "Spark's native unpivot (ids/values/variable/value) plans as a "
+    "single Expand over the wide frame — no join, no shuffle beyond "
+    "the pivot aggregation's own; zero-count cells (a priority with "
+    "no orders in some status) are dropped on both sides to mirror "
+    "the GROUP BY's no-row semantics.",
+    tags=("agg", "pivot"),
+)
+def q173(spark: SparkSession, sf: str) -> DataFrame:
+    wide = (
+        load(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide.unpivot(
+        ["o_orderpriority"], ["F", "O", "P"], "status", "cnt"
+    )
+    return (
+        long.filter(F.col("cnt").isNotNull())
+        .select(
+            "o_orderpriority", "status", F.col("cnt").cast("bigint").alias("cnt")
+        )
+        .orderBy("o_orderpriority", "status")
+    )

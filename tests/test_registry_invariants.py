@@ -82,5 +82,6 @@ def test_registry_size_floor_round6_batch2():
     # winsorized stats, winnowing near-dup, source embedding
     # distances, interpolating gap-fill, funnel latency quantiles,
     # join-key skew report, composite entity match, snapshot state
-    # diff, last-touch attribution, share-of-parent contribution
-    assert len(REGISTRY) >= 172
+    # diff, last-touch attribution, share-of-parent contribution,
+    # unpivot roundtrip
+    assert len(REGISTRY) >= 173
