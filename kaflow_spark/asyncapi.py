@@ -204,11 +204,13 @@ def get_asyncapi_html(
     structure: stylesheet link + deferred component script +
     ``<asyncapi-component schema='...'>``).
 
-    One hardening delta vs the reference: the schema JSON is embedded
+    Two hardening deltas vs the reference: the schema JSON is embedded
     in a single-quoted HTML attribute, so any ``'`` / ``&`` / ``<``
     inside the document (e.g. in a model description) is escaped as an
     HTML entity — the reference interpolates the raw JSON and a quote
-    in a docstring would truncate the attribute.
+    in a docstring would truncate the attribute; and the page title is
+    entity-escaped too (the reference interpolates it raw, so a title
+    containing markup would inject into the page).
     """
     import json as _json
 
@@ -218,6 +220,7 @@ def get_asyncapi_html(
         .replace("'", "&#39;")
         .replace("<", "&lt;")
     )
+    title = title.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     return f"""
     <!DOCTYPE html>
     <html>

@@ -182,7 +182,7 @@ def fingerprint_fast(text: Column | str, k: int = 8, stride: int = 1) -> Column:
     return F.when(F.length(t) < k, F.xxhash64(t)).otherwise(F.array_min(grams))
 
 
-def readability_grade_bp(text: Column | str) -> Column:
+def readability_grade_milli(text: Column | str) -> Column:
     """Flesch-Kincaid-style grade level in integer thousandths (grade
     x1000): the standard readability/education-level curation signal
     (FineWeb-Edu style filtering buckets on exactly this kind of
@@ -190,7 +190,7 @@ def readability_grade_bp(text: Column | str) -> Column:
     counts + integer division only, no IEEE arithmetic, so any engine
     reproduces it bit-for-bit.
 
-    grade_bp = 390 * words//sentences + 11800 * syllables//words
+    grade_milli = 390 * words//sentences + 11800 * syllables//words
                - 15590,
     with sentences = [.!?]+ runs (min 1), words = \\S+ runs (min 1),
     and syllables approximated as vowel-group count ([aeiouyAEIOUY]+

@@ -76,9 +76,6 @@ def compare(
 
     con = duckdb_connect(sf_dir)
     try:
-        res = con.execute(q.oracle)
-        d_cols = [d[0] for d in res.description]
-        d_rows = res.fetchall()
         # Driver-canon dtype audit: the driver hashes the PANDAS
         # string form of both frames, so an uncast DuckDB HUGEINT
         # (e.g. SUM over int, or windowed-SUM arithmetic) renders as
@@ -90,7 +87,14 @@ def compare(
         # come back float64 from DuckDB's pandas conversion (NaN-free
         # float64 only — with NULLs both engines degrade to float64
         # identically, so the driver hash agrees and we stay quiet).
-        d_pd = con.execute(q.oracle).df()
+        # ONE lazy relation serves both the dtype audit (declared
+        # DuckDB types) and the row compare (one fetchall with
+        # native-python values) — the O(n^2) brute-force oracles are
+        # expensive enough that a second execution doubled test time.
+        rel = con.sql(q.oracle)
+        d_cols = list(rel.columns)
+        d_types = [str(t).upper() for t in rel.types]
+        d_rows = rel.fetchall()
     finally:
         con.close()
     integral = {
@@ -98,18 +102,24 @@ def compare(
         for f in sdf.schema.fields
         if f.dataType.typeName() in ("byte", "short", "integer", "long")
     }
-    for c in d_pd.columns:
+    # Any DuckDB type that pandas renders as float64 (HUGEINT from
+    # SUM-over-int, DOUBLE/FLOAT) against a Spark integral column
+    # will stringify "770.0" vs "770" under the driver's hash. With
+    # NULLs present both engines degrade to float64 identically, so
+    # only NULL-free columns are trapped.
+    floaty = ("HUGEINT", "UHUGEINT", "DOUBLE", "FLOAT")
+    for i, c in enumerate(d_cols):
         if (
             c in integral
-            and d_pd[c].dtype.kind == "f"
-            and not d_pd[c].isna().any()
+            and any(d_types[i].startswith(t) for t in floaty)
+            and not any(r[i] is None for r in d_rows)
         ):
             return CompareResult(
                 q.name,
                 False,
                 f"driver-canon dtype trap: oracle column {c!r} is "
-                "float64 in pandas (uncast HUGEINT/DOUBLE?) while "
-                "Spark declares an integral type — the driver's "
+                f"{d_types[i]} (float64 in pandas) while Spark "
+                "declares an integral type — the driver's "
                 "stringified hash will mismatch ('1.0' vs '1'). Add "
                 "an explicit CAST(... AS BIGINT) in the oracle SQL.",
             )

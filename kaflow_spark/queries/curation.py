@@ -931,13 +931,13 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
         FROM documents),
     g AS (SELECT doc_id, source,
                  390 * (words // sentences)
-                 + 11800 * (syllables // words) - 15590 AS grade_bp
+                 + 11800 * (syllables // words) - 15590 AS grade_milli
           FROM c)
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(MIN(grade_bp) AS BIGINT) AS min_grade_bp,
-           CAST(MAX(grade_bp) AS BIGINT) AS max_grade_bp,
-           CAST(SUM(grade_bp) AS BIGINT) AS sum_grade_bp
+           CAST(MIN(grade_milli) AS BIGINT) AS min_grade_milli,
+           CAST(MAX(grade_milli) AS BIGINT) AS max_grade_milli,
+           CAST(SUM(grade_milli) AS BIGINT) AS sum_grade_milli
     FROM g GROUP BY source ORDER BY source
     """,
     doc="Per-source readability profile — Flesch-Kincaid-style grade "
@@ -953,17 +953,17 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
     tags=("curation", "text"),
 )
 def q142(spark: SparkSession, sf: str) -> DataFrame:
-    from kaflow_spark.functions.textstats import readability_grade_bp
+    from kaflow_spark.functions.textstats import readability_grade_milli
 
     d = load(spark, sf, "documents")
     return (
-        d.select("source", readability_grade_bp(F.col("text")).alias("g"))
+        d.select("source", readability_grade_milli(F.col("text")).alias("g"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.min("g").cast("bigint").alias("min_grade_bp"),
-            F.max("g").cast("bigint").alias("max_grade_bp"),
-            F.sum("g").cast("bigint").alias("sum_grade_bp"),
+            F.min("g").cast("bigint").alias("min_grade_milli"),
+            F.max("g").cast("bigint").alias("max_grade_milli"),
+            F.sum("g").cast("bigint").alias("sum_grade_milli"),
         )
         .orderBy("source")
     )

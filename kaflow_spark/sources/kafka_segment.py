@@ -84,7 +84,29 @@ def _parse_columns(options: dict) -> list[str] | None:
     return [n for n, _ in _ENVELOPE_FIELDS if n in want]
 
 
-def _rows(path: str, columns: list[str] | None = None) -> Iterator[tuple]:
+def _parse_corrupt(options: dict, columns: list[str] | None) -> str:
+    """Corruption policy for a reader. An explicit ``corrupt`` option
+    ("record" | "raise") wins. The default is "record" (torn tail ->
+    one CORRUPT_HEADER sentinel row that App.process_batch DLQ-routes)
+    — UNLESS the projection strips the ``headers`` column: then the
+    sentinel would surface as an unmarked (offset=-1, 1970) row inside
+    offset/lag audits, so the safe default flips to "raise"."""
+    raw = options.get("corrupt")
+    if raw is not None:
+        mode = str(raw).strip().lower()
+        if mode not in ("record", "raise"):
+            raise ValueError(
+                f"kafka_segment: corrupt option must be 'record' or "
+                f"'raise', got {raw!r}"
+            )
+        return mode
+    marker_visible = columns is None or "headers" in columns
+    return "record" if marker_visible else "raise"
+
+
+def _rows(
+    path: str, columns: list[str] | None = None, corrupt: str = "record"
+) -> Iterator[tuple]:
     """Decoded rows in envelope (or projected) column order. A
     metadata-only projection (no key/value/headers) walks record
     length prefixes without materializing payload bytes — the
@@ -95,9 +117,11 @@ def _rows(path: str, columns: list[str] | None = None) -> Iterator[tuple]:
     payload = columns is None or bool(set(columns) & _PAYLOAD_COLS)
     # corrupt="record": a torn tail becomes ONE sentinel envelope row
     # (CORRUPT_HEADER + raw bytes) that process_batch DLQ-routes,
-    # instead of an exception killing the whole batch/micro-batch
+    # instead of an exception killing the whole batch/micro-batch;
+    # corrupt="raise" fails fast (the default when the projection
+    # strips the headers marker — see _parse_corrupt)
     for topic, part, offset, ts_ms, tstype, key, value, headers in iter_segment(
-        path, payload=payload, corrupt="record"
+        path, payload=payload, corrupt=corrupt
     ):
         full = {
             "topic": topic,
@@ -147,6 +171,7 @@ class SegmentBatchReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.directory = options["path"]
         self.columns = _parse_columns(options)
+        self.corrupt = _parse_corrupt(options, self.columns)
         self._topics: set[str] | None = None
 
     def pushFilters(self, filters: list[Filter]) -> list[Filter]:
@@ -169,7 +194,7 @@ class SegmentBatchReader(DataSourceReader):
     def read(self, partition: SegmentPartition) -> Iterator[tuple]:
         if not partition.path:
             return iter(())
-        return _rows(partition.path, self.columns)
+        return _rows(partition.path, self.columns, self.corrupt)
 
 
 class SegmentStreamReader(DataSourceStreamReader):
@@ -183,6 +208,7 @@ class SegmentStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.directory = options["path"]
         self.columns = _parse_columns(options)
+        self.corrupt = _parse_corrupt(options, self.columns)
 
     def initialOffset(self) -> dict:
         return {"idx": 0}
@@ -197,7 +223,7 @@ class SegmentStreamReader(DataSourceStreamReader):
     def read(self, partition: SegmentPartition) -> Iterator[tuple]:
         if not partition.path:
             return iter(())
-        return _rows(partition.path, self.columns)
+        return _rows(partition.path, self.columns, self.corrupt)
 
     def commit(self, end: dict) -> None:
         pass  # archives are immutable; nothing to clean up
@@ -302,15 +328,26 @@ def register(spark: Any) -> None:
     spark.dataSource.register(KafkaSegmentDataSource)
 
 
-def read_segments(spark: Any, directory: str, columns: Sequence[str] | None = None):
+def read_segments(
+    spark: Any,
+    directory: str,
+    columns: Sequence[str] | None = None,
+    corrupt: str | None = None,
+):
     """Batch envelope frame from a segment archive. ``columns``
     projects at the SOURCE (canonical envelope order): a metadata-only
     projection never materializes key/value/header bytes — use it for
-    offset/lag audits over large archives."""
+    offset/lag audits over large archives. ``corrupt`` sets the torn-
+    tail policy ("record" = DLQ-routable sentinel row, "raise" = fail
+    fast); the default is "record" for full-envelope reads and "raise"
+    when the projection strips the ``headers`` marker column (see
+    `_parse_corrupt`)."""
     register(spark)
     r = spark.read.format("kafka_segment").option("path", directory)
     if columns is not None:
         r = r.option("columns", ",".join(columns))
+    if corrupt is not None:
+        r = r.option("corrupt", corrupt)
     return r.load()
 
 

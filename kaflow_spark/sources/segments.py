@@ -114,14 +114,6 @@ def read_header(path: str) -> tuple[str, int, int]:
         return topic, partition, f.tell()
 
 
-def _read_sized(buf: bytes, pos: int) -> tuple[bytes | None, int]:
-    (n,) = _I32.unpack_from(buf, pos)
-    pos += 4
-    if n < 0:
-        return None, pos
-    return buf[pos : pos + n], pos + n
-
-
 # header key marking a corruption-sentinel record (iter_segment
 # corrupt="record" mode); App.process_batch routes rows carrying it
 # straight to the DLQ without dispatching a handler

@@ -77,16 +77,16 @@ def test_vector_math(spark):
 
 def test_readability_grade_hand_example(spark):
     """'The cat sat. It ran far.' — 6 words, 2 sentences, 6 vowel
-    groups: grade_bp = 390*(6//2) + 11800*(6//6) - 15590 = -2620
+    groups: grade_milli = 390*(6//2) + 11800*(6//6) - 15590 = -2620
     (grade x1000 ≈ -2.62, i.e. trivially easy text — matches the
     float FK formula's 0.39*3 + 11.8*1 - 15.59 = -2.62)."""
     from pyspark.sql import functions as F
-    from kaflow_spark.functions.textstats import readability_grade_bp
+    from kaflow_spark.functions.textstats import readability_grade_milli
 
     df = spark.createDataFrame(
         [("The cat sat. It ran far.",), ("",)], "text string"
     )
-    out = [r["g"] for r in df.select(readability_grade_bp("text").alias("g")).collect()]
+    out = [r["g"] for r in df.select(readability_grade_milli("text").alias("g")).collect()]
     assert out[0] == 390 * 3 + 11800 * 1 - 15590
     assert out[0] == -2620
     # empty text: words=sentences=1 (floors), syllables=0

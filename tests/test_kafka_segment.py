@@ -341,3 +341,45 @@ def test_corrupt_tail_routes_to_dlq(spark, tmp_path):
     assert "truncated" in bad[0]["error"] or "overruns" in bad[0]["error"]
     assert bad[0]["offset"] == -1
     assert bad[0]["value"] is not None  # raw tail kept for forensics
+
+
+def test_corrupt_policy_defaults(spark, tmp_path):
+    """Torn-tail policy defaults: a full-envelope read records the
+    corruption as a marked sentinel row (headers carry the marker), a
+    metadata-only projection that strips the headers column FAILS FAST
+    instead of smuggling an unmarked (offset=-1, 1970) row into
+    offset/lag audits, and an explicit corrupt= option overrides both
+    defaults."""
+    import os
+
+    from kaflow_spark.sources.segments import CORRUPT_HEADER
+
+    d = str(tmp_path / "seg")
+    os.makedirs(d)
+    p = f"{d}/t-0-00000.seg"
+    write_segment(p, "t", 0, list(_recs("t", 3)))
+    raw = open(p, "rb").read()
+    open(p, "wb").write(raw[:-5])  # tear the last record mid-payload
+
+    # full envelope: default "record" -> marked sentinel, no exception
+    rows = read_segments(spark, d).collect()
+    sentinels = [
+        r for r in rows if r["headers"] and r["headers"][0]["key"] == CORRUPT_HEADER
+    ]
+    assert len(sentinels) == 1 and sentinels[0]["offset"] == -1
+
+    # metadata-only projection (marker column stripped): default flips
+    # to "raise" — the audit never sees a fake 1970 row
+    with pytest.raises(Exception, match="corrupt"):
+        read_segments(spark, d, columns=["topic", "offset"]).collect()
+
+    # explicit override wins in both directions
+    got = read_segments(spark, d, columns=["topic", "offset"], corrupt="record")
+    offs = sorted(r["offset"] for r in got.collect())
+    assert offs == [-1, 0, 1]  # sentinel visible but CALLER opted in
+    with pytest.raises(Exception, match="corrupt"):
+        read_segments(spark, d, corrupt="raise").collect()
+
+    # bad option value is rejected at plan time
+    with pytest.raises(Exception, match="record"):
+        read_segments(spark, d, corrupt="ignore").collect()
