@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from kaflow_spark.operators.dedup import char_shingles
+from kaflow_spark.operators.dedup import char_shingle_pairs128, ensure_map_last_win
 
 
 def contamination_overlaps(
@@ -44,22 +44,37 @@ def contamination_overlaps(
     broadcast and the corpus side never shuffles — the per-executor
     hash join streams corpus grams past the in-memory benchmark gram
     table, and only the matched (doc, bench) pairs reach the
-    (partial-agg'd) groupBy. Grams are xxhash64 hashes, 8 bytes each;
-    the overlap COUNT is hash-invariant, which is what lets a
-    string-gram oracle attest this plan exactly.
+    (partial-agg'd) groupBy. Grams are 128-bit two-seed xxhash64
+    identities (16 bytes); the overlap COUNT is hash-invariant, which
+    is what lets a string-gram oracle attest this plan exactly.
     """
-    dg = docs.select(
-        F.col(id_col).alias("_did"),
-        F.explode(char_shingles(text_col, k)).alias("_g"),
+    # 128-bit two-seed gram identity: a 64-bit collision between a
+    # corpus gram and a benchmark gram would falsely DROP a document
+    # as contaminated — destructive, so the wider key is mandatory
+    # (expected false matches at 1e11 corpus x 1e7 bench grams is
+    # ~0.05 under 64 bits, <1e-15 under 128). The identity is carried
+    # as TWO long columns, never a struct key, and per-doc dedup is
+    # the O(n) map build — see char_shingle_pairs128 for the measured
+    # kernel-selection rationale.
+    ensure_map_last_win(docs)
+    dg = (
+        docs.select(
+            F.col(id_col).alias("_did"),
+            F.explode(char_shingle_pairs128(text_col, k)).alias("_g"),
+        )
+        .select("_did", F.col("_g.key").alias("_h1"), F.col("_g.value").alias("_h2"))
     )
-    bg = bench.select(
-        F.col(bench_id_col).alias("_bid"),
-        F.explode(char_shingles(bench_text_col, k)).alias("_g"),
+    bg = (
+        bench.select(
+            F.col(bench_id_col).alias("_bid"),
+            F.explode(char_shingle_pairs128(bench_text_col, k)).alias("_g"),
+        )
+        .select("_bid", F.col("_g.key").alias("_h1"), F.col("_g.value").alias("_h2"))
     )
     return (
-        dg.join(F.broadcast(bg), "_g")
-        # shingle arrays are distinct per doc, so plain COUNT counts
-        # distinct shared grams
+        dg.join(F.broadcast(bg), ["_h1", "_h2"])
+        # both sides are per-doc distinct, so plain COUNT counts
+        # distinct shared grams and partial-aggregates map-side
         .groupBy("_did", "_bid")
         .agg(F.count(F.lit(1)).alias("overlap"))
         .filter(F.col("overlap") >= F.lit(min_overlap))
@@ -1044,20 +1059,33 @@ def group_shingle_overlap(
     groups' distinct char-``k``-gram shingle sets — the corpus-overlap
     matrix a mixture audit runs before assigning sampling weights
     (q157). The (group, shingle-hash) frame contracts map-side via
-    DISTINCT partial aggregation; one equi-join on the 8-byte hash; a
+    DISTINCT partial aggregation; one equi-join on the 16-byte
+    two-seed hash identity (char_shingle_pairs128, two LONG columns); a
     shingle shared by f groups fans out f² rows with f bounded by the
     number of groups, so total work is linear in corpus size times a
     bounded constant. Returns (group_a, group_b, shared, jaccard_bp)
     for pairs sharing at least one shingle."""
     g = F.col(group_col)
-    tok = df.select(
-        g.alias("_grp"), F.explode(char_shingles(text_col, k)).alias("_h")
-    ).distinct()
+    # 128-bit two-seed shingle identity: the shared/jaccard counts are
+    # REPORTED numbers aggregated over every corpus shingle, so 64-bit
+    # birthday collisions would inflate them at ~1e11 distinct
+    # shingles (same class as the q96->q124 span-id fix). Carried as
+    # TWO long columns end-to-end; per-doc dedup is the O(n) map
+    # build (see char_shingle_pairs128 for kernel rationale).
+    ensure_map_last_win(df)
+    tok = (
+        df.select(
+            g.alias("_grp"),
+            F.explode(char_shingle_pairs128(text_col, k)).alias("_h"),
+        )
+        .select("_grp", F.col("_h.key").alias("_h1"), F.col("_h.value").alias("_h2"))
+        .distinct()
+    )
     n = tok.groupBy("_grp").agg(F.count("*").alias("_n"))
-    a = tok.select(F.col("_grp").alias("group_a"), "_h")
-    b = tok.select(F.col("_grp").alias("group_b"), "_h")
+    a = tok.select(F.col("_grp").alias("group_a"), "_h1", "_h2")
+    b = tok.select(F.col("_grp").alias("group_b"), "_h1", "_h2")
     shared = (
-        a.join(b, "_h")
+        a.join(b, ["_h1", "_h2"])
         .filter(F.col("group_a") < F.col("group_b"))
         .groupBy("group_a", "group_b")
         .agg(F.count("*").alias("shared"))

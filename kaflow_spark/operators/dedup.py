@@ -241,6 +241,70 @@ def char_shingles(text_col: str, k: int = 5) -> F.Column:
     )
 
 
+def char_shingle_pairs128(text_col: str, k: int = 5) -> F.Column:
+    """Per-document-distinct character k-shingles as 128-bit TWO-SEED
+    identities: ``array<struct<key,value>>`` of (h1, h2) xxhash64
+    pairs (seed 42 default and seed 1). Use this instead of
+    :func:`char_shingles` wherever hash EQUALITY is aggregated into a
+    *reported number* across the whole corpus (q157's overlap matrix,
+    contamination screens): at ~1e11 distinct corpus shingles, 64-bit
+    birthday collisions measurably inflate intersection counts, while
+    a 128-bit identity pushes the collision expectation below 1e-15.
+    Same two-seed pattern as the q96/q124 span identities
+    (duplicated_spans above).
+
+    Execution shape (every step measured at sf0.1 — final form runs
+    at the 64-bit char_shingles baseline, ~2.3s vs 2.1s on the q68
+    explode):
+    - Spark's specialized (hash-set) ArrayDistinct/array kernels only
+      cover PRIMITIVE element types, so a struct-element
+      ``array_distinct`` (quadratic generic path, 3-5x slowdown) and
+      ``array_sort``+adjacent-filter (struct comparators, ~2x) are
+      both out. Dedup instead rides ``map_from_entries`` — an O(n)
+      hash build keyed on the LONG h1.
+    - The gram substring is extracted ONCE per position (inner
+      transform is the outer transform's INPUT, so it evaluates once
+      — not a captured reference, which would re-evaluate per
+      element, trap 1); hashing the ready string twice is cheap,
+      extracting it twice was the measured 2x (double-substr variant:
+      3.3s vs 1.8s single-seed).
+    - Dedup is by h1 alone: a within-doc h1 collision drops one gram,
+      expectation ~n_doc^2/2^64 per doc (~3e-5 documents corpus-wide
+      at 1e4-gram docs x 1e7 docs) — five orders below the
+      corpus-wide birthday inflation this function exists to kill,
+      and deterministic (LAST_WIN keeps the final occurrence).
+    - Requires ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (duplicate
+      keys are the POINT); callers set it via
+      :func:`ensure_map_last_win` — a runtime conf, safe to set
+      per-session at plan time.
+    - Per-doc dedup BEFORE any inverted-index join is load-bearing on
+      a repetitive corpus: positional grams fan a join out by the
+      occurrence-product per shared gram (measured 5x+ on q68).
+    Downstream joins should use the two LONG columns (``.key``,
+    ``.value`` projected out) rather than the struct, for the same
+    specialized-kernel reason."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
+    entries = F.transform(
+        grams,
+        lambda g: F.struct(
+            F.xxhash64(g).alias("key"), F.xxhash64(F.lit(1), g).alias("value")
+        ),
+    )
+    return F.map_entries(F.map_from_entries(entries))
+
+
+def ensure_map_last_win(df: DataFrame) -> None:
+    """Set ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` on the frame's
+    session — :func:`char_shingle_pairs128` builds maps whose
+    duplicate keys ARE the dedup mechanism. Runtime conf (plan-time
+    settable); the engine nowhere relies on the default EXCEPTION
+    policy (the only other map constructor, q65, uses distinct
+    literal keys)."""
+    df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+
+
 def _shingles_sql(text_col: str, k: int) -> str:
     t = f"`{text_col}`"
     return (

@@ -200,12 +200,14 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
     "which 'independent' crawls are actually the same corpus before "
     "sampling weights are assigned. Source grain, not doc grain: the "
     "(source, shingle-hash) frame contracts map-side via DISTINCT "
-    "partial aggregation, then one equi-join on the 8-byte hash; a "
+    "partial aggregation, then one equi-join on the 16-byte two-seed "
+    "hash identity; a "
     "shingle shared by f sources fans out f² rows with f bounded by "
     "|sources|, so total work is linear in corpus size times a "
     "bounded constant — no doc×doc pairs anywhere. Hash-set counts "
-    "equal string-set counts absent xxhash64 collisions (same "
-    "precedent as q41's verify stage; the oracle uses the strings).",
+    "equal string-set counts: the 128-bit two-seed identity "
+    "(char_shingles128) drops the collision expectation below 1e-15 "
+    "even at 1e11 corpus shingles (the oracle uses the strings).",
     tags=("curation", "dedup"),
 )
 def q157(spark: SparkSession, sf: str) -> DataFrame:

@@ -39,7 +39,16 @@ def streaming_contamination_flags(
     no watermark, no state store, and works in append mode. Cost per
     micro-batch is batch_docs x n_bench intersects, the right trade
     when the bench side is small; for huge benchmark suites run the
-    batch operator inside foreachBatch instead."""
+    batch operator inside foreachBatch instead.
+
+    Hash width: this screen stays on 64-bit shingles deliberately —
+    ``array_intersect`` only has a specialized (hash-set) kernel for
+    primitive element types, and the per-(doc, bench-item) collision
+    odds are bounded by doc_grams x bench_grams / 2^64 (~1e-13), not
+    the corpus-wide birthday aggregation that forced q157/q68 onto
+    char_shingles128. Final drop decisions should come from the batch
+    operator (contamination_overlaps), which carries the 128-bit
+    identity."""
     bench_arrays = bench.select(
         F.col(bench_id_col).alias("_bid"),
         char_shingles(bench_text_col, k).alias("_bg"),
