@@ -968,6 +968,69 @@ def minimizers(
     )
 
 
+def _hamming_banded(
+    df: DataFrame, id_col: str, key_col: str, max_dist: int
+) -> DataFrame:
+    """Shared two-level-pigeonhole banding for the Hamming family:
+    ``(_id, _k, _len, chunk, proj)`` with one row per (record,
+    blocking key). See :func:`hamming_pairs` for the recall proof."""
+    from itertools import product as _product
+
+    c = max_dist + 1
+    projs = [
+        F.expr(
+            f"array_join(filter(transform(sequence(1, length(_k)), i -> "
+            f"CASE WHEN (i - 1) % {c} = {j} OR ((i - 1) div {c}) % {c} = {k} "
+            f"THEN substring(_k, i, 1) END), x -> x IS NOT NULL), '')"
+        ).alias(f"_p{j}_{k}")
+        for j, k in _product(range(c), range(c))
+    ]
+    keyed = df.select(
+        F.col(id_col).alias("_id"), F.col(key_col).alias("_k")
+    ).select("_id", "_k", F.length("_k").alias("_len"), *projs)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j * c + k).alias("chunk"),
+                F.col(f"_p{j}_{k}").alias("proj"),
+            )
+            for j, k in _product(range(c), range(c))
+        ]
+    )
+    return keyed.select(
+        "_id", "_k", "_len", F.explode(chunk_structs).alias("b")
+    ).select("_id", "_k", "_len", "b.chunk", "b.proj")
+
+
+def hamming_capped_buckets(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    *,
+    max_dist: int = 1,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Side-channel for :func:`hamming_pairs`'s ``max_bucket`` guard:
+    every blocking bucket the cap WOULD drop, as ``(chunk, key_len,
+    proj, bucket_n)`` — the q168 skew-report idiom applied to the
+    Hamming blocker, so recall loss is observable instead of silent.
+
+    An empty result certifies recall 1 for the same (df, max_dist,
+    max_bucket) arguments; a non-empty one names the degenerate
+    cohorts (typically massive equal-key groups — pre-dedup those, or
+    raise the cap) before any pair they carry is silently dropped.
+    One groupBy over the banded frame — strictly cheaper than the
+    pair join it audits."""
+    banded = _hamming_banded(df, id_col, key_col, max_dist)
+    return (
+        banded.groupBy(
+            "chunk", F.col("_len").alias("key_len"), "proj"
+        )
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+    )
+
+
 def hamming_pairs(
     df: DataFrame,
     id_col: str,
@@ -1016,33 +1079,14 @@ def hamming_pairs(
     silent recall loss. Pairs colliding in several chunks dedupe
     through the final aggregate. Same-length only (Hamming);
     indel-tolerant matching needs the shifted-substring blocking of
-    the Levenshtein family — out of scope here and stated so."""
-    from itertools import product as _product
+    the Levenshtein family — out of scope here and stated so.
 
-    c = max_dist + 1
-    projs = [
-        F.expr(
-            f"array_join(filter(transform(sequence(1, length(_k)), i -> "
-            f"CASE WHEN (i - 1) % {c} = {j} OR ((i - 1) div {c}) % {c} = {k} "
-            f"THEN substring(_k, i, 1) END), x -> x IS NOT NULL), '')"
-        ).alias(f"_p{j}_{k}")
-        for j, k in _product(range(c), range(c))
-    ]
-    keyed = df.select(
-        F.col(id_col).alias("_id"), F.col(key_col).alias("_k")
-    ).select("_id", "_k", F.length("_k").alias("_len"), *projs)
-    chunk_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j * c + k).alias("chunk"),
-                F.col(f"_p{j}_{k}").alias("proj"),
-            )
-            for j, k in _product(range(c), range(c))
-        ]
-    )
-    banded = keyed.select(
-        "_id", "_k", "_len", F.explode(chunk_structs).alias("b")
-    ).select("_id", "_k", "_len", "b.chunk", "b.proj")
+    Silent-loss observability: :func:`hamming_capped_buckets` shares
+    this exact banding and REPORTS every bucket the cap would drop —
+    run it (or the q168 skew-report idiom it mirrors) whenever the
+    key distribution is untrusted, instead of discovering recall loss
+    downstream."""
+    banded = _hamming_banded(df, id_col, key_col, max_dist)
     counted = banded.withColumn(
         "_bn", F.count(F.lit(1)).over(Window.partitionBy("chunk", "_len", "proj"))
     ).filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket))

@@ -193,3 +193,33 @@ def composite_er_pairs(
         .otherwise(F.lit("amount"))
         .alias("path"),
     )
+
+
+def er_name_blocking_audit(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    *,
+    max_dist: int = 1,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Pre-flight audit for the name path of ER blocking (q146's
+    Hamming blocker, q169's name disjunct): every blocking bucket the
+    ``max_bucket`` guard would DROP, via
+    :func:`~kaflow_spark.operators.dedup.hamming_capped_buckets`.
+    Empty result = recall 1 certified for the same arguments;
+    non-empty rows name the degenerate cohorts (massive equal-name
+    groups, zero-padded codes) to pre-dedup or re-cap BEFORE pairs
+    are silently lost. Mirrors q168's join-skew report idiom."""
+    from kaflow_spark.operators.dedup import hamming_capped_buckets
+
+    return hamming_capped_buckets(
+        df.select(
+            F.col(id_col).cast("bigint").alias("_id"),
+            F.col(name_col).alias("_nm"),
+        ),
+        "_id",
+        "_nm",
+        max_dist=max_dist,
+        max_bucket=max_bucket,
+    )

@@ -763,3 +763,48 @@ def test_minimizers_tail_window_guarantee(spark):
     g2 = {r["gram"] for r in sel if r["id"] == 2}
     assert "abc" in g1  # the tail window's true minimum is selected
     assert g1 & g2, f"no shared fingerprint: {g1} vs {g2}"
+
+
+def test_hamming_capped_buckets_observable_loss(spark):
+    """A degenerate equal-key cohort larger than max_bucket: the pair
+    join silently drops its pairs (documented cap behavior), and the
+    capped-bucket side channel REPORTS exactly those buckets, so the
+    loss is observable instead of silent. A healthy cohort under the
+    cap reports nothing and keeps recall 1."""
+    from kaflow_spark.operators.dedup import (
+        hamming_capped_buckets,
+        hamming_pairs,
+    )
+    from kaflow_spark.operators.resolution import er_name_blocking_audit
+
+    degenerate = [(i, "SAME-KEY") for i in range(1, 8)]  # 7 equal keys
+    healthy = [(100, "KEY-0001"), (101, "KEY-0002")]
+    df = spark.createDataFrame(degenerate + healthy, "id bigint, key string")
+
+    # cap below the cohort: its pairs vanish from the join output...
+    pairs = hamming_pairs(df, "id", "key", max_dist=1, max_bucket=5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(100, 101)}  # 21 SAME-KEY pairs silently dropped
+
+    # ...and the side channel names every bucket the cap dropped:
+    # all (d+1)^2 = 4 blocking keys of the 7-row cohort exceed 5
+    capped = hamming_capped_buckets(
+        df, "id", "key", max_dist=1, max_bucket=5
+    ).collect()
+    assert len(capped) == 4
+    assert all(r["bucket_n"] == 7 and r["key_len"] == 8 for r in capped)
+
+    # the ER-surface wrapper sees the same report
+    audit = er_name_blocking_audit(
+        df, "id", "key", max_dist=1, max_bucket=5
+    ).collect()
+    assert {(r["chunk"], r["proj"]) for r in audit} == {
+        (r["chunk"], r["proj"]) for r in capped
+    }
+
+    # under a sufficient cap: empty report certifies recall 1
+    assert (
+        hamming_capped_buckets(df, "id", "key", max_dist=1).count() == 0
+    )
+    full = hamming_pairs(df, "id", "key", max_dist=1)
+    assert full.filter("hamming = 0").count() == 21  # all cohort pairs back
