@@ -298,6 +298,76 @@ HEADLINERS: dict[str, str] = {
 }
 
 
+_CBO_SHAPES = {
+    "q103 shape (TPC-H Q7, worst-first text order)": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+FROM lineitem_st
+JOIN orders_st   ON l_orderkey = o_orderkey
+JOIN customer_st ON c_custkey = o_custkey
+JOIN supplier_st ON s_suppkey = l_suppkey
+JOIN nation_st n1 ON s_nationkey = n1.n_nationkey
+JOIN nation_st n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    "q115 shape (TPC-H Q9, selective part filter written last)": """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS profit
+FROM lineitem_st
+JOIN orders_st ON o_orderkey = l_orderkey
+JOIN supplier_st ON s_suppkey = l_suppkey
+JOIN nation_st ON s_nationkey = n_nationkey
+JOIN part_st ON p_partkey = l_partkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+""",
+}
+
+
+def cbo_section(spark, sf_dir: str) -> list[str]:
+    """Optimized join chains for two declared-query shapes with CBO
+    stats absent vs present (tests/test_cbo.py asserts the same
+    inversions; this records WHAT moves for a reviewer)."""
+    from kaflow_spark.catalog import register_tables_with_stats
+
+    register_tables_with_stats(
+        spark,
+        sf_dir,
+        ("region", "nation", "customer", "supplier", "orders", "lineitem", "part"),
+    )
+    out = [
+        "## CBO: stats-driven join reorder (q103/q115 shapes)",
+        "",
+        "The declared q103/q115 plans hand-stage prune-the-fact-first",
+        "with broadcast hints; with external-table column stats",
+        "(`catalog.register_tables_with_stats`) and",
+        "`spark.sql.cbo.joinReorder.enabled`, Catalyst derives the same",
+        "staging from statistics alone. Below: the optimized plan's",
+        "`Join Inner` chain (top = applied last) for each shape written",
+        "in its WORST order, stats absent vs present.",
+        "",
+    ]
+    for title, q in _CBO_SHAPES.items():
+        out += [f"### {title}", ""]
+        for flag, label in (("false", "stats ignored (cbo off)"),
+                            ("true", "stats used (cbo on)")):
+            spark.conf.set("spark.sql.cbo.enabled", flag)
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", flag)
+            plan = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+            joins = [
+                ln.strip()[:100]
+                for ln in plan.splitlines()
+                if "Join Inner" in ln
+            ]
+            out += [f"**{label}**", "", "```"] + joins + ["```", ""]
+        spark.conf.unset("spark.sql.cbo.enabled")
+        spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("dump-plans")
@@ -315,6 +385,7 @@ def main() -> None:
         df = REGISTRY[name].spark(spark, sf_dir)
         txt = explain_str(df)
         out += [f"## {name}", "", note, "", "```", txt.strip(), "```", ""]
+    out += cbo_section(spark, sf_dir)
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
     print(f"wrote PLANS.md ({len(HEADLINERS)} plans)")
