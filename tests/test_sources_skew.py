@@ -113,3 +113,58 @@ def test_text_source_lines_and_wholetext(spark, tmp_path):
     whole = read_text(spark, str(p), whole_text=True)
     texts = sorted(r["value"] for r in whole.collect())
     assert len(texts) == 2 and texts[0].startswith("line one")
+
+
+def test_aqe_splits_diagnosed_skewed_partition(spark):
+    """q168 diagnoses heavy join keys; this demonstrates the remediation
+    AQE applies when the diagnosed key is joined: the hot key's
+    oversized shuffle partition is split across multiple reader tasks
+    (``SortMergeJoin(skew=true)`` + ``AQEShuffleRead ... skewed``) —
+    the engine-level counterpart to the hand-salting operators
+    (q61/q62), which remain for the cases AQE can't split (skewed
+    aggregation, non-SMJ joins)."""
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions",
+    )
+    keep = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in zip(keys, ("2", "64KB", "32KB", "-1", "8")):
+            spark.conf.set(k, v)
+        # One hot key carries ~83% of the fact side; incompressible pad
+        # so shuffle-byte stats (what AQE's detector reads) see the skew.
+        pad = F.concat(
+            *[
+                F.sha2(F.concat(F.col("id").cast("string"), F.lit(i)), 256)
+                for i in range(4)
+            ]
+        )
+        fact = spark.range(0, 60000).select(
+            F.when(F.col("id") < 50000, F.lit(1)).otherwise(F.col("id")).alias("k"),
+            pad.alias("pad"),
+        )
+        # the q168 diagnostic flags the hot key first
+        hist = key_histogram(fact, "k", top=1).collect()
+        assert hist[0]["k"] == 1 and hist[0]["share"] > 0.8
+        dim = spark.range(0, 60000).select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad2"),
+        )
+        agg = (
+            fact.join(dim, "k")
+            .agg(F.sum(F.length("pad")).alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        [row] = agg.collect()
+        assert row["n"] == 60000  # dim keys unique: join preserves fact rows
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead" in plan and "skewed" in plan, plan
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
