@@ -3,10 +3,12 @@
 The reference processes one record fully (including an acked produce)
 before consuming the next — O(10^2-10^3) rec/s per instance (SURVEY
 §6). This probe pushes N synthetic envelope records through the
-engine's three handler shapes and reports rec/s. Appends results to
+engine's three handler shapes and reports rec/s, at one or more
+record volumes (so per-batch fixed overhead is visible separately
+from steady-state throughput). Appends ONE consolidated table to
 SCALING.md.
 
-    python tools/throughput_probe.py [n_records]
+    python tools/throughput_probe.py [n_records ...]   # default 100000 1000000
 """
 
 from __future__ import annotations
@@ -24,7 +26,6 @@ from pydantic import BaseModel
 from pyspark.sql import functions as F
 
 from kaflow_spark import App, FromValue, Json, Message, get_spark
-from kaflow_spark.message import ENVELOPE_DDL
 
 
 class Click(BaseModel):
@@ -59,31 +60,15 @@ def build_envelope(spark, n: int):
     )
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    spark = get_spark("throughput-probe")
-    spark.sparkContext.setLogLevel("ERROR")
-    env = build_envelope(spark, n).persist()
-    env.count()  # materialize input so probes measure processing only
-
-    results: dict[str, float] = {}
-
-    def run(name: str, app: App) -> None:
-        out, dlq = app.process_batch(env)
-        t0 = time.perf_counter()
-        out.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        results[name] = n / dt
-        print(f"{name}: {n / dt:,.0f} rec/s ({dt:.1f}s)", flush=True)
-
+def build_apps() -> list[tuple[str, App]]:
     # 1) per-record python handler (the reference's model, batched)
     app1 = App()
 
     @app1.consume(topic="clicks", sink_topics=("out",))
     def handler(click: FromValue[Json[Click]]) -> Message:
-        return Message(value=json.dumps({"u": click.user_id, "n2": click.n * 2}).encode())
-
-    run("record_handler (mapInPandas, pydantic-validated)", app1)
+        return Message(
+            value=json.dumps({"u": click.user_id, "n2": click.n * 2}).encode()
+        )
 
     # 2) vectorized batch handler
     app2 = App()
@@ -92,8 +77,6 @@ def main() -> None:
     def vhandler(pdf: pd.DataFrame) -> pd.DataFrame:
         vals = pdf["value"].map(lambda v: {"u": v["user_id"], "n2": v["n"] * 2})
         return pd.DataFrame({"value": vals})
-
-    run("batch_handler (consume_batches)", app2)
 
     # 3) declarative JVM transform (the 100 TB-preferred surface)
     app3 = App()
@@ -106,18 +89,52 @@ def main() -> None:
             ).alias("value")
         )
 
-    run("jvm_transform (from_json/to_json, zero python)", app3)
+    return [
+        ("record_handler (mapInPandas, pydantic-validated)", app1),
+        ("batch_handler (consume_batches)", app2),
+        ("jvm_transform (from_json/to_json, zero python)", app3),
+    ]
 
+
+def main() -> None:
+    volumes = [int(a) for a in sys.argv[1:]] or [100_000, 1_000_000]
+    spark = get_spark("throughput-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    apps = build_apps()
+    # results[name][n] = rec/s (best of 2 — same discipline as the
+    # operator scaling probe: co-tenant spikes otherwise dominate)
+    results: dict[str, dict[int, float]] = {name: {} for name, _ in apps}
+
+    for n in volumes:
+        env = build_envelope(spark, n).persist()
+        env.count()  # materialize input so probes measure processing only
+        for name, app in apps:
+            out, _dlq = app.process_batch(env)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            results[name][n] = n / best
+            print(f"n={n:,} {name}: {n / best:,.0f} rec/s ({best:.1f}s)", flush=True)
+        env.unpersist()
+
+    header = " | ".join(f"{n:,} recs" for n in volumes)
     with open("SCALING.md", "a") as f:
         f.write(
             "\n## App-surface throughput (single node, local[32], "
-            f"{n:,} records)\n\n"
+            "rec/s, best-of-2)\n\n"
             "Reference architectural ceiling: one record fully processed "
             "(incl. acked produce) before the next — O(10^2-10^3) rec/s "
-            "(SURVEY §6).\n\n| handler shape | rec/s |\n|---|---|\n"
+            "(SURVEY §6). Small volumes are dominated by per-batch fixed "
+            "cost (job scheduling, python-worker spin-up on the Arrow "
+            "paths); the larger volume is the steady-state number.\n\n"
+            f"| handler shape | {header} |\n|---|{'---|' * len(volumes)}\n"
         )
-        for k, v in results.items():
-            f.write(f"| {k} | {v:,.0f} |\n")
+        for name, per_n in results.items():
+            cells = " | ".join(f"{per_n[n]:,.0f}" for n in volumes)
+            f.write(f"| {name} | {cells} |\n")
     print("appended to SCALING.md")
     spark.stop()
 
