@@ -12,6 +12,11 @@ Scale design:
   only the few-byte per-file headers for planning);
 - topic-equality/IN pushdown skips whole files at planning time
   (`pushFilters`), the custom-source analog of partition pruning;
+- offset/timestamp range predicates skip files whose sidecar min/max
+  index (`segments.write_index` — the analog of a Kafka segment's
+  .index/.timeindex) proves no overlap; the predicates stay in the
+  plan for row-level re-application, exactly like parquet row-group
+  pruning;
 - streaming offsets are {"idx": N} over the lexicographically sorted
   file list: append-only archives advance the index, a restart resumes
   from the checkpointed index, and `readBetweenOffsets` re-reads an
@@ -32,14 +37,23 @@ from pyspark.sql.datasource import (
     DataSourceWriter,
     EqualTo,
     Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
 from kaflow_spark.message import ENVELOPE_DDL
-from kaflow_spark.sources.segments import iter_segment, list_segments, read_header
+from kaflow_spark.sources.segments import (
+    iter_segment,
+    list_segments,
+    read_header,
+    read_index,
+)
 
 
 def _ts(ms: int) -> _dt.datetime:
@@ -167,17 +181,113 @@ def _topics_from_filters(filters: Sequence[Filter]) -> set[str] | None:
     return allowed
 
 
+def _to_ms_floor(v: Any) -> int:
+    """Filter literal -> ms-since-epoch, rounded DOWN (conservative
+    lower bound). Naive datetimes are session-TZ UTC."""
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        us = int(v.timestamp() * 1_000_000)
+        return us // 1000
+    return int(v)
+
+
+def _to_ms_ceil(v: Any) -> int:
+    """Filter literal -> ms-since-epoch, rounded UP (conservative
+    upper bound)."""
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        us = int(v.timestamp() * 1_000_000)
+        return -((-us) // 1000)
+    return int(v)
+
+
+def _bounds_from_filters(
+    filters: Sequence[Filter],
+) -> dict[str, tuple[int | None, int | None]]:
+    """Conservative inclusive (lo, hi) bounds per range column
+    ("offset" in record units, "timestamp" in ms) implied by the
+    pushed filters. Used ONLY to skip whole segment files whose
+    sidecar min/max range cannot overlap — Spark re-applies the
+    predicates row-level, so widening is always safe and timestamp
+    literals are floor/ceil'd to the sidecar's ms grain."""
+    bounds: dict[str, tuple[int | None, int | None]] = {}
+    for f in filters:
+        if not isinstance(
+            f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+        ):
+            continue
+        if f.attribute == ("offset",):
+            col, is_ts = "offset", False
+        elif f.attribute == ("timestamp",):
+            col, is_ts = "timestamp", True
+        else:
+            continue
+        if not isinstance(f.value, (int, _dt.datetime)):
+            continue  # unexpected literal type: never skip on it
+        lo, hi = bounds.get(col, (None, None))
+        if isinstance(f, EqualTo):
+            flo = _to_ms_floor(f.value) if is_ts else int(f.value)
+            fhi = _to_ms_ceil(f.value) if is_ts else int(f.value)
+            lo = flo if lo is None else max(lo, flo)
+            hi = fhi if hi is None else min(hi, fhi)
+        elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+            flo = _to_ms_floor(f.value) if is_ts else int(f.value)
+            if isinstance(f, GreaterThan) and not is_ts:
+                flo += 1  # exact for integer offsets; ts stays widened
+            lo = flo if lo is None else max(lo, flo)
+        else:  # LessThan / LessThanOrEqual
+            fhi = _to_ms_ceil(f.value) if is_ts else int(f.value)
+            if isinstance(f, LessThan) and not is_ts:
+                fhi -= 1
+            hi = fhi if hi is None else min(hi, fhi)
+        bounds[col] = (lo, hi)
+    return bounds
+
+
+def _index_overlaps(
+    idx: tuple[int, int, int, int, int] | None,
+    bounds: dict[str, tuple[int | None, int | None]],
+) -> bool:
+    """False only when the sidecar PROVES no record can match. A
+    missing sidecar (idx None) always overlaps."""
+    if idx is None:
+        return True
+    min_off, max_off, min_ts, max_ts, _n = idx
+    for col, (file_lo, file_hi) in (
+        ("offset", (min_off, max_off)),
+        ("timestamp", (min_ts, max_ts)),
+    ):
+        lo, hi = bounds.get(col, (None, None))
+        if lo is None and hi is None:
+            continue
+        if file_lo > file_hi:
+            return False  # empty segment: nothing can match a bound
+        if lo is not None and file_hi < lo:
+            return False
+        if hi is not None and file_lo > hi:
+            return False
+    return True
+
+
 class SegmentBatchReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.directory = options["path"]
         self.columns = _parse_columns(options)
         self.corrupt = _parse_corrupt(options, self.columns)
         self._topics: set[str] | None = None
+        self._bounds: dict[str, tuple[int | None, int | None]] = {}
 
     def pushFilters(self, filters: list[Filter]) -> list[Filter]:
         self._topics = _topics_from_filters(filters)
+        self._bounds = _bounds_from_filters(filters)
         # topic-equality/IN filters are fully absorbed (file skipping in
-        # partitions()); everything else stays in Spark's plan.
+        # partitions()). offset/timestamp range filters are absorbed
+        # PARTIALLY — they skip non-overlapping files via the sidecar
+        # min/max index (parquet row-group pruning, one level up) but
+        # stay in the returned list so Spark re-applies them row-level
+        # inside kept files. Everything else stays in Spark's plan.
         return [
             f
             for f in filters
@@ -188,6 +298,8 @@ class SegmentBatchReader(DataSourceReader):
         paths = list_segments(self.directory)
         if self._topics is not None:
             paths = [p for p in paths if read_header(p)[0] in self._topics]
+        if self._bounds:
+            paths = [p for p in paths if _index_overlaps(read_index(p), self._bounds)]
         # empty archives still need one no-op partition
         return [SegmentPartition(p) for p in paths] or [SegmentPartition("")]
 
@@ -292,10 +404,11 @@ class SegmentWriter(DataSourceWriter):
             if m is None:
                 continue
             for p in m.paths:
-                try:
-                    os.remove(p)
-                except OSError:
-                    pass
+                for victim in (p, p + ".idx"):
+                    try:
+                        os.remove(victim)
+                    except OSError:
+                        pass
 
 
 class KafkaSegmentDataSource(DataSource):

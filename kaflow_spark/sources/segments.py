@@ -81,6 +81,7 @@ def write_segment(
     """
     n = 0
     tb = topic.encode("utf-8")
+    min_off = min_ts = max_off = max_ts = None
     with open(path, "wb") as f:
         f.write(MAGIC)
         f.write(_U16.pack(len(tb)))
@@ -98,7 +99,70 @@ def write_segment(
                 )
             )
             n += 1
+            off, ts = r["offset"], r["ts_ms"]
+            min_off = off if min_off is None else min(min_off, off)
+            max_off = off if max_off is None else max(max_off, off)
+            min_ts = ts if min_ts is None else min(min_ts, ts)
+            max_ts = ts if max_ts is None else max(max_ts, ts)
+    write_index(path, min_off, max_off, min_ts, max_ts, n)
     return n
+
+
+# Sidecar min/max index — the analog of a Kafka segment's .index/
+# .timeindex companions: a fixed-size stats file written next to each
+# segment so a bounded replay (offset >= N, timestamp between ...)
+# can skip whole non-overlapping files at PLANNING time, reading a
+# handful of bytes per file instead of the file. Advisory only: a
+# missing/torn sidecar disables skipping for that file (never
+# correctness), and Spark re-applies the range predicates row-level.
+INDEX_MAGIC = b"KIDX1\x00"
+INDEX_SUFFIX = ".idx"
+_IDX = struct.Struct(">qqqqq")  # min_offset, max_offset, min_ts, max_ts, n
+
+
+def index_path(path: str) -> str:
+    return path + INDEX_SUFFIX
+
+
+def write_index(
+    path: str,
+    min_off: int | None,
+    max_off: int | None,
+    min_ts: int | None,
+    max_ts: int | None,
+    n: int,
+) -> None:
+    """Write the sidecar stats file for the segment at ``path``. An
+    empty segment records an inverted (0, -1) range, so bounded reads
+    skip it outright."""
+    with open(index_path(path), "wb") as f:
+        f.write(INDEX_MAGIC)
+        f.write(
+            _IDX.pack(
+                min_off if min_off is not None else 0,
+                max_off if max_off is not None else -1,
+                min_ts if min_ts is not None else 0,
+                max_ts if max_ts is not None else -1,
+                n,
+            )
+        )
+
+
+def read_index(path: str) -> tuple[int, int, int, int, int] | None:
+    """(min_offset, max_offset, min_ts_ms, max_ts_ms, n) for the
+    segment at ``path`` (NOT the sidecar path), or None when the
+    sidecar is absent or unreadable — callers must then treat the
+    file as possibly-overlapping (no skip)."""
+    try:
+        with open(index_path(path), "rb") as f:
+            if f.read(len(INDEX_MAGIC)) != INDEX_MAGIC:
+                return None
+            raw = f.read(_IDX.size)
+            if len(raw) != _IDX.size:
+                return None
+            return _IDX.unpack(raw)
+    except OSError:
+        return None
 
 
 def read_header(path: str) -> tuple[str, int, int]:

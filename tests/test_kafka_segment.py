@@ -94,11 +94,64 @@ def test_topic_pushdown_skips_files(archive):
     r2.pushFilters([In(("topic",), ("clicks", "nope"))])  # In.value is the tuple
     assert len(r2.partitions()) == 2
 
-    # non-topic filters are returned to Spark untouched
+    # offset/timestamp filters are returned to Spark for row-level
+    # re-application (partial absorption: they also skip files via the
+    # sidecar index — see the dedicated tests below)
     r3 = SegmentBatchReader({"path": archive})
     keep = r3.pushFilters([EqualTo(("offset",), 1)])
     assert len(keep) == 1
-    assert len(r3.partitions()) == 3
+    # offset 1 exists in a-0-000 (0-4) and b-0-000 (0-3); a-0-001 (5-7)
+    # is proven non-overlapping by its sidecar and skipped
+    assert len(r3.partitions()) == 2
+
+
+def test_offset_pushdown_skips_files(archive):
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    r = SegmentBatchReader({"path": archive})
+    keep = r.pushFilters([GreaterThanOrEqual(("offset",), 5)])
+    assert len(keep) == 1  # stays in Spark's plan for row-level filtering
+    parts = r.partitions()
+    # only a-0-001 holds offsets >= 5 (sidecar ranges: 0-4, 5-7, 0-3)
+    assert len(parts) == 1 and parts[0].path.endswith("a-0-001.seg")
+
+
+def test_timestamp_pushdown_skips_files(archive):
+    import datetime as dt
+
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    # records carry ts_ms = 1_700_000_000_000 + i*1000 with i
+    # restarting per file: a-0-000 spans +0..4s, a-0-001 +0..2s,
+    # b-0-000 +0..3s — a cut at +4s proves only a-0-000 overlaps
+    cut = dt.datetime.fromtimestamp(1_700_000_004, tz=dt.timezone.utc)
+    r = SegmentBatchReader({"path": archive})
+    r.pushFilters([GreaterThanOrEqual(("timestamp",), cut)])
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].path.endswith("a-0-000.seg")
+
+
+def test_bounded_replay_missing_sidecar_never_skips(archive):
+    import os
+
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    # strip one non-overlapping file's sidecar: skipping must be
+    # disabled for THAT file (advisory index, never correctness)
+    os.remove(os.path.join(archive, "a-0-000.seg.idx"))
+    r = SegmentBatchReader({"path": archive})
+    r.pushFilters([GreaterThanOrEqual(("offset",), 5)])
+    kept = sorted(p.path.rsplit("/", 1)[-1] for p in r.partitions())
+    assert kept == ["a-0-000.seg", "a-0-001.seg"]
+
+
+def test_bounded_replay_end_to_end(spark, archive):
+    # bounded replay: rows are exact AND the scan planned only the
+    # overlapping segment (asserted at reader level above)
+    df = read_segments(spark, archive).filter(
+        (F.col("topic") == "clicks") & (F.col("offset") >= 5) & (F.col("offset") < 7)
+    )
+    assert [r["offset"] for r in df.orderBy("offset").collect()] == [5, 6]
 
 
 def test_batch_filter_end_to_end(spark, archive):
