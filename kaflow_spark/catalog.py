@@ -27,6 +27,29 @@ TABLES: tuple[str, ...] = (
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
+# Per-session DataFrame cache: a load() is ~70-100 ms of driver-side
+# footer/schema reads, and a full bench pass issues hundreds of them
+# over the same immutable fixture tables — ~20 s/pass of pure setup.
+# DataFrames are immutable lazy plans, so handing every caller the
+# same object is semantically identical; the key is the session
+# OBJECT (weak), so a stopped/replaced session can never serve a
+# stale JVM handle. Values reference their key session, which keeps
+# an entry alive until interpreter exit — bounded by tables x
+# sessions per process (tiny) and accepted. The fixture tables are
+# immutable by contract; anything that rewrites a path it already
+# loaded must call clear_load_cache() first.
+import weakref
+
+_LOAD_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def clear_load_cache() -> None:
+    """Drop every cached table plan (needed only if a fixture parquet
+    path is rewritten mid-session)."""
+    _LOAD_CACHE.clear()
+
 
 def _utc_micros(ts: str) -> int:
     """Naive-UTC timestamp string -> epoch microseconds (pure python,
@@ -54,9 +77,16 @@ def load(
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    key = (sf_dir.rstrip("/"), name, ts_min, ts_max)
+    per_session = _LOAD_CACHE.setdefault(spark, {})
+    hit = per_session.get(key)
+    if hit is not None:
+        return hit
     path = f"{sf_dir}/{name}.parquet"
     if name != "events":
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        per_session[key] = df
+        return df
 
     # events.ts is parquet TIMESTAMP(NANOS), which Spark refuses to read
     # unless legacy.parquet.nanosAsLong is set. That is a runtime SQL
@@ -111,6 +141,7 @@ def load(
             # session-local TIMESTAMP preserves every instant exactly
             # and restores the dtype the whole query surface is built on.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    per_session[key] = df
     return df
 
 
