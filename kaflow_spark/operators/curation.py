@@ -1378,3 +1378,137 @@ def decontaminate(
     return docs.join(
         flags.select(id_col).distinct(), [id_col], "left_anti"
     )
+
+
+def feature_bucket(col: F.Column, buckets: int) -> F.Column:
+    """Cross-engine-stable hashed feature id in [0, buckets): the
+    first 8 md5 hex chars parsed as an integer, mod ``buckets``.
+    md5 (not xxhash64) because the SAME bucket ids must be computable
+    in any engine with a lowercase-hex md5() — DuckDB's twin is
+    ``CAST('0x' || substring(md5(x), 1, 8) AS BIGINT) % buckets``.
+    Pure scan-side projection."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+        % F.lit(buckets)
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: F.Column,
+    *,
+    n: int = 2,
+    buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    *Data Selection for Language Models via Importance Resampling*),
+    made integer-exact. ``target`` is a boolean column marking the
+    rows that define the target distribution; every document gets a
+    weight saying how much more plausible its hashed word-n-gram
+    features are under the target distribution than under the rest
+    ("raw") — positive = resample toward, negative = away.
+
+    Exactness: per-bucket log-likelihood ratios are quantized to the
+    floor-log2 integer idiom (``length(bin(N // c)) - 1``, Laplace
+    add-one smoothing) so the weight is pure integer arithmetic —
+    deterministic and bit-identical across engines, at 1-bit
+    granularity per feature (the resampling RANKING this feeds is
+    insensitive to sub-bit precision). Emits ``(id, ngrams,
+    dsir_bits, dsir_milli)`` for documents with >= 1 n-gram, where
+    ``dsir_bits = sum over gram occurrences of (bits_raw -
+    bits_target)`` and ``dsir_milli = dsir_bits * 1000 div ngrams``
+    (truncating integer division — identical in Spark ``div`` and
+    DuckDB ``//``, CLAUDE.md trap 6).
+
+    Shape at scale: grams explode scan-side into (id, bucket) counts
+    — the only large shuffle, short rows, partial-agg'd; the
+    per-bucket distribution table is bounded by ``buckets`` (4096
+    default) and broadcast back, so the corpus text never shuffles
+    and no join side grows with the corpus."""
+    from kaflow_spark.functions.textstats import int_div
+
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        target.alias("_tgt"),
+        _tokens(text_col).alias("_w"),
+    )
+    per = (
+        words.select(
+            "_id",
+            "_tgt",
+            F.explode(word_gram_array("_w", n)).alias("_gram"),
+        )
+        .select("_id", "_tgt", feature_bucket(F.col("_gram"), buckets).alias("_b"))
+        .groupBy("_id", "_tgt", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    dist = per.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt"), F.col("_c")).otherwise(F.lit(0))).alias("_ct"),
+        F.sum(F.when(~F.col("_tgt"), F.col("_c")).otherwise(F.lit(0))).alias("_cr"),
+    )
+    tot = dist.agg(
+        F.sum("_ct").alias("_nt"), F.sum("_cr").alias("_nr")
+    )
+
+    def _bits(total: F.Column, c: F.Column) -> F.Column:
+        return (
+            F.length(F.bin(int_div(total + F.lit(buckets), c + F.lit(1)))) - 1
+        ).cast("bigint")
+
+    scored = (
+        per.join(F.broadcast(dist), "_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_id",
+            "_c",
+            (_bits(F.col("_nr"), F.col("_cr")) - _bits(F.col("_nt"), F.col("_ct")))
+            .alias("_d"),
+        )
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.sum("_c").alias("ngrams"),
+            F.sum(F.col("_c") * F.col("_d")).alias("dsir_bits"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "ngrams",
+            "dsir_bits",
+            F.expr("dsir_bits * 1000 div ngrams").alias("dsir_milli"),
+        )
+    )
+
+
+def score_separation_auc(
+    scores: DataFrame, score_col: str, flag_col: str
+) -> DataFrame:
+    """Exact Mann-Whitney AUC (midrank tie handling) of an INTEGER
+    score separating ``flag_col`` = true rows from false rows, in
+    basis points: ``auc_bp = (2*n_gt + n_eq) * 10000 div (2*T*R)``
+    where n_gt counts (true, false) pairs with score_true >
+    score_false and n_eq ties. AUC 5000 = no separation, 10000 =
+    perfect. Pure integer arithmetic over the bounded per-score
+    count table — the pairwise O(T*R) definition collapses to one
+    groupBy(score) plus a cumulative sum, so the cost is the score
+    cardinality, not the pair count. The single-partition window
+    runs over that bounded count table only (the RFM-quintile idiom),
+    never over row-level data. Emits one row ``(n_flagged, n_rest,
+    auc_bp)``."""
+    s = F.col(score_col)
+    cnt = scores.groupBy(s.alias("_s")).agg(
+        F.sum(F.when(F.col(flag_col), 1).otherwise(0)).alias("_t"),
+        F.sum(F.when(~F.col(flag_col), 1).otherwise(0)).alias("_r"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = cnt.withColumn("_rb", F.coalesce(F.sum("_r").over(w), F.lit(0)))
+    return cum.agg(
+        F.sum("_t").cast("bigint").alias("n_flagged"),
+        F.sum("_r").cast("bigint").alias("n_rest"),
+        F.expr(
+            "(2 * sum(_t * _rb) + sum(_t * _r)) * 10000"
+            " div (2 * sum(_t) * sum(_r))"
+        ).alias("auc_bp"),
+    )

@@ -1294,3 +1294,131 @@ def q173(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "status")
     )
+
+
+# Shared DuckDB CTE chain for the DSIR family (q174 score table; q175
+# builds its AUC on top). Bucket ids use md5-prefix arithmetic (the
+# one hash both engines compute identically); bits are the exact
+# floor-log2 integer idiom with add-one smoothing, so every value is
+# BIGINT end-to-end (no HUGEINT render drift, no libm log).
+_DSIR_CTE = """
+    w AS (
+        SELECT doc_id, lang = 'en' AS tgt,
+               regexp_extract_all(text, '\\S+') AS w
+        FROM documents),
+    bi AS (
+        SELECT doc_id, tgt,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS gram
+        FROM w WHERE len(w) >= 2),
+    fb AS (
+        SELECT doc_id, tgt,
+               CAST('0x' || substring(md5(gram), 1, 8) AS BIGINT) % 4096 AS b
+        FROM bi),
+    cnt AS (
+        SELECT doc_id, tgt, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM fb GROUP BY doc_id, tgt, b),
+    bc AS (
+        SELECT b,
+               CAST(SUM(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS ct,
+               CAST(SUM(CASE WHEN NOT tgt THEN c ELSE 0 END) AS BIGINT) AS cr
+        FROM cnt GROUP BY b),
+    tot AS (
+        SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
+        FROM bc),
+    bits AS (
+        SELECT b,
+               CAST(LENGTH(bin((nt + 4096) // (ct + 1))) - 1 AS BIGINT) AS bt,
+               CAST(LENGTH(bin((nr + 4096) // (cr + 1))) - 1 AS BIGINT) AS br
+        FROM bc, tot),
+    score AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS ngrams,
+               CAST(SUM(c * (br - bt)) AS BIGINT) AS dsir_bits
+        FROM cnt JOIN bits USING (b)
+        GROUP BY doc_id)
+"""
+
+
+@declare(
+    "q174_dsir_importance",
+    oracle=f"""
+    WITH {_DSIR_CTE}
+    SELECT doc_id, ngrams, dsir_bits,
+           (dsir_bits * 1000) // ngrams AS dsir_milli
+    FROM score ORDER BY doc_id
+    """,
+    doc="DSIR-style importance weights (Xie et al. 2023): every "
+    "document scored by how much more plausible its hashed word-"
+    "bigram features (md5-prefix buckets mod 4096 — the one hash "
+    "both engines share) are under the target distribution "
+    "(lang = 'en') than under the rest of the corpus. Log-ratios "
+    "are quantized to exact floor-log2 integer bits with add-one "
+    "smoothing, so the score is pure integer arithmetic. Plan: "
+    "grams explode scan-side into (id, bucket) counts — the only "
+    "corpus-sized shuffle, short partial-agg'd rows; the 4096-row "
+    "bucket distribution table is broadcast back; text never "
+    "shuffles. The operator is the resampling front half: rank or "
+    "threshold on dsir_milli to select target-like data.",
+    tags=("curation", "text", "sampling"),
+)
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import dsir_importance
+
+    d = load(spark, sf, "documents")
+    return dsir_importance(
+        d, "doc_id", "text", F.col("lang") == "en", n=2, buckets=4096
+    ).orderBy("doc_id")
+
+
+@declare(
+    "q175_dsir_separation_auc",
+    oracle=f"""
+    WITH {_DSIR_CTE},
+    flags AS (
+        SELECT s.doc_id, s.dsir_bits, d.lang = 'en' AS tgt
+        FROM score s JOIN documents d USING (doc_id)),
+    sc AS (
+        SELECT dsir_bits AS s,
+               CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t,
+               CAST(SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS r
+        FROM flags GROUP BY dsir_bits),
+    cum AS (
+        SELECT s, t, r,
+               CAST(COALESCE(SUM(r) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS rb
+        FROM sc)
+    SELECT CAST(SUM(t) AS BIGINT) AS n_flagged,
+           CAST(SUM(r) AS BIGINT) AS n_rest,
+           ((2 * CAST(SUM(t * rb) AS BIGINT) + CAST(SUM(t * r) AS BIGINT))
+               * 10000)
+               // (2 * CAST(SUM(t) AS BIGINT) * CAST(SUM(r) AS BIGINT))
+               AS auc_bp
+    FROM cum
+    """,
+    doc="Separation audit for the q174 importance weights: exact "
+    "Mann-Whitney AUC (midrank ties) of dsir_bits distinguishing "
+    "target-language documents from the rest, in basis points — "
+    "the one-number check that a selection signal actually ranks "
+    "target-like data above the rest before resampling on it. "
+    "Pairwise O(T*R) collapses to one groupBy(score) count table "
+    "plus a cumulative sum over that bounded table (the RFM-"
+    "quintile single-partition-window idiom: the window input is "
+    "score-cardinality-sized, never corpus-sized). All-integer "
+    "arithmetic; AUC 5000 = no separation.",
+    tags=("curation", "audit"),
+)
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import (
+        dsir_importance,
+        score_separation_auc,
+    )
+
+    d = load(spark, sf, "documents")
+    scores = dsir_importance(
+        d, "doc_id", "text", F.col("lang") == "en", n=2, buckets=4096
+    )
+    flags = scores.join(d.select("doc_id", "lang"), "doc_id").withColumn(
+        "_is_tgt", F.col("lang") == "en"
+    )
+    return score_separation_auc(flags, "dsir_bits", "_is_tgt")
