@@ -1444,12 +1444,26 @@ def dsir_importance(
         .groupBy("_id", "_tgt", "_b")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    dist = per.groupBy("_b").agg(
-        F.sum(F.when(F.col("_tgt"), F.col("_c")).otherwise(F.lit(0))).alias("_ct"),
-        F.sum(F.when(~F.col("_tgt"), F.col("_c")).otherwise(F.lit(0))).alias("_cr"),
-    )
-    tot = dist.agg(
-        F.sum("_ct").alias("_nt"), F.sum("_cr").alias("_nr")
+    # Corpus totals ride a single-partition window over the BOUNDED
+    # bucket table (<= ``buckets`` rows — the RFM-quintile idiom), not
+    # a separate aggregation branch: a third consumer of the gram
+    # pipeline would re-run the whole explode/hash chain, because the
+    # global-agg branch gets no isnotnull(_b) inference from the join
+    # and so de-canonicalizes out of ReusedExchange (the q136 trap).
+    # With the window, the plan is one gram chain + one bounded table.
+    wtot = Window.partitionBy(F.lit(1))
+    dist = (
+        per.groupBy(F.col("_b").alias("_b2"))
+        .agg(
+            F.sum(F.when(F.col("_tgt"), F.col("_c")).otherwise(F.lit(0))).alias(
+                "_ct"
+            ),
+            F.sum(F.when(~F.col("_tgt"), F.col("_c")).otherwise(F.lit(0))).alias(
+                "_cr"
+            ),
+        )
+        .withColumn("_nt", F.sum("_ct").over(wtot))
+        .withColumn("_nr", F.sum("_cr").over(wtot))
     )
 
     def _bits(total: F.Column, c: F.Column) -> F.Column:
@@ -1457,11 +1471,22 @@ def dsir_importance(
             F.length(F.bin(int_div(total + F.lit(buckets), c + F.lit(1)))) - 1
         ).cast("bigint")
 
+    # Null-safe equi-join (the q100/q136 coalesce idiom): _b is never
+    # null, but a plain equality makes InferFiltersFromConstraints add
+    # isnotnull(_b) to the PROBE branch only (it cannot push below the
+    # build side's window), de-canonicalizing the shared gram subtree
+    # out of ReusedExchange — the whole explode/hash chain would then
+    # run twice. coalesce keeps both subtrees identical; the join stays
+    # a broadcast hash join on the coalesced key.
     scored = (
-        per.join(F.broadcast(dist), "_b")
-        .crossJoin(F.broadcast(tot))
+        per.join(
+            F.broadcast(dist),
+            F.coalesce(F.col("_b"), F.lit(-1))
+            == F.coalesce(F.col("_b2"), F.lit(-1)),
+        )
         .select(
             "_id",
+            "_tgt",
             "_c",
             (_bits(F.col("_nr"), F.col("_cr")) - _bits(F.col("_nt"), F.col("_ct")))
             .alias("_d"),
@@ -1470,11 +1495,18 @@ def dsir_importance(
     return (
         scored.groupBy("_id")
         .agg(
+            # a document sits wholly on one side, so max == its flag;
+            # emitting it here saves consumers (q175's AUC audit, any
+            # resampler) a re-join against the corpus — which would
+            # also push isnotnull inference into one branch of the
+            # shared gram subtree and double the scan (q136 trap)
+            F.max("_tgt").alias("is_target"),
             F.sum("_c").alias("ngrams"),
             F.sum(F.col("_c") * F.col("_d")).alias("dsir_bits"),
         )
         .select(
             F.col("_id").alias(id_col),
+            "is_target",
             "ngrams",
             "dsir_bits",
             F.expr("dsir_bits * 1000 div ngrams").alias("dsir_milli"),

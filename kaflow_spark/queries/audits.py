@@ -1332,7 +1332,8 @@ _DSIR_CTE = """
                CAST(LENGTH(bin((nr + 4096) // (cr + 1))) - 1 AS BIGINT) AS br
         FROM bc, tot),
     score AS (
-        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS ngrams,
+        SELECT doc_id, bool_or(tgt) AS is_target,
+               CAST(SUM(c) AS BIGINT) AS ngrams,
                CAST(SUM(c * (br - bt)) AS BIGINT) AS dsir_bits
         FROM cnt JOIN bits USING (b)
         GROUP BY doc_id)
@@ -1343,7 +1344,7 @@ _DSIR_CTE = """
     "q174_dsir_importance",
     oracle=f"""
     WITH {_DSIR_CTE}
-    SELECT doc_id, ngrams, dsir_bits,
+    SELECT doc_id, is_target, ngrams, dsir_bits,
            (dsir_bits * 1000) // ngrams AS dsir_milli
     FROM score ORDER BY doc_id
     """,
@@ -1375,8 +1376,7 @@ def q174(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
     WITH {_DSIR_CTE},
     flags AS (
-        SELECT s.doc_id, s.dsir_bits, d.lang = 'en' AS tgt
-        FROM score s JOIN documents d USING (doc_id)),
+        SELECT doc_id, dsir_bits, is_target AS tgt FROM score),
     sc AS (
         SELECT dsir_bits AS s,
                CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t,
@@ -1418,7 +1418,7 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
     scores = dsir_importance(
         d, "doc_id", "text", F.col("lang") == "en", n=2, buckets=4096
     )
-    flags = scores.join(d.select("doc_id", "lang"), "doc_id").withColumn(
-        "_is_tgt", F.col("lang") == "en"
-    )
-    return score_separation_auc(flags, "dsir_bits", "_is_tgt")
+    # the operator emits is_target itself — re-joining documents for
+    # the flag would push isnotnull(doc_id) inference into one branch
+    # of the shared gram subtree and double the corpus scan (q136)
+    return score_separation_auc(scores, "dsir_bits", "is_target")

@@ -90,3 +90,24 @@ def test_auc_matches_pairwise_definition(spark):
     want = num * 10000 // (2 * len(t) * len(r))
     [row] = score_separation_auc(df, "s", "f").collect()
     assert row["auc_bp"] == want
+
+
+def test_q174_single_scan_diamond_reuse(spark, sf_dir):
+    """Plan contract: the gram pipeline (scan+tokenize+explode+md5) is
+    shared between the per-doc branch and the bucket-distribution
+    branch through ONE exchange — coalesce null-safe join + window
+    totals keep the subtrees canonical (q100/q136 idiom). Asserted on
+    the static planner (AQE reuses at stage level without showing it)."""
+    from kaflow_spark.queries import REGISTRY
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for q in ("q174_dsir_importance", "q175_dsir_separation_auc"):
+            df = REGISTRY[q].spark(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("ReusedExchange") == 1, q
+            assert plan.count("Scan parquet") == 1, q
+            assert "BroadcastHashJoin" in plan, q
+            assert "NestedLoop" not in plan, q
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
