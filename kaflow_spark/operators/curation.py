@@ -1049,6 +1049,15 @@ __all__ = [
     "split_counts_exact",
     "shuffle_shards",
     "PII_PATTERNS",
+    "group_shingle_overlap",
+    "quantile_normalize",
+    "histogram_drift_l1",
+    "histogram_drift_vs_ref",
+    "winsorized_stats",
+    "decontaminate",
+    "feature_bucket",
+    "dsir_importance",
+    "score_separation_auc",
 ]
 
 
