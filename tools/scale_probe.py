@@ -873,6 +873,29 @@ def main() -> None:
         f"winsorized stats q163 ({n_docs} docs/x)",
         lambda d: winsorized_stats(d, "source", "n_chars", 5, 95),
     )
+    # DSIR q174/q175: verbatim replication is artifact-free here (no
+    # pair joins — bucket counts scale uniformly, per-doc work is
+    # linear); target flag derived from doc_id so replicas split
+    # across both distributions
+    from kaflow_spark.operators.curation import (
+        dsir_importance,
+        score_separation_auc,
+    )
+
+    probe_audit(
+        f"DSIR importance weights q174 ({n_docs} docs/x)",
+        lambda d: dsir_importance(
+            d, "doc_id", "text", F.col("doc_id") % 5 == 0
+        ),
+    )
+    probe_audit(
+        f"DSIR weights + separation AUC q175 ({n_docs} docs/x)",
+        lambda d: score_separation_auc(
+            dsir_importance(d, "doc_id", "text", F.col("doc_id") % 5 == 0),
+            "dsir_bits",
+            "is_target",
+        ),
+    )
     # q164 uses the q159-style gram-tagged replication: verbatim
     # copies would share every word-gram (mult^2 candidate pairs per
     # family — the artifact, not the operator)
