@@ -140,6 +140,21 @@ def main() -> None:
     print(f"dedup_corpus(method='winnow'): {docs.count()} -> "
           f"{kept.count()} docs after canonical-keeper removal")
 
+    # ---- 7. importance resampling toward a target distribution -------
+    from kaflow_spark.operators.curation import (
+        dsir_importance,
+        score_separation_auc,
+    )
+
+    weights = dsir_importance(
+        docs, "doc_id", "text", F.col("lang") == "en", n=2, buckets=4096
+    )
+    [auc] = score_separation_auc(weights, "dsir_bits", "is_target").collect()
+    top = weights.orderBy(F.col("dsir_milli").desc(), "doc_id").limit(3).collect()
+    print(f"DSIR weights: separation AUC {auc.auc_bp}bp over "
+          f"{auc.n_flagged}+{auc.n_rest} docs; top target-like docs: "
+          + ", ".join(f"doc {r.doc_id} ({r.dsir_milli}m)" for r in top))
+
     spark.stop()
     print("corpus audit complete.")
 

@@ -111,3 +111,45 @@ def test_q174_single_scan_diamond_reuse(spark, sf_dir):
             assert "NestedLoop" not in plan, q
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_dsir_flag_swap_negates_weights(spark):
+    # bits_t and bits_r use the same smoothing, so exchanging the two
+    # distributions exactly negates every per-bucket delta — and
+    # therefore every document's dsir_bits. A broken smoothing or an
+    # asymmetric total would break this identity.
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 40))),
+         rng.random() < 0.5)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, tgt boolean")
+    a = {
+        r["doc_id"]: r["dsir_bits"]
+        for r in dsir_importance(df, "doc_id", "text", F.col("tgt")).collect()
+    }
+    b = {
+        r["doc_id"]: r["dsir_bits"]
+        for r in dsir_importance(df, "doc_id", "text", ~F.col("tgt")).collect()
+    }
+    assert a and set(a) == set(b)
+    assert all(a[k] == -b[k] for k in a)
+
+
+def test_auc_flag_flip_complements(spark):
+    # flipping the flag complements the AUC: floor truncation makes the
+    # pair sum 10000 or 9999, never anything else
+    import random
+
+    rng = random.Random(11)
+    rows = [(rng.randint(-8, 8), rng.random() < 0.3) for _ in range(80)]
+    df = spark.createDataFrame(rows, "s bigint, f boolean")
+    [a] = score_separation_auc(df, "s", "f").collect()
+    flipped = df.withColumn("f", ~F.col("f"))
+    [b] = score_separation_auc(flipped, "s", "f").collect()
+    assert a["n_flagged"] == b["n_rest"] and a["n_rest"] == b["n_flagged"]
+    assert a["auc_bp"] + b["auc_bp"] in (9999, 10000)
