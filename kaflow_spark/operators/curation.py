@@ -1058,6 +1058,8 @@ __all__ = [
     "feature_bucket",
     "dsir_importance",
     "score_separation_auc",
+    "k_anonymity_cells",
+    "anonymity_generalization",
 ]
 
 
@@ -1552,4 +1554,65 @@ def score_separation_auc(
             "(2 * sum(_t * _rb) + sum(_t * _r)) * 10000"
             " div (2 * sum(_t) * sum(_r))"
         ).alias("auc_bp"),
+    )
+
+
+def k_anonymity_cells(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002): group the population by its
+    quasi-identifier combination and report every cell with fewer than
+    ``k`` members — the cells where a QI tuple links to few enough
+    individuals to re-identify. Each risky cell also carries the
+    l-diversity of ``sensitive_col`` (distinct sensitive values inside
+    the cell — a cell can be k-anonymous yet 1-diverse, which leaks
+    the sensitive value outright).
+
+    One aggregation over the QI grain (partial-agg'd; the distinct
+    count expands to per-cell distinct pairs before the final agg —
+    short rows, no text); output is the risky subset only, bounded by
+    the QI-space size, never the population."""
+    n = F.count(F.lit(1)).alias("n_people")
+    l = F.countDistinct(F.col(sensitive_col)).alias("l_distinct")
+    return (
+        df.groupBy(*qi_cols)
+        .agg(n, l)
+        .filter(F.col("n_people") < k)
+    )
+
+
+def anonymity_generalization(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Generalization ladder for k-anonymity repair: for every full-QI
+    cell, the minimal suffix-truncation of the quasi-identifier list
+    (drop the LAST column first — order ``qi_cols`` most-to-least
+    public) at which the cell's population reaches ``k``. Level 0 =
+    already k-anonymous at full grain, level i = k reached after
+    dropping the last i columns, level ``len(qi_cols)`` = only the
+    whole population is big enough.
+
+    Plan: ONE population aggregation to the bounded full-QI cell
+    table, then one window sum per coarser grain OVER THAT TABLE —
+    the coarser counts never rescan the population (the bounded-table
+    window idiom; the widest window is a single partition over the
+    cell table, not the data)."""
+    cells = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("n_0"))
+    out = cells
+    for i in range(1, len(qi_cols) + 1):
+        keep = qi_cols[:-i]
+        w = Window.partitionBy(*keep) if keep else Window.partitionBy(F.lit(1))
+        out = out.withColumn(f"n_{i}", F.sum("n_0").over(w))
+    level = F.when(F.col("n_0") >= k, 0)
+    for i in range(1, len(qi_cols) + 1):
+        level = level.when(F.col(f"n_{i}") >= k, i)
+    return out.select(
+        *qi_cols,
+        F.col("n_0").alias("n_people"),
+        level.otherwise(len(qi_cols)).cast("int").alias("anon_level"),
     )

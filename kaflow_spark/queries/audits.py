@@ -1422,3 +1422,98 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
     # the flag would push isnotnull(doc_id) inference into one branch
     # of the shared gram subtree and double the corpus scan (q136)
     return score_separation_auc(scores, "dsir_bits", "is_target")
+
+
+# exact integer cents (the q166-attested DECIMAL(18,2) idiom: double
+# -> DECIMAL rounds identically in both engines, then *100 is exact)
+_CENTS = "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@declare(
+    "q176_k_anonymity_audit",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_nationkey, c_mktsegment, {_CENTS} AS cents
+        FROM customer),
+    cells AS (
+        SELECT c_nationkey, c_mktsegment, cents // 200000 AS bal_band,
+               CAST(COUNT(*) AS BIGINT) AS n_people,
+               CAST(COUNT(DISTINCT cents) AS BIGINT) AS l_distinct
+        FROM c GROUP BY c_nationkey, c_mktsegment, cents // 200000)
+    SELECT * FROM cells WHERE n_people < 10
+    ORDER BY c_nationkey, c_mktsegment, bal_band
+    """,
+    doc="k-anonymity audit (Sweeney 2002) over the customer "
+    "population: quasi-identifier cells (nation, market segment, "
+    "2000-currency-unit balance band) holding fewer than k=10 "
+    "people — the re-identification risk report a privacy review "
+    "runs before any data release — with each cell's l-diversity "
+    "of the exact balance (a k-anonymous cell that is 1-diverse "
+    "leaks the sensitive value anyway). Exact integer cents via "
+    "the DECIMAL(18,2) cast idiom (q166); truncating integer band "
+    "division identical in both engines (trap 6). One partial-"
+    "agg'd aggregation; output bounded by QI-space size.",
+    tags=("curation", "privacy", "audit"),
+)
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import k_anonymity_cells
+
+    c = load(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(f"{_CENTS} AS cents"),
+    )
+    cells = k_anonymity_cells(
+        c.withColumn("bal_band", F.expr("cents div 200000")),
+        ["c_nationkey", "c_mktsegment", "bal_band"],
+        "cents",
+        k=10,
+    )
+    return cells.orderBy("c_nationkey", "c_mktsegment", "bal_band")
+
+
+@declare(
+    "q177_anonymity_generalization",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_nationkey, c_mktsegment, {_CENTS} AS cents
+        FROM customer),
+    cells AS (
+        SELECT c_nationkey, c_mktsegment, cents // 200000 AS bal_band,
+               CAST(COUNT(*) AS BIGINT) AS n0
+        FROM c GROUP BY c_nationkey, c_mktsegment, cents // 200000),
+    lv AS (
+        SELECT c_nationkey, c_mktsegment, bal_band, n0,
+               CAST(SUM(n0) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                    AS BIGINT) AS n1,
+               CAST(SUM(n0) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n2
+        FROM cells)
+    SELECT c_nationkey, c_mktsegment, bal_band, n0 AS n_people,
+           CAST(CASE WHEN n0 >= 10 THEN 0
+                     WHEN n1 >= 10 THEN 1
+                     WHEN n2 >= 10 THEN 2
+                     ELSE 3 END AS INTEGER) AS anon_level
+    FROM lv ORDER BY c_nationkey, c_mktsegment, bal_band
+    """,
+    doc="Generalization ladder for k-anonymity repair: for every "
+    "full-QI cell, the minimal suffix-truncation of (nation, "
+    "segment, balance band) — least-public column dropped first — "
+    "at which the cell's population reaches k=10 (0 = already "
+    "anonymous, 3 = only the whole population suffices). ONE "
+    "population aggregation to the bounded cell table; every "
+    "coarser-grain count is a window sum OVER THAT TABLE (the "
+    "bounded-table window idiom) — no second population scan, so "
+    "the repair analysis costs the same as the audit.",
+    tags=("curation", "privacy", "audit"),
+)
+def q177(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import anonymity_generalization
+
+    c = load(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(f"{_CENTS} div 200000 AS bal_band"),
+    )
+    return anonymity_generalization(
+        c, ["c_nationkey", "c_mktsegment", "bal_band"], k=10
+    ).orderBy("c_nationkey", "c_mktsegment", "bal_band")

@@ -896,6 +896,28 @@ def main() -> None:
             "is_target",
         ),
     )
+    # k-anonymity generalization q177: verbatim replication grows cell
+    # populations linearly (no pair joins) — the curve tracks the one
+    # population aggregation; windows run over the fixed cell table
+    from kaflow_spark.operators.curation import anonymity_generalization
+
+    cust_priv = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " div 200000 AS bal_band"
+        ),
+    )
+    n_cust = cust_priv.count()
+    probe_priv = make_prober(rows, cust_priv, "c_custkey")
+    probe_priv(
+        f"k-anonymity generalization q177 ({n_cust} people/x)",
+        lambda d: anonymity_generalization(
+            d, ["c_nationkey", "c_mktsegment", "bal_band"], k=10
+        ),
+    )
     # q164 uses the q159-style gram-tagged replication: verbatim
     # copies would share every word-gram (mult^2 candidate pairs per
     # family — the artifact, not the operator)
