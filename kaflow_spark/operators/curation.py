@@ -1060,6 +1060,7 @@ __all__ = [
     "score_separation_auc",
     "k_anonymity_cells",
     "anonymity_generalization",
+    "capped_waterfill",
 ]
 
 
@@ -1615,4 +1616,72 @@ def anonymity_generalization(
         *qi_cols,
         F.col("n_0").alias("n_people"),
         level.otherwise(len(qi_cols)).cast("int").alias("anon_level"),
+    )
+
+
+def capped_waterfill(
+    df: DataFrame,
+    key_col: str,
+    cap_col: str,
+    weight_col: str,
+    budget: F.Column,
+) -> DataFrame:
+    """Capped proportional allocation (water-filling): split an integer
+    ``budget`` across the rows proportionally to ``weight_col``, never
+    exceeding any row's ``cap_col``. The classic mixture/token-budget
+    allocator (and the max-min fairness rule in resource schedulers):
+    rows whose fair share exceeds their capacity get exactly their
+    capacity, and the freed budget re-spreads over the rest.
+
+    Closed form, no iteration: sorted ascending by cap/weight, the
+    capped set is a PREFIX (waterfill monotonicity), so one prefix-sum
+    window decides each row's side — ``cap * W_k <= (B - pre_cap) *
+    w`` compared by integer cross-multiplication (exact; the only
+    float is the IEEE-754 sort ratio, which both engines round
+    identically). Uncapped rows get ``(B - sum_capped) * w div
+    W_uncapped`` (truncating); the sub-|rows| remainder is reported
+    by the caller as slack, never silently re-spread.
+
+    The frame must be BOUNDED (a per-source/per-group stats table,
+    not row-level data): every window here is a single partition over
+    it — the bounded-table idiom. Keep ``cap * total_weight`` under
+    2^63 (rescale weights if capacities are astronomical; ANSI mode
+    fails loudly rather than corrupting).
+
+    Emits the input columns plus ``allocation`` and ``capped``."""
+    ratio = (F.col(cap_col).cast("double") / F.col(weight_col)).alias("_r")
+    d = df.withColumn("_r", ratio).withColumn("_budget", budget)
+    order = [F.col("_r"), F.col(key_col)]
+    prev = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    whole = Window.partitionBy(F.lit(1))
+    d = (
+        d.withColumn("_pre_cap", F.coalesce(F.sum(cap_col).over(prev), F.lit(0)))
+        .withColumn("_w_from_here",
+                    F.sum(weight_col).over(whole)
+                    - F.coalesce(F.sum(weight_col).over(prev), F.lit(0)))
+        .withColumn(
+            "capped",
+            F.col(cap_col) * F.col("_w_from_here")
+            <= (F.col("_budget") - F.col("_pre_cap")) * F.col(weight_col),
+        )
+    )
+    d = d.withColumn(
+        "_capped_c",
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col(cap_col))).over(whole), F.lit(0)
+        ),
+    ).withColumn(
+        "_w_free",
+        F.coalesce(
+            F.sum(F.when(~F.col("capped"), F.col(weight_col))).over(whole),
+            F.lit(0),
+        ),
+    )
+    alloc = F.when(F.col("capped"), F.col(cap_col)).otherwise(
+        F.expr(
+            f"(_budget - _capped_c) * {weight_col} div greatest(_w_free, 1)"
+        )
+    )
+    return d.withColumn("allocation", alloc.cast("bigint")).drop(
+        "_r", "_budget", "_pre_cap", "_w_from_here", "_capped_c", "_w_free"
     )

@@ -1517,3 +1517,92 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
     return anonymity_generalization(
         c, ["c_nationkey", "c_mktsegment", "bal_band"], k=10
     ).orderBy("c_nationkey", "c_mktsegment", "bal_band")
+
+
+@declare(
+    "q178_token_budget_waterfill",
+    oracle="""
+    WITH tk AS (
+        SELECT source, lang,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ntok
+        FROM documents),
+    st AS (
+        SELECT source, CAST(SUM(ntok) AS BIGINT) AS tokens_avail,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS en_docs
+        FROM tk GROUP BY source),
+    b AS (
+        SELECT *, (CAST(SUM(tokens_avail) OVER () AS BIGINT) * 3) // 4 AS B
+        FROM st),
+    o AS (SELECT *, CAST(tokens_avail AS DOUBLE) / en_docs AS r FROM b),
+    p AS (
+        SELECT *,
+               CAST(COALESCE(SUM(tokens_avail) OVER (ORDER BY r, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS pre_cap,
+               CAST(SUM(en_docs) OVER () AS BIGINT)
+                   - CAST(COALESCE(SUM(en_docs) OVER (ORDER BY r, source
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS BIGINT) AS w_here
+        FROM o),
+    c AS (
+        SELECT *, tokens_avail * w_here <= (B - pre_cap) * en_docs AS capped
+        FROM p),
+    f AS (
+        SELECT *,
+               CAST(COALESCE(SUM(CASE WHEN capped THEN tokens_avail END)
+                   OVER (), 0) AS BIGINT) AS capc,
+               CAST(COALESCE(SUM(CASE WHEN NOT capped THEN en_docs END)
+                   OVER (), 0) AS BIGINT) AS wfree
+        FROM c)
+    SELECT source, en_docs, tokens_avail,
+           CAST(CASE WHEN capped THEN tokens_avail
+                ELSE ((B - capc) * en_docs) // GREATEST(wfree, 1)
+                END AS BIGINT) AS allocation,
+           capped
+    FROM f ORDER BY source
+    """,
+    doc="Token-budget water-filling across sources: allocate 75% of "
+    "the corpus's total tokens proportionally to each source's "
+    "TARGET-LANGUAGE (en) document count, capped at the source's "
+    "available tokens — the "
+    "mixture allocator that decides per-source sampling budgets "
+    "before resampling (capped proportional allocation / max-min "
+    "fairness). Closed form, no iteration: the capped set is a "
+    "prefix of the cap/weight-sorted order, decided by ONE prefix-"
+    "sum window with integer cross-multiplied comparisons (the only "
+    "float is the IEEE sort ratio, identical in both engines). Plan: "
+    "one corpus scan to the bounded per-source stats table; every "
+    "window runs over those ~20 rows.",
+    tags=("curation", "sampling"),
+)
+def q178(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import capped_waterfill
+
+    d = load(spark, sf, "documents")
+    stats = (
+        d.select(
+            "source",
+            "lang",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+            .cast("bigint")
+            .alias("ntok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("ntok").alias("tokens_avail"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("en_docs"),
+        )
+    )
+    out = capped_waterfill(
+        stats,
+        "source",
+        "tokens_avail",
+        "en_docs",
+        F.expr("(sum(tokens_avail) over ()) * 3 div 4"),
+    )
+    return out.select(
+        "source", "en_docs", "tokens_avail", "allocation", "capped"
+    ).orderBy("source")

@@ -66,3 +66,70 @@ def test_generalization_level_len_means_population_only(spark):
     )
     out = anonymity_generalization(df, ["nation", "seg", "band"], k=10).collect()
     assert all(r["anon_level"] == 3 for r in out)
+
+
+def _py_waterfill(items, B):
+    """Independent reference: sequential waterfill over the
+    ratio-sorted list (the textbook formulation the closed-form
+    window version must match exactly)."""
+    items = sorted(items, key=lambda x: (x[1] / x[2], x[0]))
+    W = sum(w for _, _, w in items)
+    pre = 0
+    BK = WK = None
+    out = {}
+    for k, c, w in items:
+        Bk = B - pre
+        if c * W <= Bk * w:
+            out[k] = c
+            pre += c
+            W -= w
+        else:
+            if BK is None:
+                BK, WK = Bk, W
+            out[k] = BK * w // WK
+    return out
+
+
+def test_waterfill_matches_sequential_reference(spark):
+    import random
+
+    from kaflow_spark.operators.curation import capped_waterfill
+
+    rng = random.Random(5)
+    for trial in range(4):
+        items = [
+            (f"s{i:02d}", rng.randint(1, 500), rng.randint(1, 9))
+            for i in range(12)
+        ]
+        total_cap = sum(c for _, c, _ in items)
+        B = total_cap * rng.choice([3, 6, 9, 11]) // 10  # incl. B > sum(cap)
+        df = spark.createDataFrame(items, "k string, cap bigint, w bigint")
+        got = {
+            r["k"]: r["allocation"]
+            for r in capped_waterfill(df, "k", "cap", "w", F.lit(B)).collect()
+        }
+        want = _py_waterfill(items, min(B, 10**18))
+        assert got == want, (trial, B, got, want)
+
+
+def test_waterfill_invariants(spark):
+    from kaflow_spark.operators.curation import capped_waterfill
+
+    items = [("a", 50, 1), ("b", 500, 2), ("c", 500, 2), ("d", 5, 3)]
+    B = 600
+    rows = capped_waterfill(
+        spark.createDataFrame(items, "k string, cap bigint, w bigint"),
+        "k", "cap", "w", F.lit(B),
+    ).collect()
+    caps = dict((k, c) for k, c, _ in items)
+    assert all(r["allocation"] <= caps[r["k"]] for r in rows)
+    alloc_total = sum(r["allocation"] for r in rows)
+    n_uncapped = sum(not r["capped"] for r in rows)
+    assert alloc_total <= B
+    assert B - alloc_total < max(n_uncapped, 1)  # slack only from floors
+    # over-budget: everything capped, allocation == capacity
+    rows2 = capped_waterfill(
+        spark.createDataFrame(items, "k string, cap bigint, w bigint"),
+        "k", "cap", "w", F.lit(10_000),
+    ).collect()
+    assert all(r["capped"] and r["allocation"] == caps[r["k"]] for r in rows2)
