@@ -333,3 +333,52 @@ def scd2_intervals(
         F.lead("valid_from").over(w_next).alias("valid_to"),
         "n_events",
     )
+
+
+def cusum_shifts(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    pct: int = 10,
+) -> DataFrame:
+    """CUSUM level-shift detection over a pre-aggregated integer
+    series, exact and iteration-free. The textbook recursion
+    ``C_t = max(0, C_{t-1} + dev_t)`` has the closed form
+    ``C_t = S_t - min_{i<=t} S_i`` (prefix sum minus running
+    minimum), so the whole detector is two ordered windows — no loop,
+    no UDF. Deviations are scaled by the group's period count
+    (``dev = x*N - T``) to stay in exact integers (no mean division);
+    the final prefix sum is 0 by construction, a built-in sanity
+    check. ``cusum_pos`` flags upward level shifts, ``cusum_neg``
+    (running max minus S) downward ones; ``shift_flag`` fires when
+    either exceeds ``pct``% of total volume — compared cross-
+    multiplied (``cusum * 100 > T * N * pct``), zero floats anywhere.
+
+    The input must be the BOUNDED per-(group, period) series table
+    (one aggregation upstream), never row-level data: every window
+    here partitions by group over that table."""
+    wg = Window.partitionBy(group_col)
+    wo = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    x = F.col(value_col)
+    d = (
+        df.withColumn("_n", F.count(F.lit(1)).over(wg))
+        .withColumn("_t", F.sum(value_col).over(wg))
+        .withColumn("_s", F.sum(x * F.col("_n") - F.col("_t")).over(wo))
+    )
+    # the recursion starts at C=0 BEFORE the first observation, so the
+    # running extremum must include the virtual empty-prefix S_0 = 0
+    # (least/greatest with 0) — without it the first rows under-report
+    d = d.withColumn(
+        "cusum_pos", F.col("_s") - F.least(F.min("_s").over(wo), F.lit(0))
+    ).withColumn(
+        "cusum_neg", F.greatest(F.max("_s").over(wo), F.lit(0)) - F.col("_s")
+    )
+    flag = (
+        F.col("cusum_pos") * 100 > F.col("_t") * F.col("_n") * F.lit(pct)
+    ) | (F.col("cusum_neg") * 100 > F.col("_t") * F.col("_n") * F.lit(pct))
+    return d.withColumn("shift_flag", flag).drop("_n", "_t", "_s")

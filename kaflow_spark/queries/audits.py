@@ -1606,3 +1606,72 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "source", "en_docs", "tokens_avail", "allocation", "capped"
     ).orderBy("source")
+
+
+@declare(
+    "q179_cusum_changepoints",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+    ser AS (
+        SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS day_cents
+        FROM e GROUP BY event_type, day),
+    w AS (
+        SELECT *,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(SUM(day_cents) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS t
+        FROM ser),
+    s AS (
+        SELECT *,
+               CAST(SUM(day_cents * n - t) OVER (PARTITION BY event_type
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) AS BIGINT) AS sd
+        FROM w),
+    c AS (
+        SELECT *,
+               CAST(sd - LEAST(MIN(sd) OVER (PARTITION BY event_type
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW), 0) AS BIGINT) AS cusum_pos,
+               CAST(GREATEST(MAX(sd) OVER (PARTITION BY event_type
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW), 0) - sd AS BIGINT) AS cusum_neg
+        FROM s)
+    SELECT event_type, day, day_cents, cusum_pos, cusum_neg,
+           (cusum_pos * 100 > t * n * 10 OR cusum_neg * 100 > t * n * 10)
+               AS shift_flag
+    FROM c ORDER BY event_type, day
+    """,
+    doc="CUSUM level-shift detection over each event type's daily "
+    "volume series, exact and iteration-free: the textbook "
+    "recursion max(0, C+dev) has the closed form prefix-sum minus "
+    "running-min, so the detector is two ordered windows over the "
+    "bounded (type, day) series table — no loop, no UDF, no floats "
+    "(deviations scaled by the period count instead of dividing by "
+    "the mean; the flag compares cross-multiplied at 10% of total "
+    "volume). One events aggregation upstream; cents via the "
+    "DECIMAL(18,2) idiom. The monitoring op a pipeline runs per "
+    "source/metric before trusting a day's data.",
+    tags=("events", "audit"),
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.events import cusum_shifts
+
+    e = load(spark, sf, "events")
+    ser = (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    out = cusum_shifts(ser, "event_type", "day", "day_cents", pct=10)
+    return out.select(
+        "event_type", "day", "day_cents", "cusum_pos", "cusum_neg", "shift_flag"
+    ).orderBy("event_type", "day")

@@ -133,3 +133,51 @@ def test_waterfill_invariants(spark):
         "k", "cap", "w", F.lit(10_000),
     ).collect()
     assert all(r["capped"] and r["allocation"] == caps[r["k"]] for r in rows2)
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    import random
+
+    from kaflow_spark.operators.events import cusum_shifts
+
+    rng = random.Random(9)
+    rows = []
+    series = {}
+    for g in ("a", "b"):
+        xs = [rng.randint(50, 150) for _ in range(40)]
+        if g == "a":
+            xs = xs[:20] + [x + 200 for x in xs[20:]]  # planted level shift
+        series[g] = xs
+        rows += [(g, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, i int, x bigint")
+    got = {
+        (r["g"], r["i"]): (r["cusum_pos"], r["cusum_neg"], r["shift_flag"])
+        for r in cusum_shifts(df, "g", "i", "x", pct=10).collect()
+    }
+    for g, xs in series.items():
+        n, t = len(xs), sum(xs)
+        cp = cn = 0
+        for i, x in enumerate(xs):
+            dev = x * n - t
+            cp = max(0, cp + dev)   # textbook recursion
+            cn = max(0, cn - dev)
+            flag = cp * 100 > t * n * 10 or cn * 100 > t * n * 10
+            assert got[(g, i)] == (cp, cn, flag), (g, i)
+    # the shifted series must actually flag, the stationary one not
+    assert any(got[("a", i)][2] for i in range(40))
+    assert not any(got[("b", i)][2] for i in range(40))
+
+
+def test_cusum_final_prefix_sum_is_zero(spark):
+    # construction sanity: sum of scaled deviations over the whole
+    # series is identically zero, so cusum_pos at the last row equals
+    # the running -min exactly (never negative)
+    from kaflow_spark.operators.events import cusum_shifts
+
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate([5, 100, 5, 5])],
+        "g string, i int, x bigint",
+    )
+    rows = {r["i"]: r for r in cusum_shifts(df, "g", "i", "x").collect()}
+    assert all(rows[i]["cusum_pos"] >= 0 and rows[i]["cusum_neg"] >= 0
+               for i in rows)
