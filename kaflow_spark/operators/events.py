@@ -90,7 +90,15 @@ def transition_counts(
     )
 
 
-__all__ = ["retention_cohorts", "transition_counts"]
+__all__ = [
+    "retention_cohorts",
+    "transition_counts",
+    "value_trend",
+    "zscore_anomalies",
+    "mad_outliers",
+    "scd2_intervals",
+    "cusum_shifts",
+]
 
 
 def value_trend(
