@@ -295,6 +295,23 @@ HEADLINERS: dict[str, str] = {
         "linear — the char-grain variant measured here floods or "
         "loses recall (CLAUDE.md trap 8)."
     ),
+    "q174_dsir_importance": (
+        "DSIR importance weights: ONE gram pipeline (scan, tokenize, "
+        "explode, md5 bucket, count) shared via ReusedExchange between "
+        "the per-doc branch and the bucket-distribution branch — the "
+        "coalesce null-safe join keeps both subtrees canonical "
+        "(q100/q136 idiom) and the corpus totals ride a single-"
+        "partition window over the bounded 4096-row bucket table "
+        "instead of a third aggregation branch. Text never shuffles; "
+        "the distribution table broadcasts."
+    ),
+    "q179_cusum_changepoints": (
+        "CUSUM without iteration: the max(0, C+dev) recursion is the "
+        "closed form S_t - min(0, running min S), so the whole "
+        "detector is one events aggregation to the bounded (type, "
+        "day) series plus two ordered windows OVER THAT TABLE. The "
+        "only corpus-sized work is the partial-agg'd daily rollup."
+    ),
 }
 
 
