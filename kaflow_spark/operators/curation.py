@@ -1685,3 +1685,60 @@ def capped_waterfill(
     return d.withColumn("allocation", alloc.cast("bigint")).drop(
         "_r", "_budget", "_pre_cap", "_w_from_here", "_capped_c", "_w_free"
     )
+
+
+# floor(log10(1 + 1/d) * 10^4) for d = 1..9 — Benford's law expected
+# first-significant-digit shares in truncated basis points. Constants,
+# so both engines use identical integers (no libm log anywhere).
+BENFORD_BP: tuple[int, ...] = (3010, 1760, 1249, 969, 791, 669, 579, 511, 457)
+
+
+def benford_deviation(
+    df: DataFrame, group_col: str, cents_col: str
+) -> DataFrame:
+    """Benford's-law conformance audit per group: L1 distance (in
+    basis points) between the group's first-significant-digit
+    distribution over positive integer ``cents_col`` amounts and the
+    Benford expectation — the classic fraud / fabricated-data screen
+    for wide-range financial quantities. First digit extracted from
+    the integer's STRING form (exact — no float log10 to drift
+    between engines); shares are truncating-integer basis points;
+    the expectation is the constant table ``BENFORD_BP``.
+
+    One partial-agg'd aggregation to the bounded (group, digit) count
+    table; the digit-share arithmetic runs over that table only."""
+    digit = F.substring(F.col(cents_col).cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(F.col(cents_col) > 0)
+        .select(F.col(group_col), digit.alias("_d"))
+        .groupBy(group_col, "_d")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # densify to the full (group x digit 1-9) grid over the BOUNDED
+    # count table: a digit absent from a group still contributes its
+    # whole expected share to the distance (share 0), which a join on
+    # observed digits alone would silently drop
+    grid = (
+        counts.groupBy(group_col)
+        .agg(F.sum("_c").alias("_n"))
+        .select(
+            group_col,
+            "_n",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("_d"),
+        )
+    )
+    shares = grid.join(counts, [group_col, "_d"], "left").withColumn(
+        "_share_bp", F.expr("coalesce(_c, 0) * 10000 div _n")
+    )
+    bench = F.element_at(
+        F.array(*[F.lit(v) for v in BENFORD_BP]), F.col("_d")
+    )
+    return (
+        shares.withColumn("_dev", F.abs(F.col("_share_bp") - bench))
+        .groupBy(group_col)
+        .agg(
+            F.max("_n").alias("n_amounts"),
+            F.sum("_dev").alias("l1_bp"),
+        )
+        .select(group_col, "n_amounts", "l1_bp")
+    )

@@ -1675,3 +1675,63 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "event_type", "day", "day_cents", "cusum_pos", "cusum_neg", "shift_flag"
     ).orderBy("event_type", "day")
+
+
+@declare(
+    "q180_benford_audit",
+    oracle="""
+    WITH amt AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders),
+    cnt AS (
+        SELECT o_orderpriority,
+               CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM amt WHERE cents > 0
+        GROUP BY o_orderpriority,
+                 CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)),
+    tot AS (
+        SELECT o_orderpriority, CAST(SUM(c) AS BIGINT) AS n
+        FROM cnt GROUP BY o_orderpriority),
+    grid AS (
+        SELECT t.o_orderpriority, t.n, g.d
+        FROM tot t, (SELECT unnest(range(1, 10)) AS d) g),
+    bp AS (
+        SELECT grid.o_orderpriority, grid.n,
+               (COALESCE(cnt.c, 0) * 10000) // grid.n AS share_bp,
+               CASE grid.d WHEN 1 THEN 3010 WHEN 2 THEN 1760
+                    WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 791
+                    WHEN 6 THEN 669 WHEN 7 THEN 579 WHEN 8 THEN 511
+                    ELSE 457 END AS exp_bp
+        FROM grid LEFT JOIN cnt
+          ON cnt.o_orderpriority = grid.o_orderpriority AND cnt.d = grid.d)
+    SELECT o_orderpriority, n AS n_amounts,
+           CAST(SUM(ABS(share_bp - exp_bp)) AS BIGINT) AS l1_bp
+    FROM bp GROUP BY o_orderpriority, n
+    ORDER BY o_orderpriority
+    """,
+    doc="Benford's-law conformance per order priority: L1 distance "
+    "(basis points) between the first-significant-digit distribution "
+    "of order totals (exact cents; digit from the integer's string "
+    "form — no float log10) and the constant Benford expectation "
+    "table — the classic fabricated-data / fraud screen for wide-"
+    "range financial amounts. Digits absent from a group still "
+    "contribute their full expected share (densified digit grid over "
+    "the bounded count table). One partial-agg'd aggregation; all "
+    "arithmetic over the (group, digit) table.",
+    tags=("audit",),
+)
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import benford_deviation
+
+    o = load(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    return benford_deviation(o, "o_orderpriority", "cents").orderBy(
+        "o_orderpriority"
+    )

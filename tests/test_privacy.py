@@ -181,3 +181,35 @@ def test_cusum_final_prefix_sum_is_zero(spark):
     rows = {r["i"]: r for r in cusum_shifts(df, "g", "i", "x").collect()}
     assert all(rows[i]["cusum_pos"] >= 0 and rows[i]["cusum_neg"] >= 0
                for i in rows)
+
+
+def test_benford_near_conforming_sample_scores_near_zero(spark):
+    from kaflow_spark.operators.curation import BENFORD_BP, benford_deviation
+
+    # counts proportional to the expectation (1000 amounts): shares in
+    # bp are count*10, so the distance is only the constants' own
+    # truncation residue = sum|10*round(bp/10)-bp| = 9
+    counts = [301, 176, 125, 97, 79, 67, 58, 51, 46]
+    rows = []
+    for d, c in enumerate(counts, start=1):
+        rows += [("g", d * 100 + 7)] * c  # cents starting with digit d
+    df = spark.createDataFrame(rows, "g string, cents bigint")
+    [r] = benford_deviation(df, "g", "cents").collect()
+    want = sum(abs(c * 10 - bp) for c, bp in zip(counts, BENFORD_BP))
+    assert (r["n_amounts"], r["l1_bp"]) == (1000, want) and want == 9
+
+
+def test_benford_missing_digits_count_fully(spark):
+    from kaflow_spark.operators.curation import BENFORD_BP, benford_deviation
+
+    # every amount starts with 1: digits 2-9 are absent but still
+    # contribute their whole expected share to the distance
+    df = spark.createDataFrame([("g", 1999)] * 8, "g string, cents bigint")
+    [r] = benford_deviation(df, "g", "cents").collect()
+    assert r["l1_bp"] == (10000 - BENFORD_BP[0]) + sum(BENFORD_BP[1:])
+    # zero and negative amounts are excluded, not miscounted
+    df2 = spark.createDataFrame(
+        [("g", 1999), ("g", 0), ("g", -500)], "g string, cents bigint"
+    )
+    [r2] = benford_deviation(df2, "g", "cents").collect()
+    assert r2["n_amounts"] == 1
