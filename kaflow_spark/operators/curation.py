@@ -1061,6 +1061,8 @@ __all__ = [
     "k_anonymity_cells",
     "anonymity_generalization",
     "capped_waterfill",
+    "benford_deviation",
+    "BENFORD_BP",
 ]
 
 
