@@ -1063,6 +1063,7 @@ __all__ = [
     "capped_waterfill",
     "benford_deviation",
     "BENFORD_BP",
+    "gini_bp",
 ]
 
 
@@ -1743,4 +1744,52 @@ def benford_deviation(
             F.sum("_dev").alias("l1_bp"),
         )
         .select(group_col, "n_amounts", "l1_bp")
+    )
+
+
+def gini_bp(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact Gini coefficient (basis points) of ``value_col`` across
+    the members of each group — the inequality audit for corpus
+    composition (a source whose token mass sits in a few giant
+    documents behaves differently from an even one under sampling,
+    chunking, and dedup). Uses the rank formulation
+    ``G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x))`` over values
+    sorted ascending with ``id_col`` as the deterministic tie-break —
+    pure integer arithmetic until one truncating basis-point
+    division.
+
+    Shape: one rank window per group (the same per-group ordered
+    shuffle every ranking op pays) over (group, value, id) rows —
+    value and id only, never payloads; per-group sums ride the same
+    partitioning."""
+    wr = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    wg = Window.partitionBy(group_col)
+    d = (
+        df.select(group_col, id_col, value_col)
+        .withColumn("_i", F.row_number().over(wr))
+        .withColumn("_n", F.count(F.lit(1)).over(wg))
+        .withColumn("_t", F.sum(value_col).over(wg))
+        .withColumn("_ix", F.sum(F.col("_i") * F.col(value_col)).over(wg))
+    )
+    return (
+        d.groupBy(group_col)
+        .agg(
+            F.max("_n").alias("n_members"),
+            F.max("_t").alias("total_value"),
+            F.max("_ix").alias("_ixs"),
+        )
+        .select(
+            group_col,
+            "n_members",
+            "total_value",
+            F.expr(
+                "(2 * _ixs - (n_members + 1) * total_value) * 10000"
+                " div (n_members * total_value)"
+            ).alias("gini_bp"),
+        )
     )

@@ -1735,3 +1735,41 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
     return benford_deviation(o, "o_orderpriority", "cents").orderBy(
         "o_orderpriority"
     )
+
+
+@declare(
+    "q181_length_gini",
+    oracle="""
+    WITH r AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS v,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars, doc_id) AS BIGINT) AS i
+        FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(v) AS BIGINT) AS total_value,
+           (2 * CAST(SUM(i * v) AS BIGINT)
+               - (CAST(COUNT(*) AS BIGINT) + 1) * CAST(SUM(v) AS BIGINT))
+               * 10000
+               // (CAST(COUNT(*) AS BIGINT) * CAST(SUM(v) AS BIGINT))
+               AS gini_bp
+    FROM r GROUP BY source ORDER BY source
+    """,
+    doc="Exact Gini coefficient (basis points) of document length "
+    "within each source — the corpus-composition inequality audit: "
+    "a source whose character mass concentrates in a few giant "
+    "documents behaves differently under sampling, chunking, and "
+    "dedup than an even one. Rank formulation (2*sum(i*x_(i)) - "
+    "(n+1)*sum(x)) / (n*sum(x)) with doc_id tie-break (result is "
+    "tie-order-invariant: tied values make sum(i*x) depend only on "
+    "the fixed sum of ranks) — integer arithmetic to one truncating "
+    "bp division. One per-source rank window over (source, length, "
+    "id) rows; payloads never move.",
+    tags=("curation", "audit"),
+)
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import gini_bp
+
+    d = load(spark, sf, "documents").select(
+        "source", "doc_id", F.col("n_chars").cast("bigint").alias("v")
+    )
+    return gini_bp(d, "source", "doc_id", "v").orderBy("source")

@@ -213,3 +213,32 @@ def test_benford_missing_digits_count_fully(spark):
     )
     [r2] = benford_deviation(df2, "g", "cents").collect()
     assert r2["n_amounts"] == 1
+
+
+def test_gini_known_values(spark):
+    from kaflow_spark.operators.curation import gini_bp
+
+    rows = [("eq", i, 10) for i in range(10)]            # equal -> 0
+    rows += [("one", 0, 100)] + [("one", i, 0) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "g string, id int, v bigint")
+    got = {r["g"]: r["gini_bp"] for r in gini_bp(df, "g", "id", "v").collect()}
+    assert got["eq"] == 0
+    # all mass on one member of n: G = (n-1)/n = 0.9 -> 9000 bp
+    assert got["one"] == 9000
+
+
+def test_gini_matches_pairwise_definition(spark):
+    import random
+
+    from kaflow_spark.operators.curation import gini_bp
+
+    rng = random.Random(13)
+    vals = [rng.randint(0, 500) for _ in range(30)]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "g string, id int, v bigint"
+    )
+    [r] = gini_bp(df, "g", "id", "v").collect()
+    n, t = len(vals), sum(vals)
+    mad = sum(abs(a - b) for a in vals for b in vals)  # mean abs diff * n^2
+    want = (mad * 10000) // (2 * n * t)  # G = MAD / (2*mean)
+    assert r["gini_bp"] == want
