@@ -90,6 +90,28 @@ def main() -> None:
             for st in sorted(funnel)
         )
     )
+
+    # 8. data-health monitor: CUSUM level shifts on daily volume
+    from kaflow_spark.operators.events import cusum_shifts
+
+    ser = (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    shifts = cusum_shifts(ser, "event_type", "day", "day_cents", pct=10)
+    n_flag = shifts.filter(F.col("shift_flag")).count()
+    worst = shifts.orderBy(F.col("cusum_pos").desc()).first()
+    print(
+        f"CUSUM monitor:           {n_flag} flagged days; peak drift "
+        f"{worst['event_type']} @ {worst['day']}"
+    )
     spark.stop()
 
 
