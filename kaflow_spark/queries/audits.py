@@ -1,14 +1,21 @@
-"""Declared corpus-audit / entity-resolution queries (round-6 widening).
+"""Declared corpus-audit / entity-resolution queries (rounds 6-7).
 
-Six operator families a 100 TB training-data pipeline runs that the
-round-5 registry did not yet cover as first-class declared queries:
-indel edit-distance entity matching (q154), embedding int8
+Operator families a 100 TB training-data pipeline runs that the
+earlier registry did not yet cover as first-class declared queries —
+round 6: indel edit-distance entity matching (q154), embedding int8
 quantization audit (q155), cross-source quantile normalization
 (q156), source-pair corpus overlap (q157), source distribution drift
-(q158), and an exact set-similarity join via prefix filtering (q159).
-Every query keeps the determinism discipline (integer basis points,
-total ORDER BY, BIGINT casts against DuckDB HUGEINT rendering) and an
-exact DuckDB oracle.
+(q158), exact set-similarity join via prefix filtering (q159), and
+the q160-q173 batch (nearest as-of, BFS, Gopher repetition,
+winsorized stats, winnowing near-dup, source semantic distance,
+gap-fill, funnel latencies, skew report, composite ER, CDC diff,
+attribution, share-of-parent, unpivot); round 7: DSIR importance
+resampling + separation AUC (q174/q175), k-anonymity + the
+generalization ladder (q176/q177), token-budget water-filling
+(q178), CUSUM change-points (q179), Benford conformance (q180), and
+exact Gini (q181). Every query keeps the determinism discipline
+(integer basis points, total ORDER BY, BIGINT casts against DuckDB
+HUGEINT rendering) and an exact DuckDB oracle.
 """
 
 from __future__ import annotations
