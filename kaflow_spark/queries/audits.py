@@ -1780,3 +1780,79 @@ def q181(spark: SparkSession, sf: str) -> DataFrame:
         "source", "doc_id", F.col("n_chars").cast("bigint").alias("v")
     )
     return gini_bp(d, "source", "doc_id", "v").orderBy("source")
+
+
+@declare(
+    "q182_temporal_state_join",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events WHERE event_type <> 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN prev_type IS NULL
+                         OR prev_type <> event_type THEN 1 ELSE 0
+               END AS chg
+        FROM o),
+    islands AS (
+        SELECT user_id, event_type, ts,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+        FROM flagged),
+    runs AS (
+        SELECT user_id, island, MIN(event_type) AS event_type,
+               MIN(ts) AS valid_from
+        FROM islands GROUP BY user_id, island),
+    iv AS (
+        SELECT user_id, event_type, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY island) AS valid_to
+        FROM runs),
+    p AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id, iv.event_type AS state,
+           iv.valid_from AS state_since
+    FROM p JOIN iv ON p.user_id = iv.user_id
+       AND iv.valid_from <= p.ts
+       AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+    ORDER BY p.user_id, p.event_id
+    """,
+    doc="Temporal point-in-interval dimension join — the consumer of "
+    "the SCD2 story (build q141/q150, diff q170): each purchase is "
+    "joined to the engagement state (the user's current run of "
+    "non-purchase activity) VALID AT its timestamp, the classic "
+    "point-in-time dimension lookup a warehouse runs against SCD "
+    "history. Intervals are half-open [from, next_from) with the "
+    "(ts, event_id) tie-break, so a purchase on an exact boundary "
+    "lands in the new run in both engines; purchases before a "
+    "user's first state run drop (inner join). Shape: the SCD2 "
+    "build and the join share ONE user_id hash partitioning "
+    "(co-partitioned equi-join; the containment predicate filters "
+    "post-join over the per-user interval set, bounded by that "
+    "user's own run count).",
+    tags=("events", "scd", "join"),
+)
+def q182(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.events import scd2_intervals
+
+    e = load(spark, sf, "events")
+    states = scd2_intervals(
+        e.filter(F.col("event_type") != "purchase"), "user_id", "event_type"
+    ).drop("n_events")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    j = purch.join(states, "user_id").filter(
+        (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.col("valid_from").alias("state_since"),
+    ).orderBy("user_id", "event_id")

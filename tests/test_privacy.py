@@ -242,3 +242,44 @@ def test_gini_matches_pairwise_definition(spark):
     mad = sum(abs(a - b) for a in vals for b in vals)  # mean abs diff * n^2
     want = (mad * 10000) // (2 * n * t)  # G = MAD / (2*mean)
     assert r["gini_bp"] == want
+
+
+def test_temporal_state_join_boundaries(spark):
+    # purchase exactly ON a state boundary joins the NEW run (half-open
+    # intervals); a purchase before any state run drops
+    import datetime as dt
+
+    from kaflow_spark.operators.events import scd2_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, 10, ts(10), "view"),
+        (1, 20, ts(20), "click"),
+        (1, 15, ts(15), "purchase"),   # inside the view run
+        (1, 21, ts(20), "purchase"),   # exact boundary ts -> click run
+        (1, 5, ts(5), "purchase"),     # before any state run -> drops
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    )
+    states = scd2_intervals(
+        df.filter(F.col("event_type") != "purchase"), "user_id", "event_type"
+    ).drop("n_events")
+    purch = df.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    j = (
+        purch.join(states, "user_id")
+        .filter(
+            (F.col("valid_from") <= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select("event_id", "event_type")
+        .collect()
+    )
+    got = {r["event_id"]: r["event_type"] for r in j}
+    assert got == {15: "view", 21: "click"}
