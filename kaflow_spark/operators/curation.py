@@ -1064,6 +1064,7 @@ __all__ = [
     "benford_deviation",
     "BENFORD_BP",
     "gini_bp",
+    "ks_drift_bp",
 ]
 
 
@@ -1791,5 +1792,75 @@ def gini_bp(
                 "(2 * _ixs - (n_members + 1) * total_value) * 10000"
                 " div (n_members * total_value)"
             ).alias("gini_bp"),
+        )
+    )
+
+
+def ks_drift_bp(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic (basis points)
+    between each group's ``value_col`` distribution and the REST of
+    the population — the bucket-free leave-one-out drift check beside
+    a fixed-bucket L1 (the KS max is reached at a step of either
+    ECDF, so evaluating on the union value grid is exact, no binning
+    choice to defend). The statistic is computed cross-multiplied —
+    ``D = max |cum_g * n_rest - cum_rest * n_g|`` over the grid,
+    reported as ``ks_bp = D * 10000 div (n_g * n_rest)`` — pure
+    integers end to end.
+
+    Shape: ONE population aggregation to the (group, value) count
+    table; the (group x distinct-value) grid is densified from that
+    bounded table (groups x value cardinality, never rows), and the
+    cumulative windows partition per group over it."""
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    # densified grid: every group x every distinct value, 0 where absent
+    values = counts.select(value_col).distinct()
+    groups = counts.groupBy(group_col).agg(F.sum("_c").alias("_ng"))
+    grid = groups.crossJoin(F.broadcast(values)).join(
+        counts, [group_col, value_col], "left"
+    ).withColumn("_c", F.coalesce(F.col("_c"), F.lit(0)))
+    # global cumulative over the same value order, from the bounded
+    # per-value totals (sum over groups at each value)
+    per_value = counts.groupBy(value_col).agg(F.sum("_c").alias("_cv"))
+    wv = (
+        Window.orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_all = per_value.withColumn("_cum_all", F.sum("_cv").over(wv)).drop("_cv")
+    wg = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n_total = F.sum("_c").over(Window.partitionBy(F.lit(1)))
+    stepped = (
+        grid.withColumn("_cum_g", F.sum("_c").over(wg))
+        .join(F.broadcast(cum_all), value_col)
+        .withColumn("_n", n_total)
+    )
+    d = stepped.withColumn(
+        "_d",
+        F.abs(
+            F.col("_cum_g") * (F.col("_n") - F.col("_ng"))
+            - (F.col("_cum_all") - F.col("_cum_g")) * F.col("_ng")
+        ),
+    )
+    return (
+        d.groupBy(group_col)
+        .agg(
+            F.max("_ng").alias("n_group"),
+            F.max(F.col("_n") - F.col("_ng")).alias("n_rest"),
+            F.max("_d").alias("_dmax"),
+        )
+        .select(
+            group_col,
+            "n_group",
+            "n_rest",
+            F.expr("_dmax * 10000 div (n_group * n_rest)").alias("ks_bp"),
         )
     )

@@ -1856,3 +1856,58 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_type").alias("state"),
         F.col("valid_from").alias("state_since"),
     ).orderBy("user_id", "event_id")
+
+
+@declare(
+    "q183_ks_drift",
+    oracle="""
+    WITH c AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY source, n_chars),
+    vals AS (SELECT DISTINCT v FROM c),
+    grp AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS ng
+            FROM c GROUP BY source),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+    pv AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS cv FROM c GROUP BY v),
+    cum_all AS (
+        SELECT v, CAST(SUM(cv) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_all
+        FROM pv),
+    grid AS (
+        SELECT g.source, g.ng, vals.v, COALESCE(c.cnt, 0) AS cnt
+        FROM grp g CROSS JOIN vals
+        LEFT JOIN c ON c.source = g.source AND c.v = vals.v),
+    stepped AS (
+        SELECT grid.source, grid.ng, grid.v,
+               CAST(SUM(cnt) OVER (PARTITION BY grid.source ORDER BY grid.v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_g,
+               ca.cum_all, tot.n
+        FROM grid JOIN cum_all ca ON ca.v = grid.v, tot)
+    SELECT source, ng AS n_group, CAST(MAX(n - ng) AS BIGINT) AS n_rest,
+           (CAST(MAX(ABS(cum_g * (n - ng) - (cum_all - cum_g) * ng))
+                AS BIGINT) * 10000)
+               // (ng * CAST(MAX(n - ng) AS BIGINT)) AS ks_bp
+    FROM stepped GROUP BY source, ng
+    ORDER BY source
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov drift (basis points) of "
+    "each source's document-length distribution against the REST of "
+    "the corpus — the bucket-free leave-one-out complement to the "
+    "fixed-bucket L1 drift report (q158): no bin edges to defend, "
+    "and the KS max is provably attained on the union value grid. "
+    "Cross-multiplied integers end to end (D = max|cum_g*n_rest - "
+    "cum_rest*n_g|). One population aggregation to the (source, "
+    "length) count table; the densified grid and every cumulative "
+    "window live on bounded tables (sources x distinct lengths).",
+    tags=("curation", "audit"),
+)
+def q183(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import ks_drift_bp
+
+    d = load(spark, sf, "documents").select(
+        "source", F.col("n_chars").cast("bigint").alias("v")
+    )
+    return ks_drift_bp(d, "source", "v").orderBy("source")

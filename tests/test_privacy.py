@@ -283,3 +283,48 @@ def test_temporal_state_join_boundaries(spark):
     )
     got = {r["event_id"]: r["event_type"] for r in j}
     assert got == {15: "view", 21: "click"}
+
+
+def test_ks_matches_scipy_style_definition(spark):
+    import random
+
+    from kaflow_spark.operators.curation import ks_drift_bp
+
+    rng = random.Random(21)
+    a = [rng.randint(0, 60) for _ in range(80)]          # group "a"
+    b = [rng.randint(20, 100) for _ in range(50)]        # shifted rest
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    got = {r["g"]: r for r in ks_drift_bp(df, "g", "v").collect()}
+
+    def ks_bp(x, y):
+        pts = sorted(set(x) | set(y))
+        nx, ny = len(x), len(y)
+        d = max(
+            abs(sum(1 for e in x if e <= p) * ny
+                - sum(1 for e in y if e <= p) * nx)
+            for p in pts
+        )
+        return d * 10000 // (nx * ny)
+
+    assert got["a"]["ks_bp"] == ks_bp(a, b)
+    assert got["b"]["ks_bp"] == ks_bp(b, a)
+    assert got["a"]["n_group"] == 80 and got["a"]["n_rest"] == 50
+
+
+def test_ks_identical_distributions_zero(spark):
+    from kaflow_spark.operators.curation import ks_drift_bp
+
+    rows = [("a", v) for v in (1, 2, 3)] * 4 + [("b", v) for v in (1, 2, 3)] * 4
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    assert all(r["ks_bp"] == 0 for r in ks_drift_bp(df, "g", "v").collect())
+
+
+def test_ks_disjoint_supports_full(spark):
+    from kaflow_spark.operators.curation import ks_drift_bp
+
+    rows = [("a", v) for v in (1, 2)] + [("b", v) for v in (10, 11, 12)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    assert all(
+        r["ks_bp"] == 10000 for r in ks_drift_bp(df, "g", "v").collect()
+    )
