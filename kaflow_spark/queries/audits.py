@@ -1911,3 +1911,103 @@ def q183(spark: SparkSession, sf: str) -> DataFrame:
         "source", F.col("n_chars").cast("bigint").alias("v")
     )
     return ks_drift_bp(d, "source", "v").orderBy("source")
+
+
+def _q184_oracle() -> str:
+    from kaflow_spark.queries.llm import _quality_components_cte, _QSCORE_EXPR
+
+    return f"""
+    WITH {_quality_components_cte()},
+    q AS (SELECT doc_id, {_QSCORE_EXPR} AS score FROM c),
+    tkn AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+        FROM documents),
+    per AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cc
+            FROM tkn GROUP BY doc_id, token),
+    tc AS (SELECT token, CAST(SUM(cc) AS BIGINT) AS tc
+           FROM per GROUP BY token),
+    g AS (SELECT CAST(SUM(tc) AS BIGINT) AS g FROM tc),
+    srp AS (
+        SELECT per.doc_id,
+               (CAST(SUM(cc * (LENGTH(bin(g.g // tc.tc)) - 1)) AS BIGINT)
+                   * 10000) // CAST(SUM(cc) AS BIGINT) AS bits_bp
+        FROM per JOIN tc USING (token), g
+        GROUP BY per.doc_id),
+    j AS (
+        SELECT d.source, q.doc_id, q.score, srp.bits_bp
+        FROM q JOIN srp USING (doc_id)
+        JOIN documents d USING (doc_id)),
+    r AS (
+        SELECT source,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY score, doc_id) AS BIGINT) AS r1,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY bits_bp, doc_id) AS BIGINT) AS r2
+        FROM j)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2,
+           10000 - (60000 * CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT))
+               // GREATEST(CAST(COUNT(*) AS BIGINT)
+                   * (CAST(COUNT(*) AS BIGINT) * CAST(COUNT(*) AS BIGINT)
+                      - 1), 1) AS rho_bp
+    FROM r GROUP BY source ORDER BY source
+    """
+
+
+@declare(
+    "q184_rank_agreement",
+    oracle=_q184_oracle(),
+    doc="Rank-agreement audit between two quality signals: per-source "
+    "Spearman rho (basis points, d-squared formulation 1 - "
+    "6*sum(d^2)/(n(n^2-1))) between the heuristic quality score "
+    "(q35) and mean unigram surprisal (q89), under total-order "
+    "ranks with the doc_id tie-break (the deterministic tie-broken "
+    "variant — midranks would need a square root, breaking integer "
+    "exactness; with few ties the two agree closely). The check a "
+    "pipeline runs before swapping one filter signal for a cheaper "
+    "one: high rho = the cheap signal ranks documents the same way. "
+    "Shape: both signals are one aggregation each over the corpus, "
+    "joined per doc; the rank windows partition per source.",
+    tags=("curation", "audit"),
+)
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from kaflow_spark.functions.textstats import quality_score_bp
+    from kaflow_spark.operators.curation import unigram_surprisal
+
+    d = load(spark, sf, "documents")
+    q = d.select(
+        "source", "doc_id", quality_score_bp(F.col("text")).alias("score")
+    )
+    srp = unigram_surprisal(d, "doc_id", "text").select("doc_id", "bits_bp")
+    j = q.join(srp, "doc_id")
+    r1 = F.row_number().over(
+        Window.partitionBy("source").orderBy("score", "doc_id")
+    )
+    r2 = F.row_number().over(
+        Window.partitionBy("source").orderBy("bits_bp", "doc_id")
+    )
+    ranked = j.select(
+        "source",
+        r1.cast("bigint").alias("r1"),
+        r2.cast("bigint").alias("r2"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2")))
+            .alias("sum_d2"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_d2",
+            F.expr(
+                "10000 - (60000 * sum_d2)"
+                " div greatest(n_docs * (n_docs * n_docs - 1), 1)"
+            ).alias("rho_bp"),
+        )
+        .orderBy("source")
+    )

@@ -328,3 +328,56 @@ def test_ks_disjoint_supports_full(spark):
     assert all(
         r["ks_bp"] == 10000 for r in ks_drift_bp(df, "g", "v").collect()
     )
+
+
+def test_rank_agreement_extremes_and_reference(spark):
+    import random
+
+    from kaflow_spark.queries.audits import q184  # noqa: F401  (query fn)
+    from pyspark.sql.window import Window
+
+    # drive the same rank/d2 algebra the query uses, via a small frame
+    def rho_rows(pairs):
+        df = spark.createDataFrame(
+            [("g", i, a, b) for i, (a, b) in enumerate(pairs)],
+            "source string, doc_id int, score bigint, bits_bp bigint",
+        )
+        r1 = F.row_number().over(
+            Window.partitionBy("source").orderBy("score", "doc_id")
+        )
+        r2 = F.row_number().over(
+            Window.partitionBy("source").orderBy("bits_bp", "doc_id")
+        )
+        out = (
+            df.select("source", r1.alias("r1"), r2.alias("r2"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))
+                ).alias("d2"),
+            )
+            .select(
+                F.expr(
+                    "10000 - (60000 * d2) div greatest(n * (n * n - 1), 1)"
+                ).alias("rho")
+            )
+            .collect()
+        )
+        return out[0]["rho"]
+
+    # perfectly agreeing ranks
+    assert rho_rows([(i, i * 10) for i in range(12)]) == 10000
+    # perfectly inverted ranks
+    assert rho_rows([(i, -i) for i in range(12)]) == -10000
+    # random, tie-free: match the textbook d^2 formula exactly
+    rng = random.Random(31)
+    xs = rng.sample(range(1000), 25)
+    ys = rng.sample(range(1000), 25)
+    pairs = list(zip(xs, ys))
+    rx = {v: i + 1 for i, v in enumerate(sorted(xs))}
+    ry = {v: i + 1 for i, v in enumerate(sorted(ys))}
+    d2 = sum((rx[a] - ry[b]) ** 2 for a, b in pairs)
+    n = 25
+    want = 10000 - (60000 * d2) // (n * (n * n - 1))
+    assert rho_rows(pairs) == want
