@@ -1065,6 +1065,7 @@ __all__ = [
     "BENFORD_BP",
     "gini_bp",
     "ks_drift_bp",
+    "weighted_median",
 ]
 
 
@@ -1863,4 +1864,47 @@ def ks_drift_bp(
             "n_rest",
             F.expr("_dmax * 10000 div (n_group * n_rest)").alias("ks_bp"),
         )
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact weighted median per group, percentile_disc-style: the
+    smallest value whose CUMULATIVE WEIGHT reaches half the group's
+    total weight (``2*cum_w >= total_w``, integer cross-multiplied —
+    no halving division, no interpolation, so the result is an actual
+    data value and cannot drift between engines). The volume-weighted
+    generalization of the q53 selector.
+
+    Shape: one partial-agg'd (group, value) weight rollup, then the
+    cumulative window per group over that contracted table; the
+    selector is a plain filter + min."""
+    counts = df.groupBy(group_col, value_col).agg(
+        F.sum(weight_col).alias("_w"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    wg = Window.partitionBy(group_col)
+    wc = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        counts.withColumn("_tw", F.sum("_w").over(wg))
+        .withColumn("_tn", F.sum("_n").over(wg))
+        .withColumn("_cum", F.sum("_w").over(wc))
+    )
+    return (
+        c.filter(F.col("_cum") * 2 >= F.col("_tw"))
+        .groupBy(group_col)
+        .agg(
+            F.min(value_col).alias("wmedian"),
+            F.max("_tn").alias("n_rows"),
+            F.max("_tw").alias("total_weight"),
+        )
+        .select(group_col, "n_rows", "total_weight", "wmedian")
     )

@@ -98,6 +98,7 @@ __all__ = [
     "mad_outliers",
     "scd2_intervals",
     "cusum_shifts",
+    "twap",
 ]
 
 
@@ -390,3 +391,50 @@ def cusum_shifts(
         F.col("cusum_pos") * 100 > F.col("_t") * F.col("_n") * F.lit(pct)
     ) | (F.col("cusum_neg") * 100 > F.col("_t") * F.col("_n") * F.lit(pct))
     return d.withColumn("shift_flag", flag).drop("_n", "_t", "_s")
+
+
+def twap(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average of an integer ``value_col`` per group —
+    the metrics/finance aggregation where each observation counts for
+    how LONG it held, not how often it printed (a once-a-day sensor
+    and a 1000-tick burst weigh by duration, unlike a plain mean).
+    Each observation is weighted by the seconds until the group's next
+    observation; the last one carries zero weight; the denominator is
+    the group's observed span. Epoch seconds are ``epoch_us div 1e6``
+    (truncation — the q152 rounding corollary, identical in both
+    engines); duration in SECONDS keeps ``value * dur`` far from
+    bigint overflow. Groups whose span is zero (single observation or
+    all within one second) fall back to the plain truncating integer
+    mean, flagged by ``degenerate``.
+
+    Shape: one ordered lead window per group over (group, ts, id,
+    value) rows, then a partial-agg'd rollup — the q141 family's
+    single-shuffle discipline."""
+    wo = Window.partitionBy(*group_cols).orderBy(ts_col, id_col)
+    secs = (F.col(ts_col).cast("long"))  # timestamp->long truncates to s
+    d = df.select(*group_cols, ts_col, id_col, value_col).withColumn(
+        "_s", secs
+    ).withColumn(
+        "_dur", F.coalesce(F.lead("_s").over(wo) - F.col("_s"), F.lit(0))
+    )
+    agg = d.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col(value_col) * F.col("_dur")).alias("_num"),
+        (F.max("_s") - F.min("_s")).alias("span_s"),
+        F.sum(value_col).alias("_sv"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_obs",
+        "span_s",
+        F.when(F.col("span_s") > 0, F.expr("_num div span_s"))
+        .otherwise(F.expr("_sv div n_obs"))
+        .alias("twap"),
+        (F.col("span_s") == 0).alias("degenerate"),
+    )

@@ -2011,3 +2011,110 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@declare(
+    "q185_weighted_median",
+    oracle="""
+    WITH li AS (
+        SELECT l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem),
+    cnt AS (
+        SELECT l_returnflag, cents, CAST(SUM(qty) AS BIGINT) AS w,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM li GROUP BY l_returnflag, cents),
+    c AS (
+        SELECT *,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw,
+               CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tn,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM cnt)
+    SELECT l_returnflag, CAST(MAX(tn) AS BIGINT) AS n_rows,
+           CAST(MAX(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(cents) AS BIGINT) AS wmedian
+    FROM c WHERE cum * 2 >= tw
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Exact quantity-weighted median of line-item price per return "
+    "flag — the volume-weighted generalization of q53's exact "
+    "percentiles (percentile_disc semantics: smallest price whose "
+    "cumulative QUANTITY reaches half the flag's total, compared "
+    "cross-multiplied — no halving division, no interpolation, the "
+    "answer is an actual data value). One partial-agg'd (flag, "
+    "cents) weight rollup, then the cumulative window per flag over "
+    "that contracted table.",
+    tags=("agg", "audit"),
+)
+def q185(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import weighted_median
+
+    li = load(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return weighted_median(li, "l_returnflag", "cents", "qty").orderBy(
+        "l_returnflag"
+    )
+
+
+@declare(
+    "q186_twap",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               CAST(epoch_us(ts) AS BIGINT) // 1000000 AS s
+        FROM events),
+    d AS (
+        SELECT event_type, day, cents, s,
+               COALESCE(LEAD(s) OVER (PARTITION BY event_type, day
+                   ORDER BY ts, event_id) - s, 0) AS dur
+        FROM e),
+    agg AS (
+        SELECT event_type, day,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(SUM(cents * dur) AS BIGINT) AS num,
+               CAST(MAX(s) - MIN(s) AS BIGINT) AS span_s,
+               CAST(SUM(cents) AS BIGINT) AS sv
+        FROM d GROUP BY event_type, day)
+    SELECT event_type, day, n_obs, span_s,
+           CAST(CASE WHEN span_s > 0 THEN num // span_s
+                ELSE sv // n_obs END AS BIGINT) AS twap,
+           span_s = 0 AS degenerate
+    FROM agg ORDER BY event_type, day
+    """,
+    doc="Time-weighted average value (TWAP) per event type and day — "
+    "the metrics/finance aggregation where an observation counts for "
+    "how LONG it held, not how often it printed. Each event weighted "
+    "by seconds until the next; the last carries zero; denominator "
+    "is the observed span; zero-span groups fall back to the plain "
+    "truncating mean with a degenerate flag. Epoch seconds via "
+    "epoch_us div 1e6 on the oracle side (the q152 rounding "
+    "corollary: CAST(epoch(ts)) ROUNDS, Spark's long cast "
+    "truncates). One ordered lead window per (type, day) then a "
+    "partial-agg'd rollup — the single-shuffle discipline.",
+    tags=("events", "agg"),
+)
+def q186(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.events import twap
+
+    e = load(spark, sf, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    return twap(
+        e, ["event_type", "day"], "ts", "event_id", "cents"
+    ).orderBy("event_type", "day")

@@ -381,3 +381,58 @@ def test_rank_agreement_extremes_and_reference(spark):
     n = 25
     want = 10000 - (60000 * d2) // (n * (n * n - 1))
     assert rho_rows(pairs) == want
+
+
+def test_weighted_median_hand_cases(spark):
+    from kaflow_spark.operators.curation import weighted_median
+
+    rows = [("g", 10, 1), ("g", 20, 1), ("g", 30, 8)]  # weight mass at 30
+    df = spark.createDataFrame(rows, "g string, v bigint, w bigint")
+    [r] = weighted_median(df, "g", "v", "w").collect()
+    assert (r["wmedian"], r["n_rows"], r["total_weight"]) == (30, 3, 10)
+    # exact half boundary: cum(10)=5, 2*5 >= 10 -> the LOWER value wins
+    rows2 = [("g", 10, 5), ("g", 20, 5)]
+    df2 = spark.createDataFrame(rows2, "g string, v bigint, w bigint")
+    [r2] = weighted_median(df2, "g", "v", "w").collect()
+    assert r2["wmedian"] == 10
+    # unweighted (all w=1) == percentile_disc(0.5)
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    df3 = spark.createDataFrame(
+        [("g", v, 1) for v in vals], "g string, v bigint, w bigint"
+    )
+    [r3] = weighted_median(df3, "g", "v", "w").collect()
+    assert r3["wmedian"] == sorted(vals)[(len(vals) - 1) // 2]
+
+
+def test_twap_holds_by_duration_not_frequency(spark):
+    import datetime as dt
+
+    from kaflow_spark.operators.events import twap
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    # value 100 holds 90s, then a 10-tick burst at 200 over 10s:
+    # plain mean is ~191, TWAP is (100*90 + 200*10)/100 = 110
+    rows = [("g", 1, ts(0), 100)]
+    rows += [("g", 10 + i, ts(90 + i), 200) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "g string, event_id bigint, ts timestamp, cents bigint"
+    )
+    [r] = twap(df, ["g"], "ts", "event_id", "cents").collect()
+    assert not r["degenerate"]
+    assert r["span_s"] == 99
+    # num = 100*90 + 200*(1*9 + last 0) ... compute independently:
+    durs = [90] + [1] * 9 + [0]
+    vals = [100] + [200] * 10
+    want = sum(v * d for v, d in zip(vals, durs)) // 99
+    assert r["twap"] == want and r["twap"] < 150  # duration-dominated
+    # degenerate: all in the same second -> plain mean fallback
+    df2 = spark.createDataFrame(
+        [("g", i, ts(0), v) for i, v in enumerate((10, 20, 30))],
+        "g string, event_id bigint, ts timestamp, cents bigint",
+    )
+    [r2] = twap(df2, ["g"], "ts", "event_id", "cents").collect()
+    assert r2["degenerate"] and r2["twap"] == 20
