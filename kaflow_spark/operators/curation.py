@@ -1066,6 +1066,7 @@ __all__ = [
     "gini_bp",
     "ks_drift_bp",
     "weighted_median",
+    "deterministic_sample_k",
 ]
 
 
@@ -1907,4 +1908,34 @@ def weighted_median(
             F.max("_tw").alias("total_weight"),
         )
         .select(group_col, "n_rows", "total_weight", "wmedian")
+    )
+
+
+def deterministic_sample_k(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY-k-per-group uniform sample without replacement,
+    deterministic and engine-reproducible: rank rows inside each
+    group by the md5 of (salt || id) — a uniform random permutation
+    under the random-oracle view of md5, frozen by the salt — and
+    keep the first ``k``. The fixed-SIZE companion to the hash-
+    threshold samplers (stratified_sample's keep-fraction is
+    binomial per group; audits and eval sets usually want exactly k).
+    Re-running with the same salt reproduces the sample on any
+    engine with a lowercase-hex md5; changing the salt redraws it.
+    Groups smaller than ``k`` keep all rows.
+
+    Shape: one rank window per group over (group, id) rows — the
+    ranking shuffle carries ids only; no RNG state, no seed plumbing,
+    no driver involvement."""
+    pri = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(pri, id_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
     )

@@ -2118,3 +2118,36 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
     return twap(
         e, ["event_type", "day"], "ts", "event_id", "cents"
     ).orderBy("event_type", "day")
+
+
+@declare(
+    "q187_deterministic_sample",
+    oracle="""
+    WITH r AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5('audit-v1' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS rk
+        FROM documents)
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM r WHERE rk <= 5
+    ORDER BY source, doc_id
+    """,
+    doc="Exactly-5-per-source uniform sample without replacement, "
+    "deterministic across engines: rows ranked by md5(salt || id) — "
+    "a salt-frozen uniform permutation — and the first 5 kept. The "
+    "fixed-size companion to the hash-threshold samplers (whose "
+    "per-group keep count is binomial): audit and eval draws want "
+    "exactly k, reproducibly. One rank window per source over "
+    "(source, id) rows; no RNG state anywhere.",
+    tags=("curation", "sampling"),
+)
+def q187(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import deterministic_sample_k
+
+    d = load(spark, sf, "documents").select(
+        "source", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    return deterministic_sample_k(d, "source", "doc_id", 5, salt="audit-v1").orderBy(
+        "source", "doc_id"
+    )

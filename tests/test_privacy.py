@@ -436,3 +436,20 @@ def test_twap_holds_by_duration_not_frequency(spark):
     )
     [r2] = twap(df2, ["g"], "ts", "event_id", "cents").collect()
     assert r2["degenerate"] and r2["twap"] == 20
+
+
+def test_deterministic_sample_k_properties(spark):
+    from kaflow_spark.operators.curation import deterministic_sample_k
+
+    rows = [("a", i) for i in range(40)] + [("b", i) for i in range(3)]
+    df = spark.createDataFrame(rows, "g string, id bigint")
+    s1 = deterministic_sample_k(df, "g", "id", 5, salt="x").collect()
+    s2 = deterministic_sample_k(df, "g", "id", 5, salt="x").collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))  # reproducible
+    by_g = {}
+    for r in s1:
+        by_g.setdefault(r["g"], []).append(r["id"])
+    assert len(by_g["a"]) == 5          # exactly k
+    assert sorted(by_g["b"]) == [0, 1, 2]  # small group keeps all
+    s3 = deterministic_sample_k(df, "g", "id", 5, salt="y").collect()
+    assert sorted(map(tuple, s3)) != sorted(map(tuple, s1))  # salt redraws
