@@ -2151,3 +2151,64 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
     return deterministic_sample_k(d, "source", "doc_id", 5, salt="audit-v1").orderBy(
         "source", "doc_id"
     )
+
+
+@declare(
+    "q188_interarrival_median",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, ts, event_id,
+               CAST(epoch_us(ts) AS BIGINT) // 1000000 AS s
+        FROM events),
+    g AS (
+        SELECT event_type,
+               LEAD(s) OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) - s AS gap
+        FROM e),
+    cnt AS (
+        SELECT event_type, gap, CAST(COUNT(*) AS BIGINT) AS c
+        FROM g WHERE gap IS NOT NULL GROUP BY event_type, gap),
+    cum AS (
+        SELECT *,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS tc,
+               CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY gap
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cumc
+        FROM cnt)
+    SELECT event_type, CAST(MAX(tc) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap) AS BIGINT) AS median_gap_s
+    FROM cum WHERE cumc * 2 >= tc
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Inter-arrival burstiness audit: the exact median gap "
+    "(seconds) between a user's consecutive events of each type — "
+    "the cadence number behind rate-limit, dedup-window, and "
+    "session-timeout choices. Gaps from one lead window per (user, "
+    "type) with the (ts, event_id) tie-break; epoch seconds via "
+    "epoch_us div 1e6 (q152 corollary); the median is the q53/q185 "
+    "cumulative-count selector over the bounded (type, gap) table — "
+    "integer end to end, percentile_disc semantics.",
+    tags=("events", "audit"),
+)
+def q188(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from kaflow_spark.operators.curation import weighted_median
+
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("long")
+    gaps = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("_s", secs)
+        .withColumn("gap", F.lead("_s").over(w) - F.col("_s"))
+        .filter(F.col("gap").isNotNull())
+        .select("event_type", "gap")
+        .withColumn("_one", F.lit(1))
+    )
+    wm = weighted_median(gaps, "event_type", "gap", "_one")
+    return wm.select(
+        "event_type",
+        F.col("n_rows").alias("n_gaps"),
+        F.col("wmedian").alias("median_gap_s"),
+    ).orderBy("event_type")
