@@ -47,6 +47,13 @@ def contamination_overlaps(
     (partial-agg'd) groupBy. Grams are 128-bit two-seed xxhash64
     identities (16 bytes); the overlap COUNT is hash-invariant, which
     is what lets a string-gram oracle attest this plan exactly.
+
+    Session side effect: planning this operator sets
+    ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` for the WHOLE session
+    (via :func:`ensure_map_last_win` — duplicate map keys are the
+    per-doc dedup mechanism). Code in the same session that relies on
+    the default EXCEPTION policy to surface duplicate map keys will
+    silently stop raising after this runs.
     """
     # 128-bit two-seed gram identity: a 64-bit collision between a
     # corpus gram and a benchmark gram would falsely DROP a document
@@ -1082,7 +1089,12 @@ def group_shingle_overlap(
     shingle shared by f groups fans out f² rows with f bounded by the
     number of groups, so total work is linear in corpus size times a
     bounded constant. Returns (group_a, group_b, shared, jaccard_bp)
-    for pairs sharing at least one shingle."""
+    for pairs sharing at least one shingle.
+
+    Session side effect: planning this operator sets
+    ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` for the WHOLE session
+    (see :func:`contamination_overlaps` for the rationale); callers
+    relying on the default EXCEPTION policy are affected."""
     g = F.col(group_col)
     # 128-bit two-seed shingle identity: the shared/jaccard counts are
     # REPORTED numbers aggregated over every corpus shingle, so 64-bit

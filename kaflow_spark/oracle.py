@@ -103,11 +103,13 @@ def compare(
         if f.dataType.typeName() in ("byte", "short", "integer", "long")
     }
     # Any DuckDB type that pandas renders as float64 (HUGEINT from
-    # SUM-over-int, DOUBLE/FLOAT) against a Spark integral column
-    # will stringify "770.0" vs "770" under the driver's hash. With
-    # NULLs present both engines degrade to float64 identically, so
-    # only NULL-free columns are trapped.
-    floaty = ("HUGEINT", "UHUGEINT", "DOUBLE", "FLOAT")
+    # SUM-over-int, DOUBLE/FLOAT, and DECIMAL — verified:
+    # CAST(770 AS DECIMAL(18,0)) stringifies '770.0' via pandas)
+    # against a Spark integral column will stringify "770.0" vs
+    # "770" under the driver's hash. With NULLs present both engines
+    # degrade to float64 identically, so only NULL-free columns are
+    # trapped.
+    floaty = ("HUGEINT", "UHUGEINT", "DOUBLE", "FLOAT", "DECIMAL")
     for i, c in enumerate(d_cols):
         if (
             c in integral

@@ -454,7 +454,15 @@ def read_segments(
     tail policy ("record" = DLQ-routable sentinel row, "raise" = fail
     fast); the default is "record" for full-envelope reads and "raise"
     when the projection strips the ``headers`` marker column (see
-    `_parse_corrupt`)."""
+    `_parse_corrupt`).
+
+    .. versionchanged:: round 7
+       Projected reads (``columns=...`` without ``headers``) over an
+       archive containing a torn tail now RAISE by default instead of
+       returning an unmarked (offset=-1, epoch-1970) sentinel row.
+       Pipelines that want the old best-effort behavior must opt back
+       in explicitly with ``corrupt="record"`` (and should include
+       ``headers`` so the sentinel is identifiable)."""
     register(spark)
     r = spark.read.format("kafka_segment").option("path", directory)
     if columns is not None:
