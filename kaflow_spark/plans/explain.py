@@ -65,6 +65,48 @@ def has_top_k(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in explain_str(df)
 
 
+def scan_partition_metrics(df: DataFrame) -> list[dict[str, int]]:
+    """Post-execution scan metrics: one dict per file-scan leaf with
+    whatever of ``numPartitions`` / ``numFiles`` / ``numOutputRows``
+    the scan reports. Call AFTER an action — SQL metrics are filled in
+    at runtime, which is precisely what makes this the right probe for
+    DYNAMIC partition pruning (the static plan only shows the
+    ``dynamicpruningexpression`` placeholder; how many partitions
+    survived pruning is a runtime fact)."""
+    ep = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    out: list[dict[str, int]] = []
+    for node in _physical_nodes(ep):
+        if "Scan" not in node.nodeName():
+            continue
+        mets = node.metrics()
+        row: dict[str, int] = {}
+        for key in ("numPartitions", "numFiles", "numOutputRows"):
+            if mets.contains(key):
+                row[key] = mets.apply(key).value()
+        out.append(row)
+    return out
+
+
+def _physical_nodes(node):
+    """Walk a physical plan yielding REAL operator nodes, unwrapping
+    the adaptive-execution containers: AdaptiveSparkPlanExec holds the
+    current plan behind ``executedPlan()``, and each materialized stage
+    (Shuffle/Broadcast/ResultQueryStage) hides its subtree behind
+    ``plan()`` — a naive ``collectLeaves()`` sees only the wrappers
+    (the runtime cousin of CLAUDE.md trap 9)."""
+    name = node.nodeName()
+    if name == "AdaptiveSparkPlan":
+        yield from _physical_nodes(node.executedPlan())
+        return
+    if "QueryStage" in name:
+        yield from _physical_nodes(node.plan())
+        return
+    yield node
+    children = node.children()
+    for i in range(children.length()):
+        yield from _physical_nodes(children.apply(i))
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Shuffle count in the plan (Exchange nodes, excluding broadcast
     exchanges which move only the small side). Formatted mode lists

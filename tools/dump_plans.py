@@ -385,6 +385,75 @@ def cbo_section(spark, sf_dir: str) -> list[str]:
     return out
 
 
+def dpp_section(spark, sf_dir: str) -> list[str]:
+    """Dynamic partition pruning over a month-partitioned fact layout —
+    the storage-layout half of the 100 TB read story (the flat-file
+    half is PushedFilters/ReadSchema above). Writes the layout to a
+    temp dir, plans the q101-shaped star join under the STATIC planner
+    (AQE off — trap 9), then executes and reports measured partition
+    counts."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kaflow_spark.plans.explain import scan_partition_metrics
+    from kaflow_spark.sources.layout import (
+        month_dim,
+        star_join_quarter_revenue,
+        write_month_partitioned,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="dpp_plans_")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_month_partitioned(orders, f"{tmp}/orders_by_month", "o_orderdate",
+                            month_col="month")
+    fact = spark.read.parquet(f"{tmp}/orders_by_month")
+    n_months = fact.select("month").distinct().count()
+    lo, hi = fact.agg(F.min("month"), F.max("month")).first()
+    dim = month_dim(spark, lo, hi, month_col="month")
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    q = star_join_quarter_revenue(fact, dim, "1996Q2")
+    static_plan = explain_str(q)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    q = star_join_quarter_revenue(fact, dim, "1996Q2")
+    q.collect()
+    scans = [m for m in scan_partition_metrics(q) if "numPartitions" in m]
+    fact_scan = max(scans, key=lambda m: m.get("numOutputRows", 0))
+
+    # keep only the interesting plan fragment: the partitioned scan node
+    keep = [
+        ln for ln in static_plan.splitlines()
+        if any(k in ln for k in (
+            "Scan parquet", "PartitionFilters", "SubqueryBroadcast",
+            "BroadcastHashJoin", "dynamicpruning", "ReusedExchange",
+        ))
+    ]
+    return [
+        "## dynamic partition pruning (storage layout)",
+        "",
+        "`sources/layout.py`: the fact table written as `month=YYYY-MM/`"
+        " directories (write_month_partitioned), star-joined to a tiny"
+        " calendar dim filtered on `quarter` — an attribute the layout"
+        " knows nothing about, so only DPP can prune the fact scan."
+        " Catalyst plans a `dynamicpruningexpression` into the scan's"
+        " PartitionFilters and reuses the dim broadcast to evaluate it"
+        " at runtime, before the fact scan lists files. Measured on the"
+        f" layout just written: **{fact_scan['numPartitions']} of"
+        f" {n_months} partitions read** ({fact_scan.get('numFiles', '?')}"
+        " files) — at 100 TB that is the difference between reading one"
+        " quarter and reading a decade. Contract-tested in"
+        " tests/test_dpp.py (plan node + runtime scan metrics + pruned"
+        " == unpartitioned answer).",
+        "",
+        "```",
+        *[ln.rstrip()[:160] for ln in keep],
+        "```",
+        "",
+    ]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("dump-plans")
@@ -403,6 +472,7 @@ def main() -> None:
         txt = explain_str(df)
         out += [f"## {name}", "", note, "", "```", txt.strip(), "```", ""]
     out += cbo_section(spark, sf_dir)
+    out += dpp_section(spark, sf_dir)
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
     print(f"wrote PLANS.md ({len(HEADLINERS)} plans)")
