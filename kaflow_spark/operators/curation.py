@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from kaflow_spark.operators.dedup import char_shingle_pairs128, ensure_map_last_win
+from kaflow_spark.operators.parallelism import fan_out
 
 
 def contamination_overlaps(
@@ -65,7 +66,8 @@ def contamination_overlaps(
     # kernel-selection rationale.
     ensure_map_last_win(docs)
     dg = (
-        docs.select(
+        fan_out(docs, id_col)
+        .select(
             F.col(id_col).alias("_did"),
             F.explode(char_shingle_pairs128(text_col, k)).alias("_g"),
         )
@@ -148,7 +150,8 @@ def contamination_overlaps_wordgrams(
     counts distinct shared word n-grams; ``min_overlap=1`` flags any
     shared n-word span."""
     dg = (
-        docs.select(F.col(id_col).alias("_did"), words_of(text_col).alias("_w"))
+        fan_out(docs, id_col)
+        .select(F.col(id_col).alias("_did"), words_of(text_col).alias("_w"))
         .select("_did", F.explode(word_ngrams("_w", n)).alias("_g"))
     )
     bg = (
@@ -604,7 +607,8 @@ def tfidf_top_terms(
     from kaflow_spark.functions.textstats import int_div
 
     per = (
-        df.select(
+        fan_out(df, id_col)
+        .select(
             F.col(id_col).alias("_id"),
             F.explode(_tokens(text_col)).alias("token"),
         )
@@ -660,7 +664,8 @@ def unigram_surprisal(
     from kaflow_spark.functions.textstats import int_div
 
     per = (
-        df.select(
+        fan_out(df, id_col)
+        .select(
             F.col(id_col).alias("_id"),
             F.explode(_tokens(text_col)).alias("token"),
         )

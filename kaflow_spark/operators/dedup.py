@@ -121,8 +121,11 @@ def duplicated_span_ranges(
     # across sibling expressions re-evaluates per use — one substring
     # extraction feeds both hashes here), and rows shuffle as
     # (id, pos, h1, h2) = 32 bytes; the window text never moves.
+    from kaflow_spark.operators.parallelism import fan_out
+
     g = (
-        df.filter(F.length(t) >= min_len)
+        fan_out(df, id_col)
+        .filter(F.length(t) >= min_len)
         .select(
             F.col(id_col).alias("_id"),
             F.explode(F.sequence(F.lit(1), n)).alias("_pos"),
@@ -330,7 +333,16 @@ def shingle_frame(
     race on not-yet-cached partitions — each recomputes them, which
     silently doubles the shingling cost. One count() up front makes
     every consumer a cache read (applies on clusters, not just
-    local mode)."""
+    local mode).
+
+    Deliberately NOT fanned out (operators/parallelism.py): measured
+    3-rep A/B at sf0.1 shows every shingle_frame consumer slower with
+    a 32-way repartition ahead of the persist (q41 1.22→1.41 s, q83
+    1.50→2.39, q90 1.12→1.56, q42 0.60→0.67) — the persisted frame
+    feeds MANY downstream stages (LSH bands, verify joins, graph
+    iterations), and 32 cached partitions multiply per-stage task
+    overhead at fixture scale; single-shot heavy projections
+    (contamination, span dedup) are where fan_out wins."""
     sh = df.select(
         F.col(id_col).alias("_sid"), char_shingles(text_col, k).alias("_sh")
     ).persist()
@@ -862,6 +874,12 @@ def embedding_near_dups(
         keys = (per_table.astype(np.int64) << shifts).sum(axis=2)
         return pd.Series(list(keys.astype(np.int32)))
 
+    # Deliberately NOT fanned out (operators/parallelism.py):
+    # measured interleaved A/B at sf0.1 put q43 at 0.72 s without vs
+    # 0.95 s with a pre-bucket repartition — the pandas-UDF bucketing
+    # is cheap per row and the groupBy(_t, _bucket) exchange already
+    # spreads the pair verification, so shuffling raw vectors first
+    # only adds cost.
     id_type = dict(df.dtypes)[id_col]
     bucketed = df.select(
         F.col(id_col).alias("_id"),

@@ -30,7 +30,14 @@ def _quantized_dims(
     df: DataFrame, vec_col: str, keep: list[str]
 ) -> DataFrame:
     """posexplode the vector into (dim, q) rows with q = component in
-    exact integer micro-units."""
+    exact integer micro-units.
+
+    Deliberately NOT fanned out (operators/parallelism.py): measured
+    interleaved A/B at sf0.1 — q91 0.22→0.67 s, q92 1.19→1.47 s with
+    a pre-explode repartition. The downstream groupBy's own exchange
+    already parallelizes the aggregation, and shuffling raw vector
+    rows (round-robin locally sorts them first) costs more than the
+    single-task explode saves."""
     return df.select(
         *keep, F.posexplode(vec_col).alias("dim", "_v")
     ).select(
