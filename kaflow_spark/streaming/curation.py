@@ -103,3 +103,43 @@ def drift_monitor(
             on_result(batch_id, row)
 
     return handle
+
+
+def ks_monitor(
+    ref: DataFrame,
+    value_col: str,
+    on_result=None,
+):
+    """foreachBatch handler factory: exact two-sample Kolmogorov-
+    Smirnov statistic between each micro-batch's ``value_col`` and a
+    STATIC reference sample — the bucket-free companion to
+    :func:`drift_monitor`'s fixed-bucket L1 (no bin width to defend;
+    the KS max is exact on the union value grid). Reuses the
+    oracle-attested ``operators.curation.ks_drift_bp`` with exactly
+    two groups (live batch vs reference), whose group-vs-REST
+    semantics degenerate to the plain two-sample statistic — so the
+    score a closed replay produces equals q183's on the same two
+    samples by construction, integer basis points end to end.
+
+    Stateless across batches like drift_monitor: the reference frame
+    (bounded by contract — a drawn sample, not a corpus) is the only
+    shared input, each batch scores independently, ONE action per
+    batch (trap 3). ``on_result(batch_id, row)`` receives the scored
+    row: (n_group=batch rows, n_rest=reference rows, ks_bp)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from kaflow_spark.operators.curation import ks_drift_bp
+
+        live = batch_df.select(
+            F.lit("live").alias("_side"), F.col(value_col)
+        )
+        base = ref.select(F.lit("ref").alias("_side"), F.col(value_col))
+        row = (
+            ks_drift_bp(live.unionByName(base), "_side", value_col)
+            .filter(F.col("_side") == "live")
+            .head()
+        )
+        if on_result is not None:
+            on_result(batch_id, row)
+
+    return handle

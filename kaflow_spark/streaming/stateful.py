@@ -480,3 +480,117 @@ def streaming_scd2(
     return df.groupBy(user_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def _cusum_update(group_col, order_col, value_col, pct, timeout_ms):
+    """Kernel for :func:`streaming_cusum`, split out so tests can
+    drive it with a fake GroupState (the sandbox timeout-eviction
+    gotcha — see test_streaming's kernel tests)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            orders, values = state.get
+            acc = dict(zip(orders, values))
+        else:
+            acc = {}
+        for pdf in pdfs:
+            pdf = pdf[pdf[value_col].notna()]
+            for o, v in zip(pdf[order_col], pdf[value_col]):
+                # same period arriving across batches accumulates —
+                # the upstream per-period aggregation is distributive
+                acc[int(o)] = acc.get(int(o), 0) + int(v)
+        items = sorted(acc.items())
+        state.update(([o for o, _ in items], [v for _, v in items]))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if not items:
+            return
+        # exact integer CUSUM over the closed prefix seen so far —
+        # identical algebra to operators.events.cusum_shifts, in
+        # unbounded Python ints (dev = x*N - T needs no mean division)
+        n = len(items)
+        t = sum(v for _, v in items)
+        s = 0
+        min_s = 0  # running extrema INCLUDE the virtual empty prefix
+        max_s = 0
+        out_o, out_v, out_p, out_ng, out_f = [], [], [], [], []
+        for o, v in items:
+            s += v * n - t
+            min_s = min(min_s, s)
+            max_s = max(max_s, s)
+            pos = s - min_s
+            neg = max_s - s
+            out_o.append(o)
+            out_v.append(v)
+            out_p.append(pos)
+            out_ng.append(neg)
+            out_f.append(pos * 100 > t * n * pct or neg * 100 > t * n * pct)
+        yield pd.DataFrame(
+            {
+                group_col: key[0],
+                order_col: out_o,
+                value_col: out_v,
+                "cusum_pos": out_p,
+                "cusum_neg": out_ng,
+                "shift_flag": out_f,
+            }
+        )
+
+    return update
+
+
+def streaming_cusum(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    pct: int = 10,
+    *,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.events.cusum_shifts`` (q179's
+    level-shift detector). CUSUM deviations are relative to the
+    series' OWN mean (``dev = x*N - T``), so every arriving period
+    changes N and T and with them every earlier row's cusum — the
+    kernel therefore carries the full accumulated (order, value)
+    series per group in state (bounded by the operator's input
+    contract: the PRE-AGGREGATED per-(group, period) table, e.g.
+    event-type x day — days per group, never raw rows) and re-emits
+    the exact recomputed series each update. In update output mode
+    the LATEST emission per (group, order) is the current answer;
+    once the stream is closed it equals the batch operator on the
+    same data row-for-row (asserted in test_streaming).
+
+    ``order_col`` and ``value_col`` must be integers (cast dates to
+    epoch days upstream — the state schema is array<bigint>); partial
+    sums for one period arriving in different batches accumulate,
+    matching the distributive upstream aggregation.
+
+    On a batch frame this falls back to the exact batch operator so
+    one pipeline definition serves both postures."""
+    if not df.isStreaming:
+        from kaflow_spark.operators.events import cusum_shifts
+
+        return cusum_shifts(df, group_col, order_col, value_col, pct=pct)
+
+    out_schema = (
+        f"{group_col} string, {order_col} bigint, {value_col} bigint, "
+        "cusum_pos bigint, cusum_neg bigint, shift_flag boolean"
+    )
+    state_schema = "orders array<bigint>, vals array<bigint>"
+    update = _cusum_update(group_col, order_col, value_col, pct, timeout_ms)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

@@ -90,3 +90,66 @@ def test_streaming_drift_monitor_flags_shifted_batch(spark, tmp_path):
     # = 3333) = 9999 bp (floor-div shares don't sum to exactly 10000)
     assert results[1].l1_bp == 19999
     assert results[1].n_docs == 30
+
+
+def test_streaming_ks_monitor_matches_batch_twin(spark, tmp_path):
+    """The foreachBatch KS score equals the batch ks_drift_bp
+    two-group computation on the same (batch, reference) samples:
+    0 bp for an identical sample, 10000 bp for a disjoint one, and
+    bit-equal to the operator on a nontrivial mixed batch."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from kaflow_spark.operators.curation import ks_drift_bp
+    from kaflow_spark.streaming.curation import ks_monitor
+
+    path = str(tmp_path / f"ks-{_uuid.uuid4().hex[:6]}")
+    ddl = "doc_id bigint, n_tokens bigint"
+    ref_rows = [(i, 100 + (i % 7) * 13) for i in range(40)]
+    ref = spark.createDataFrame(ref_rows, ddl)
+    results = {}
+    handle = ks_monitor(
+        ref, "n_tokens", on_result=lambda bid, row: results.__setitem__(bid, row)
+    )
+    batches = [
+        ref_rows,                                      # identical sample
+        [(200 + i, 9000 + i) for i in range(25)],      # fully disjoint
+        [(300 + i, 100 + (i % 11) * 9) for i in range(33)],  # mixed
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    q = stream.writeStream.foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert set(results) == {0, 1, 2}
+    assert results[0].ks_bp == 0
+    assert results[1].ks_bp == 10000
+    # nontrivial batch: bit-equal to the batch operator on the union
+    live = spark.createDataFrame(batches[2], ddl).select(
+        F.lit("live").alias("_side"), "n_tokens"
+    )
+    want = (
+        ks_drift_bp(
+            live.unionByName(
+                ref.select(F.lit("ref").alias("_side"), "n_tokens")
+            ),
+            "_side",
+            "n_tokens",
+        )
+        .filter("_side = 'live'")
+        .head()
+    )
+    got = results[2]
+    assert (got.ks_bp, got.n_group, got.n_rest) == (
+        want.ks_bp,
+        want.n_group,
+        want.n_rest,
+    )
