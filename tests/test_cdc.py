@@ -1,0 +1,158 @@
+"""CDC change-set + parquet MERGE applier (operators/cdc.py).
+
+The load-bearing property is the roundtrip: for any two keyed
+snapshots A and B, ``apply(diff(A, B))`` over a parquet copy of A
+yields exactly B — on the fixture events table's q170-style state
+snapshots and on hand cases covering insert/update/delete, NULL
+payload transitions, delete-emptied partitions, and the
+untouched-partition-is-never-rewritten contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaflow_spark.operators.cdc import merge_into_parquet, snapshot_diff
+
+DDL = "user_id bigint, seg string, cents bigint"
+
+
+def _rows(df):
+    # partitioned reads surface the partition column last — compare
+    # on a canonical name-sorted projection
+    return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+
+def _state_snapshot(spark, sf_dir, cutoff):
+    """q170-style keeper: each user's last (event_type, cents) as of
+    the cutoff, with a stable derived segment as partition column."""
+    from pyspark.sql.window import Window
+
+    from kaflow_spark.catalog import load
+
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.filter(F.col("ts") <= F.lit(cutoff).cast(e.schema["ts"].dataType))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            # partition key: stable per user (derived from the key);
+            # non-numeric so partition-dir type inference round-trips
+            F.concat(F.lit("s"), F.pmod(F.col("user_id"), F.lit(4))).alias("seg"),
+            "event_type",
+            F.expr(
+                "CAST(CASE WHEN value >= 0.0D"
+                " THEN FLOOR(value * 100.0D + 0.5D)"
+                " ELSE CEIL(value * 100.0D - 0.5D) END AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+
+
+def test_snapshot_diff_classifies_hand_case(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", None)], DDL
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 25), (4, "b", 40), (5, "c", 50)], DDL
+    )
+    d = snapshot_diff(old, new, ["user_id"])
+    got = {r["user_id"]: (r["_change"], r["seg"], r["cents"]) for r in d.collect()}
+    assert got == {
+        2: ("update", "a", 25),
+        3: ("delete", "b", 30),  # deletes carry the OLD row's payload
+        4: ("update", "b", 40),  # NULL -> value is an update (null-safe)
+        5: ("insert", "c", 50),
+    }
+
+
+def test_roundtrip_unpartitioned(spark, tmp_path):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], DDL
+    )
+    new = spark.createDataFrame(
+        [(2, "a", 21), (3, "b", 30), (7, "z", 70)], DDL
+    )
+    path = str(tmp_path / "t")
+    old.write.parquet(path)
+    stats = merge_into_parquet(
+        spark, path, snapshot_diff(old, new, ["user_id"]), ["user_id"]
+    )
+    assert _rows(spark.read.parquet(path)) == _rows(new)
+    assert stats["upserts"] == 2 and stats["deletes"] == 1
+
+
+def test_roundtrip_partitioned_prunes_untouched(spark, tmp_path):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)], DDL
+    )
+    # seg 'a': update; seg 'b': delete-emptied; seg 'c': untouched;
+    # seg 'd': brand-new partition
+    new = spark.createDataFrame(
+        [(1, "a", 11), (2, "a", 20), (4, "c", 40), (9, "d", 90)], DDL
+    )
+    path = str(tmp_path / "t")
+    old.write.partitionBy("seg").parquet(path)
+    untouched = os.path.join(path, "seg=c")
+    before = {
+        f: os.path.getmtime(os.path.join(untouched, f))
+        for f in os.listdir(untouched)
+    }
+    stats = merge_into_parquet(
+        spark,
+        path,
+        snapshot_diff(old, new, ["user_id"]),
+        ["user_id"],
+        partition_col="seg",
+    )
+    assert _rows(spark.read.parquet(path)) == _rows(new)
+    assert stats["partitions_rewritten"] == ["a", "b", "d"]
+    # the untouched partition's files were not replaced
+    after = {
+        f: os.path.getmtime(os.path.join(untouched, f))
+        for f in os.listdir(untouched)
+    }
+    assert before == after
+    # the delete-emptied partition directory is gone
+    assert not os.path.exists(os.path.join(path, "seg=b"))
+
+
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_roundtrip_fixture_snapshots(spark, sf_dir, tmp_path, partitioned):
+    """apply(diff(A, B)) == B on the events table's q170-style state
+    snapshots at two cutoffs — real keys, real churn."""
+    a = _state_snapshot(spark, sf_dir, "2024-01-15 00:00:00")
+    b = _state_snapshot(spark, sf_dir, "2024-01-25 00:00:00")
+    path = str(tmp_path / "state")
+    if partitioned:
+        a.write.partitionBy("seg").parquet(path)
+    else:
+        a.write.parquet(path)
+    diff = snapshot_diff(a, b, ["user_id"])
+    assert diff.count() > 0  # the fixture actually churns
+    merge_into_parquet(
+        spark,
+        path,
+        diff,
+        ["user_id"],
+        partition_col="seg" if partitioned else None,
+    )
+    got = spark.read.parquet(path).select("user_id", "seg", "event_type", "cents")
+    assert _rows(got) == _rows(
+        b.select("user_id", "seg", "event_type", "cents")
+    )
+
+
+def test_diff_of_identical_snapshots_is_empty(spark, sf_dir):
+    a = _state_snapshot(spark, sf_dir, "2024-01-15 00:00:00")
+    assert snapshot_diff(a, a, ["user_id"]).count() == 0
