@@ -2212,3 +2212,288 @@ def q188(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_rows").alias("n_gaps"),
         F.col("wmedian").alias("median_gap_s"),
     ).orderBy("event_type")
+
+
+@declare(
+    "q189_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY source, lang),
+    tot AS (
+        SELECT source, lang, o,
+               CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS r,
+               CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS c,
+               CAST(SUM(o) OVER () AS BIGINT) AS n
+        FROM cells),
+    terms AS (
+        SELECT source, lang, o, r, c, n,
+               (o * n - r * c) AS d,
+               (r * c * 1000000 // n) AS expected_micro
+        FROM tot)
+    SELECT source, lang, o AS observed, expected_micro,
+           CAST((d * d // (n * r * c)) * 1000000
+                + ((d * d % (n * r * c)) * 1000000) // (n * r * c)
+                AS BIGINT) AS chi2_term_micro
+    FROM terms
+    ORDER BY source, lang
+    """,
+    doc="Chi-square independence audit of the source x language "
+    "contingency table — the mixture-health check that a stratified "
+    "sampling plan is not silently confounding language with source. "
+    "One aggregation to the bounded |sources| x |langs| cell table; "
+    "row/column/grand totals as windows OVER that table (never the "
+    "corpus); each cell's chi-square contribution in exact integer "
+    "micro-units via TWO-STAGE truncating division "
+    "(d*d div nrc, then the remainder scaled — d*d*1e6 would "
+    "overflow bigint at sf0.1 while each stage stays under 2^63; "
+    "lift d to DECIMAL(38,0) for corpus counts beyond ~3e9 where "
+    "d*d itself outgrows bigint). All quantities non-negative where "
+    "divided, so DuckDB's truncating // matches Spark's div exactly.",
+    tags=("audit", "curation"),
+)
+def q189(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cells = (
+        load(spark, sf, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    t = (
+        cells.withColumn("r", F.sum("o").over(Window.partitionBy("source")))
+        .withColumn("c", F.sum("o").over(Window.partitionBy("lang")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy(F.lit(1))))
+        .withColumn("d", F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+        .withColumn("nrc", F.col("n") * F.col("r") * F.col("c"))
+    )
+    return t.select(
+        "source",
+        "lang",
+        F.col("o").alias("observed"),
+        F.expr("r * c * 1000000 div n").alias("expected_micro"),
+        (
+            F.expr("(d * d div nrc) * 1000000")
+            + F.expr("((d * d % nrc) * 1000000) div nrc")
+        ).alias("chi2_term_micro"),
+    ).orderBy("source", "lang")
+
+
+@declare(
+    "q190_kendall_concordance",
+    oracle="""
+    WITH b AS (
+        SELECT source,
+               n_chars // 256 AS b1,
+               CAST(len(string_split(text, ' ')) AS BIGINT) // 64 AS b2
+        FROM documents),
+    cells AS (
+        SELECT source, b1, b2, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM b GROUP BY source, b1, b2),
+    cross_pairs AS (
+        SELECT a.source,
+               CAST(SUM(CASE WHEN (a.b1 - x.b1) * (a.b2 - x.b2) > 0
+                    THEN a.cnt * x.cnt ELSE 0 END) AS BIGINT) AS c2,
+               CAST(SUM(CASE WHEN (a.b1 - x.b1) * (a.b2 - x.b2) < 0
+                    THEN a.cnt * x.cnt ELSE 0 END) AS BIGINT) AS d2
+        FROM cells a JOIN cells x
+          ON a.source = x.source
+         AND NOT (a.b1 = x.b1 AND a.b2 = x.b2)
+        GROUP BY a.source),
+    nn AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM cells
+        GROUP BY source)
+    SELECT nn.source, nn.n,
+           CAST(COALESCE(c2, 0) // 2 AS BIGINT) AS concordant,
+           CAST(COALESCE(d2, 0) // 2 AS BIGINT) AS discordant,
+           CAST((COALESCE(c2, 0) // 2 - COALESCE(d2, 0) // 2) * 10000
+                // (nn.n * (nn.n - 1) // 2) AS BIGINT) AS tau_a_bp
+    FROM nn LEFT JOIN cross_pairs USING (source)
+    ORDER BY source
+    """,
+    doc="Bucketed Kendall concordance audit: rank stability between "
+    "two per-document size metrics (char count vs whitespace token "
+    "count) per source — the scale-safe exact-on-buckets form of "
+    "Kendall's tau. Raw tau needs all O(n^2) pairs or an inversion "
+    "tree; bucketing both metrics (fixed widths 256 chars / 64 "
+    "tokens) contracts the corpus to a bounded per-source cell "
+    "table, and EVERY cross-cell pair's concordance is decided by "
+    "the cell coordinates alone — so the pair enumeration runs over "
+    "cells (<=|b1|x|b2| per source), never documents, while "
+    "remaining exact for the bucketed statistic (within-cell and "
+    "same-coordinate pairs are ties by construction; tau_a over all "
+    "pairs, integer basis points). Ordered cell pairs count each "
+    "unordered pair twice with the same classification, so halving "
+    "is exact. Negative tau is possible: integer division truncates "
+    "toward zero IDENTICALLY in Spark (div) and DuckDB (//).",
+    tags=("audit", "stats"),
+)
+def q190(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    cells = (
+        d.select(
+            "source",
+            F.expr("n_chars div 256").alias("b1"),
+            F.expr(
+                "CAST(size(split(text, ' ')) AS BIGINT) div 64"
+            ).alias("b2"),
+        )
+        .groupBy("source", "b1", "b2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = cells.select(
+        "source",
+        F.col("b1").alias("a1"),
+        F.col("b2").alias("a2"),
+        F.col("cnt").alias("ca"),
+    )
+    x = cells.select(
+        "source",
+        F.col("b1").alias("x1"),
+        F.col("b2").alias("x2"),
+        F.col("cnt").alias("cx"),
+    )
+    sgn = (F.col("a1") - F.col("x1")) * (F.col("a2") - F.col("x2"))
+    # null-safe source equality (q100 trick): a plain == would infer
+    # isnotnull(source) into the a/x branches only, de-canonicalizing
+    # them against the totals branch and re-running the corpus scan
+    cross = (
+        a.join(
+            x,
+            a["source"].eqNullSafe(x["source"])
+            & ~((F.col("a1") == F.col("x1")) & (F.col("a2") == F.col("x2"))),
+        )
+        .drop(x["source"])
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.when(sgn > 0, F.col("ca") * F.col("cx")).otherwise(F.lit(0))
+            ).alias("c2"),
+            F.sum(
+                F.when(sgn < 0, F.col("ca") * F.col("cx")).otherwise(F.lit(0))
+            ).alias("d2"),
+        )
+    )
+    # trap-5 idiom: keep b1/b2 load-bearing in this branch (0-weighted
+    # into the sum) so column pruning does not narrow the shared cells
+    # subtree and silently re-run the corpus scan + split() projection
+    # for the totals branch (2 scans, 0 reuse without it; 1 scan with).
+    nn = cells.groupBy("source").agg(
+        F.sum(F.col("cnt") + F.lit(0) * (F.col("b1") + F.col("b2"))).alias("n")
+    )
+    # the outer attach is null-safe for the same reason: a LEFT join's
+    # isnotnull inference on its right side propagates through the
+    # inner eqNullSafe condition into the x branch and re-runs the scan
+    return (
+        nn.join(
+            cross, nn["source"].eqNullSafe(cross["source"]), "left"
+        )
+        .drop(cross["source"])
+        .select(
+            "source",
+            "n",
+            F.expr("COALESCE(c2, 0) div 2").alias("concordant"),
+            F.expr("COALESCE(d2, 0) div 2").alias("discordant"),
+            F.expr(
+                "(COALESCE(c2, 0) div 2 - COALESCE(d2, 0) div 2) * 10000"
+                " div (n * (n - 1) div 2)"
+            ).alias("tau_a_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@declare(
+    "q191_length_duplication_calibration",
+    oracle="""
+    WITH flagged AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN COUNT(*) OVER (PARTITION BY text) > 1
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM documents),
+    deciled AS (
+        SELECT n_chars, is_dup,
+               NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+        FROM flagged)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+           CAST(SUM(is_dup) * 10000 // COUNT(*) AS BIGINT) AS dup_rate_bp,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM deciled GROUP BY decile ORDER BY decile
+    """,
+    doc="Calibration table of a per-document signal against a binary "
+    "outcome — here document length (the cheapest quality proxy) "
+    "against exact-duplicate membership: per length decile, the "
+    "population, duplicate count and duplicate rate in basis points "
+    "plus the decile's value range. The audit shape behind 'does "
+    "our quality score actually predict what we filter on'. "
+    "Duplicate flag from ONE text-partitioned count window (the "
+    "exact-dedup grain, portable to the oracle verbatim — no text "
+    "hashing, so both engines group on identical keys); deciles via "
+    "the unique (n_chars, doc_id) total order — deterministic on "
+    "ties in both engines. The oracle says NTILE; the engine "
+    "computes the IDENTICAL assignment without any single-partition "
+    "global sort (the no-unbounded-global-window rule): each row's "
+    "global position = the cumulative count of smaller n_chars "
+    "values (a window over the BOUNDED distinct-value table, q53 "
+    "selector idiom) + its row_number within its value (windows "
+    "partition per n_chars), then NTILE's closed form over the "
+    "position — the first (n mod 10) deciles take (n div 10)+1 "
+    "rows, the rest n div 10.",
+    tags=("audit", "curation"),
+)
+def q191(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf, "documents")
+    flagged = d.select(
+        "doc_id",
+        "n_chars",
+        F.when(
+            F.count(F.lit(1)).over(Window.partitionBy("text")) > 1, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_dup"),
+    )
+    vcounts = flagged.groupBy("n_chars").agg(F.count(F.lit(1)).alias("_vc"))
+    wv = (
+        Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vcounts.select(
+        "n_chars",
+        F.coalesce(F.sum("_vc").over(wv), F.lit(0)).alias("_before"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("n_chars").orderBy("doc_id")
+    )
+    total = vcounts.agg(F.sum("_vc").alias("_n"))
+    pos = (
+        flagged.withColumn("_rn", rn)
+        .join(F.broadcast(cum), "n_chars")
+        .withColumn("_p", F.col("_before") + F.col("_rn"))
+        .crossJoin(F.broadcast(total))
+    )
+    # NTILE(10) closed form over the 1-based position
+    deciled = pos.withColumn(
+        "decile",
+        F.expr(
+            "CASE WHEN _p <= (_n % 10) * (_n div 10 + 1)"
+            " THEN (_p - 1) div (_n div 10 + 1) + 1"
+            " ELSE _n % 10 + (_p - (_n % 10) * (_n div 10 + 1) - 1)"
+            " div (_n div 10) + 1 END"
+        ),
+    )
+    return (
+        deciled.groupBy(F.col("decile").cast("bigint").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_dup").alias("n_dup"),
+            F.expr("SUM(is_dup) * 10000 div COUNT(*)").alias("dup_rate_bp"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("decile")
+    )

@@ -69,7 +69,7 @@ def streaming_contamination_flags(
     )
 
 
-__all__ = ["streaming_contamination_flags"]
+__all__ = ["streaming_contamination_flags", "drift_monitor", "ks_monitor"]
 
 
 def drift_monitor(

@@ -720,3 +720,53 @@ def test_q171_attribution_is_union_window_not_range_join(spark, sf_dir):
     assert "Window" in txt
     assert "NestedLoop" not in txt
     assert has_partial_aggregate(df)  # the per-(user, ts) click collapse
+
+
+def test_q190_single_scan_diamond(spark, sf_dir):
+    """Kendall concordance: THREE consumers (a-side, x-side, totals)
+    of one cells aggregate must share ONE corpus scan — both the
+    load-bearing-column idiom (totals keep b1/b2 0-weighted in their
+    sum) and the two null-safe joins (inner self-join AND the outer
+    totals attach — a plain == on either infers isnotnull(source)
+    into a subset of branches and de-canonicalizes) are required.
+    Static planner per the AQE-reuse pitfall."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q190_kendall_concordance"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert plan.count("Scan parquet") == 1
+        assert plan.count("ReusedExchange") == 2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q189_windows_over_bounded_cells_only(spark, sf_dir):
+    """Chi-square: one corpus aggregation to the |sources| x |langs|
+    cell table; every window (row/col/grand totals) runs OVER that
+    bounded table — one scan, no second corpus pass, no cartesian."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q189_chi_square_independence"].spark(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregate(df)
+
+
+def test_q191_decile_assignment_avoids_global_sort(spark, sf_dir):
+    """Calibration deciles: NTILE semantics WITHOUT a corpus-wide
+    single-partition sort — positions come from a window over the
+    bounded distinct-value table plus per-value row_numbers. The only
+    SinglePartition subtrees allowed are over post-aggregation
+    bounded tables (the cum table and the 1-row total), never the
+    document scan."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q191_length_duplication_calibration"].spark(spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    # the doc-level windows partition by text / n_chars (never empty)
+    for line in plan.splitlines():
+        if "Arguments:" in line and "SinglePartition" in line:
+            assert "row_number" not in line

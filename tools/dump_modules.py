@@ -44,13 +44,21 @@ MODULES: tuple[tuple[str, str], ...] = (
     ("kaflow_spark.operators.curation", "Corpus curation"),
     ("kaflow_spark.operators.tokenizer", "Tokenization"),
     ("kaflow_spark.operators.multimodal", "Multimodal"),
+    ("kaflow_spark.operators.cdc", "Event / warehouse operators"),
+    ("kaflow_spark.operators.parallelism", "Session & catalog"),
     ("kaflow_spark.functions.textstats", "Column-level functions"),
     ("kaflow_spark.functions.vectors", "Column-level functions"),
     ("kaflow_spark.functions.sketches", "Column-level functions"),
     ("kaflow_spark.sources", "Sources & sinks"),
     ("kaflow_spark.sources.kafka_segment", "Sources & sinks"),
     ("kaflow_spark.sources.segments", "Sources & sinks"),
-    ("kaflow_spark.streaming", "Structured Streaming"),
+    ("kaflow_spark.streaming.windows", "Structured Streaming"),
+    ("kaflow_spark.streaming.dedup", "Structured Streaming"),
+    ("kaflow_spark.streaming.stateful", "Structured Streaming"),
+    ("kaflow_spark.streaming.curation", "Structured Streaming"),
+    ("kaflow_spark.streaming.neardup", "Structured Streaming"),
+    ("kaflow_spark.streaming.asof", "Structured Streaming"),
+    ("kaflow_spark.streaming.tws", "Structured Streaming"),
     ("kaflow_spark.streaming.exactly_once", "Structured Streaming"),
 )
 

@@ -219,6 +219,71 @@ def main() -> None:
     )
     print(rows[-1], flush=True)
 
+    # ---- ANN recall at scale (q44 LSH / q63 IVF) ----
+    # The accuracy story has to scale with the perf story: plant 10
+    # near-duplicates of the query (cos ~0.95, far above the uniform
+    # fixture's cosine range, so the exact top-10 IS the planted set)
+    # into 1x/5x/10x replicated noise corpora and report recall@10
+    # plus candidate selectivity at each scale. Hyperplane bucket
+    # collision depends only on ANGLE, never corpus size, so recall
+    # should hold flat while the candidate FRACTION stays constant
+    # (the pruning is what grows in absolute value).
+    import math as _math
+    import random as _random
+
+    from kaflow_spark.operators.similarity import (
+        ann_candidates,
+        ann_topk,
+        ivf_candidates,
+        ivf_topk,
+    )
+
+    dim = len(query)
+    n_emb_base = emb.count()
+    _rng = _random.Random(7)
+
+    def _unit(v):
+        n = _math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    _base = _unit([_rng.gauss(0, 1) for _ in range(dim)])
+    _planted_rows = [
+        (2_000_000_000 + i, _unit([b + _rng.gauss(0, 0.1) for b in _base]))
+        for i in range(10)
+    ]
+    _pquery = _unit([b + _rng.gauss(0, 0.1) for b in _base])
+    _pids = {pid for pid, _ in _planted_rows}
+    for algo, topk_fn, cand_fn in (
+        ("LSH q44", ann_topk, ann_candidates),
+        ("IVF q63", ivf_topk, ivf_candidates),
+    ):
+        cells = {}
+        for mult in (1, 5, 10):
+            noise = replicate(
+                emb.select("vec_id", "embedding"), mult, "vec_id", 10_000_000
+            )
+            corpus = noise.unionAll(
+                spark.createDataFrame(
+                    _planted_rows, "vec_id bigint, embedding array<double>"
+                )
+            )
+            got = {
+                r["vec_id"]
+                for r in topk_fn(
+                    corpus, "embedding", "vec_id", _pquery, k=10
+                ).collect()
+            }
+            n_total = n_emb_base * mult + 10
+            n_cand = cand_fn(corpus, "embedding", _pquery).count()
+            cells[mult] = (
+                f"{len(got & _pids) / 10:.2f} (cand {100 * n_cand / n_total:.0f}%)"
+            )
+        rows.append(
+            f"| ANN {algo} recall@10, planted ({n_emb_base} vecs/x) "
+            f"| {cells[1]} | {cells[5]} | {cells[10]} | - |"
+        )
+        print(rows[-1], flush=True)
+
     # ---- round-2 curation suite (q84-q95 operators) ----
 
     from kaflow_spark.operators.curation import (
