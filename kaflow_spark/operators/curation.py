@@ -1108,8 +1108,11 @@ def group_shingle_overlap(
     # TWO long columns end-to-end; per-doc dedup is the O(n) map
     # build (see char_shingle_pairs128 for kernel rationale).
     ensure_map_last_win(df)
+    # round-robin fan-out: group_col is LOW-cardinality (sources), so
+    # hashing it would collapse the fan-out to |groups| live partitions
     tok = (
-        df.select(
+        fan_out(df)
+        .select(
             g.alias("_grp"),
             F.explode(char_shingle_pairs128(text_col, k)).alias("_h"),
         )

@@ -951,9 +951,12 @@ def minimizers(
     allocations cost more than the short-row exchange locally, so
     the window form stays production.
     """
+    from kaflow_spark.operators.parallelism import fan_out
+
     n_grams = F.length(F.col(text_col)) - k + 1
     pos_gram = (
-        df.filter(F.length(F.col(text_col)) >= k + w - 1)
+        fan_out(df, id_col)
+        .filter(F.length(F.col(text_col)) >= k + w - 1)
         .select(
             F.col(id_col),
             n_grams.alias("_n"),
@@ -1006,6 +1009,8 @@ def _hamming_banded(
     blocking key). See :func:`hamming_pairs` for the recall proof."""
     from itertools import product as _product
 
+    from kaflow_spark.operators.parallelism import fan_out
+
     c = max_dist + 1
     projs = [
         F.expr(
@@ -1015,7 +1020,7 @@ def _hamming_banded(
         ).alias(f"_p{j}_{k}")
         for j, k in _product(range(c), range(c))
     ]
-    keyed = df.select(
+    keyed = fan_out(df, id_col).select(
         F.col(id_col).alias("_id"), F.col(key_col).alias("_k")
     ).select("_id", "_k", F.length("_k").alias("_len"), *projs)
     chunk_structs = F.array(
@@ -1293,8 +1298,11 @@ def word_minimizers(
     start filter sits ABOVE the window (the tail-truncation trap
     fixed in the char operator)."""
     from kaflow_spark.operators.curation import words_of
+    from kaflow_spark.operators.parallelism import fan_out
 
-    wdf = df.select(F.col(id_col), words_of(text_col).alias("_w"))
+    wdf = fan_out(df, id_col).select(
+        F.col(id_col), words_of(text_col).alias("_w")
+    )
     n_grams = F.size(F.col("_w")) - (k - 1)
     pos_gram = (
         wdf.filter(F.size(F.col("_w")) >= k + w - 1)

@@ -60,7 +60,9 @@ def edit_distance_pairs(
     ``levenshtein`` verify makes precision exact, so a brute-force
     O(n²) oracle hash-checks the output end-to-end.
     """
-    base = df.select(
+    from kaflow_spark.operators.parallelism import fan_out
+
+    base = fan_out(df, id_col).select(
         F.col(id_col).cast("bigint").alias("_id"), F.col(key_col).alias("_k")
     )
     variants = base.select(
@@ -127,6 +129,9 @@ def composite_er_pairs(
     ``(id_a, id_b, path)`` with ``id_a < id_b``."""
     from kaflow_spark.operators.dedup import hamming_pairs
 
+    # no fan_out here: the expensive projection is the Hamming banding,
+    # which fans out INSIDE _hamming_banded — a second repartition of
+    # the same small frame would just add an exchange
     base = df.select(
         F.col(id_col).cast("bigint").alias("_id"),
         F.col(name_col).alias("_nm"),
