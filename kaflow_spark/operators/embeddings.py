@@ -147,8 +147,14 @@ def gram_matrix(
         lambda x: F.round(x.cast("double") * scale).cast("bigint"),
     )
     # own projection first: an inline qv inside the nested lambdas
-    # would re-quantize the whole vector once per (i, j) pair
-    q = df.select(qv.alias("_qv"))
+    # would re-quantize the whole vector once per (i, j) pair.
+    # Fanned out: the d^2 struct expansion is map-side work on what is
+    # otherwise a single-split scan (unlike _quantized_dims, whose
+    # next stage is already an exchange, the expansion here IS the
+    # cost — interleaved A/B: q126 2.4s -> 0.8s at sf0.1).
+    from kaflow_spark.operators.parallelism import fan_out
+
+    q = fan_out(df).select(qv.alias("_qv"))
     # symmetry: expand only the upper triangle (j >= i) — half the
     # map-side structs — and mirror AFTER aggregation, where the
     # reflection costs d^2 rows instead of n * d^2
