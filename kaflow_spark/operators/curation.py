@@ -1079,6 +1079,7 @@ __all__ = [
     "ks_drift_bp",
     "weighted_median",
     "deterministic_sample_k",
+    "pmi_collocations",
 ]
 
 
@@ -1959,3 +1960,83 @@ def deterministic_sample_k(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top positively-associated word bigrams by pointwise mutual
+    information — the collocation miner behind tokenizer-merge
+    seeding and phrase-vocabulary audits. PMI = log2(p(xy) /
+    (p(x) p(y))) with p(xy) = n_xy/M over bigram positions and
+    p(x) = n_x/N over token positions; reported as the EXACT
+    floor-log2 of the probability ratio (the q89/q133 integer idiom:
+    ``length(bin(q)) - 1`` over the exact integral quotient), with
+    only positive-PMI pairs (ratio >= 2, i.e. pmi_bits >= 1) emitted
+    — the standard collocation report; negative PMI needs a
+    different (inverse-ratio) encoding and a different use case.
+
+    Exactness at scale: the ratio's numerator ``n_xy * N^2`` and
+    denominator ``M * n_x * n_y`` outgrow int64 around 1e9 tokens, so
+    both sides compute in DECIMAL(38,0) (128-bit in both engines;
+    Spark's ``div`` on decimals returns the exact integral quotient,
+    DuckDB's HUGEINT ``//`` likewise — verified equal).
+
+    Shape: one (gram) count aggregation feeds BOTH the support-
+    filtered pair table and the grand bigram total M (shared-subtree
+    diamond); the unigram vocabulary and the two 1-row totals are
+    broadcast into the bounded pair table. ``min_count`` keeps the
+    emitted table support-bounded; ordering (pmi_bits DESC, n_xy
+    DESC, w1, w2) is total, so ``top_k`` is deterministic."""
+    from kaflow_spark.operators.parallelism import fan_out
+
+    words = fan_out(df, id_col).select(
+        F.col(id_col).alias("_id"), _tokens(text_col).alias("_w")
+    )
+    uni = (
+        words.select(F.explode("_w").alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_nw"))
+    )
+    n_tot = uni.agg(F.sum("_nw").alias("_n"))
+    bi = (
+        words.select(F.explode(word_gram_array("_w", 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    m_tot = bi.agg(F.sum("n_xy").alias("_m"))
+    pairs = (
+        bi.filter(F.col("n_xy") >= min_count)
+        .withColumn("w1", F.split("gram", " ")[0])
+        .withColumn("w2", F.split("gram", " ")[1])
+    )
+    u1 = uni.select(F.col("_t").alias("w1"), F.col("_nw").alias("_n1"))
+    u2 = uni.select(F.col("_t").alias("w2"), F.col("_nw").alias("_n2"))
+    scored = (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(m_tot))
+        .withColumn(
+            "_q",
+            F.expr(
+                "(CAST(n_xy AS DECIMAL(38,0)) * _n * _n)"
+                " div (CAST(_m AS DECIMAL(38,0)) * _n1 * _n2)"
+            ),
+        )
+        .filter(F.col("_q") >= 2)
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            (F.length(F.bin(F.col("_q"))) - 1).cast("bigint").alias("pmi_bits"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_bits").desc(), F.col("n_xy").desc(), "w1", "w2"
+    ).limit(top_k)

@@ -2497,3 +2497,60 @@ def q191(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@declare(
+    "q192_pmi_collocations",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
+        FROM documents),
+    uni AS (
+        SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS nw
+        FROM (SELECT unnest(w) AS t FROM w) GROUP BY t),
+    n AS (SELECT CAST(SUM(nw) AS BIGINT) AS n FROM uni),
+    bi AS (
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM (
+            SELECT unnest(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i + 1])) AS gram
+            FROM w WHERE len(w) >= 2)
+        GROUP BY gram),
+    m AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS m FROM bi),
+    pairs AS (
+        SELECT string_split(gram, ' ')[1] AS w1,
+               string_split(gram, ' ')[2] AS w2, n_xy
+        FROM bi WHERE n_xy >= 5),
+    scored AS (
+        SELECT p.w1, p.w2, p.n_xy,
+               CAST((p.n_xy::HUGEINT * n.n * n.n)
+                    // (m.m::HUGEINT * u1.nw * u2.nw) AS BIGINT) AS q
+        FROM pairs p
+        JOIN uni u1 ON u1.tok = p.w1
+        JOIN uni u2 ON u2.tok = p.w2, n, m)
+    SELECT w1, w2, n_xy,
+           CAST(LENGTH(bin(q)) - 1 AS BIGINT) AS pmi_bits
+    FROM scored WHERE q >= 2
+    ORDER BY pmi_bits DESC, n_xy DESC, w1, w2
+    LIMIT 20
+    """,
+    doc="Top positive-PMI word collocations (support >= 5) — the "
+    "phrase/collocation audit behind tokenizer-merge seeding and "
+    "vocabulary design. PMI as the EXACT floor-log2 of the "
+    "probability ratio n_xy*N^2 / (M*n_x*n_y) (the q89/q133 "
+    "length(bin(...))-1 idiom — no libm, bit-identical across "
+    "engines); the ratio computes in DECIMAL(38,0)/HUGEINT because "
+    "numerator and denominator outgrow int64 near 1e9 tokens, and "
+    "Spark's decimal div == DuckDB's HUGEINT // (verified). One "
+    "bigram count aggregation feeds both the support-filtered pair "
+    "table and the grand total M; unigram vocabulary + the two 1-row "
+    "totals broadcast into the bounded pair table; the (pmi_bits "
+    "DESC, n_xy DESC, w1, w2) order is total, so the LIMIT is "
+    "deterministic.",
+    tags=("curation", "text"),
+)
+def q192(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import pmi_collocations
+
+    d = load(spark, sf, "documents")
+    return pmi_collocations(d, "doc_id", "text", min_count=5, top_k=20)

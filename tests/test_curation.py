@@ -464,3 +464,24 @@ def test_integer_argmax_key_decode_is_exact_past_2_53(spark):
     )
     for r in dec.collect():
         assert r["id2"] == r["doc_id"] and r["score2"] == r["score_bp"], r
+
+
+def test_pmi_collocations_hand_case(spark):
+    """A planted always-adjacent pair must outscore independent
+    common words, with the exact floor-log2 value."""
+    from kaflow_spark.operators.curation import pmi_collocations
+
+    # 'alpha beta' always adjacent (8 times); 'x'/'y' common but
+    # never adjacent to each other more than chance
+    rows = [(i, "alpha beta x y x y x y") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = pmi_collocations(df, "doc_id", "text", min_count=5, top_k=5).collect()
+    top = got[0]
+    assert (top["w1"], top["w2"]) == ("alpha", "beta")
+    # exact check: N=64 tokens, M=56 bigrams, n_xy=8, n_alpha=n_beta=8
+    # ratio = 8*64*64 / (56*8*8) = 32768/3584 -> q=9 -> bits=3
+    assert top["n_xy"] == 8 and top["pmi_bits"] == 3
+    # 'x y' occurs 24x but x,y are high-frequency: ratio
+    # 24*64*64/(56*24*24) = 98304/32256 -> q=3 -> bits=1
+    xy = [r for r in got if (r["w1"], r["w2"]) == ("x", "y")]
+    assert xy and xy[0]["pmi_bits"] == 1

@@ -770,3 +770,24 @@ def test_q191_decile_assignment_avoids_global_sort(spark, sf_dir):
     for line in plan.splitlines():
         if "Arguments:" in line and "SinglePartition" in line:
             assert "row_number" not in line
+
+
+def test_q192_pmi_topk_heap_and_shared_bigram_agg(spark, sf_dir):
+    """PMI collocations: the LIMIT must plan as TakeOrdered (size-k
+    heaps, no global sort) and the bigram count aggregate must be
+    shared between the support-filtered pair table and the grand
+    total M (static planner per the AQE-reuse pitfall)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q192_pmi_collocations"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert "TakeOrderedAndProject" in plan
+        assert "ReusedExchange" in plan
+        # two scans max: the unigram and bigram paths apply different
+        # explodes to the tokenized frame (not shareable without a
+        # persist); anything above that must reuse
+        assert plan.count("Scan parquet") <= 2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
