@@ -2429,9 +2429,15 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
     "population, duplicate count and duplicate rate in basis points "
     "plus the decile's value range. The audit shape behind 'does "
     "our quality score actually predict what we filter on'. "
-    "Duplicate flag from ONE text-partitioned count window (the "
-    "exact-dedup grain, portable to the oracle verbatim — no text "
-    "hashing, so both engines group on identical keys); deciles via "
+    "Duplicate flag from ONE count window partitioned on the 128-bit "
+    "two-seed xxhash64 text identity (the q96/q157 grain): the "
+    "exchange below the window shuffles 16-byte hash keys instead of "
+    "full document bytes — at 100x scale the raw-text shuffle was "
+    "this query's entire cost. Collision safety is the q96 argument "
+    "(2^-128 per pair); the oracle partitions by text directly "
+    "(grouping is identical whenever the hash pair is "
+    "collision-free, which the brute-force oracle attests "
+    "end-to-end). Deciles via "
     "the unique (n_chars, doc_id) total order — deterministic on "
     "ties in both engines. The oracle says NTILE; the engine "
     "computes the IDENTICAL assignment without any single-partition "
@@ -2448,11 +2454,22 @@ def q191(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load(spark, sf, "documents")
-    flagged = d.select(
+    # 128-bit identity BEFORE the window: the exchange under the
+    # count window then carries (h1, h2) — 16 B/row — not document
+    # bytes. Materialized as its own projection so the hash computes
+    # once (CLAUDE.md trap 1 discipline).
+    hashed = d.select(
+        "doc_id",
+        "n_chars",
+        F.xxhash64("text").alias("_h1"),
+        F.xxhash64(F.lit(1), F.col("text")).alias("_h2"),
+    )
+    flagged = hashed.select(
         "doc_id",
         "n_chars",
         F.when(
-            F.count(F.lit(1)).over(Window.partitionBy("text")) > 1, F.lit(1)
+            F.count(F.lit(1)).over(Window.partitionBy("_h1", "_h2")) > 1,
+            F.lit(1),
         )
         .otherwise(F.lit(0))
         .alias("is_dup"),

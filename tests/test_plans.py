@@ -791,3 +791,19 @@ def test_q192_pmi_topk_heap_and_shared_bigram_agg(spark, sf_dir):
         assert plan.count("Scan parquet") <= 2
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q191_dup_flag_shuffles_hash_not_text(spark, sf_dir):
+    """Round 9: the dup-flag count window partitions by the 128-bit
+    two-seed xxhash64 identity — the exchange under it carries
+    16-byte hash keys, never document bytes. At 100x scale the
+    raw-text shuffle key was this query's entire cost."""
+    import re
+
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q191_length_duplication_calibration"].spark(spark, sf_dir)
+    txt = explain_str(df)
+    assert "xxhash64" in txt
+    for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", txt):
+        assert "text" not in part
