@@ -35,7 +35,11 @@ STATUS_COL = "_change"
 
 
 def snapshot_diff(
-    old: DataFrame, new: DataFrame, key_cols: list[str]
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    *,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Change-set that turns snapshot ``old`` into snapshot ``new``:
     one row per differing key with ``_change`` in
@@ -46,12 +50,22 @@ def snapshot_diff(
     to locate the row being removed). Unchanged keys are absent — the
     change-set is bounded by the churn, not the table.
 
+    With ``partition_col`` (a payload column the target is
+    partitioned by), an update that MOVES a key to a different
+    partition value emits a delete-in-old + insert-in-new PAIR
+    instead of a single update — both sides are in hand here, and
+    the pair is what lets :func:`merge_into_parquet` remove the old
+    partition's copy (a bare update row carries only the new
+    partition and would leave the old copy behind). The split
+    happens in the same single pass (an array-of-changes explode),
+    not a second join.
+
     Payload comparison is null-safe (``<=>`` per column), so NULL ->
     value and value -> NULL both classify as ``update``. Both inputs
-    must be keyed snapshots (one row per key) — the q170 family's
-    argmax-per-key contract; this is asserted cheaply via the join
-    (a duplicate key would fan out and is caught by the roundtrip
-    property in tests, not a silent corruption here)."""
+    must be keyed snapshots (one row per key); a duplicate key fans
+    out through the full-outer join here, and
+    :func:`merge_into_parquet` raises on the resulting non-unique
+    change keys before touching the target."""
     payload = [c for c in new.columns if c not in key_cols]
     if payload != [c for c in old.columns if c not in key_cols]:
         raise ValueError(
@@ -83,18 +97,48 @@ def snapshot_diff(
     keyed = [
         F.coalesce(n[k], F.col(f"_o_{k}")).alias(k) for k in key_cols
     ]
-    carried = [
-        F.when(
-            F.col(STATUS_COL) == "delete", F.col(f"_old_{c}")
+    if partition_col is None or partition_col in key_cols:
+        # partition stable per key (or no partitioning) — one row per
+        # differing key, deletes carrying the old payload
+        carried = [
+            F.when(
+                F.col(STATUS_COL) == "delete", F.col(f"_old_{c}")
+            )
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in payload
+        ]
+        return (
+            j.withColumn(STATUS_COL, status)
+            .filter(F.col(STATUS_COL).isNotNull())
+            .select(*keyed, *carried, STATUS_COL)
         )
-        .otherwise(F.col(c))
-        .alias(c)
-        for c in payload
-    ]
+    if partition_col not in payload:
+        raise ValueError(
+            f"partition_col {partition_col!r} not a snapshot column"
+        )
+    # partition-evolution path: each joined row yields an ARRAY of
+    # change structs (usually one; two when the key moved partition),
+    # exploded in the same pass — no second join, no diamond
+    def _chg(tag: str, prefix: str):
+        return F.struct(
+            F.lit(tag).alias(STATUS_COL),
+            *[F.col(f"{prefix}{c}").alias(c) for c in payload],
+        )
+
+    moved = ~F.col(partition_col).eqNullSafe(F.col(f"_old_{partition_col}"))
+    arr = (
+        F.when(F.col(STATUS_COL) == "insert", F.array(_chg("insert", "")))
+        .when(F.col(STATUS_COL) == "delete", F.array(_chg("delete", "_old_")))
+        .when(moved, F.array(_chg("delete", "_old_"), _chg("insert", "")))
+        .otherwise(F.array(_chg("update", "")))
+    )
     return (
         j.withColumn(STATUS_COL, status)
         .filter(F.col(STATUS_COL).isNotNull())
-        .select(*keyed, *carried, STATUS_COL)
+        .select(*keyed, F.explode(arr).alias("_c"))
+        .select(*key_cols, "_c.*")
+        .select(*key_cols, *payload, STATUS_COL)
     )
 
 
@@ -108,7 +152,7 @@ def merge_into_parquet(
 ) -> dict:
     """Apply a :func:`snapshot_diff` change-set to a parquet
     directory; returns ``{"partitions_rewritten": [...],
-    "upserts": n, "deletes": n}``.
+    "upserts": n, "deletes": n, "broadcast": bool}``.
 
     Rewrite-matched-partitions: with ``partition_col`` (the target
     was written ``partitionBy(partition_col)`` and every change row
@@ -122,20 +166,45 @@ def merge_into_parquet(
     correct, and the honest cost of plain parquet upserts on an
     unpartitioned layout.
 
-    Constraint (same one the table formats' partition-pruned merge
-    paths impose): ``partition_col`` must be stable per key — part of
-    ``key_cols`` or functionally dependent on them. An update that
-    MOVED a key to a different partition value would carry only the
-    new partition, leaving the old copy un-deleted; route partition
-    evolution through the unpartitioned (full-rewrite) path.
+    Partition-evolution support: a key that moved partitions must
+    arrive as the delete-in-old + insert-in-new PAIR that
+    :func:`snapshot_diff` emits when given ``partition_col`` — the
+    delete row's old partition value puts the old directory in the
+    touched set, the insert lands in the new one. A change-set built
+    WITHOUT that option still applies correctly only while the
+    partition value is stable per key (the table formats'
+    partition-pruned-merge constraint).
+
+    ``partition_col`` must be a string or integral column: touched
+    directories are matched by rendering each distinct value as
+    ``str(value)`` against the URL-unescaped ``col=value`` dir name,
+    and only those two families render identically in Python and in
+    Spark's partition-path escaping (date/timestamp/float/Decimal do
+    not — a mismatch would leave a stale dir in place and fail the
+    staged rename). For the same reason the read-back target's
+    partition column (whose type Spark INFERS from the path — a
+    numeric-looking string partition comes back int) is cast back to
+    the change-set's dtype before the merge, so the anti-join and
+    union compare like against like.
+
+    Change keys must be unique per (key, kind) — one upsert and/or
+    one delete per key; a duplicate (e.g. from diffing a non-keyed
+    snapshot, which fans out through the full-outer join) raises
+    here BEFORE any directory is touched rather than silently
+    merging a corrupted change-set.
 
     Merge plan per touched slice: anti-join the slice against the
-    (broadcast, bounded-churn) change keys, union the upsert rows —
-    the copy-on-write file-group plan of the table formats. The
-    result is staged to a sibling temp directory and directory-
-    renamed in, so a reader never sees a half-applied partition;
-    ``catalog.clear_load_cache()`` runs after the swap (CLAUDE.md
-    trap 10 — cached frames over a rewritten path are stale)."""
+    bounded-churn change keys — broadcast ONLY while the keys'
+    estimated bytes fit ``spark.sql.autoBroadcastJoinThreshold``
+    (a pathological change-set above it falls back to the planner's
+    shuffle join instead of OOMing the driver; the returned
+    ``broadcast`` flag records which path ran) — then union the
+    upsert rows: the copy-on-write file-group plan of the table
+    formats. The result is staged to a sibling temp directory and
+    directory-renamed in, so a reader never sees a half-applied
+    partition; ``catalog.clear_load_cache()`` runs after the swap
+    (CLAUDE.md trap 10 — cached frames over a rewritten path are
+    stale)."""
     from kaflow_spark.catalog import clear_load_cache
 
     payload = [c for c in changes.columns if c not in (*key_cols, STATUS_COL)]
@@ -144,25 +213,74 @@ def merge_into_parquet(
         upserts = changes.filter(F.col(STATUS_COL) != "delete").drop(STATUS_COL)
         n_up = upserts.count()
         n_del = changes.filter(F.col(STATUS_COL) == "delete").count()
-        keys = changes.select(*key_cols)
+        # one job over the persisted bounded change-set: a key may
+        # carry at most one upsert and one delete (the evolution pair)
+        dup = (
+            changes.groupBy(
+                *key_cols, (F.col(STATUS_COL) == "delete").alias("_is_del")
+            )
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "change-set has duplicate keys (was the input snapshot "
+                "keyed? snapshot_diff fans out on duplicate-key inputs)"
+            )
+        keys = changes.select(*key_cols).distinct()
 
         if partition_col is not None:
             if partition_col not in (*key_cols, *payload):
                 raise ValueError(
                     f"partition_col {partition_col!r} not in change-set"
                 )
+            part_type = changes.schema[partition_col].dataType
+            if part_type.typeName() not in (
+                "string", "byte", "short", "integer", "long"
+            ):
+                raise ValueError(
+                    f"partition_col {partition_col!r} is {part_type.simpleString()}; "
+                    "only string/integral partition columns render "
+                    "identically in Python and Spark partition paths "
+                    "(date/timestamp/float/Decimal do not) — repartition "
+                    "the table on a string/int derivation or use the "
+                    "unpartitioned path"
+                )
             parts = [
                 r[0]
                 for r in changes.select(partition_col).distinct().collect()
             ]
-            target = spark.read.parquet(target_path).filter(
-                F.col(partition_col).isin(parts)
+            target = (
+                spark.read.parquet(target_path)
+                # partition-dir type inference round-trip (see docstring)
+                .withColumn(partition_col, F.col(partition_col).cast(part_type))
+                .filter(F.col(partition_col).isin(parts))
             )
         else:
             parts = []
             target = spark.read.parquet(target_path)
 
-        kept = target.join(F.broadcast(keys), key_cols, "left_anti")
+        # driver-safety guard: broadcast the change keys only while
+        # their estimated size fits the session's broadcast threshold
+        n_keys = n_up + n_del
+        _width = {"byte": 1, "boolean": 1, "short": 2, "integer": 4,
+                  "float": 4, "long": 8, "double": 8, "date": 4,
+                  "timestamp": 8}
+        est_bytes = n_keys * (
+            sum(
+                _width.get(f.dataType.typeName(), 24)
+                for f in keys.schema.fields
+            )
+            + 20
+        )
+        threshold = int(
+            spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold()
+        )
+        do_broadcast = 0 < est_bytes <= threshold
+        join_keys = F.broadcast(keys) if do_broadcast else keys
+        kept = target.join(join_keys, key_cols, "left_anti")
         merged = kept.unionByName(upserts.select(*kept.columns))
 
         staging = os.path.join(
@@ -202,6 +320,7 @@ def merge_into_parquet(
             "partitions_rewritten": sorted(map(str, parts)),
             "upserts": n_up,
             "deletes": n_del,
+            "broadcast": do_broadcast,
         }
     finally:
         changes.unpersist()

@@ -156,3 +156,138 @@ def test_roundtrip_fixture_snapshots(spark, sf_dir, tmp_path, partitioned):
 def test_diff_of_identical_snapshots_is_empty(spark, sf_dir):
     a = _state_snapshot(spark, sf_dir, "2024-01-15 00:00:00")
     assert snapshot_diff(a, a, ["user_id"]).count() == 0
+
+
+def test_partition_evolution_emits_delete_insert_pair(spark, tmp_path):
+    """Round 9: a key whose partition value CHANGES must arrive as a
+    delete-in-old + insert-in-new pair so the old partition's copy is
+    actually removed — and the roundtrip must hold end-to-end."""
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], DDL
+    )
+    # user 2 moves a -> b (payload change too), user 3 stays put
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 21), (3, "b", 30)], DDL
+    )
+    d = snapshot_diff(old, new, ["user_id"], partition_col="seg")
+    got = sorted(
+        (r["user_id"], r["_change"], r["seg"], r["cents"]) for r in d.collect()
+    )
+    assert got == [
+        (2, "delete", "a", 20),  # old partition copy removed
+        (2, "insert", "b", 21),  # new partition copy added
+    ]
+    path = str(tmp_path / "t")
+    old.write.partitionBy("seg").parquet(path)
+    stats = merge_into_parquet(
+        spark, path, d, ["user_id"], partition_col="seg"
+    )
+    assert _rows(spark.read.parquet(path)) == _rows(new)
+    # both dirs were touched; the moved key left seg=a (only user 1
+    # remains there) and landed in seg=b
+    assert stats["partitions_rewritten"] == ["a", "b"]
+    left = spark.read.parquet(os.path.join(path, "seg=a"))
+    assert [r["user_id"] for r in left.collect()] == [1]
+
+
+def test_partition_evolution_no_move_matches_plain_diff(spark):
+    """With partition_col given but no key moving, the evolution path
+    must classify identically to the plain path."""
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], DDL
+    )
+    new = spark.createDataFrame(
+        [(2, "a", 25), (3, "b", 30), (5, "c", 50)], DDL
+    )
+    plain = snapshot_diff(old, new, ["user_id"])
+    evo = snapshot_diff(old, new, ["user_id"], partition_col="seg")
+    assert _rows(plain) == _rows(evo)
+
+
+def test_broadcast_guard_falls_back_above_threshold(spark, tmp_path):
+    """Round 9: a change-set whose key frame outgrows
+    autoBroadcastJoinThreshold must NOT be force-broadcast (driver
+    safety) — and the merge must still roundtrip via the planner's
+    shuffle join."""
+    old = spark.range(0, 2000).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("s"), F.pmod("id", F.lit(4))).alias("seg"),
+        (F.col("id") * 3).alias("cents"),
+    )
+    new = old.withColumn(
+        "cents",
+        F.when(F.col("user_id") < 1500, F.col("cents") + 1).otherwise(
+            F.col("cents")
+        ),
+    )
+    path = str(tmp_path / "t")
+    old.write.parquet(path)
+    diff = snapshot_diff(old, new, ["user_id"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        stats = merge_into_parquet(spark, path, diff, ["user_id"])
+        assert stats["broadcast"] is False  # 1500 keys * ~28B > 1 KiB
+        assert _rows(spark.read.parquet(path)) == _rows(new)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the same change-set under the default threshold broadcasts
+    old.write.mode("overwrite").parquet(path)
+    stats = merge_into_parquet(spark, path, diff, ["user_id"])
+    assert stats["broadcast"] is True
+    assert _rows(spark.read.parquet(path)) == _rows(new)
+
+
+def test_duplicate_change_keys_raise_before_touching_target(spark, tmp_path):
+    old = spark.createDataFrame([(1, "a", 10)], DDL)
+    path = str(tmp_path / "t")
+    old.write.parquet(path)
+    bad = spark.createDataFrame(
+        [(1, "a", 11, "update"), (1, "a", 12, "update")],
+        DDL + f", {'_change'} string",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        merge_into_parquet(spark, path, bad, ["user_id"])
+    # target untouched
+    assert _rows(spark.read.parquet(path)) == _rows(old)
+
+
+def test_non_pathsafe_partition_dtype_raises(spark, tmp_path):
+    old = spark.createDataFrame(
+        [(1, 0.5, 10)], "user_id bigint, seg double, cents bigint"
+    )
+    path = str(tmp_path / "t")
+    old.write.partitionBy("seg").parquet(path)
+    d = snapshot_diff(
+        old,
+        spark.createDataFrame(
+            [(1, 0.5, 11)], "user_id bigint, seg double, cents bigint"
+        ),
+        ["user_id"],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="string/integral"):
+        merge_into_parquet(spark, path, d, ["user_id"], partition_col="seg")
+
+
+def test_numeric_string_partition_value_roundtrips(spark, tmp_path):
+    """Round 9 (advice): a numeric-looking STRING partition value is
+    type-inferred int on read-back; the applier must cast it back to
+    the change-set dtype so the union and anti-join line up."""
+    ddl = "user_id bigint, seg string, cents bigint"
+    old = spark.createDataFrame([(1, "3", 10), (2, "4", 20)], ddl)
+    new = spark.createDataFrame([(1, "3", 11), (2, "4", 20)], ddl)
+    path = str(tmp_path / "t")
+    old.write.partitionBy("seg").parquet(path)
+    merge_into_parquet(
+        spark,
+        path,
+        snapshot_diff(old, new, ["user_id"]),
+        ["user_id"],
+        partition_col="seg",
+    )
+    got = spark.read.parquet(path).withColumn("seg", F.col("seg").cast("string"))
+    assert _rows(got) == _rows(new)
