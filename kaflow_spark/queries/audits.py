@@ -2228,12 +2228,14 @@ def q188(spark: SparkSession, sf: str) -> DataFrame:
         FROM cells),
     terms AS (
         SELECT source, lang, o, r, c, n,
-               (o * n - r * c) AS d,
-               (r * c * 1000000 // n) AS expected_micro
+               (o::HUGEINT * n - r::HUGEINT * c) AS d,
+               (n::HUGEINT * r * c) AS nrc,
+               CAST(r::HUGEINT * c * 1000000 // n AS BIGINT)
+                   AS expected_micro
         FROM tot)
     SELECT source, lang, o AS observed, expected_micro,
-           CAST((d * d // (n * r * c)) * 1000000
-                + ((d * d % (n * r * c)) * 1000000) // (n * r * c)
+           CAST((d * d // nrc) * 1000000
+                + ((d * d % nrc) * 1000000) // nrc
                 AS BIGINT) AS chi2_term_micro
     FROM terms
     ORDER BY source, lang
@@ -2245,11 +2247,17 @@ def q188(spark: SparkSession, sf: str) -> DataFrame:
     "row/column/grand totals as windows OVER that table (never the "
     "corpus); each cell's chi-square contribution in exact integer "
     "micro-units via TWO-STAGE truncating division "
-    "(d*d div nrc, then the remainder scaled — d*d*1e6 would "
-    "overflow bigint at sf0.1 while each stage stays under 2^63; "
-    "lift d to DECIMAL(38,0) for corpus counts beyond ~3e9 where "
-    "d*d itself outgrows bigint). All quantities non-negative where "
-    "divided, so DuckDB's truncating // matches Spark's div exactly.",
+    "(d*d div nrc, then the remainder scaled — d*d*1e6 outgrows "
+    "even 38-digit precision while each stage fits). The whole "
+    "term computes in DECIMAL(38,0) / HUGEINT UNCONDITIONALLY: "
+    "|d| = |o*n - r*c| is bounded by ~n^2/4 under skewed marginals "
+    "and nrc by n^3, so int64 overflows once n*min(r,c) passes "
+    "~3e9 — far below the 100 TB regime; d^2 <= n^4/16 stays "
+    "inside 38 digits to n ~ 5e9, and the per-cell QUOTIENT "
+    "(<= n, the chi-square bound) is long-safe after division. "
+    "All quantities non-negative where divided, so DuckDB's "
+    "truncating // matches Spark's decimal div exactly (the q192 "
+    "equivalence).",
     tags=("audit", "curation"),
 )
 def q189(spark: SparkSession, sf: str) -> DataFrame:
@@ -2260,21 +2268,28 @@ def q189(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source", "lang")
         .agg(F.count(F.lit(1)).alias("o"))
     )
+    dec = "decimal(38,0)"
     t = (
         cells.withColumn("r", F.sum("o").over(Window.partitionBy("source")))
         .withColumn("c", F.sum("o").over(Window.partitionBy("lang")))
         .withColumn("n", F.sum("o").over(Window.partitionBy(F.lit(1))))
-        .withColumn("d", F.col("o") * F.col("n") - F.col("r") * F.col("c"))
-        .withColumn("nrc", F.col("n") * F.col("r") * F.col("c"))
+        .withColumn(
+            "d",
+            F.col("o").cast(dec) * F.col("n")
+            - F.col("r").cast(dec) * F.col("c"),
+        )
+        .withColumn("nrc", F.col("n").cast(dec) * F.col("r") * F.col("c"))
     )
     return t.select(
         "source",
         "lang",
         F.col("o").alias("observed"),
-        F.expr("r * c * 1000000 div n").alias("expected_micro"),
-        (
-            F.expr("(d * d div nrc) * 1000000")
-            + F.expr("((d * d % nrc) * 1000000) div nrc")
+        F.expr(f"CAST(CAST(r AS {dec}) * c * 1000000 div n AS BIGINT)").alias(
+            "expected_micro"
+        ),
+        F.expr(
+            "CAST((d * d div nrc) * 1000000"
+            " + ((d * d % nrc) * 1000000) div nrc AS BIGINT)"
         ).alias("chi2_term_micro"),
     ).orderBy("source", "lang")
 

@@ -99,6 +99,8 @@ def drift_monitor(
         row = histogram_drift_vs_ref(
             batch_df, ref_hist, value_col, bucket_width
         ).head()
+        if row is None:
+            return  # empty micro-batch: nothing to score, skip
         if on_result is not None:
             on_result(batch_id, row)
 
@@ -139,6 +141,11 @@ def ks_monitor(
             .filter(F.col("_side") == "live")
             .head()
         )
+        if row is None:
+            # an EMPTY micro-batch produces no 'live' group at all;
+            # handing None to on_result would throw inside
+            # foreachBatch and kill the stream — skip the batch
+            return
         if on_result is not None:
             on_result(batch_id, row)
 

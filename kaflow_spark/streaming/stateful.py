@@ -17,7 +17,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -482,7 +482,8 @@ def streaming_scd2(
     )
 
 
-def _cusum_update(group_col, order_col, value_col, pct, timeout_ms):
+def _cusum_update(group_col, order_col, value_col, pct, timeout_ms,
+                  horizon=None):
     """Kernel for :func:`streaming_cusum`, split out so tests can
     drive it with a fake GroupState (the sandbox timeout-eviction
     gotcha — see test_streaming's kernel tests)."""
@@ -506,6 +507,13 @@ def _cusum_update(group_col, order_col, value_col, pct, timeout_ms):
                 # same period arriving across batches accumulates —
                 # the upstream per-period aggregation is distributive
                 acc[int(o)] = acc.get(int(o), 0) + int(v)
+        if horizon is not None and acc:
+            # retention: evict periods that fell out of the trailing
+            # window — state stays bounded for always-on monitors,
+            # and the statistic becomes WINDOWED CUSUM over the
+            # retained periods (see streaming_cusum's docstring)
+            mx = max(acc)
+            acc = {o: v for o, v in acc.items() if o > mx - horizon}
         items = sorted(acc.items())
         state.update(([o for o, _ in items], [v for _, v in items]))
         if timeout_ms is not None:
@@ -554,6 +562,7 @@ def streaming_cusum(
     pct: int = 10,
     *,
     timeout_ms: int | None = None,
+    horizon: int | None = None,
 ) -> DataFrame:
     """Streaming twin of ``operators.events.cusum_shifts`` (q179's
     level-shift detector). CUSUM deviations are relative to the
@@ -573,11 +582,34 @@ def streaming_cusum(
     sums for one period arriving in different batches accumulate,
     matching the distributive upstream aggregation.
 
+    ``horizon`` bounds state for ALWAYS-ON monitors: with it, each
+    update evicts (group, period) entries whose order fell more than
+    ``horizon`` behind the group's newest period, so state is at most
+    ``horizon`` rows per group forever instead of growing with the
+    period count. The statistic is then WINDOWED CUSUM — deviations
+    relative to the trailing window's own mean, the standard drift-
+    monitor posture — and the closed stream equals the batch operator
+    applied to each group's trailing-``horizon`` periods (asserted in
+    test_streaming). Late data older than the evicted boundary
+    re-enters as a fresh (partial) period and would perturb the
+    window; pair with a watermark upstream that drops such arrivals.
+    Without ``horizon`` (the default) the statistic is full-series
+    CUSUM and state grows with the period horizon.
+
     On a batch frame this falls back to the exact batch operator so
     one pipeline definition serves both postures."""
     if not df.isStreaming:
+        from pyspark.sql.window import Window
+
         from kaflow_spark.operators.events import cusum_shifts
 
+        if horizon is not None:
+            mx = F.max(order_col).over(Window.partitionBy(group_col))
+            df = (
+                df.withColumn("_mx", mx)
+                .filter(F.col(order_col) > F.col("_mx") - horizon)
+                .drop("_mx")
+            )
         return cusum_shifts(df, group_col, order_col, value_col, pct=pct)
 
     out_schema = (
@@ -585,7 +617,9 @@ def streaming_cusum(
         "cusum_pos bigint, cusum_neg bigint, shift_flag boolean"
     )
     state_schema = "orders array<bigint>, vals array<bigint>"
-    update = _cusum_update(group_col, order_col, value_col, pct, timeout_ms)
+    update = _cusum_update(
+        group_col, order_col, value_col, pct, timeout_ms, horizon
+    )
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if timeout_ms is not None

@@ -60,3 +60,41 @@ def test_cosine_topk_k_larger_than_corpus(spark):
     )
     out = cosine_topk(df, "embedding", "vec_id", [1.0, 0.0], k=10).collect()
     assert len(out) == 2  # k caps at corpus size, no error
+
+
+def test_q189_decimal_chi2_term_survives_int64_overflow(spark):
+    """Round 9 (advice): the chi-square term computes in
+    DECIMAL(38,0) unconditionally — counts where o*n / r*c / n*r*c
+    overflow int64 (n*min(r,c) > ~3e9) must still produce the exact
+    Python-int answer instead of an ANSI overflow error."""
+    from pyspark.sql import functions as F
+
+    o, r, c, n = 4_000_000_000, 6_000_000_000, 5_000_000_000, 8_000_000_000
+    assert o * n > 2**63  # int64 genuinely overflows here
+    dec = "decimal(38,0)"
+    df = (
+        spark.createDataFrame([(o, r, c, n)], "o long, r long, c long, n long")
+        .withColumn(
+            "d",
+            F.col("o").cast(dec) * F.col("n")
+            - F.col("r").cast(dec) * F.col("c"),
+        )
+        .withColumn("nrc", F.col("n").cast(dec) * F.col("r") * F.col("c"))
+        .select(
+            F.expr(
+                f"CAST(CAST(r AS {dec}) * c * 1000000 div n AS BIGINT)"
+            ).alias("expected_micro"),
+            F.expr(
+                "CAST((d * d div nrc) * 1000000"
+                " + ((d * d % nrc) * 1000000) div nrc AS BIGINT)"
+            ).alias("chi2_term_micro"),
+        )
+    )
+    row = df.head()
+    d = o * n - r * c
+    nrc = n * r * c
+    assert row.expected_micro == r * c * 1000000 // n
+    assert (
+        row.chi2_term_micro
+        == (d * d // nrc) * 1000000 + ((d * d % nrc) * 1000000) // nrc
+    )

@@ -687,3 +687,115 @@ def test_streaming_cusum_batch_fallback_matches_q179_operator(spark):
     a = sorted(tuple(r) for r in streaming_cusum(df, "g", "day", "cents").collect())
     b = sorted(tuple(r) for r in cusum_shifts(df, "g", "day", "cents").collect())
     assert a == b and len(a) == 10
+
+
+def test_cusum_kernel_horizon_bounds_state():
+    """Round 9: with a retention horizon the kernel evicts periods
+    that fell out of the trailing window — state stays bounded across
+    an unbounded period stream, and the emitted (windowed-CUSUM)
+    series equals the batch operator over the trailing periods."""
+    import pandas as pd
+    from kaflow_spark.streaming.stateful import _cusum_update
+
+    class FakeState:
+        def __init__(self, value):
+            self._v = value
+            self.hasTimedOut = False
+            self.updated = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.updated = v
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+    update = _cusum_update("g", "day", "cents", 10, None, horizon=5)
+    st = FakeState(None)
+    last = None
+    # 50 periods, one batch each: state must never exceed 5 entries
+    for d in range(50):
+        out = list(
+            update(
+                ("t",),
+                iter([pd.DataFrame({"day": [d], "cents": [100 + d]})]),
+                st,
+            )
+        )
+        assert len(st.updated[0]) <= 5
+        last = out[0]
+    assert sorted(last["day"]) == [45, 46, 47, 48, 49]
+
+
+def test_streaming_cusum_horizon_matches_batch_on_trailing_window(spark):
+    """Closed stream with horizon == batch operator restricted to each
+    group's trailing-horizon periods (both postures via the same
+    function: the batch fallback applies the same trailing filter)."""
+    from kaflow_spark.operators.events import cusum_shifts
+    from kaflow_spark.streaming.stateful import (
+        _cusum_update,
+        streaming_cusum,
+    )
+    import pandas as pd
+
+    ddl = "g string, day bigint, cents bigint"
+    rows = [("t", d, 100 if d < 12 else 300) for d in range(15)]
+
+    # batch fallback with horizon
+    df = spark.createDataFrame(rows, ddl)
+    got = sorted(
+        tuple(r)
+        for r in streaming_cusum(
+            df, "g", "day", "cents", pct=10, horizon=6
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in cusum_shifts(
+            df.filter("day > 8"), "g", "day", "cents", pct=10
+        ).collect()
+    )
+    assert got == want and len(got) == 6
+
+    # kernel fed batch-by-batch converges to the same trailing answer
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+    update = _cusum_update("g", "day", "cents", 10, None, horizon=6)
+    st = FakeState()
+    last = None
+    for _, d, c in rows:
+        out = list(
+            update(("t",), iter([pd.DataFrame({"day": [d], "cents": [c]})]), st)
+        )
+        last = out[0]
+    stream_final = sorted(
+        (r.day, r.cents, r.cusum_pos, r.cusum_neg, r.shift_flag)
+        for r in last.itertuples()
+    )
+    batch_final = sorted((t[1], t[2], t[3], t[4], t[5]) for t in want)
+    assert stream_final == batch_final

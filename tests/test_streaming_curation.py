@@ -153,3 +153,34 @@ def test_streaming_ks_monitor_matches_batch_twin(spark, tmp_path):
         want.n_group,
         want.n_rest,
     )
+
+
+def test_monitors_skip_empty_batches(spark):
+    """Round 9 (advice): an empty micro-batch yields no scored row
+    (ks_drift_bp has no 'live' group at all); the handlers must skip
+    it instead of handing None to on_result — a None-deref inside
+    foreachBatch kills the stream."""
+    from pyspark.sql import functions as F
+
+    from kaflow_spark.streaming.curation import drift_monitor, ks_monitor
+
+    ddl = "doc_id bigint, n_tokens bigint"
+    ref = spark.createDataFrame([(i, 100 + i) for i in range(20)], ddl)
+    empty = spark.createDataFrame([], ddl)
+
+    calls = []
+    ks = ks_monitor(ref, "n_tokens", on_result=lambda b, r: calls.append(r))
+    ks(empty, 0)  # must not raise, must not call back
+    assert calls == []
+
+    ref_hist = ref.groupBy(F.expr("n_tokens div 64").alias("bucket")).agg(
+        F.count("*").alias("rc")
+    )
+    dm = drift_monitor(
+        ref_hist, "n_tokens", 64, on_result=lambda b, r: calls.append(r)
+    )
+    dm(empty, 0)
+    # drift_monitor may legitimately score an empty batch as full
+    # drift IF its operator emits a row; what it must never do is
+    # call back with None
+    assert all(r is not None for r in calls)
