@@ -440,6 +440,7 @@ def minhash_lsh_candidates(
     shingles: DataFrame | None = None,
     side_a=None,
     side_b=None,
+    bucket_salt: int = 1,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -471,6 +472,18 @@ def minhash_lsh_candidates(
     the point — within-set bucket collisions never materialize, so
     the join output scales with |A|x|B| bucket overlap instead of
     the corpus's own collision volume.
+
+    ``bucket_salt > 1`` routes the within-corpus bucket self-join
+    through :func:`operators.skew.salted_self_pairs` (triangle-salted
+    pair enumeration): for boilerplate-heavy corpora whose hot
+    buckets stay under ``max_bucket`` but dominate one reducer, the
+    quadratic pair work spreads over ``salt*(salt+1)/2`` join keys.
+    AQE's skew-join splitting cannot rescue this join (self-join
+    reuses one exchange; the bucket-cap window sits between shuffle
+    and join — both measured blockers, see test_sources_skew), so
+    salting is the working fallback. Identical output by
+    construction; ~``salt``x replication of the 24-byte band rows is
+    the price.
     """
     # validate the pairing BEFORE the S x H signature kernel runs:
     # failing after sig.count() would bill the full MinHash cost (and
@@ -519,16 +532,30 @@ def minhash_lsh_candidates(
     counted = banded.withColumn(
         "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
     ).filter(F.col("_bn") <= max_bucket)
-    left = counted.select("band", "bucket", F.col("_id").alias("id_a"))
-    right = counted.select("band", "bucket", F.col("_id").alias("id_b"))
-    if side_a is not None:
-        left = left.filter(side_a(F.col("id_a")))
-    if side_b is not None:
-        right = right.filter(side_b(F.col("id_b")))
     cross = side_a is not None
-    joined = left.join(right, ["band", "bucket"])
-    if not cross:
-        joined = joined.filter(F.col("id_a") < F.col("id_b"))
+    if bucket_salt > 1 and not cross:
+        # boilerplate-heavy corpora: spread each hot bucket's
+        # quadratic pair work over salt*(salt+1)/2 join keys — AQE
+        # cannot split this self-join itself (reused exchange +
+        # window above the shuffle; see salted_self_pairs)
+        from kaflow_spark.operators.skew import salted_self_pairs
+
+        joined = salted_self_pairs(
+            counted.select("band", "bucket", "_id"),
+            ["band", "bucket"],
+            "_id",
+            salt=bucket_salt,
+        )
+    else:
+        left = counted.select("band", "bucket", F.col("_id").alias("id_a"))
+        right = counted.select("band", "bucket", F.col("_id").alias("id_b"))
+        if side_a is not None:
+            left = left.filter(side_a(F.col("id_a")))
+        if side_b is not None:
+            right = right.filter(side_b(F.col("id_b")))
+        joined = left.join(right, ["band", "bucket"])
+        if not cross:
+            joined = joined.filter(F.col("id_a") < F.col("id_b"))
     pairs = (
         joined
         .groupBy("id_a", "id_b")

@@ -83,3 +83,83 @@ def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
         .orderBy(F.desc("n"))
         .limit(top)
     )
+
+
+def salted_self_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    salt: int = 8,
+    out_a: str = "id_a",
+    out_b: str = "id_b",
+) -> DataFrame:
+    """Skew-safe UNORDERED-PAIR self-equi-join: all (a, b) id pairs
+    sharing the ``key_cols`` bucket, each pair exactly once, with the
+    hot bucket's quadratic work spread over ``salt*(salt+1)/2``
+    distinct join keys instead of one.
+
+    The plain formulation (``left.join(right, key_cols)`` +
+    ``id_a < id_b``) puts every pair of a hot bucket in ONE reducer
+    task, and AQE's skew-join splitting cannot rescue it: the two
+    sides are the same child, the planner reuses one exchange, and
+    ``OptimizeSkewedJoin`` skips reused exchanges (measured on the
+    planted boilerplate fixture in test_sources_skew — ``skew=true``
+    never appears even with aggressive thresholds; a window above the
+    shuffle blocks it in the production operator too). Salting is the
+    fallback that actually works here.
+
+    Triangle decomposition: each row gets slice ``g = xxhash(id) mod
+    salt``; the left side replicates each row for tags ``(g, j), j in
+    g..salt-1`` and the right side for ``(j, g), j in 0..g``, the join
+    key becomes ``key_cols + (tag_a, tag_b)``, and a pair {x, y} with
+    slices ``gx <= gy`` meets EXACTLY once — at tag ``(gx, gy)`` with
+    x on the left (x's tags cover (gx, >=gx)) and y on the right (y's
+    tags cover (<=gy, gy)); the mirrored orientation cannot meet
+    because left tags are always ascending and right tags descending.
+    Same-slice pairs (gx == gy) meet in both orientations and are
+    deduped by ``id_a < id_b``; cross-slice output is canonicalized
+    with least/greatest. Per-row replication cost is ``salt + 1``
+    copies of the (usually few-byte) key rows across both sides —
+    the price of subdividing an irreducibly quadratic bucket."""
+    g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
+    tagged = df.withColumn("_g", g)
+    left = (
+        tagged.withColumn(
+            "_tb", F.explode(F.expr(f"sequence(_g, {salt - 1})"))
+        )
+        .select(
+            *key_cols,
+            F.col("_g").alias("_ta"),
+            "_tb",
+            F.col(id_col).alias(out_a),
+        )
+    )
+    right = (
+        tagged.withColumn("_ta", F.explode(F.expr("sequence(0, _g)")))
+        .select(
+            *key_cols,
+            "_ta",
+            F.col("_g").alias("_tb"),
+            F.col(id_col).alias(out_b),
+        )
+    )
+    # EXPLICIT repartition on the full salted key: without it, Spark's
+    # subset co-partitioning (requireAllClusterKeysForCoPartition =
+    # false) satisfies the join with an upstream partitioning on
+    # key_cols alone — the hot bucket would stay in one partition and
+    # the salt would be decorative (measured: the join exchange showed
+    # hashpartitioning(band, bucket) until this line)
+    full_key = [*key_cols, "_ta", "_tb"]
+    joined = left.repartition(*full_key).join(
+        right.repartition(*full_key), full_key
+    )
+    return (
+        joined.filter(
+            (F.col("_ta") < F.col("_tb")) | (F.col(out_a) < F.col(out_b))
+        )
+        .select(
+            *key_cols,
+            F.least(out_a, out_b).alias(out_a),
+            F.greatest(out_a, out_b).alias(out_b),
+        )
+    )

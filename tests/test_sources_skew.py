@@ -168,3 +168,82 @@ def test_aqe_splits_diagnosed_skewed_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_self_pairs_matches_plain_pair_join(spark):
+    """Triangle-salted pair enumeration: identical pair set to the
+    plain self-join + id_a < id_b, every unordered pair exactly once,
+    across salt values and bucket shapes."""
+    import itertools
+
+    from kaflow_spark.operators.skew import salted_self_pairs
+
+    rows = (
+        [("b0", i) for i in range(23)]      # hot bucket
+        + [("b1", 100 + i) for i in range(5)]
+        + [("b2", 200)]                      # singleton: no pairs
+    )
+    df = spark.createDataFrame(rows, "bucket string, id bigint")
+    want = sorted(
+        (b, min(x, y), max(x, y))
+        for b, members in itertools.groupby(rows, key=lambda r: r[0])
+        for x, y in itertools.combinations([m[1] for m in members], 2)
+    )
+    for salt in (1, 2, 3, 8):
+        got = sorted(
+            (r["bucket"], r["id_a"], r["id_b"])
+            for r in salted_self_pairs(
+                df, ["bucket"], "id", salt=salt
+            ).collect()
+        )
+        assert got == want, f"salt={salt}"
+
+
+def test_minhash_bucket_salt_spreads_boilerplate_bucket(spark):
+    """Round 9: planted boilerplate corpus (400 docs share a template
+    -> every band collides into one hot bucket). AQE's skew split
+    NEVER fires on the bucket self-join (reused exchange + the
+    bucket-cap window above the shuffle — the measured blockers), so
+    bucket_salt is the fallback: identical candidates, and the
+    executed join partitions on (band, bucket, tag, tag) — the hot
+    bucket subdivides across salt*(salt+1)/2 keys."""
+    from kaflow_spark.operators.dedup import minhash_lsh_candidates
+
+    boiler = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("terms of service boilerplate " * 20),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    uniq = spark.range(1000, 1800).select(
+        F.col("id").alias("doc_id"),
+        F.sha2(F.concat(F.col("id").cast("string"), F.lit("u")), 512).alias(
+            "text"
+        ),
+    )
+    docs = boiler.unionAll(uniq)
+    plain = minhash_lsh_candidates(docs, "doc_id", "text", min_bands=2)
+    salted = minhash_lsh_candidates(
+        docs, "doc_id", "text", min_bands=2, bucket_salt=4
+    )
+    a = sorted((r["id_a"], r["id_b"]) for r in plain.collect())
+    b = sorted((r["id_a"], r["id_b"]) for r in salted.collect())
+    # identical candidates; nearly the whole boilerplate family kept
+    # (suffix churn drops a handful of pairs below 2 shared bands)
+    assert a == b and len(a) >= 75_000
+    # the pair join's exchange carries the salt tags — assert on the
+    # STATIC planner (under AQE the executed string shows stages, not
+    # Exchange nodes; the CLAUDE.md trap-9 idiom)
+    import re
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        fresh = minhash_lsh_candidates(
+            docs, "doc_id", "text", min_bands=2, bucket_salt=4
+        )
+        txt = explain_str(fresh, "simple")
+        parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", txt)
+        assert any("_ta" in p and "_tb" in p for p in parts), parts
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
