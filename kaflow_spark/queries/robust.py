@@ -1,0 +1,409 @@
+"""Round-9 declared queries: robust/rolling statistics and corpus
+provenance audits (q193-q197).
+
+Families a monitoring- and curation-heavy deployment runs that the
+earlier registry covered only in static form: trailing-window robust
+baselines (q193 rolling median), association mining over event
+streams (q194 co-occurrence lift), robust trend estimation (q195
+Theil-Sen), and the two vocabulary-shape audits behind tokenizer and
+dedup budgeting (q196 Heaps-law growth, q197 Good-Turing frequency of
+frequencies). Same discipline as the rest of the registry: exact
+integer arithmetic (micro-units / basis points, DECIMAL(38,0) where
+products outgrow int64), lower-median selection instead of
+interpolated medians (an actual data value, portable bit-for-bit),
+deterministic total orders, and every window/pair enumeration runs
+over a BOUNDED contracted table (per-type day series, distinct-value
+tables, |types|^2 cells), never the raw corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kaflow_spark.catalog import load
+from kaflow_spark.queries.base import declare
+
+_CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+@declare(
+    "q193_rolling_median_7d",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+    ser AS (
+        SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS day_cents
+        FROM e GROUP BY event_type, day),
+    r AS (
+        SELECT event_type, day, day_cents,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+               list_sort(LIST(day_cents) OVER w)
+                   [CAST((COUNT(*) OVER w + 1) // 2 AS INT)] AS med
+        FROM ser
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                     AND CURRENT ROW))
+    SELECT event_type, day, day_cents, n_window,
+           CAST(med AS BIGINT) AS roll_med_cents
+    FROM r ORDER BY event_type, day
+    """,
+    doc="Trailing 7-day rolling EXACT median of each event type's "
+    "daily volume — the robust rolling baseline an anomaly monitor "
+    "compares today's bar against (a single outlier day drags a "
+    "rolling mean; it cannot drag a rolling median). Median as the "
+    "LOWER median (element ceil(n/2) of the sorted window — an "
+    "actual data value, no interpolation arithmetic to drift across "
+    "engines, the q53 percentile_disc argument applied to a moving "
+    "frame). The window is a RANGE frame over epoch-day integers "
+    "(days with no events fall out of the frame, not in as zeros), "
+    "computed per type over the BOUNDED (type, day) series table — "
+    "the corpus contracts in ONE aggregation before any window; the "
+    "collect-sort inside the frame handles at most 7 bigints per "
+    "row.",
+    tags=("events", "stats", "window"),
+)
+def q193(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf, "events")
+    ser = (
+        e.select(
+            "event_type",
+            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+            F.expr(_CENTS).alias("cents"),
+        )
+        .groupBy("event_type", "day_i")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_i")
+        .rangeBetween(-6, 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    med = F.element_at(
+        F.sort_array(F.collect_list("day_cents").over(w)),
+        F.floor((n + F.lit(1)) / F.lit(2)).cast("int"),
+    )
+    return (
+        ser.select(
+            "event_type",
+            F.date_from_unix_date(F.col("day_i").cast("int")).alias("day"),
+            "day_cents",
+            n.alias("n_window"),
+            med.alias("roll_med_cents"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@declare(
+    "q194_cooccurrence_lift",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events WHERE event_type IS NOT NULL),
+    n AS (SELECT CAST(COUNT(DISTINCT (user_id, day)) AS BIGINT) AS n
+          FROM ud),
+    marg AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+        FROM ud GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM ud a JOIN ud b
+          ON a.user_id = b.user_id AND a.day = b.day
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.n_ab,
+           CAST(p.n_ab::HUGEINT * n.n * 10000
+                // (ma.n_t::HUGEINT * mb.n_t) AS BIGINT) AS lift_bp
+    FROM pairs p
+    JOIN marg ma ON ma.event_type = p.type_a
+    JOIN marg mb ON mb.event_type = p.type_b, n
+    ORDER BY type_a, type_b
+    """,
+    doc="Event-type co-occurrence lift over (user, day) baskets: for "
+    "each unordered type pair, how much more often the pair lands in "
+    "the same user-day than independence predicts — "
+    "P(a,b)/(P(a)P(b)) = n_ab*N/(n_a*n_b) in integer basis points, "
+    "the association-mining audit behind 'which behaviors travel "
+    "together' (q145's market-basket shape lifted to the events "
+    "stream with the proper normalization). ONE corpus shuffle: "
+    "each basket contracts to its sorted distinct type-set "
+    "(collect_set subsumes the DISTINCT), pairs enumerate inside "
+    "the bounded array (<= |types| elements), and the basket count, "
+    "marginals, and pair counts all branch off that single "
+    "aggregate — 1 scan / 3 ReusedExchange under the static "
+    "planner, asserted in test_plans. The 1-row/|types|-row "
+    "normalizers broadcast into the bounded |types|^2 cell table. "
+    "n_ab*N*1e4 outgrows int64 once baskets pass ~1e7, so the "
+    "ratio computes in DECIMAL(38,0)/HUGEINT (the q189 idiom). "
+    "Non-negative throughout: truncating division agrees across "
+    "engines.",
+    tags=("events", "audit"),
+)
+def q194(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    # ONE corpus shuffle: each (user, day) basket contracts to its
+    # sorted distinct type-set (collect_set subsumes the DISTINCT, so
+    # no separate dedup pass), and all three consumers — basket count,
+    # per-type marginals, within-basket pair counts — branch off this
+    # single aggregate. A self-join formulation instead re-scanned the
+    # corpus for each normalizer (join-side isnotnull inference +
+    # branch pruning de-canonicalized the shared distinct; measured 3
+    # scans). Every branch references the type-set column so the
+    # collect_set stays load-bearing in the shared partial aggregate
+    # (the q135 pruning trap).
+    baskets = (
+        e.filter(F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+            "event_type",
+        )
+        .groupBy("user_id", "day_i")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
+    )
+    n = baskets.filter(F.size("ts") >= 1).agg(F.count(F.lit(1)).alias("n"))
+    marg = (
+        baskets.select(F.explode("ts").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    # all unordered pairs within a basket: ts is sorted + distinct,
+    # so (x, later y) enumerates each pair once with type_a < type_b
+    pair_expr = (
+        "explode(flatten(transform(ts, (x, i) ->"
+        " transform(slice(ts, i + 2, size(ts)),"
+        " y -> struct(x AS type_a, y AS type_b)))))"
+    )
+    pairs = (
+        baskets.select(F.expr(pair_expr).alias("p"))
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ma = F.broadcast(
+        marg.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na"))
+    )
+    mb = F.broadcast(
+        marg.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb"))
+    )
+    return (
+        pairs.join(ma, "type_a")
+        .join(mb, "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n * 10000"
+                " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+            ).alias("lift_bp"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@declare(
+    "q195_theil_sen_trend",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+    ser AS (
+        SELECT event_type,
+               CAST(day - DATE '1970-01-01' AS BIGINT) AS day_i,
+               CAST(SUM(cents) AS BIGINT) AS day_cents
+        FROM e GROUP BY event_type, day),
+    slopes AS (
+        SELECT a.event_type,
+               (b.day_cents - a.day_cents) * 1000000
+                   // (b.day_i - a.day_i) AS s
+        FROM ser a JOIN ser b
+          ON a.event_type = b.event_type AND a.day_i < b.day_i)
+    SELECT s.event_type,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ser
+             WHERE ser.event_type = s.event_type) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(list_sort(LIST(s.s))
+                [CAST((COUNT(*) + 1) // 2 AS INT)] AS BIGINT)
+               AS slope_micro
+    FROM slopes s GROUP BY s.event_type
+    ORDER BY event_type
+    """,
+    doc="Theil-Sen robust trend of each event type's daily volume: "
+    "the LOWER median of all pairwise slopes (cents/day in micro "
+    "units) — the estimator q131's OLS cannot match under "
+    "contamination (a single corrupted day moves OLS by its "
+    "leverage; Theil-Sen tolerates ~29% outliers). Slopes in exact "
+    "integer micro-units with truncation-toward-zero division "
+    "(Spark div == DuckDB's integer // on signed values, the trap-6 "
+    "measurement); the median is the ceil(n/2)-th sorted slope — an "
+    "actual data value. The O(d^2) pair enumeration runs per type "
+    "over the BOUNDED (type, day) series (d ~ 30-90 days -> <= ~4k "
+    "pairs per type), never raw events — at 100 TB the series table "
+    "is the same size, so the quadratic term is constant.",
+    tags=("events", "stats"),
+)
+def q195(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    ser = (
+        e.select(
+            "event_type",
+            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+            F.expr(_CENTS).alias("cents"),
+        )
+        .groupBy("event_type", "day_i")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    a = ser.select(
+        "event_type",
+        F.col("day_i").alias("di_a"),
+        F.col("day_cents").alias("dc_a"),
+    )
+    b = ser.select(
+        "event_type",
+        F.col("day_i").alias("di_b"),
+        F.col("day_cents").alias("dc_b"),
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("di_a") < F.col("di_b"))
+        .select(
+            "event_type",
+            F.expr("(dc_b - dc_a) * 1000000 div (di_b - di_a)").alias("s"),
+        )
+    )
+    days = ser.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    agg = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sort_array(F.collect_list("s")).alias("_sorted"),
+    )
+    return (
+        agg.join(F.broadcast(days), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            F.element_at(
+                "_sorted",
+                F.floor((F.col("n_pairs") + F.lit(1)) / F.lit(2)).cast("int"),
+            ).alias("slope_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declare(
+    "q196_vocab_growth",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+        FROM documents),
+    f AS (SELECT tok, MIN(doc_id) AS first_doc FROM w GROUP BY tok),
+    b AS (
+        SELECT first_doc // 500 AS batch,
+               CAST(COUNT(*) AS BIGINT) AS new_types
+        FROM f GROUP BY 1)
+    SELECT CAST(batch AS BIGINT) AS batch, new_types,
+           CAST(SUM(new_types) OVER (ORDER BY batch
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+    FROM b ORDER BY batch
+    """,
+    doc="Vocabulary growth curve (Heaps' law audit): per 500-document "
+    "ingestion batch (doc_id order), how many NEVER-BEFORE-SEEN "
+    "word types appear, plus the cumulative vocabulary — the curve "
+    "that sizes tokenizer vocabularies and flags a crawl gone "
+    "stale (new-type rate collapsing) or noisy (rate exploding). "
+    "First-seen is an argmin per token (min doc_id), so the corpus "
+    "contracts to one row per TYPE in a single aggregation; the "
+    "cumulative window runs over the bounded batch table (corpus "
+    "div 500 rows). Whitespace tokenization via the q192 "
+    "split==regexp_extract_all equivalence.",
+    tags=("curation", "text"),
+)
+def q196(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    batches = (
+        first.groupBy(F.expr("first_doc div 500").alias("batch"))
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        batches.select(
+            "batch",
+            "new_types",
+            F.sum("new_types").over(w).alias("cum_types"),
+        )
+        .orderBy("batch")
+    )
+
+
+@declare(
+    "q197_freq_of_freqs",
+    oracle="""
+    WITH w AS (
+        SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok
+        FROM documents),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS r FROM w GROUP BY tok),
+    ff AS (
+        SELECT r, CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM uni GROUP BY r)
+    SELECT r, n_types,
+           CAST(n_types * 10000 // (SUM(n_types) OVER ()) AS BIGINT)
+               AS types_share_bp
+    FROM ff ORDER BY r
+    """,
+    doc="Good-Turing frequency-of-frequencies table: for each "
+    "occurrence count r, how many word TYPES occur exactly r times "
+    "(n_1 = hapax legomena drives Good-Turing smoothing mass and "
+    "OOV-rate estimates; the r-vs-n_r slope is the Zipf tail "
+    "check). Two aggregations — corpus to per-type counts, counts "
+    "to the frequency spectrum — each with map-side partial "
+    "aggregation; the share window runs over the bounded spectrum "
+    "table (|distinct r| rows, ~hundreds even at corpus scale "
+    "since r values thin out geometrically). Integer basis points "
+    "against the total type count.",
+    tags=("curation", "text"),
+)
+def q197(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("r"))
+    ff = uni.groupBy("r").agg(F.count(F.lit(1)).alias("n_types"))
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        ff.select(
+            "r",
+            "n_types",
+            F.expr(
+                "n_types * 10000"
+            ).cast("long").alias("_num"),
+            F.sum("n_types").over(w).alias("_tot"),
+        )
+        .select(
+            "r",
+            "n_types",
+            F.expr("_num div _tot").alias("types_share_bp"),
+        )
+        .orderBy("r")
+    )

@@ -807,3 +807,53 @@ def test_q191_dup_flag_shuffles_hash_not_text(spark, sf_dir):
     assert "xxhash64" in txt
     for part in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", txt):
         assert "text" not in part
+
+
+def test_q194_single_scan_basket_diamond(spark, sf_dir):
+    """q194: basket count, marginals and pair counts all branch off
+    ONE (user, day) type-set aggregate — a single events scan with the
+    other consumers reusing its exchange (static planner; the
+    self-join formulation measured 3 scans)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q194_cooccurrence_lift"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert plan.count("Scan parquet") == 1
+        assert plan.count("ReusedExchange") >= 3
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q195_theil_sen_pairs_over_bounded_series(spark, sf_dir):
+    """q195: the O(d^2) slope enumeration joins the contracted
+    (type, day) series with itself — one events scan, the second
+    side a ReusedExchange, partial aggregation below the series
+    shuffle."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q195_theil_sen_trend"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert plan.count("Scan parquet") <= 2
+        assert "ReusedExchange" in plan
+        assert has_partial_aggregate(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q193_rolling_median_single_series_shuffle(spark, sf_dir):
+    """q193: the corpus contracts to the (type, day) series in one
+    partial-agg'd aggregation; the rolling frame never sees raw
+    events and no single-partition exchange touches the corpus."""
+    from kaflow_spark.plans.explain import explain_str
+
+    df = REGISTRY["q193_rolling_median_7d"].spark(spark, sf_dir)
+    assert has_partial_aggregate(df)
+    plan = explain_str(df, "formatted")
+    for line in plan.splitlines():
+        if "Arguments:" in line and "SinglePartition" in line:
+            raise AssertionError(f"corpus-wide single partition: {line}")
