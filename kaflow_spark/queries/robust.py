@@ -273,21 +273,49 @@ def q195(spark: SparkSession, sf: str) -> DataFrame:
         F.col("day_i").alias("di_b"),
         F.col("day_cents").alias("dc_b"),
     )
+    # null-safe key + coalesce'd range predicate keep the three
+    # consumers of the series aggregate (a, b, days) canonically
+    # identical — plain keys infer isnotnull into the join branches
+    # only and re-scan the corpus for days (q100 idiom)
     slopes = (
-        a.join(b, "event_type")
-        .filter(F.col("di_a") < F.col("di_b"))
+        a.join(
+            b.withColumnRenamed("event_type", "_et"),
+            F.col("event_type").eqNullSafe(F.col("_et")),
+        )
+        .drop("_et")
+        .filter(
+            F.expr(
+                "coalesce(di_a, 9223372036854775807)"
+                " < coalesce(di_b, -9223372036854775808)"
+            )
+        )
         .select(
             "event_type",
             F.expr("(dc_b - dc_a) * 1000000 div (di_b - di_a)").alias("s"),
         )
     )
-    days = ser.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    # sum(least(greatest(day_cents,1),1)) == count(*) exactly (every
+    # row contributes 1; greatest() skips NULL), but it keeps
+    # day_cents LOAD-BEARING in the shared series aggregate — a bare
+    # count(1) (and even count(coalesce(day_cents,0)), which the
+    # optimizer folds back to count(1)) lets sum(cents) be pruned out
+    # of this branch's copy and kills the subtree reuse (trap 5 /
+    # q135 idiom)
+    days = ser.groupBy("event_type").agg(
+        F.sum(
+            F.least(F.greatest(F.col("day_cents"), F.lit(1)), F.lit(1))
+        ).alias("n_days")
+    )
     agg = slopes.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sort_array(F.collect_list("s")).alias("_sorted"),
     )
     return (
-        agg.join(F.broadcast(days), "event_type")
+        agg.join(
+            F.broadcast(days.withColumnRenamed("event_type", "_et")),
+            F.col("event_type").eqNullSafe(F.col("_et")),
+        )
+        .drop("_et")
         .select(
             "event_type",
             "n_days",
@@ -406,4 +434,266 @@ def q197(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("_num div _tot").alias("types_share_bp"),
         )
         .orderBy("r")
+    )
+
+
+@declare(
+    "q198_volume_autocorrelation",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+    ser AS (
+        SELECT event_type,
+               CAST(day - DATE '1970-01-01' AS BIGINT) AS day_i,
+               CAST(SUM(cents) AS BIGINT) AS day_cents
+        FROM e GROUP BY event_type, day),
+    lagged AS (
+        SELECT a.event_type, k.k,
+               a.day_cents::HUGEINT AS x, b.day_cents::HUGEINT AS y
+        FROM ser a
+        JOIN (SELECT unnest(range(1, 8)) AS k) k ON TRUE
+        JOIN ser b ON b.event_type = a.event_type
+                  AND b.day_i = a.day_i + k.k),
+    m AS (
+        SELECT event_type, k,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy,
+               SUM(x * y) AS sxy
+        FROM lagged GROUP BY event_type, k)
+    SELECT event_type, CAST(k AS BIGINT) AS k, n_pairs,
+           CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
+    FROM m ORDER BY event_type, k
+    """,
+    doc="Lag-1..7 autocorrelation of each event type's daily volume — "
+    "the seasonality detector (a weekly cycle shows as an acf spike "
+    "at lag 7) run before trusting any day-over-day comparison. The "
+    "q74 exact-moments discipline: all sums (x, y, x^2, y^2, xy over "
+    "the lag pairs) accumulate EXACTLY in DECIMAL(38,0)/HUGEINT, and "
+    "floating point enters only in the final fixed expression (two "
+    "sqrts and one divide of correctly-rounded doubles), so the "
+    "result is bit-stable under shuffle reordering where a native "
+    "corr() aggregate is not. Lag pairs via ONE equi-join of the "
+    "bounded (type, day) series against its 7-way lag explosion — "
+    "the corpus contracts first, the join touches <= 7d rows per "
+    "type.",
+    tags=("events", "stats"),
+)
+def q198(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    dec = "decimal(38,0)"
+    ser = (
+        e.select(
+            "event_type",
+            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+            F.expr(_CENTS).alias("cents"),
+        )
+        .groupBy("event_type", "day_i")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    a = ser.select(
+        "event_type",
+        F.explode(F.expr("sequence(1, 7)")).alias("k"),
+        (F.col("day_i") + F.col("k")).alias("_tgt"),
+        F.col("day_cents").cast(dec).alias("x"),
+    )
+    b = ser.select(
+        "event_type",
+        F.col("day_i").alias("_tgt"),
+        F.col("day_cents").cast(dec).alias("y"),
+    )
+    # null-safe join keys suppress per-branch isnotnull inference —
+    # with plain equi-keys the two consumers of the series aggregate
+    # de-canonicalize and the corpus scans twice (q100 idiom;
+    # measured 2 scans / 0 reuse before)
+    m = (
+        a.join(
+            b.withColumnRenamed("event_type", "_et"),
+            a["event_type"].eqNullSafe(F.col("_et"))
+            & a["_tgt"].eqNullSafe(b["_tgt"]),
+        )
+        .drop("_et")
+        .drop(b["_tgt"])
+        .groupBy("event_type", "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+            F.sum(F.expr("y * y")).alias("syy"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+        )
+    )
+    return m.select(
+        "event_type",
+        F.col("k").cast("long").alias("k"),
+        "n_pairs",
+        F.expr(
+            "CAST(n_pairs * sxy - sx * sy AS DOUBLE)"
+            " / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))"
+            " * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))"
+        ).alias("acf"),
+    ).orderBy("event_type", "k")
+
+
+@declare(
+    "q199_weekday_profile",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+    ser AS (
+        SELECT event_type,
+               (CAST(day - DATE '1970-01-01' AS BIGINT) + 3) % 7 AS dow,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM e GROUP BY 1, 2),
+    prof AS (
+        SELECT event_type, dow, CAST(SUM(cents) AS BIGINT) AS dow_cents
+        FROM ser GROUP BY event_type, dow)
+    SELECT event_type, CAST(dow AS BIGINT) AS dow, dow_cents,
+           CAST(dow_cents * 10000 // CAST(SUM(dow_cents)
+                OVER (PARTITION BY event_type) AS BIGINT) AS BIGINT)
+               AS share_bp
+    FROM prof ORDER BY event_type, dow
+    """,
+    doc="Day-of-week volume profile per event type: each weekday's "
+    "share of the type's total volume in basis points — the "
+    "seasonality BASELINE consumed alongside q198's detector (the "
+    "acf says 'there is a weekly cycle'; this says what it looks "
+    "like). Weekday as pure integer arithmetic on the epoch day "
+    "((day + 3) mod 7, 0 = Monday) so no engine dayofweek() "
+    "convention can disagree. Two partial-agg'd aggregations "
+    "contract the corpus to <= |types| x 7 rows; the share window "
+    "runs over that bounded table. Total volume can be negative "
+    "per type in adversarial data — shares are only emitted "
+    "against a positive total (both engines' truncating division "
+    "agrees on the non-negative path used here).",
+    tags=("events", "audit"),
+)
+def q199(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf, "events")
+    ser = (
+        e.select(
+            "event_type",
+            F.expr("(CAST(ts AS LONG) div 86400 + 3) % 7").alias("dow"),
+            F.expr(_CENTS).alias("cents"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.sum("cents").alias("dow_cents"))
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        ser.select(
+            "event_type",
+            F.col("dow").cast("long").alias("dow"),
+            "dow_cents",
+            F.expr(
+                "dow_cents * 10000"
+            ).alias("_num"),
+            F.sum("dow_cents").over(w).alias("_tot"),
+        )
+        .select(
+            "event_type",
+            "dow",
+            "dow_cents",
+            F.expr("_num div _tot").alias("share_bp"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+@declare(
+    "q200_spike_days",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+    ser AS (
+        SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS day_cents
+        FROM e GROUP BY event_type, day),
+    r AS (
+        SELECT event_type, day, day_cents,
+               list_sort(LIST(day_cents) OVER w)
+                   [CAST((COUNT(*) OVER w + 1) // 2 AS INT)] AS med,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_base
+        FROM ser
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                     AND INTERVAL 1 DAYS PRECEDING))
+    SELECT event_type, day, day_cents,
+           CAST(med AS BIGINT) AS baseline_med,
+           CAST(day_cents * 10000 // med AS BIGINT) AS ratio_bp,
+           day_cents * 10 > med * 13 AS spike
+    FROM r
+    WHERE n_base >= 3 AND med > 0
+    ORDER BY event_type, day
+    """,
+    doc="Spike-day audit: every baselined day with its ratio to the "
+    "trailing median and a flag for volume exceeding 1.3x the "
+    "trailing 7-day median BASELINE (the window EXCLUDES the "
+    "current day — a spike must not drag its own baseline), with "
+    "the ratio in basis points. The robust companion to q179's "
+    "CUSUM: CUSUM finds sustained level shifts, this flags "
+    "single-day bursts a mean-based rule would miss after one "
+    "prior outlier inflated the mean (the 1.3x threshold sits at "
+    "~p90 of the fixture's ratio distribution, so the detector has "
+    "live signal to verify against). Lower-median selection over "
+    "the bounded series (q193's frame shifted back one day); "
+    "baselines need >= 3 observed days and a positive median, so "
+    "the cross-engine division stays on the non-negative path. "
+    "The threshold compares cross-multiplied in integers — no "
+    "float ratio.",
+    tags=("events", "audit"),
+)
+def q200(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf, "events")
+    ser = (
+        e.select(
+            "event_type",
+            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+            F.expr(_CENTS).alias("cents"),
+        )
+        .groupBy("event_type", "day_i")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_i")
+        .rangeBetween(-7, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    med = F.element_at(
+        F.sort_array(F.collect_list("day_cents").over(w)),
+        F.floor((n + F.lit(1)) / F.lit(2)).cast("int"),
+    )
+    r = ser.select(
+        "event_type",
+        F.date_from_unix_date(F.col("day_i").cast("int")).alias("day"),
+        "day_cents",
+        med.alias("baseline_med"),
+        n.alias("_nb"),
+    )
+    return (
+        r.filter((F.col("_nb") >= 3) & (F.col("baseline_med") > 0))
+        .select(
+            "event_type",
+            "day",
+            "day_cents",
+            "baseline_med",
+            F.expr("day_cents * 10000 div baseline_med").alias("ratio_bp"),
+            (F.col("day_cents") * 10 > F.col("baseline_med") * 13).alias(
+                "spike"
+            ),
+        )
+        .orderBy("event_type", "day")
     )

@@ -829,18 +829,37 @@ def test_q194_single_scan_basket_diamond(spark, sf_dir):
 
 def test_q195_theil_sen_pairs_over_bounded_series(spark, sf_dir):
     """q195: the O(d^2) slope enumeration joins the contracted
-    (type, day) series with itself — one events scan, the second
-    side a ReusedExchange, partial aggregation below the series
-    shuffle."""
+    (type, day) series with itself and the day-count branch rides the
+    same aggregate — ONE events scan, both other consumers
+    ReusedExchange (null-safe keys + the q135 load-bearing-sum count
+    keep the diamond canonical)."""
     from kaflow_spark.plans.explain import explain_str
 
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         df = REGISTRY["q195_theil_sen_trend"].spark(spark, sf_dir)
         plan = explain_str(df, "simple")
-        assert plan.count("Scan parquet") <= 2
-        assert "ReusedExchange" in plan
+        assert plan.count("Scan parquet") == 1
+        assert plan.count("ReusedExchange") >= 2
         assert has_partial_aggregate(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q198_autocorrelation_single_scan_lag_join(spark, sf_dir):
+    """q198: the 7-way lag join runs over the contracted series with
+    the second side reusing the series exchange (null-safe keys —
+    plain equi-keys de-canonicalized the branches; measured 2
+    scans)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q198_volume_autocorrelation"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert plan.count("Scan parquet") == 1
+        assert "ReusedExchange" in plan
+        assert "CartesianProduct" not in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
