@@ -438,3 +438,67 @@ def twap(
         .alias("twap"),
         (F.col("span_s") == 0).alias("degenerate"),
     )
+
+
+def basket_lift(
+    df: DataFrame,
+    basket_cols: list[str],
+    item_col: str,
+) -> DataFrame:
+    """Co-occurrence lift over arbitrary baskets: for every unordered
+    item pair, ``lift_bp = n_ab * N * 10000 div (n_a * n_b)`` where N
+    is the basket count and n_x the number of baskets containing x —
+    the normalized association statistic behind q194 (user-day event
+    baskets) and equally applicable to order/part baskets.
+
+    ONE corpus shuffle: each basket contracts to its sorted distinct
+    item-set (``collect_set`` subsumes the DISTINCT), pairs enumerate
+    INSIDE the bounded array, and the basket count, marginals and
+    pair counts all branch off that single aggregate (1 scan,
+    consumers on ReusedExchange — the q194 plan contract). The ratio
+    computes in DECIMAL(38,0) because ``n_ab * N * 1e4`` outgrows
+    int64 once baskets pass ~1e7. Output:
+    ``(item_a, item_b, n_ab, lift_bp)`` ordered by the pair."""
+    baskets = df.groupBy(*basket_cols).agg(
+        F.sort_array(F.collect_set(item_col)).alias("_items")
+    )
+    n = baskets.filter(F.size("_items") >= 1).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    marg = (
+        baskets.select(F.explode("_items").alias("_item"))
+        .groupBy("_item")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+    )
+    pair_expr = (
+        "explode(flatten(transform(_items, (x, i) ->"
+        " transform(slice(_items, i + 2, size(_items)),"
+        " y -> struct(x AS item_a, y AS item_b)))))"
+    )
+    pairs = (
+        baskets.select(F.expr(pair_expr).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ma = F.broadcast(
+        marg.select(F.col("_item").alias("item_a"), F.col("_nt").alias("_na"))
+    )
+    mb = F.broadcast(
+        marg.select(F.col("_item").alias("item_b"), F.col("_nt").alias("_nb"))
+    )
+    return (
+        pairs.join(ma, "item_a")
+        .join(mb, "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * _n * 10000"
+                " div (CAST(_na AS DECIMAL(38,0)) * _nb) AS BIGINT)"
+            ).alias("lift_bp"),
+        )
+        .orderBy("item_a", "item_b")
+    )

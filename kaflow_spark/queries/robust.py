@@ -147,64 +147,21 @@ def q193(spark: SparkSession, sf: str) -> DataFrame:
     tags=("events", "audit"),
 )
 def q194(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.events import basket_lift
+
     e = load(spark, sf, "events")
-    # ONE corpus shuffle: each (user, day) basket contracts to its
-    # sorted distinct type-set (collect_set subsumes the DISTINCT, so
-    # no separate dedup pass), and all three consumers — basket count,
-    # per-type marginals, within-basket pair counts — branch off this
-    # single aggregate. A self-join formulation instead re-scanned the
-    # corpus for each normalizer (join-side isnotnull inference +
-    # branch pruning de-canonicalized the shared distinct; measured 3
-    # scans). Every branch references the type-set column so the
-    # collect_set stays load-bearing in the shared partial aggregate
-    # (the q135 pruning trap).
-    baskets = (
-        e.filter(F.col("event_type").isNotNull())
-        .select(
-            "user_id",
-            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
-            "event_type",
-        )
-        .groupBy("user_id", "day_i")
-        .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
-    )
-    n = baskets.filter(F.size("ts") >= 1).agg(F.count(F.lit(1)).alias("n"))
-    marg = (
-        baskets.select(F.explode("ts").alias("event_type"))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_t"))
-    )
-    # all unordered pairs within a basket: ts is sorted + distinct,
-    # so (x, later y) enumerates each pair once with type_a < type_b
-    pair_expr = (
-        "explode(flatten(transform(ts, (x, i) ->"
-        " transform(slice(ts, i + 2, size(ts)),"
-        " y -> struct(x AS type_a, y AS type_b)))))"
-    )
-    pairs = (
-        baskets.select(F.expr(pair_expr).alias("p"))
-        .select("p.type_a", "p.type_b")
-        .groupBy("type_a", "type_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-    )
-    ma = F.broadcast(
-        marg.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na"))
-    )
-    mb = F.broadcast(
-        marg.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb"))
+    ud = e.filter(F.col("event_type").isNotNull()).select(
+        "user_id",
+        F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+        "event_type",
     )
     return (
-        pairs.join(ma, "type_a")
-        .join(mb, "type_b")
-        .crossJoin(F.broadcast(n))
+        basket_lift(ud, ["user_id", "day_i"], "event_type")
         .select(
-            "type_a",
-            "type_b",
+            F.col("item_a").alias("type_a"),
+            F.col("item_b").alias("type_b"),
             "n_ab",
-            F.expr(
-                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n * 10000"
-                " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
-            ).alias("lift_bp"),
+            "lift_bp",
         )
         .orderBy("type_a", "type_b")
     )

@@ -176,3 +176,28 @@ def test_longest_streak_prefers_earliest_on_tie(spark, sf_dir):
         .collect()[0]
     )
     assert best["len"] == 2 and best["start_d"] == 0
+
+
+def test_basket_lift_hand_case(spark):
+    """basket_lift: N=4 baskets, n_a=n_b=3, n_c=1; (a,b) co-occurs
+    twice -> 2*4/(3*3) = 0.888 = 8888 bp; (a,c) once -> 4/3 =
+    13333 bp."""
+    from pyspark.sql import functions as F
+
+    from kaflow_spark.operators.events import basket_lift
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"), (2, "b"),  # duplicate item collapses
+        (3, "a"), (3, "c"),
+        (4, "b"),
+    ]
+    df = spark.createDataFrame(rows, "bid bigint, item string")
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_ab"], r["lift_bp"])
+        for r in basket_lift(df, ["bid"], "item").collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 8888),
+        ("a", "c"): (1, 13333),
+    }

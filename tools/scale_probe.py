@@ -1086,6 +1086,18 @@ def main() -> None:
 
     probe_evf(f"last-touch attribution q171 ({n_ev} events/x)", attribution)
 
+    from kaflow_spark.operators.events import basket_lift
+
+    def lift(e):
+        ud = e.filter(F.col("event_type").isNotNull()).select(
+            "user_id",
+            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+            "event_type",
+        )
+        return basket_lift(ud, ["user_id", "day_i"], "event_type")
+
+    probe_evf(f"basket co-occurrence lift q194 ({n_ev} events/x)", lift)
+
     rows.append("")
     rows.append(
         "Interpretation: replication multiplies duplicate groups too "
