@@ -654,3 +654,156 @@ def q200(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@declare(
+    "q201_psi_by_bucket",
+    oracle="""
+    WITH b AS (
+        SELECT source, n_chars // 256 AS bucket FROM documents),
+    cells AS (
+        SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM b GROUP BY source, bucket),
+    tot AS (
+        SELECT source, bucket, c,
+               CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_src,
+               CAST(SUM(c) OVER (PARTITION BY bucket) - c AS BIGINT)
+                   AS c_rest,
+               CAST(SUM(c) OVER () - SUM(c) OVER (PARTITION BY source)
+                    AS BIGINT) AS n_rest
+        FROM cells)
+    SELECT source, CAST(bucket AS BIGINT) AS bucket, c AS c_src, c_rest,
+           CAST(FLOOR(
+               (CAST(c AS DOUBLE) / n_src - CAST(c_rest AS DOUBLE) / n_rest)
+               * ln((CAST(c AS DOUBLE) * n_rest)
+                    / (CAST(c_rest AS DOUBLE) * n_src))
+               * 1000000) AS BIGINT) AS psi_micro
+    FROM tot
+    WHERE c > 0 AND c_rest > 0
+    ORDER BY source, bucket
+    """,
+    doc="Population Stability Index contributions, per length bucket, "
+    "of each source against the REST of the corpus — the standard "
+    "model-monitoring drift statistic alongside the L1 (q158) and KS "
+    "(q183) alternatives; per-bucket contributions are emitted "
+    "UNSUMMED as FLOOR-quantized integer micro-units: the float "
+    "stage is one fixed expression over four exact integer counts "
+    "(the q74 discipline), but ln — unlike IEEE sqrt — is NOT "
+    "correctly rounded and measurably differs by 1 ULP between "
+    "libm and the JVM, so a raw double here hash-mismatches; "
+    "micro-unit flooring absorbs the ULP while keeping the "
+    "statistic to six decimals (a cross-bucket sum of doubles "
+    "would also be order-dependent — the consumer sums the bounded "
+    "table itself). Buckets where "
+    "either side is empty are excluded (ln(0) — the conventional "
+    "PSI treatment), visible in the output by their absence. One "
+    "aggregation to the bounded |sources| x |buckets| cell table; "
+    "all totals are windows over it (group-vs-rest by subtraction, "
+    "the q183 idiom).",
+    tags=("audit", "curation"),
+)
+def q201(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf, "documents")
+    cells = (
+        d.select("source", F.expr("n_chars div 256").alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = (
+        cells.withColumn("n_src", F.sum("c").over(Window.partitionBy("source")))
+        .withColumn(
+            "c_rest",
+            F.sum("c").over(Window.partitionBy("bucket")) - F.col("c"),
+        )
+        .withColumn(
+            "n_rest",
+            F.sum("c").over(Window.partitionBy(F.lit(1))) - F.col("n_src"),
+        )
+    )
+    return (
+        t.filter((F.col("c") > 0) & (F.col("c_rest") > 0))
+        .select(
+            "source",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("c").alias("c_src"),
+            "c_rest",
+            F.expr(
+                "CAST(FLOOR("
+                "(CAST(c AS DOUBLE) / n_src - CAST(c_rest AS DOUBLE) / n_rest)"
+                " * ln((CAST(c AS DOUBLE) * n_rest)"
+                " / (CAST(c_rest AS DOUBLE) * n_src))"
+                " * 1000000) AS BIGINT)"
+            ).alias("psi_micro"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+@declare(
+    "q202_embedding_norm_audit",
+    oracle="""
+    WITH n AS (
+        SELECT label,
+               CAST(FLOOR(sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * x))) * 1000000) AS BIGINT)
+                   AS norm_micro
+        FROM embeddings),
+    g AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(MIN(norm_micro) AS BIGINT) AS min_norm,
+               CAST(MAX(norm_micro) AS BIGINT) AS max_norm,
+               CAST(SUM(norm_micro) // COUNT(*) AS BIGINT) AS mean_norm,
+               list_sort(LIST(norm_micro))
+                   [CAST((COUNT(*) + 1) // 2 AS INT)] AS med
+        FROM n GROUP BY label)
+    SELECT CAST(label AS BIGINT) AS label, n_vecs, min_norm, max_norm,
+           mean_norm, CAST(med AS BIGINT) AS med_norm
+    FROM g ORDER BY label
+    """,
+    doc="Per-label L2-norm audit of the embedding table — the "
+    "pre-training sanity check that catches an unnormalized batch, "
+    "a collapsed encoder (norms bunching at 0) or a mixed-checkpoint "
+    "ingest (bimodal norms) before any similarity math runs on the "
+    "vectors. Each row's norm is ONE fixed float expression "
+    "(element-wise double promotion, sequential array fold — "
+    "deterministic in both engines) quantized to integer "
+    "micro-units via FLOOR (DuckDB's CAST-to-int ROUNDS while "
+    "Spark's truncates — floor first, the q152-family lesson); all "
+    "aggregation above the quantization is exact integer, median as "
+    "the lower median. Pure scan + one |labels|-row aggregate: "
+    "map-side partial everything.",
+    tags=("vectors", "audit"),
+)
+def q202(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    n = e.select(
+        "label",
+        F.expr(
+            "CAST(FLOOR(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + CAST(x AS DOUBLE) * x)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("norm_micro"),
+    )
+    g = n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("norm_micro").alias("min_norm"),
+        F.max("norm_micro").alias("max_norm"),
+        F.expr("SUM(norm_micro) div COUNT(*)").alias("mean_norm"),
+        F.sort_array(F.collect_list("norm_micro")).alias("_sorted"),
+    )
+    return (
+        g.select(
+            F.col("label").cast("long").alias("label"),
+            "n_vecs",
+            "min_norm",
+            "max_norm",
+            "mean_norm",
+            F.element_at(
+                "_sorted",
+                F.floor((F.col("n_vecs") + F.lit(1)) / F.lit(2)).cast("int"),
+            ).alias("med_norm"),
+        )
+        .orderBy("label")
+    )
