@@ -1372,6 +1372,7 @@ def near_dup_pairs(
     *,
     method: str = "minhash",
     threshold: float = 0.9,
+    bucket_salt: int = 1,
 ) -> DataFrame:
     """One-call near-duplicate PAIR detection: candidate generation by
     ``method``, then the shared exact char-5-gram Jaccard verify at
@@ -1391,12 +1392,19 @@ def near_dup_pairs(
     Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.  The
     verify stage makes precision exact for every method; they differ
     only in candidate-generation cost profile and recall argument —
-    pick by corpus shape (see each generator's docstring)."""
+    pick by corpus shape (see each generator's docstring).
+
+    ``bucket_salt`` (minhash method only) forwards to
+    :func:`minhash_lsh_candidates`'s triangle-salted bucket join —
+    the boilerplate-heavy-corpus skew fallback (identical output)."""
     d = df
     if method == "minhash":
         sh = shingle_frame(d, id_col, text_col, 5)
         cand = (
-            minhash_lsh_candidates(d, id_col, text_col, min_bands=2, shingles=sh)
+            minhash_lsh_candidates(
+                d, id_col, text_col, min_bands=2, shingles=sh,
+                bucket_salt=bucket_salt,
+            )
             .filter(F.col("est_jaccard") >= F.lit(max(0.0, threshold - 0.2)))
             .select("id_a", "id_b")
         )

@@ -876,3 +876,18 @@ def test_q193_rolling_median_single_series_shuffle(spark, sf_dir):
     for line in plan.splitlines():
         if "Arguments:" in line and "SinglePartition" in line:
             raise AssertionError(f"corpus-wide single partition: {line}")
+
+
+def test_q203_rolling_wau_single_scan(spark, sf_dir):
+    """q203: the observed-day flag rides the SAME aggregation as the
+    distinct count — one events scan, no calendar re-scan branch
+    (the two-branch form measured 2 scans)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q203_rolling_wau"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert plan.count("Scan parquet") == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
