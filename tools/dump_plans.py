@@ -312,6 +312,39 @@ HEADLINERS: dict[str, str] = {
         "day) series plus two ordered windows OVER THAT TABLE. The "
         "only corpus-sized work is the partial-agg'd daily rollup."
     ),
+    "q191_length_duplication_calibration": (
+        "Round-9 re-grain: the dup-flag count window partitions on "
+        "the 128-bit two-seed xxhash64 identity, so the exchange "
+        "below it shuffles 16-byte keys instead of full document "
+        "bytes (the last full-text shuffle key in the registry); the "
+        "NTILE decile assignment still runs with NO corpus-wide "
+        "single-partition sort (bounded value-table cumulative + "
+        "per-value row_number + the closed form)."
+    ),
+    "q194_cooccurrence_lift": (
+        "ONE corpus shuffle: collect_set contracts each (user, day) "
+        "basket to its sorted distinct type-set (subsuming DISTINCT), "
+        "pairs enumerate INSIDE the bounded array, and the basket "
+        "count, marginals and pair counts all branch off that single "
+        "aggregate — 1 scan with 3 ReusedExchange under the static "
+        "planner. A self-join formulation measured 3 corpus scans "
+        "(join-side isnotnull inference + branch pruning "
+        "de-canonicalized the shared distinct)."
+    ),
+    "q198_volume_autocorrelation": (
+        "q74 exact-moments discipline on lag pairs: the five moment "
+        "sums accumulate in DECIMAL(38,0) and float enters only in "
+        "the final fixed sqrt/divide expression; the 7-way lag side "
+        "reuses the series exchange (null-safe join keys — plain "
+        "equi-keys de-canonicalized the branches into 2 scans)."
+    ),
+    "q203_rolling_wau": (
+        "Exact windowed COUNT(DISTINCT) — unsupported as a Spark "
+        "window — via a 7-day explode of the CONTRACTED distinct-"
+        "activity table plus one distinct count per (type, day); the "
+        "observed-day flag rides the SAME aggregation (max over the "
+        "offset-0 marker), keeping the query to one events scan."
+    ),
 }
 
 
