@@ -502,3 +502,58 @@ def basket_lift(
         )
         .orderBy("item_a", "item_b")
     )
+
+
+def spike_days(
+    ser: DataFrame,
+    group_col: str,
+    day_col: str,
+    value_col: str,
+    *,
+    threshold_tenths: int = 13,
+    min_baseline: int = 3,
+) -> DataFrame:
+    """Spike audit over a pre-aggregated per-(group, day) series (the
+    q200 kernel): each day is compared to the LOWER median of the
+    trailing 7 OBSERVED days EXCLUDING itself (a spike must not drag
+    its own baseline); emits every day with >= ``min_baseline``
+    baseline observations and a positive median, with the ratio in
+    basis points and a cross-multiplied integer flag at
+    ``threshold_tenths``/10 x. ``day_col`` must be integer epoch days
+    (the range frame is arithmetic). Output columns:
+    ``(group, day_i, value, baseline_med, ratio_bp, spike)``."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(day_col)
+        .rangeBetween(-7, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    med = F.element_at(
+        F.sort_array(F.collect_list(value_col).over(w)),
+        F.floor((n + F.lit(1)) / F.lit(2)).cast("int"),
+    )
+    r = ser.select(
+        group_col,
+        day_col,
+        value_col,
+        med.alias("baseline_med"),
+        n.alias("_nb"),
+    )
+    return (
+        r.filter(
+            (F.col("_nb") >= min_baseline) & (F.col("baseline_med") > 0)
+        )
+        .select(
+            group_col,
+            day_col,
+            value_col,
+            "baseline_med",
+            F.expr(f"{value_col} * 10000 div baseline_med").alias("ratio_bp"),
+            (
+                F.col(value_col) * 10
+                > F.col("baseline_med") * threshold_tenths
+            ).alias("spike"),
+        )
+    )

@@ -611,7 +611,7 @@ def q199(spark: SparkSession, sf: str) -> DataFrame:
     tags=("events", "audit"),
 )
 def q200(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from kaflow_spark.operators.events import spike_days
 
     e = load(spark, sf, "events")
     ser = (
@@ -623,34 +623,15 @@ def q200(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type", "day_i")
         .agg(F.sum("cents").alias("day_cents"))
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day_i")
-        .rangeBetween(-7, -1)
-    )
-    n = F.count(F.lit(1)).over(w)
-    med = F.element_at(
-        F.sort_array(F.collect_list("day_cents").over(w)),
-        F.floor((n + F.lit(1)) / F.lit(2)).cast("int"),
-    )
-    r = ser.select(
-        "event_type",
-        F.date_from_unix_date(F.col("day_i").cast("int")).alias("day"),
-        "day_cents",
-        med.alias("baseline_med"),
-        n.alias("_nb"),
-    )
     return (
-        r.filter((F.col("_nb") >= 3) & (F.col("baseline_med") > 0))
+        spike_days(ser, "event_type", "day_i", "day_cents")
         .select(
             "event_type",
-            "day",
+            F.date_from_unix_date(F.col("day_i").cast("int")).alias("day"),
             "day_cents",
             "baseline_med",
-            F.expr("day_cents * 10000 div baseline_med").alias("ratio_bp"),
-            (F.col("day_cents") * 10 > F.col("baseline_med") * 13).alias(
-                "spike"
-            ),
+            "ratio_bp",
+            "spike",
         )
         .orderBy("event_type", "day")
     )

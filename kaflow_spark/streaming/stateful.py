@@ -628,3 +628,125 @@ def streaming_cusum(
     return df.groupBy(group_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def _spike_update(group_col, order_col, value_col, threshold_tenths,
+                  min_baseline, timeout_ms):
+    """Kernel for :func:`streaming_spike` (fake-GroupState-testable,
+    the test_streaming idiom)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            orders, values = state.get
+            acc = dict(zip(orders, values))
+        else:
+            acc = {}
+        for pdf in pdfs:
+            pdf = pdf[pdf[value_col].notna()]
+            for o, v in zip(pdf[order_col], pdf[value_col]):
+                acc[int(o)] = acc.get(int(o), 0) + int(v)
+        mx = max(acc) if acc else 0
+        if acc:
+            # bounded by construction, no horizon knob: emissions only
+            # ever cover the trailing 8 periods, and the OLDEST of
+            # those needs baseline days up to 7 further back — retain
+            # 15. (Retaining just 8 corrupted mid-batch baselines: a
+            # batch carrying days d..d+2 evicted day d's baseline
+            # before computing it — measured vs the batch operator.)
+            acc = {o: v for o, v in acc.items() if o > mx - 15}
+        items = sorted(acc.items())
+        state.update(([o for o, _ in items], [v for _, v in items]))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        out_o, out_v, out_m, out_r, out_f = [], [], [], [], []
+        for o, v in items:
+            if o <= mx - 8:
+                # full baseline no longer guaranteed retained; the
+                # row was emitted (correctly) while fresh
+                continue
+            base = sorted(
+                bv for bo, bv in items if o - 7 <= bo <= o - 1
+            )
+            n = len(base)
+            if n < min_baseline:
+                continue
+            med = base[(n + 1) // 2 - 1]
+            if med <= 0:
+                continue
+            out_o.append(o)
+            out_v.append(v)
+            out_m.append(med)
+            out_r.append(v * 10000 // med)
+            out_f.append(v * 10 > med * threshold_tenths)
+        if not out_o:
+            return
+        yield pd.DataFrame(
+            {
+                group_col: key[0],
+                order_col: out_o,
+                value_col: out_v,
+                "baseline_med": out_m,
+                "ratio_bp": out_r,
+                "spike": out_f,
+            }
+        )
+
+    return update
+
+
+def streaming_spike(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    *,
+    threshold_tenths: int = 13,
+    min_baseline: int = 3,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.events.spike_days`` (q200's
+    burst detector): each arriving per-(group, period) bar is scored
+    against the LOWER median of the trailing 7 observed periods
+    EXCLUDING itself. Unlike CUSUM the statistic is intrinsically
+    windowed, so state is bounded by construction with no horizon
+    knob: 15 trailing periods per group (the 8 emittable ones plus
+    the 7 further back their baselines reach — retaining only 8
+    measurably corrupted mid-batch baselines); late partials for a
+    retained period accumulate and the affected rows re-emit
+    (update mode: latest emission per (group, period) wins).
+    Integer throughout: ratio in basis points, the threshold
+    cross-multiplied (``value*10 > med*threshold_tenths``). On a
+    closed in-order stream the final emissions equal the batch
+    operator row-for-row (asserted in test_streaming). Batch frames
+    fall back to the exact batch operator."""
+    if not df.isStreaming:
+        from kaflow_spark.operators.events import spike_days
+
+        return spike_days(
+            df, group_col, order_col, value_col,
+            threshold_tenths=threshold_tenths, min_baseline=min_baseline,
+        )
+    out_schema = (
+        f"{group_col} string, {order_col} bigint, {value_col} bigint, "
+        "baseline_med bigint, ratio_bp bigint, spike boolean"
+    )
+    state_schema = "orders array<bigint>, vals array<bigint>"
+    update = _spike_update(
+        group_col, order_col, value_col, threshold_tenths, min_baseline,
+        timeout_ms,
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

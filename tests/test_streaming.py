@@ -799,3 +799,105 @@ def test_streaming_cusum_horizon_matches_batch_on_trailing_window(spark):
     )
     batch_final = sorted((t[1], t[2], t[3], t[4], t[5]) for t in want)
     assert stream_final == batch_final
+
+
+def test_streaming_spike_converges_to_batch(spark, tdir):
+    """Round 9: streaming spike monitor — after the stream closes the
+    latest emission per (group, day) equals the batch spike_days
+    operator row-for-row, including a day whose total arrives split
+    across micro-batches."""
+    from kaflow_spark.operators.events import spike_days
+    from kaflow_spark.streaming.stateful import streaming_spike
+
+    ddl = "g string, day bigint, cents bigint"
+    rows1 = [("t", d, 100 + (d % 3)) for d in range(6)] + [("t", 6, 70)]
+    rows2 = [("t", 6, 80)] + [("t", 7, 500), ("t", 8, 101), ("t", 9, 99)]
+    spark.createDataFrame(rows1, ddl).coalesce(1).write.mode("append").parquet(tdir)
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(tdir)
+    )
+    out = streaming_spike(stream, "g", "day", "cents")
+    latest = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            latest[(r["g"], r["day"])] = (
+                r["cents"], r["baseline_med"], r["ratio_bp"], r["spike"]
+            )
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(tdir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch_in = (
+        spark.createDataFrame(rows1 + rows2, ddl)
+        .groupBy("g", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    want = {
+        (r["g"], r["day"]): (
+            r["cents"], r["baseline_med"], r["ratio_bp"], r["spike"]
+        )
+        for r in spike_days(batch_in, "g", "day", "cents").collect()
+    }
+    assert latest == want and len(want) >= 5
+    # the planted 5x day actually flags
+    assert latest[("t", 7)][3] is True
+    # the split-arrival day accumulated to 150 (not 80)
+    assert latest[("t", 6)][0] == 150
+
+
+def test_spike_kernel_state_bounded_and_windowed():
+    """Kernel drive with a fake GroupState: state never exceeds the
+    15 trailing periods (8 emittable + 7 baseline — no horizon knob),
+    and the baseline excludes the current day."""
+    import pandas as pd
+    from kaflow_spark.streaming.stateful import _spike_update
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.updated = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.updated = v
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+    update = _spike_update("g", "day", "cents", 13, 3, None)
+    st = FakeState()
+    last = None
+    for d in range(40):
+        out = list(
+            update(
+                ("t",),
+                iter([pd.DataFrame({"day": [d], "cents": [100]})]),
+                st,
+            )
+        )
+        assert len(st.updated[0]) <= 15
+        if out:
+            last = out[0]
+    # steady state: flat series, ratio 10000, no spikes
+    assert list(last["ratio_bp"]) == [10000] * len(last)
+    assert not any(last["spike"])
