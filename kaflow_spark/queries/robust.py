@@ -869,3 +869,116 @@ def q203(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@declare(
+    "q204_boilerplate_prefixes",
+    oracle="""
+    WITH p AS (
+        SELECT array_to_string(regexp_extract_all(text, '\\S+')[1:8], ' ')
+                   AS prefix,
+               n_chars
+        FROM documents),
+    g AS (
+        SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM p GROUP BY prefix
+        HAVING COUNT(*) >= 2)
+    SELECT prefix, n_docs, total_chars
+    FROM g
+    ORDER BY n_docs DESC, prefix
+    LIMIT 20
+    """,
+    doc="Boilerplate template mining: the most repeated 8-word "
+    "document PREFIXES (with the bytes they account for) — the "
+    "cheap first pass of a boilerplate audit before any near-dup "
+    "machinery runs, since templated corpora (ToS pages, scraped "
+    "navigation, license headers) repeat their openings verbatim. "
+    "One aggregation on the short prefix key (the shuffle carries "
+    "~60-byte prefixes + two counters, never documents); support "
+    ">= 2 bounds the output before the deterministic "
+    "(n_docs DESC, prefix) top-k heap. Spark's slice(split) == "
+    "DuckDB's list slice on the q192 tokenization equivalence.",
+    tags=("curation", "text", "dedup"),
+)
+def q204(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    p = d.select(
+        F.array_join(
+            F.slice(F.split(F.trim("text"), r"\s+"), 1, 8), " "
+        ).alias("prefix"),
+        "n_chars",
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "prefix")
+        .limit(20)
+    )
+
+
+@declare(
+    "q205_behavior_concentration",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY user_id, event_type),
+    u AS (
+        SELECT user_id,
+               CAST(SUM(c * c) * 10000 // (SUM(c) * SUM(c)) AS BIGINT)
+                   AS hhi_bp,
+               CAST((SUM(c)::HUGEINT * SUM(c)) * 100
+                    // SUM(c * c) AS BIGINT) AS eff_types_pct
+        FROM c GROUP BY user_id)
+    SELECT CAST(hhi_bp // 1000 AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(eff_types_pct) // COUNT(*) AS BIGINT)
+               AS avg_eff_types_pct
+    FROM u GROUP BY band ORDER BY band
+    """,
+    doc="Behavioral concentration audit: per-user Herfindahl index "
+    "over event-type counts (HHI in basis points — 10000 = the user "
+    "does exactly one thing) banded into deciles, with the mean "
+    "'effective number of types' (inverse Simpson, in percent) per "
+    "band — the engagement-diversity histogram behind 'are our "
+    "power users monomaniacs'. All exact integer: HHI = sum(c^2) * "
+    "1e4 div s^2 and effective types = s^2 * 100 div sum(c^2) "
+    "(both ratios lifted to DECIMAL(38,0)/HUGEINT — sum(c^2)*1e4 "
+    "and s^2*100 outgrow int64 near 1e7 events/user). Two "
+    "aggregations contract events -> (user, type) counts -> "
+    "per-user stats -> <= 11 band rows; truncating division on "
+    "non-negative values agrees across engines.",
+    tags=("events", "audit"),
+)
+def q205(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        load(spark, sf, "events")
+        .filter(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    u = c.groupBy("user_id").agg(
+        F.expr(
+            "CAST(CAST(SUM(c * c) AS DECIMAL(38,0)) * 10000"
+            " div (CAST(SUM(c) AS DECIMAL(38,0)) * SUM(c)) AS BIGINT)"
+        ).alias("hhi_bp"),
+        F.expr(
+            "CAST(CAST(SUM(c) AS DECIMAL(38,0)) * SUM(c) * 100"
+            " div SUM(c * c) AS BIGINT)"
+        ).alias("eff_types_pct"),
+    )
+    return (
+        u.groupBy(F.expr("hhi_bp div 1000").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.expr("SUM(eff_types_pct) div COUNT(*)").alias(
+                "avg_eff_types_pct"
+            ),
+        )
+        .orderBy("band")
+    )
