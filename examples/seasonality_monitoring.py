@@ -135,6 +135,56 @@ def main() -> None:
     assert stream_final == batch_rows, "stream != batch on trailing window"
     print("windowed CUSUM: closed stream == batch twin on the horizon")
 
+    # ---- bursts, live: the streaming spike twin as a CHRONOLOGICAL
+    # feed (unlike full-series CUSUM, the windowed statistic evicts
+    # old periods, so it expects day-ordered arrival — the posture of
+    # any real daily rollup feed; weekly chunks appended in order)
+    from kaflow_spark.streaming.stateful import streaming_spike
+
+    lo, hi = daily.agg(F.min("day"), F.max("day")).first()
+    staged2 = tempfile.mkdtemp(prefix="season-ordered-")
+    spark.createDataFrame([], daily.schema).write.mode("overwrite").parquet(
+        staged2
+    )
+    stream2 = (
+        spark.readStream.schema("event_type string, day long, day_cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged2)
+    )
+    spike_latest = {}
+
+    def spike_sink(bdf, bid):
+        for r in bdf.collect():
+            spike_latest[(r["event_type"], r["day"])] = r
+
+    q2 = (
+        streaming_spike(stream2, "event_type", "day", "day_cents")
+        .writeStream.outputMode("update")
+        .foreachBatch(spike_sink)
+        .start()
+    )
+    try:
+        for start in range(lo, hi + 1, 7):
+            daily.filter(
+                (F.col("day") >= start) & (F.col("day") < start + 7)
+            ).coalesce(1).write.mode("append").parquet(staged2)
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
+    batch_spikes = {
+        (r["event_type"], (r["day"] - __import__("datetime").date(1970, 1, 1)).days)
+        for r in spikes.filter("spike").collect()
+    }
+    stream_spikes = {
+        k for k, r in spike_latest.items() if r["spike"]
+    }
+    assert stream_spikes == batch_spikes, "stream spike set != batch q200"
+    print(
+        f"streaming spike monitor: {len(spike_latest)} bars scored live, "
+        f"{len(stream_spikes)} spikes == batch q200's flag set "
+        f"(state bounded at 15 periods/type by construction)"
+    )
+
     # ---- behavior: which event types travel together? ----------------
     lift = REGISTRY["q194_cooccurrence_lift"].spark(spark, sf_dir)
     top = lift.orderBy(F.desc("lift_bp"), "type_a", "type_b").limit(3)
