@@ -1,13 +1,16 @@
 """Round-9 declared queries: robust/rolling statistics and corpus
-provenance audits (q193-q197).
+provenance audits (q193-q205).
 
 Families a monitoring- and curation-heavy deployment runs that the
 earlier registry covered only in static form: trailing-window robust
-baselines (q193 rolling median), association mining over event
-streams (q194 co-occurrence lift), robust trend estimation (q195
-Theil-Sen), and the two vocabulary-shape audits behind tokenizer and
-dedup budgeting (q196 Heaps-law growth, q197 Good-Turing frequency of
-frequencies). Same discipline as the rest of the registry: exact
+baselines (q193 rolling median, q200 spike audit, q203 rolling WAU),
+association mining over event streams (q194 co-occurrence lift, q205
+behavioral concentration), robust trend/seasonality estimation (q195
+Theil-Sen, q198 autocorrelation, q199 weekday profile), drift (q201
+PSI), vector hygiene (q202 norm audit), and the vocabulary-shape
+audits behind tokenizer and dedup budgeting (q196 Heaps-law growth,
+q197 Good-Turing frequency of frequencies, q204 boilerplate
+prefixes). Same discipline as the rest of the registry: exact
 integer arithmetic (micro-units / basis points, DECIMAL(38,0) where
 products outgrow int64), lower-median selection instead of
 interpolated medians (an actual data value, portable bit-for-bit),

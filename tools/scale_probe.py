@@ -1098,6 +1098,38 @@ def main() -> None:
 
     probe_evf(f"basket co-occurrence lift q194 ({n_ev} events/x)", lift)
 
+    def wau(e):
+        act = (
+            e.filter(F.col("event_type").isNotNull())
+            .select(
+                "event_type",
+                F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+                "user_id",
+            )
+            .distinct()
+        )
+        contrib = act.select(
+            "event_type",
+            "user_id",
+            "day_i",
+            F.explode(F.expr("sequence(0, 6)")).alias("off"),
+        ).select(
+            "event_type",
+            "user_id",
+            (F.col("day_i") + F.col("off")).alias("day_i"),
+            (F.col("off") == 0).alias("here"),
+        )
+        return (
+            contrib.groupBy("event_type", "day_i")
+            .agg(
+                F.count_distinct("user_id").alias("wau"),
+                F.max("here").alias("observed"),
+            )
+            .filter("observed")
+        )
+
+    probe_evf(f"rolling 7-day WAU q203 ({n_ev} events/x)", wau)
+
     rows.append("")
     rows.append(
         "Interpretation: replication multiplies duplicate groups too "
