@@ -1,5 +1,5 @@
 """Round-9 declared queries: robust/rolling statistics and corpus
-provenance audits (q193-q205).
+provenance audits (q193-q206).
 
 Families a monitoring- and curation-heavy deployment runs that the
 earlier registry covered only in static form: trailing-window robust
@@ -10,7 +10,7 @@ Theil-Sen, q198 autocorrelation, q199 weekday profile), drift (q201
 PSI), vector hygiene (q202 norm audit), and the vocabulary-shape
 audits behind tokenizer and dedup budgeting (q196 Heaps-law growth,
 q197 Good-Turing frequency of frequencies, q204 boilerplate
-prefixes). Same discipline as the rest of the registry: exact
+prefixes, q206 dup-graph transitivity). Same discipline as the rest of the registry: exact
 integer arithmetic (micro-units / basis points, DECIMAL(38,0) where
 products outgrow int64), lower-median selection instead of
 interpolated medians (an actual data value, portable bit-for-bit),
@@ -984,4 +984,114 @@ def q205(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
         .orderBy("band")
+    )
+
+
+@declare(
+    "q206_dedup_transitivity",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, list(DISTINCT substring(text, CAST(i AS INT), 5)) AS s
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, greatest(length(text)-4, 1)+1)) AS i
+              FROM documents)
+        GROUP BY doc_id),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+    e AS (SELECT id_a AS a, id_b AS b FROM p WHERE jaccard >= 0.9),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        GROUP BY v),
+    w AS (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
+              AS n_wedges FROM deg),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e x JOIN e y ON y.a = x.b
+                 JOIN e z ON z.a = x.a AND z.b = y.b),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+    SELECT ne.n_edges, w.n_wedges, t.n_triangles,
+           CASE WHEN w.n_wedges > 0
+                THEN CAST(t.n_triangles * 3 * 10000 // w.n_wedges AS BIGINT)
+           END AS transitivity_bp
+    FROM ne, w, t
+    """,
+    doc="Near-duplicate graph transitivity audit: edges are the "
+    "VERIFIED jaccard >= 0.9 pairs (q41's attested pipeline), and "
+    "the one-row report counts edges, wedges (sum over nodes of "
+    "deg-choose-2) and triangles, with the global clustering "
+    "coefficient 3*triangles/wedges in basis points — the dedup-QA "
+    "question 'are our dup clusters CLIQUES (true duplicate "
+    "families) or CHAINS (transitive drift about to over-merge "
+    "under connected components)'. Low transitivity on a near-dup "
+    "graph is the early warning before q83's CC glues drifting "
+    "chains into one mega-cluster. Triangles by the ordered triple "
+    "equi-join over the (a < b)-canonical edge list — each triangle "
+    "counted exactly once via a<b<c; at boilerplate scale the "
+    "degree-ordered orientation (count each triangle at its "
+    "lowest-degree vertex) caps the join fan-out, and the edge set "
+    "itself is already churn-bounded by the verify threshold. "
+    "Wedges from the bounded degree table. All counts exact "
+    "integers; the coefficient guards the wedges=0 corpus.",
+    tags=("dedup", "graph", "audit"),
+)
+def q206(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        shingle_frame,
+    )
+
+    d = load(spark, sf, "documents")
+    sh = shingle_frame(d, "doc_id", "text", 5)
+    cand = (
+        minhash_lsh_candidates(d, "doc_id", "text", min_bands=2, shingles=sh)
+        .filter(F.col("est_jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    e = (
+        ngram_jaccard_pairs(d, cand, "doc_id", "text", shingles=sh)
+        .filter(F.col("jaccard") >= 0.9)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .persist()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    w = deg.agg(
+        F.coalesce(
+            F.sum(F.expr("d * (d - 1) div 2")), F.lit(0)
+        ).alias("n_wedges")
+    )
+    x = e.select(F.col("a").alias("xa"), F.col("b").alias("xb"))
+    y = e.select(F.col("a").alias("ya"), F.col("b").alias("yb"))
+    z = e.select(F.col("a").alias("za"), F.col("b").alias("zb"))
+    t = (
+        x.join(y, F.col("ya").eqNullSafe(F.col("xb")))
+        .join(
+            z,
+            F.col("za").eqNullSafe(F.col("xa"))
+            & F.col("zb").eqNullSafe(F.col("yb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        ne.crossJoin(w)
+        .crossJoin(t)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN n_wedges > 0 THEN"
+                " n_triangles * 3 * 10000 div n_wedges END"
+            ).alias("transitivity_bp"),
+        )
     )
