@@ -47,6 +47,7 @@ _SINGLE_ROW = {
     "q110_tpch_q17_small_qty_revenue",
     "q111_tpch_q19_disjunctive",
     "q113_tpch_q6_forecast_revenue",
+    "q206_dedup_transitivity",
 }
 
 
