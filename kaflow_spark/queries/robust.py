@@ -1,9 +1,10 @@
 """Round-9 declared queries: robust/rolling statistics and corpus
-provenance audits (q193-q206).
+provenance audits (q193-q207).
 
 Families a monitoring- and curation-heavy deployment runs that the
 earlier registry covered only in static form: trailing-window robust
-baselines (q193 rolling median, q200 spike audit, q203 rolling WAU),
+baselines (q193 rolling median, q200 spike audit, q203 rolling WAU,
+q207 returning-user rate),
 association mining over event streams (q194 co-occurrence lift, q205
 behavioral concentration), robust trend/seasonality estimation (q195
 Theil-Sen, q198 autocorrelation, q199 weekday profile), drift (q201
@@ -1094,4 +1095,94 @@ def q206(spark: SparkSession, sf: str) -> DataFrame:
                 " n_triangles * 3 * 10000 div n_wedges END"
             ).alias("transitivity_bp"),
         )
+    )
+
+
+@declare(
+    "q207_returning_user_rate",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS day_i,
+               user_id
+        FROM events WHERE event_type IS NOT NULL),
+    contrib AS (
+        SELECT event_type, user_id, day_i + off.off AS day_i,
+               off.off = 0 AS present,
+               off.off > 0 AS past
+        FROM act, (SELECT unnest(range(0, 29)) AS off) off),
+    per_user AS (
+        SELECT event_type, day_i, user_id,
+               MAX(present) AS present, MAX(past) AS past
+        FROM contrib GROUP BY event_type, day_i, user_id),
+    agg AS (
+        SELECT event_type, day_i,
+               CAST(COUNT(*) FILTER (present) AS BIGINT) AS n_active,
+               CAST(COUNT(*) FILTER (present AND past) AS BIGINT)
+                   AS n_returning
+        FROM per_user GROUP BY event_type, day_i)
+    SELECT event_type,
+           DATE '1970-01-01' + CAST(day_i AS INT) AS day,
+           n_active, n_returning,
+           CAST(n_returning * 10000 // n_active AS BIGINT)
+               AS returning_bp
+    FROM agg WHERE n_active > 0
+    ORDER BY event_type, day
+    """,
+    doc="Rolling 28-day returning-user rate per event type: of the "
+    "users active on day d, the share also seen in the PRIOR 28 days "
+    "— the daily retention KPI next to q203's WAU denominator, and "
+    "another moving-window DISTINCT statistic Spark has no window "
+    "form for. Same bounded-explode design as q203 with TWO markers: "
+    "each distinct (type, day, user) activity contributes presence "
+    "at offset 0 and past-presence at offsets 1..28, one aggregation "
+    "per (type, day, user) merges the markers (29x fan-out of the "
+    "CONTRACTED activity table, never the event log), and the final "
+    "per-day count is a plain aggregate over it. Emitted only for "
+    "days with active users; rate in integer basis points.",
+    tags=("events", "window"),
+)
+def q207(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    act = (
+        e.filter(F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+            "user_id",
+        )
+        .distinct()
+    )
+    contrib = act.select(
+        "event_type",
+        "user_id",
+        "day_i",
+        F.explode(F.expr("sequence(0, 28)")).alias("off"),
+    ).select(
+        "event_type",
+        "user_id",
+        (F.col("day_i") + F.col("off")).alias("day_i"),
+        (F.col("off") == 0).alias("present"),
+        (F.col("off") > 0).alias("past"),
+    )
+    per_user = contrib.groupBy("event_type", "day_i", "user_id").agg(
+        F.max("present").alias("present"), F.max("past").alias("past")
+    )
+    agg = per_user.groupBy("event_type", "day_i").agg(
+        F.sum(F.col("present").cast("long")).alias("n_active"),
+        F.sum(
+            (F.col("present") & F.col("past")).cast("long")
+        ).alias("n_returning"),
+    )
+    return (
+        agg.filter(F.col("n_active") > 0)
+        .select(
+            "event_type",
+            F.date_from_unix_date(F.col("day_i").cast("int")).alias("day"),
+            "n_active",
+            "n_returning",
+            F.expr("n_returning * 10000 div n_active").alias("returning_bp"),
+        )
+        .orderBy("event_type", "day")
     )
