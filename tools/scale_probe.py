@@ -1174,6 +1174,45 @@ def main() -> None:
         "table — replication grows cell populations, not the cell "
         "count, so the window cost is constant."
     )
+    rows.append(
+        " Round-9 rows: basket co-occurrence lift (q194's operator) "
+        "is ONE corpus shuffle to (user, day) item-set baskets — "
+        "replication adds NEW users, so basket count grows linearly "
+        "while the pair table stays |types|^2-bounded. Rolling WAU "
+        "(q203) is the distinct-activity contraction plus a FIXED 7x "
+        "explode of the contracted rows — both shuffles track "
+        "distinct (type, day, user) volume, which replication grows "
+        "linearly. Round-9 skew fallback for the near-dup bucket "
+        "joins: a planted boilerplate corpus (1500 docs sharing one "
+        "template among 15000) drives every LSH band into one hot "
+        "bucket, and TWO measured blockers keep AQE's skew-join "
+        "split from firing on the bucket self-join even with "
+        "aggressive thresholds (the self-join reuses one exchange, "
+        "which OptimizeSkewedJoin skips; and the bucket-cap window "
+        "sits between shuffle and join, so the SMJ children are not "
+        "bare shuffle stages — `skew=true` never appears). The "
+        "working fallback is minhash_lsh_candidates(bucket_salt=s) "
+        "-> operators.skew.salted_self_pairs: triangle-salted pair "
+        "enumeration subdividing each hot bucket's quadratic work "
+        "across s(s+1)/2 join keys (an EXPLICIT full-key repartition "
+        "— subset co-partitioning would otherwise satisfy the join "
+        "on (band, bucket) alone and leave the salt decorative; "
+        "measured). Output identical by construction "
+        "(test-asserted). Local wall-clock is neutral on this "
+        "fixture (salt 1/4/8 = 3.8/4.5/3.3 s, within co-tenant "
+        "noise) because 16 bands already give a single node 16 "
+        "independent hot keys; the lever matters on a cluster when "
+        "ONE bucket family exceeds a task's budget — key "
+        "cardinality, not single-node seconds, is what the salt "
+        "changes. Historical (r9) noise adjudication: round-8's two "
+        "suspect ratios collapsed under quiet best-of-3 re-measurement "
+        "(TF-IDF 7.0x -> 2.9x, word-minimizer 4.2x -> 3.9x with "
+        "per-doc cost FALLING at 10x) — both were the sub-second-1x "
+        "inflation artifact this file documents, not scaling defects; "
+        "a load-19 co-tenant spike during the same session printed "
+        "10.5 s on identical code that measures 5.6 s quiet, "
+        "bracketing the noise band."
+    )
     # preserve appended sections (e.g. app-surface throughput) that
     # other probes own — everything from the first appended '## '
     # heading onward survives a rewrite of the operator table
