@@ -149,3 +149,61 @@ def test_replayed_stream_cusum_hashes_against_q179_oracle(
         con.close()
     assert len(got) == len(want) > 0
     assert _canon_hash(got) == _canon_hash(want)
+
+
+def test_streamed_ks_monitor_hashes_against_q183_oracle(
+    spark, sf_dir, tmp_path
+):
+    """Second stream-to-oracle gate (q183): one source's documents
+    arrive as a single micro-batch into ks_monitor with the REST of
+    the corpus as the static reference — exactly the group-vs-rest
+    split q183 scores — and the emitted row is hashed against the
+    oracle's row for that source with the driver's canonicalization."""
+    from kaflow_spark.catalog import load
+    from kaflow_spark.oracle import duckdb_connect
+    from kaflow_spark.queries import REGISTRY
+    from kaflow_spark.streaming.curation import ks_monitor
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    target = d.select(F.min("source").alias("s")).first()["s"]
+    ref = d.filter(F.col("source") != target).select("n_chars")
+    live_dir = str(tmp_path / "live")
+    d.filter(F.col("source") == target).select("n_chars").coalesce(
+        1
+    ).write.parquet(live_dir)
+
+    rows = []
+    handle = ks_monitor(ref, "n_chars", on_result=lambda b, r: rows.append(r))
+    stream = spark.readStream.schema("n_chars bigint").parquet(live_dir)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    row = rows[0]
+    got = pd.DataFrame(
+        {
+            "source": [target],
+            "n_group": [int(row.n_group)],
+            "n_rest": [int(row.n_rest)],
+            "ks_bp": [int(row.ks_bp)],
+        }
+    )
+
+    con = duckdb_connect(sf_dir)
+    try:
+        want = (
+            con.sql(REGISTRY["q183_ks_drift"].oracle)
+            .df()
+            .query("source == @target")
+            .reset_index(drop=True)
+        )
+    finally:
+        con.close()
+    assert list(sorted(want.columns)) == list(sorted(got.columns))
+    assert _canon_hash(got) == _canon_hash(want[got.columns])
