@@ -425,9 +425,12 @@ def q197(spark: SparkSession, sf: str) -> DataFrame:
                SUM(x * y) AS sxy
         FROM lagged GROUP BY event_type, k)
     SELECT event_type, CAST(k AS BIGINT) AS k, n_pairs,
-           CAST(n_pairs * sxy - sx * sy AS DOUBLE)
-               / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
-                  * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
+           CASE WHEN n_pairs * sxx - sx * sx > 0
+                 AND n_pairs * syy - sy * sy > 0
+                THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+           END AS acf
     FROM m ORDER BY event_type, k
     """,
     doc="Lag-1..7 autocorrelation of each event type's daily volume — "
@@ -438,7 +441,11 @@ def q197(spark: SparkSession, sf: str) -> DataFrame:
     "floating point enters only in the final fixed expression (two "
     "sqrts and one divide of correctly-rounded doubles), so the "
     "result is bit-stable under shuffle reordering where a native "
-    "corr() aggregate is not. Lag pairs via ONE equi-join of the "
+    "corr() aggregate is not; a DEGENERATE (zero-variance) series "
+    "yields an explicit NULL on both engines — without the guard "
+    "DuckDB returns NULL on float division by zero while Spark "
+    "returns NaN/Infinity (measured), a latent hash mismatch. Lag "
+    "pairs via ONE equi-join of the "
     "bounded (type, day) series against its 7-way lag explosion — "
     "the corpus contracts first, the join touches <= 7d rows per "
     "type.",
@@ -494,9 +501,11 @@ def q198(spark: SparkSession, sf: str) -> DataFrame:
         F.col("k").cast("long").alias("k"),
         "n_pairs",
         F.expr(
-            "CAST(n_pairs * sxy - sx * sy AS DOUBLE)"
+            "CASE WHEN n_pairs * sxx - sx * sx > 0"
+            " AND n_pairs * syy - sy * sy > 0"
+            " THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)"
             " / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))"
-            " * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))"
+            " * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) END"
         ).alias("acf"),
     ).orderBy("event_type", "k")
 
