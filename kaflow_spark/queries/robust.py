@@ -526,9 +526,11 @@ def q198(spark: SparkSession, sf: str) -> DataFrame:
         SELECT event_type, dow, CAST(SUM(cents) AS BIGINT) AS dow_cents
         FROM ser GROUP BY event_type, dow)
     SELECT event_type, CAST(dow AS BIGINT) AS dow, dow_cents,
-           CAST(dow_cents * 10000 // CAST(SUM(dow_cents)
-                OVER (PARTITION BY event_type) AS BIGINT) AS BIGINT)
-               AS share_bp
+           CASE WHEN CAST(SUM(dow_cents)
+                     OVER (PARTITION BY event_type) AS BIGINT) > 0
+                THEN CAST(dow_cents * 10000 // CAST(SUM(dow_cents)
+                     OVER (PARTITION BY event_type) AS BIGINT) AS BIGINT)
+           END AS share_bp
     FROM prof ORDER BY event_type, dow
     """,
     doc="Day-of-week volume profile per event type: each weekday's "
@@ -540,9 +542,10 @@ def q198(spark: SparkSession, sf: str) -> DataFrame:
     "convention can disagree. Two partial-agg'd aggregations "
     "contract the corpus to <= |types| x 7 rows; the share window "
     "runs over that bounded table. Total volume can be negative "
-    "per type in adversarial data — shares are only emitted "
-    "against a positive total (both engines' truncating division "
-    "agrees on the non-negative path used here).",
+    "per type in adversarial data — the share is an explicit NULL "
+    "unless the total is positive (guarded identically on both "
+    "engines; integer division by zero would otherwise error "
+    "loudly under ANSI).",
     tags=("events", "audit"),
 )
 def q199(spark: SparkSession, sf: str) -> DataFrame:
@@ -573,7 +576,9 @@ def q199(spark: SparkSession, sf: str) -> DataFrame:
             "event_type",
             "dow",
             "dow_cents",
-            F.expr("_num div _tot").alias("share_bp"),
+            F.expr(
+                "CASE WHEN _tot > 0 THEN _num div _tot END"
+            ).alias("share_bp"),
         )
         .orderBy("event_type", "dow")
     )
