@@ -1,5 +1,5 @@
 """Round-9 declared queries: robust/rolling statistics and corpus
-provenance audits (q193-q207).
+provenance audits (q193-q208).
 
 Families a monitoring- and curation-heavy deployment runs that the
 earlier registry covered only in static form: trailing-window robust
@@ -1199,4 +1199,60 @@ def q207(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("n_returning * 10000 div n_active").alias("returning_bp"),
         )
         .orderBy("event_type", "day")
+    )
+
+
+@declare(
+    "q208_behavior_demographics",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+           e.event_type,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS cents
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE e.event_type IS NOT NULL AND e.value IS NOT NULL
+    GROUP BY segment, nation, e.event_type
+    ORDER BY segment, nation, e.event_type
+    """,
+    doc="Cross-domain enrichment star: the behavioral event stream "
+    "joined to its CRM dimensions (customer -> nation), rolled up to "
+    "per-(segment, nation, type) engagement — the who-does-what "
+    "report every product-analytics deployment runs, and the one "
+    "query shape the registry lacked: an EVENT fact against the "
+    "TPC-H dimension chain. Both dimensions broadcast (customer and "
+    "nation are dims by definition), so the event log never "
+    "shuffles for the join — the only exchange is the partial-agg'd "
+    "rollup to the bounded |segments| x |nations| x |types| cell "
+    "table; the distinct-user count rides the same grouping. Exact "
+    "cents via the DECIMAL(18,2) idiom.",
+    tags=("events", "join", "audit"),
+)
+def q208(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    c = load(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        e.join(
+            F.broadcast(c), e["user_id"] == c["c_custkey"]
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+            "event_type",
+        )
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr(_CENTS)).alias("cents"),
+        )
+        .orderBy("segment", "nation", "event_type")
     )

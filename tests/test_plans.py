@@ -891,3 +891,15 @@ def test_q203_rolling_wau_single_scan(spark, sf_dir):
         assert plan.count("Scan parquet") == 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q208_star_broadcasts_dims_no_fact_shuffle_for_join(spark, sf_dir):
+    """q208: both CRM dims broadcast; the event fact's only exchange
+    is the partial-agg'd rollup (no shuffle to satisfy the joins)."""
+    df = REGISTRY["q208_behavior_demographics"].spark(spark, sf_dir)
+    assert has_broadcast_join(df, count=2)
+    assert has_partial_aggregate(df)
+    from kaflow_spark.plans.explain import explain_str
+
+    txt = explain_str(df)
+    assert "SortMergeJoin" not in txt
