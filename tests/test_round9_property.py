@@ -106,3 +106,18 @@ def test_cdc_partition_evolution_random_roundtrip(spark, tmp_path):
         for r in spark.read.parquet(path).select("k", "part", "v").collect()
     )
     assert got == sorted(new_rows)
+
+
+def test_round9_operators_handle_empty_inputs(spark):
+    """Empty frames flow through the new operators without errors and
+    yield empty (or empty-compatible) results."""
+    from kaflow_spark.operators.events import basket_lift, spike_days
+
+    empty_b = spark.createDataFrame([], "bid bigint, item string")
+    assert basket_lift(empty_b, ["bid"], "item").count() == 0
+
+    empty_s = spark.createDataFrame([], "g string, day bigint, v bigint")
+    assert spike_days(empty_s, "g", "day", "v").count() == 0
+
+    empty_e = spark.createDataFrame([], "bucket string, id bigint")
+    assert salted_self_pairs(empty_e, ["bucket"], "id", salt=4).count() == 0
