@@ -1091,7 +1091,7 @@ def main() -> None:
     def lift(e):
         ud = e.filter(F.col("event_type").isNotNull()).select(
             "user_id",
-            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day_i"),
             "event_type",
         )
         return basket_lift(ud, ["user_id", "day_i"], "event_type")
@@ -1103,7 +1103,7 @@ def main() -> None:
             e.filter(F.col("event_type").isNotNull())
             .select(
                 "event_type",
-                F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+                F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("day_i"),
                 "user_id",
             )
             .distinct()
