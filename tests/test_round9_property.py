@@ -121,3 +121,95 @@ def test_round9_operators_handle_empty_inputs(spark):
 
     empty_e = spark.createDataFrame([], "bucket string, id bigint")
     assert salted_self_pairs(empty_e, ["bucket"], "id", salt=4).count() == 0
+
+
+def test_rolling_median_matches_pandas_reference(spark):
+    """q193's rolling lower-median kernel vs an independent pandas
+    rolling reference on random gappy series (RANGE frame: only days
+    within 6 of the current one, observed days only)."""
+    import pandas as pd
+
+    rng = random.Random(5)
+    rows = []
+    for g in range(4):
+        days = sorted(rng.sample(range(0, 60), 35))
+        for d in days:
+            rows.append((f"g{g}", d, rng.randint(-50, 500)))
+    df = spark.createDataFrame(rows, "g string, day bigint, v bigint")
+
+    from pyspark.sql.window import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("g").orderBy("day").rangeBetween(-6, 0)
+    n = F.count(F.lit(1)).over(w)
+    med = F.element_at(
+        F.sort_array(F.collect_list("v").over(w)),
+        F.floor((n + F.lit(1)) / F.lit(2)).cast("int"),
+    )
+    got = {
+        (r["g"], r["day"]): r["m"]
+        for r in df.select("g", "day", med.alias("m")).collect()
+    }
+    for g, d, _ in rows:
+        window = sorted(v for gg, dd, v in rows if gg == g and d - 6 <= dd <= d)
+        assert got[(g, d)] == window[(len(window) + 1) // 2 - 1]
+
+
+def test_theil_sen_matches_numpy_reference(spark):
+    """q195's lower-median pairwise slope vs a pure-python brute
+    force on random series (signed truncating division)."""
+    import itertools as it
+
+    rng = random.Random(11)
+    days = sorted(rng.sample(range(0, 90), 25))
+    vals = [rng.randint(-1000, 1000) for _ in days]
+    df = spark.createDataFrame(
+        [("t", d, v) for d, v in zip(days, vals)],
+        "event_type string, day_i bigint, day_cents bigint",
+    )
+    from pyspark.sql import functions as F
+
+    a = df.select(
+        "event_type",
+        F.col("day_i").alias("di_a"),
+        F.col("day_cents").alias("dc_a"),
+    )
+    b = df.select(
+        "event_type",
+        F.col("day_i").alias("di_b"),
+        F.col("day_cents").alias("dc_b"),
+    )
+    slopes_df = (
+        a.join(b, "event_type")
+        .filter(F.col("di_a") < F.col("di_b"))
+        .select(F.expr("(dc_b - dc_a) * 1000000 div (di_b - di_a)").alias("s"))
+    )
+    got = sorted(r["s"] for r in slopes_df.collect())
+
+    # exact integer reference: trunc-toward-zero division (python //
+    # FLOORS, so negative quotients need the sign fix-up)
+    def tdiv(a_, b_):
+        q = abs(a_) // abs(b_)
+        return q if (a_ >= 0) == (b_ >= 0) else -q
+
+    want = sorted(
+        tdiv((v2 - v1) * 1000000, (d2 - d1))
+        for (d1, v1), (d2, v2) in it.combinations(zip(days, vals), 2)
+    )
+    assert got == want
+    m = got[(len(got) + 1) // 2 - 1]
+
+    # and the declared query's selector picks exactly that element
+    sel = (
+        slopes_df.agg(
+            F.sort_array(F.collect_list("s")).alias("ss"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.element_at(
+                "ss", F.floor((F.col("n") + F.lit(1)) / F.lit(2)).cast("int")
+            ).alias("m")
+        )
+        .first()["m"]
+    )
+    assert sel == m
