@@ -1386,9 +1386,16 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
     "construction — the second level is the skew bound that keeps "
     "sequential/zero-padded key cohorts from flooding one bucket "
     "(measured 1.8x end-to-end on customer names vs one-level). "
-    "Exact Hamming verify in pure expressions; brute-force O(n²) "
-    "oracle attests recall. Same-length only (stated — "
-    "indel-tolerant matching needs shifted-substring blocking).",
+    "Exact Hamming verify in pure expressions (codegen levenshtein "
+    "on the d=1 path — provably identical for equal lengths); "
+    "brute-force O(n²) oracle attests recall. Wall-clock here is "
+    "OUTPUT-bound, not blocking-bound: TPC-H's templated "
+    "'Customer#%09d' keyspace genuinely contains ~262k "
+    "distance-<=1 pairs at sf0.1 (every one-digit substitution "
+    "neighbors), so most of the cost is materializing true "
+    "positives — a corpus with organic keys emits orders of "
+    "magnitude fewer. Same-length only (stated — indel-tolerant "
+    "matching needs shifted-substring blocking).",
     tags=("dedup", "join"),
 )
 def q146(spark: SparkSession, sf: str) -> DataFrame:
