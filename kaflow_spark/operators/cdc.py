@@ -18,13 +18,16 @@ Hudi) ``MERGE INTO`` subsumes :func:`merge_into_parquet` — this
 operator demonstrates the same plan shape (broadcast the bounded
 change-set, anti-join out replaced keys, union upserts) against plain
 directories, which is also exactly what those formats' copy-on-write
-path executes per file group. The swap is staged-write + directory
-rename, so a crash mid-apply leaves the target either old or new,
-never half-rewritten (per partition).
+path executes per file group. The swap is two-phase: staged write,
+then an fsync'd commit manifest whose rename is the commit point —
+a crash before it leaves the target untouched, a crash after it is
+rolled forward idempotently by :func:`recover_merge` (the
+table-format commit-log pattern on plain directories).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -32,6 +35,100 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 STATUS_COL = "_change"
+
+# commit marker written as a SIBLING of the target directory (the
+# unpartitioned path renames the target itself, so the marker cannot
+# live inside it): `<target>.merge-commit.json`
+_COMMIT_SUFFIX = ".merge-commit.json"
+
+
+def _commit_path(target_path: str) -> str:
+    return target_path.rstrip("/") + _COMMIT_SUFFIX
+
+
+def _write_commit(target_path: str, manifest: dict) -> str:
+    """Atomically publish the commit manifest: write to a temp sibling,
+    fsync, rename into place — the rename IS the commit point. Before
+    it, the merge never happened (staging is inert garbage); after it,
+    :func:`recover_merge` rolls the swap forward idempotently."""
+    path = _commit_path(target_path)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+    return path
+
+
+def _apply_commit(target_path: str, manifest: dict) -> None:
+    """Execute (or RE-execute after a crash) a published commit.
+
+    Every step is idempotent, so this can be killed at any point and
+    re-run to completion:
+
+    - ``drop`` names (touched partitions fully emptied by deletes, and
+      the whole-table path's old directory) are removed if present;
+    - ``replace`` names move from staging into the target: while the
+      staged dir still exists the target's copy (if any) is the OLD
+      version — remove it and rename the staged dir in; once the
+      staged dir is gone the move already happened — skip;
+    - the whole-table path (``mode == "full"``) resumes its two-rename
+      swap from whichever rename it died between (the states are
+      disjoint: staging+target present = not started; staging present,
+      target absent = mid-swap);
+    - staging leftovers are removed, then the marker itself — the
+      marker goes LAST so a crash inside recovery just recovers again.
+    """
+    staging = manifest["staging"]
+    if manifest["mode"] == "full":
+        old = manifest["old"]
+        if os.path.exists(staging):
+            if os.path.exists(target_path):
+                os.rename(target_path, old)
+            os.rename(staging, target_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    else:
+        for name in manifest["drop"]:
+            dst = os.path.join(target_path, name)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+        for name in manifest["replace"]:
+            src = os.path.join(staging, name)
+            if os.path.exists(src):
+                dst = os.path.join(target_path, name)
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                os.rename(src, dst)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    os.remove(_commit_path(target_path))
+
+
+def recover_merge(target_path: str) -> dict | None:
+    """Roll forward a :func:`merge_into_parquet` apply that crashed
+    after its commit point: if the target has a pending commit marker,
+    re-execute the swap idempotently and return the manifest; return
+    ``None`` when there is nothing to do (the cheap common case — one
+    ``os.path.exists``). :func:`merge_into_parquet` calls this first,
+    so the next merge self-heals; long-lived readers of a
+    merge-managed table should call it before reading (a crashed
+    applier otherwise leaves the table mixed-version until the next
+    merge). A crash BEFORE the commit point needs no recovery: the
+    target was never touched, and the orphaned ``.merge-staging-*``
+    directory is inert garbage (invisible to Spark readers, removed by
+    the next completed merge's cleanup of its own staging only)."""
+    path = _commit_path(target_path)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        manifest = json.load(f)
+    _apply_commit(target_path, manifest)
+    from kaflow_spark.catalog import clear_load_cache
+
+    clear_load_cache()
+    return manifest
 
 
 def snapshot_diff(
@@ -181,11 +278,25 @@ def merge_into_parquet(
     and only those two families render identically in Python and in
     Spark's partition-path escaping (date/timestamp/float/Decimal do
     not — a mismatch would leave a stale dir in place and fail the
-    staged rename). For the same reason the read-back target's
-    partition column (whose type Spark INFERS from the path — a
-    numeric-looking string partition comes back int) is cast back to
-    the change-set's dtype before the merge, so the anti-join and
-    union compare like against like.
+    staged rename). The target is read back with the change-set's
+    EXPLICIT schema rather than letting Spark infer the partition
+    column's type from the path: inference retypes a numeric-looking
+    string partition (``seg=03`` comes back int 3), and no cast can
+    recover the original ``'03'`` — the touched-partition filter
+    would then silently drop every untouched row of that partition
+    from the rewrite (data loss, covered in test_cdc).
+
+    Crash safety: the swap is two-phase. The merged output is staged
+    to a sibling temp directory; a commit manifest (the exact list of
+    directories to drop and move) is then fsync'd and renamed to
+    ``<target>.merge-commit.json`` — that rename is the commit point.
+    A crash BEFORE it leaves the target byte-identical (staging is
+    inert garbage); a crash AFTER it is rolled forward by
+    :func:`recover_merge` — invoked automatically at the start of the
+    next merge, and callable by readers — whose every step is
+    idempotent, so repeated crashes during recovery still converge to
+    the fully-merged table. Single-writer per target is assumed (as
+    with any directory-swap scheme).
 
     Change keys must be unique per (key, kind) — one upsert and/or
     one delete per key; a duplicate (e.g. from diffing a non-keyed
@@ -206,6 +317,10 @@ def merge_into_parquet(
     (CLAUDE.md trap 10 — cached frames over a rewritten path are
     stale)."""
     from kaflow_spark.catalog import clear_load_cache
+
+    # self-heal: roll forward any commit a previous applier crashed
+    # mid-swap (idempotent no-op in the common case)
+    recover_merge(target_path)
 
     payload = [c for c in changes.columns if c not in (*key_cols, STATUS_COL)]
     changes = changes.persist()
@@ -252,10 +367,19 @@ def merge_into_parquet(
                 r[0]
                 for r in changes.select(partition_col).distinct().collect()
             ]
+            # read with the change-set's EXPLICIT schema: Spark's
+            # partition-path type inference otherwise retypes a
+            # numeric-looking string partition (int 3 for 'seg=03'),
+            # and a cast BACK from the inferred value loses the
+            # original text — '03' becomes '3', the isin() filter
+            # drops every untouched row of the touched partition, and
+            # the merge rewrites the directory without them (silent
+            # data loss, reproduced in test_cdc). With a user schema
+            # the raw path string is cast directly to the declared
+            # type, so '03' stays '03'.
             target = (
-                spark.read.parquet(target_path)
-                # partition-dir type inference round-trip (see docstring)
-                .withColumn(partition_col, F.col(partition_col).cast(part_type))
+                spark.read.schema(changes.drop(STATUS_COL).schema)
+                .parquet(target_path)
                 .filter(F.col(partition_col).isin(parts))
             )
         else:
@@ -292,29 +416,44 @@ def merge_into_parquet(
             writer = writer.partitionBy(partition_col)
         writer.parquet(staging)
 
+        # publish the swap plan as a commit manifest, THEN execute it:
+        # a crash before the marker rename leaves the target untouched
+        # (staging is garbage); a crash after it is rolled forward
+        # idempotently by recover_merge / the next merge (the
+        # table-format commit-log pattern on plain directories).
         if partition_col is not None:
-            # remove every TOUCHED partition dir first — a partition
+            # every TOUCHED partition dir is removed (a partition
             # fully emptied by deletes has no staging dir to move in,
-            # and must not survive by omission. Dir names are Spark's
-            # URL-escaped `col=value`; match on the unescaped value.
+            # and must not survive by omission); staged dirs move in.
+            # Dir names are Spark's URL-escaped `col=value`; match on
+            # the unescaped value.
             from urllib.parse import unquote
 
             touched = {str(p) for p in parts}
             prefix = f"{partition_col}="
-            for d in os.listdir(target_path):
-                if d.startswith(prefix) and unquote(d[len(prefix):]) in touched:
-                    shutil.rmtree(os.path.join(target_path, d))
-            for d in os.listdir(staging):
-                if d.startswith(prefix):
-                    os.rename(
-                        os.path.join(staging, d), os.path.join(target_path, d)
-                    )
-            shutil.rmtree(staging)
+            staged = {
+                d for d in os.listdir(staging) if d.startswith(prefix)
+            }
+            existing = {
+                d
+                for d in os.listdir(target_path)
+                if d.startswith(prefix)
+                and unquote(d[len(prefix):]) in touched
+            }
+            manifest = {
+                "mode": "partitioned",
+                "staging": staging,
+                "replace": sorted(staged),
+                "drop": sorted(existing - staged),
+            }
         else:
-            old = f"{target_path}.old-{uuid.uuid4().hex[:8]}"
-            os.rename(target_path, old)
-            os.rename(staging, target_path)
-            shutil.rmtree(old)
+            manifest = {
+                "mode": "full",
+                "staging": staging,
+                "old": f"{target_path}.old-{uuid.uuid4().hex[:8]}",
+            }
+        _write_commit(target_path, manifest)
+        _apply_commit(target_path, manifest)
         clear_load_cache()
         return {
             "partitions_rewritten": sorted(map(str, parts)),

@@ -31,13 +31,37 @@ from kaflow_spark.queries.base import declare
 _CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
 
+def _day_series(e: DataFrame) -> DataFrame:
+    """Bounded (event_type, day) daily-volume series in integer cents.
+
+    NULL-valued events are excluded UP FRONT so ``day_cents`` can never
+    be NULL: the lower-median kernels downstream (q193/q195/q200) index
+    a ``sort_array(collect_list(...))`` with a COUNT(*)-derived
+    position, and Spark's collect_list DROPS NULLs while DuckDB's LIST
+    keeps them (NULLS FIRST under list_sort) — an all-NULL day would
+    shift the oracle's median index and make Spark's element_at exceed
+    the array size (INVALID_ARRAY_INDEX under ANSI). The paired oracle
+    SQL carries the identical ``WHERE value IS NOT NULL`` so both
+    engines drop the same rows by construction."""
+    return (
+        e.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+            F.expr(_CENTS).alias("cents"),
+        )
+        .groupBy("event_type", "day_i")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+
+
 @declare(
     "q193_rolling_median_7d",
     oracle="""
     WITH e AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        FROM events),
+        FROM events WHERE value IS NOT NULL),
     ser AS (
         SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS day_cents
         FROM e GROUP BY event_type, day),
@@ -73,15 +97,7 @@ def q193(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = load(spark, sf, "events")
-    ser = (
-        e.select(
-            "event_type",
-            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
-            F.expr(_CENTS).alias("cents"),
-        )
-        .groupBy("event_type", "day_i")
-        .agg(F.sum("cents").alias("day_cents"))
-    )
+    ser = _day_series(e)
     w = (
         Window.partitionBy("event_type")
         .orderBy("day_i")
@@ -177,7 +193,7 @@ def q194(spark: SparkSession, sf: str) -> DataFrame:
     WITH e AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        FROM events),
+        FROM events WHERE value IS NOT NULL),
     ser AS (
         SELECT event_type,
                CAST(day - DATE '1970-01-01' AS BIGINT) AS day_i,
@@ -215,15 +231,7 @@ def q194(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q195(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events")
-    ser = (
-        e.select(
-            "event_type",
-            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
-            F.expr(_CENTS).alias("cents"),
-        )
-        .groupBy("event_type", "day_i")
-        .agg(F.sum("cents").alias("day_cents"))
-    )
+    ser = _day_series(e)
     a = ser.select(
         "event_type",
         F.col("day_i").alias("di_a"),
@@ -590,7 +598,7 @@ def q199(spark: SparkSession, sf: str) -> DataFrame:
     WITH e AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        FROM events),
+        FROM events WHERE value IS NOT NULL),
     ser AS (
         SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS day_cents
         FROM e GROUP BY event_type, day),
@@ -632,15 +640,7 @@ def q200(spark: SparkSession, sf: str) -> DataFrame:
     from kaflow_spark.operators.events import spike_days
 
     e = load(spark, sf, "events")
-    ser = (
-        e.select(
-            "event_type",
-            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
-            F.expr(_CENTS).alias("cents"),
-        )
-        .groupBy("event_type", "day_i")
-        .agg(F.sum("cents").alias("day_cents"))
-    )
+    ser = _day_series(e)
     return (
         spike_days(ser, "event_type", "day_i", "day_cents")
         .select(

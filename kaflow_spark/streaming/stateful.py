@@ -683,7 +683,12 @@ def _spike_update(group_col, order_col, value_col, threshold_tenths,
             out_o.append(o)
             out_v.append(v)
             out_m.append(med)
-            out_r.append(v * 10000 // med)
+            # truncate-toward-zero division, matching the batch
+            # operator's Spark `div` and the oracle's DuckDB integer
+            # `//` on NEGATIVE day values (Python's // floors — off by
+            # one there; med > 0 is guaranteed by the guard above)
+            num = v * 10000
+            out_r.append(-((-num) // med) if num < 0 else num // med)
             out_f.append(v * 10 > med * threshold_tenths)
         if not out_o:
             return

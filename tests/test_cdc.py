@@ -275,8 +275,8 @@ def test_non_pathsafe_partition_dtype_raises(spark, tmp_path):
 
 def test_numeric_string_partition_value_roundtrips(spark, tmp_path):
     """Round 9 (advice): a numeric-looking STRING partition value is
-    type-inferred int on read-back; the applier must cast it back to
-    the change-set dtype so the union and anti-join line up."""
+    type-inferred int on read-back; the applier must read with the
+    change-set's explicit schema so the union and anti-join line up."""
     ddl = "user_id bigint, seg string, cents bigint"
     old = spark.createDataFrame([(1, "3", 10), (2, "4", 20)], ddl)
     new = spark.createDataFrame([(1, "3", 11), (2, "4", 20)], ddl)
@@ -291,3 +291,164 @@ def test_numeric_string_partition_value_roundtrips(spark, tmp_path):
     )
     got = spark.read.parquet(path).withColumn("seg", F.col("seg").cast("string"))
     assert _rows(got) == _rows(new)
+
+
+def test_zero_padded_string_partition_keeps_untouched_rows(spark, tmp_path):
+    """Round 10 (advice, high): 'seg=03' does NOT round-trip through
+    partition-path type inference (inferred int 3, cast back '3' —
+    the isin(['03']) filter then drops every untouched row of the
+    touched partition and the rewrite loses them). The explicit-schema
+    read must keep both the untouched row AND the string dtype."""
+    ddl = "user_id bigint, seg string, cents bigint"
+    old = spark.createDataFrame(
+        [(1, "03", 10), (2, "03", 20), (3, "4", 30)], ddl
+    )
+    # only key 1 changes; key 2 shares the zero-padded partition and
+    # must survive the rewrite
+    new = spark.createDataFrame(
+        [(1, "03", 11), (2, "03", 20), (3, "4", 30)], ddl
+    )
+    path = str(tmp_path / "t")
+    old.write.partitionBy("seg").parquet(path)
+    stats = merge_into_parquet(
+        spark,
+        path,
+        snapshot_diff(old, new, ["user_id"]),
+        ["user_id"],
+        partition_col="seg",
+    )
+    assert stats["partitions_rewritten"] == ["03"]
+    got = spark.read.schema(ddl).parquet(path)
+    assert _rows(got) == _rows(new)
+    assert os.path.isdir(os.path.join(path, "seg=03"))
+
+
+def _flaky_rename(real_rename, allow, fail_after):
+    """os.rename wrapper that lets the commit marker land, then raises
+    after ``fail_after`` swap renames — the kill-between-partition-
+    swaps crash."""
+    calls = {"n": 0}
+
+    def rename(src, dst):
+        if dst.endswith(allow):
+            return real_rename(src, dst)
+        calls["n"] += 1
+        if calls["n"] > fail_after:
+            raise OSError("injected crash between partition swaps")
+        return real_rename(src, dst)
+
+    return rename
+
+
+def test_crash_between_partition_swaps_rolls_forward(
+    spark, tmp_path, monkeypatch
+):
+    """Round 10: kill the applier after the commit marker landed but
+    between the two partition-directory swaps — the on-disk table is
+    momentarily mixed-version, and recover_merge (also auto-invoked by
+    the next merge) must roll it forward to exactly the new snapshot.
+    Recovery itself is then crashed once more to prove idempotence."""
+    import kaflow_spark.operators.cdc as cdc
+
+    ddl = "user_id bigint, seg string, cents bigint"
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ddl
+    )
+    # both seg=a and seg=b are rewritten (two swap renames), seg=c is
+    # untouched
+    new = spark.createDataFrame(
+        [(1, "a", 11), (2, "b", 21), (3, "c", 30)], ddl
+    )
+    path = str(tmp_path / "t")
+    old.write.partitionBy("seg").parquet(path)
+    diff = snapshot_diff(old, new, ["user_id"])
+
+    real_rename = os.rename
+    monkeypatch.setattr(
+        cdc.os, "rename", _flaky_rename(real_rename, cdc._COMMIT_SUFFIX, 1)
+    )
+    with pytest.raises(OSError, match="injected"):
+        merge_into_parquet(
+            spark, path, diff, ["user_id"], partition_col="seg"
+        )
+    monkeypatch.setattr(cdc.os, "rename", real_rename)
+
+    # the commit marker exists: the crash happened AFTER the commit
+    # point, mid-swap — exactly the window the manifest closes
+    assert os.path.exists(cdc._commit_path(path))
+
+    # first recovery attempt also crashes (after zero further renames)
+    monkeypatch.setattr(
+        cdc.os, "rename", _flaky_rename(real_rename, cdc._COMMIT_SUFFIX, 0)
+    )
+    with pytest.raises(OSError, match="injected"):
+        cdc.recover_merge(path)
+    monkeypatch.setattr(cdc.os, "rename", real_rename)
+
+    # second recovery completes; marker and staging are gone
+    assert cdc.recover_merge(path) is not None
+    assert not os.path.exists(cdc._commit_path(path))
+    assert not any(
+        d.startswith(".merge-staging-")
+        for d in os.listdir(os.path.dirname(path))
+    )
+    assert _rows(spark.read.schema(ddl).parquet(path)) == _rows(new)
+    # recovery after recovery is a no-op
+    assert cdc.recover_merge(path) is None
+
+
+def test_crash_before_commit_leaves_target_untouched(
+    spark, tmp_path, monkeypatch
+):
+    """A crash BEFORE the commit-marker rename must leave the target
+    byte-identical: the staged output is inert garbage and no marker
+    exists, so there is nothing to recover."""
+    import kaflow_spark.operators.cdc as cdc
+
+    ddl = "user_id bigint, seg string, cents bigint"
+    old = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], ddl)
+    new = spark.createDataFrame([(1, "a", 11), (2, "b", 20)], ddl)
+    path = str(tmp_path / "t")
+    old.write.partitionBy("seg").parquet(path)
+
+    def no_commit(target_path, manifest):
+        raise OSError("injected crash before commit")
+
+    monkeypatch.setattr(cdc, "_write_commit", no_commit)
+    with pytest.raises(OSError, match="before commit"):
+        merge_into_parquet(
+            spark,
+            path,
+            snapshot_diff(old, new, ["user_id"]),
+            ["user_id"],
+            partition_col="seg",
+        )
+    monkeypatch.undo()
+    assert cdc.recover_merge(path) is None
+    assert _rows(spark.read.schema(ddl).parquet(path)) == _rows(old)
+
+
+def test_crash_full_table_swap_rolls_forward(spark, tmp_path, monkeypatch):
+    """Unpartitioned path: crash between the target->old and
+    staging->target renames (the window that previously left NO
+    table at all); recovery restores the new snapshot."""
+    import kaflow_spark.operators.cdc as cdc
+
+    ddl = "user_id bigint, seg string, cents bigint"
+    old = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], ddl)
+    new = spark.createDataFrame([(1, "a", 11), (2, "b", 20)], ddl)
+    path = str(tmp_path / "t")
+    old.write.parquet(path)
+
+    real_rename = os.rename
+    monkeypatch.setattr(
+        cdc.os, "rename", _flaky_rename(real_rename, cdc._COMMIT_SUFFIX, 1)
+    )
+    with pytest.raises(OSError, match="injected"):
+        merge_into_parquet(
+            spark, path, snapshot_diff(old, new, ["user_id"]), ["user_id"]
+        )
+    monkeypatch.setattr(cdc.os, "rename", real_rename)
+    assert not os.path.exists(path)  # the hazard window, marker pending
+    assert cdc.recover_merge(path) is not None
+    assert _rows(spark.read.parquet(path)) == _rows(new)

@@ -901,3 +901,52 @@ def test_spike_kernel_state_bounded_and_windowed():
     # steady state: flat series, ratio 10000, no spikes
     assert list(last["ratio_bp"]) == [10000] * len(last)
     assert not any(last["spike"])
+
+
+def test_spike_kernel_negative_values_truncating_division():
+    """Negative day values (anticipated in q199's docs: refunds can
+    drive a day's cents negative) must ratio with truncate-toward-zero
+    division, matching the batch operator's Spark `div` and the q200
+    oracle's DuckDB integer `//` — Python's floor `//` would be off by
+    one basis point on every negative day."""
+    import pandas as pd
+    from kaflow_spark.streaming.stateful import _spike_update
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+    update = _spike_update("g", "day", "cents", 13, 3, None)
+    st = FakeState()
+    # baseline of 3 days at 7, then a day at -5: Spark/DuckDB give
+    # -50000 div/ // 7 = -7142 (truncate); Python floor gives -7143
+    series = [(0, 7), (1, 7), (2, 7), (3, -5)]
+    last = None
+    for d, v in series:
+        out = list(
+            update(
+                ("t",),
+                iter([pd.DataFrame({"day": [d], "cents": [v]})]),
+                st,
+            )
+        )
+        if out:
+            last = out[0]
+    by_day = dict(zip(last["day"], last["ratio_bp"]))
+    assert by_day[3] == -7142  # truncating; floor division says -7143
+    assert -(-(-5 * 10000) // 7) == -7142 and (-5 * 10000) // 7 == -7143
