@@ -344,3 +344,105 @@ def bfs_hops(
         visited = visited.unionAll(nxt)
         frontier = nxt
     return visited
+
+
+def orient_by_degree(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Degree-order an undirected edge list: emit each edge exactly
+    once as ``(src, dst, dst_deg)`` directed from the endpoint that is
+    SMALLER under the total order ``(degree, id)``.
+
+    This is the standard orientation for distributed triangle
+    enumeration (cf. the "compact-forward" / Schank-Wagner ordering,
+    and Suri & Vassilvitskii's MapReduce formulation, WWW'11): after
+    orienting every edge toward the higher-degree endpoint, each
+    vertex's OUT-degree is bounded by O(sqrt(2m)) regardless of its
+    raw degree, so a hot vertex (a boilerplate mega-cluster's hub)
+    can no longer contribute its k^2 wedges to one reducer — a star's
+    hub ends with out-degree ZERO. Degrees are counted from the edge
+    list itself and broadcast (the verified near-dup graph is
+    ids-only and churn-bounded; at 100 TB a 100M-pair graph's degree
+    table is tens of MB). Input must be the canonical distinct
+    ``a < b`` pair list the dedup generators emit.
+    """
+    deg = (
+        edges.select(F.col(a_col).alias("v"))
+        .unionAll(edges.select(F.col(b_col).alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = edges.join(
+        F.broadcast(deg).select(
+            F.col("v").alias(a_col), F.col("d").alias("_da")
+        ),
+        a_col,
+    ).join(
+        F.broadcast(deg).select(
+            F.col("v").alias(b_col), F.col("d").alias("_db")
+        ),
+        b_col,
+    )
+    first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col(a_col) < F.col(b_col))
+    )
+    return ed.select(
+        F.when(first, F.col(a_col)).otherwise(F.col(b_col)).alias("src"),
+        F.when(first, F.col(b_col)).otherwise(F.col(a_col)).alias("dst"),
+        F.when(first, F.col("_db")).otherwise(F.col("_da")).alias("dst_deg"),
+    )
+
+
+def oriented_wedges(oriented: DataFrame) -> DataFrame:
+    """Open-wedge candidates ``(u, w)`` from a degree-oriented edge
+    list: for each vertex, every ordered pair of its OUT-neighbors,
+    with ``u`` preceding ``w`` under the same ``(degree, id)`` total
+    order the orientation used. For a triangle x ≺ y ≺ z exactly one
+    wedge is emitted — ``(y, z)`` at apex x — so a semi-join against
+    the oriented edges counts each triangle once. Candidate volume is
+    sum over vertices of out-deg-choose-2, which the orientation
+    bounds by O(m^1.5) globally and O(m) per apex — a planted star
+    emits ZERO candidates (every spoke orients into the hub), where
+    the naive id-ordered enumeration emits ~k^2/4 at the hub
+    (asserted in test_graph)."""
+    u = oriented.select(
+        "src", F.col("dst").alias("u"), F.col("dst_deg").alias("_du")
+    )
+    w = oriented.select(
+        "src", F.col("dst").alias("w"), F.col("dst_deg").alias("_dw")
+    )
+    return (
+        u.join(w, "src")
+        .filter(
+            (F.col("_du") < F.col("_dw"))
+            | ((F.col("_du") == F.col("_dw")) & (F.col("u") < F.col("w")))
+        )
+        .select("u", "w")
+    )
+
+
+def triangle_count(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Exact global triangle count over an undirected, canonical
+    (``a < b``, distinct) edge list, returned as one row
+    ``(n_triangles BIGINT)``.
+
+    Degree-ordered enumeration (:func:`orient_by_degree` +
+    :func:`oriented_wedges` + one semi-join to close each wedge), so
+    the shuffle fan-out at any single vertex is bounded by its
+    ORIENTED out-degree — O(sqrt(2m)) — instead of its raw degree:
+    the hot-vertex hazard of the naive a<b<c triple join (a
+    boilerplate mega-cluster hub turning one reducer into k^2 rows)
+    is removed by construction, not by salting. The oriented edge
+    list is persisted once and consumed by both the wedge self-join
+    and the closing probe."""
+    d1 = orient_by_degree(edges, a_col, b_col).persist()
+    closed = oriented_wedges(d1).join(
+        d1.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+        "left_semi",
+    )
+    return closed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

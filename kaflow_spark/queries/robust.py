@@ -1043,14 +1043,17 @@ def q205(spark: SparkSession, sf: str) -> DataFrame:
     "families) or CHAINS (transitive drift about to over-merge "
     "under connected components)'. Low transitivity on a near-dup "
     "graph is the early warning before q83's CC glues drifting "
-    "chains into one mega-cluster. Triangles by the ordered triple "
-    "equi-join over the (a < b)-canonical edge list — each triangle "
-    "counted exactly once via a<b<c; at boilerplate scale the "
-    "degree-ordered orientation (count each triangle at its "
-    "lowest-degree vertex) caps the join fan-out, and the edge set "
-    "itself is already churn-bounded by the verify threshold. "
-    "Wedges from the bounded degree table. All counts exact "
-    "integers; the coefficient guards the wedges=0 corpus.",
+    "chains into one mega-cluster. Triangles by DEGREE-ORDERED "
+    "enumeration (operators/graph.triangle_count): every edge is "
+    "oriented toward its higher-(degree, id) endpoint, wedge pairs "
+    "are drawn from oriented OUT-neighborhoods only — bounded "
+    "O(sqrt(2m)) per vertex, so a boilerplate mega-cluster hub "
+    "cannot put k^2 rows on one reducer (a planted star emits ZERO "
+    "wedge candidates, asserted in test_graph) — and one semi-join "
+    "closes each wedge, counting each triangle exactly once at its "
+    "lowest-order vertex. Wedges from the bounded degree table. All "
+    "counts exact integers; the coefficient guards the wedges=0 "
+    "corpus.",
     tags=("dedup", "graph", "audit"),
 )
 def q206(spark: SparkSession, sf: str) -> DataFrame:
@@ -1084,18 +1087,9 @@ def q206(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.expr("d * (d - 1) div 2")), F.lit(0)
         ).alias("n_wedges")
     )
-    x = e.select(F.col("a").alias("xa"), F.col("b").alias("xb"))
-    y = e.select(F.col("a").alias("ya"), F.col("b").alias("yb"))
-    z = e.select(F.col("a").alias("za"), F.col("b").alias("zb"))
-    t = (
-        x.join(y, F.col("ya").eqNullSafe(F.col("xb")))
-        .join(
-            z,
-            F.col("za").eqNullSafe(F.col("xa"))
-            & F.col("zb").eqNullSafe(F.col("yb")),
-        )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    from kaflow_spark.operators.graph import triangle_count
+
+    t = triangle_count(e, "a", "b")
     ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
         ne.crossJoin(w)

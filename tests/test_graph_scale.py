@@ -66,3 +66,97 @@ def test_cc_min_label_tier_at_bench_scale(spark):
     want = {(r["node"], r["component"]) for r in exact.collect()}
     pairs.unpersist()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# degree-ordered triangle counting (q206's kernel)
+
+
+def _brute_triangles(edges):
+    import itertools
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return sum(
+        1
+        for x, y, z in itertools.combinations(sorted(adj), 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+
+
+def _edge_df(spark, edges):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "a long, b long"
+    )
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Exactness on a seeded random graph: the degree-ordered
+    enumeration counts every triangle once and nothing twice."""
+    import random
+
+    from kaflow_spark.operators.graph import triangle_count
+
+    rng = random.Random(206)
+    edges = {
+        tuple(sorted(rng.sample(range(40), 2))) for _ in range(220)
+    }
+    got = triangle_count(_edge_df(spark, sorted(edges))).collect()[0][
+        "n_triangles"
+    ]
+    want = _brute_triangles(edges)
+    assert want > 0, "seeded graph must contain triangles"
+    assert got == want
+
+
+def test_star_hub_emits_zero_wedge_candidates(spark):
+    """The hot-vertex hazard the orientation removes: a k-star's hub
+    produces ~k^2/4 wedge rows under naive a<b<c enumeration (hub id
+    in the middle of the id range) but ZERO under degree ordering —
+    every spoke orients INTO the hub, whose out-degree becomes 0."""
+    from kaflow_spark.operators.graph import orient_by_degree, oriented_wedges
+
+    k = 200
+    hub = k // 2  # middle of the id range: worst case for naive a<b<c
+    edges = sorted(
+        tuple(sorted((hub, s))) for s in range(k + 1) if s != hub
+    )
+    df = _edge_df(spark, edges)
+    oriented = orient_by_degree(df)
+    # every edge points spoke -> hub
+    assert oriented.filter(F.col("dst") != hub).count() == 0
+    assert oriented_wedges(oriented).count() == 0
+    # the naive orientation's hub fan-out, for contrast: below * above
+    below = sum(1 for a, b in edges if b == hub)
+    above = sum(1 for a, b in edges if a == hub)
+    assert below * above == (k // 2) ** 2
+
+
+def test_oriented_out_degree_bounded(spark):
+    """The O(sqrt(2m)) out-degree bound that caps any single reducer's
+    wedge fan-out, on a planted hot-cluster (clique) unioned with a
+    star — the boilerplate mega-cluster shape."""
+    import math
+
+    from kaflow_spark.operators.graph import orient_by_degree, triangle_count
+
+    kc = 40  # clique on ids 0..39
+    clique = [(a, b) for a in range(kc) for b in range(a + 1, kc)]
+    star = [(1000, s) for s in range(1001, 1201)]
+    edges = sorted(clique + [tuple(sorted(e)) for e in star])
+    df = _edge_df(spark, edges)
+
+    m = len(edges)
+    max_out = (
+        orient_by_degree(df)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .agg(F.max("od"))
+        .collect()[0][0]
+    )
+    assert max_out <= math.ceil(math.sqrt(2 * m)), (max_out, m)
+
+    got = triangle_count(df).collect()[0]["n_triangles"]
+    assert got == kc * (kc - 1) * (kc - 2) // 6
