@@ -618,7 +618,7 @@ def ngram_jaccard_pairs(
 
 
 def prefix_filter_candidates(
-    shingles: DataFrame, threshold: float
+    shingles: DataFrame, threshold: float, *, bucket_salt: int = 1
 ) -> DataFrame:
     """Deterministic recall-1 candidate pairs for an EXACT Jaccard
     set-similarity self-join (AllPairs / PPJoin prefix filtering,
@@ -645,7 +645,16 @@ def prefix_filter_candidates(
     shingles are exactly the ones the prefix drops.  Skew bound: the
     worst bucket is the most document-frequent shingle that still
     lands in some prefix, i.e. low-|A| documents — cap via
-    ``threshold`` (higher t, shorter prefixes).
+    ``threshold`` (higher t, shorter prefixes), and when one prefix
+    token's bucket still exceeds a task budget (a templated corpus
+    whose RAREST shared token is the template id), ``bucket_salt > 1``
+    routes the token self-join through
+    :func:`~kaflow_spark.operators.skew.salted_self_pairs` — AQE's
+    skew split cannot fire here for the same measured reasons as the
+    MinHash bucket join (reused-exchange self-join). The set sizes
+    ride the salted join as payload columns, so the Jaccard size
+    filter needs no re-attach join; output identical by construction
+    (test-asserted pair-for-pair on the planted boilerplate fixture).
     """
     from pyspark.sql.window import Window
 
@@ -680,17 +689,23 @@ def prefix_filter_candidates(
         # join shuffle with zero recall impact
         & (F.col("df") >= 2)
     ).select("id", "h", "n")
-    a = prefix.select(
-        F.col("id").alias("id_a"), "h", F.col("n").alias("n_a")
-    )
-    b = prefix.select(
-        F.col("id").alias("id_b"), "h", F.col("n").alias("n_b")
-    )
+    if bucket_salt > 1:
+        from kaflow_spark.operators.skew import salted_self_pairs
+
+        cand = salted_self_pairs(
+            prefix, ["h"], "id", salt=bucket_salt, payload_cols=["n"]
+        )
+    else:
+        a = prefix.select(
+            F.col("id").alias("id_a"), "h", F.col("n").alias("n_a")
+        )
+        b = prefix.select(
+            F.col("id").alias("id_b"), "h", F.col("n").alias("n_b")
+        )
+        cand = a.join(b, ["h"]).filter(F.col("id_a") < F.col("id_b"))
     return (
-        a.join(b, ["h"])
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("n_b") >= ceil_t("n_a"))
+        cand.filter(
+            (F.col("n_b") >= ceil_t("n_a"))
             & (F.col("n_a") >= ceil_t("n_b"))
         )
         .select("id_a", "id_b")
@@ -1100,6 +1115,7 @@ def hamming_pairs(
     *,
     max_dist: int = 1,
     max_bucket: int = 10_000,
+    bucket_salt: int = 1,
 ) -> DataFrame:
     """Fuzzy ENTITY-KEY matching: all equal-length pairs whose keys
     differ in at most ``max_dist`` character positions (Hamming
@@ -1147,17 +1163,56 @@ def hamming_pairs(
     this exact banding and REPORTS every bucket the cap would drop —
     run it (or the q168 skew-report idiom it mirrors) whenever the
     key distribution is untrusted, instead of discovering recall loss
-    downstream."""
+    downstream.
+
+    ``bucket_salt > 1`` routes the blocking self-join through
+    :func:`~kaflow_spark.operators.skew.salted_self_pairs` — for the
+    cohort whose legitimate (sub-``max_bucket``) blocking bucket
+    still exceeds a task's budget. AQE's skew split is DOUBLY blocked
+    here: the self-join reuses one exchange AND the bucket-count
+    window sits between the shuffle and the join (the two measured
+    blockers). The raw keys ride the salted join as payload columns
+    so the exact-distance verify needs no re-attach join; identical
+    pair set by construction (test-asserted)."""
     banded = _hamming_banded(df, id_col, key_col, max_dist)
     counted = banded.withColumn(
         "_bn", F.count(F.lit(1)).over(Window.partitionBy("chunk", "_len", "proj"))
     ).filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket))
-    left = counted.select(
-        "chunk", "_len", "proj", F.col("_id").alias("id_a"), F.col("_k").alias("_ka")
-    )
-    right = counted.select(
-        "chunk", "_len", "proj", F.col("_id").alias("id_b"), F.col("_k").alias("_kb")
-    )
+    if bucket_salt > 1:
+        from kaflow_spark.operators.skew import salted_self_pairs
+
+        cand = salted_self_pairs(
+            counted,
+            ["chunk", "_len", "proj"],
+            "_id",
+            salt=bucket_salt,
+            payload_cols=["_k"],
+        ).select(
+            "id_a",
+            "id_b",
+            F.col("_k_a").alias("_ka"),
+            F.col("_k_b").alias("_kb"),
+        )
+    else:
+        left = counted.select(
+            "chunk",
+            "_len",
+            "proj",
+            F.col("_id").alias("id_a"),
+            F.col("_k").alias("_ka"),
+        )
+        right = counted.select(
+            "chunk",
+            "_len",
+            "proj",
+            F.col("_id").alias("id_b"),
+            F.col("_k").alias("_kb"),
+        )
+        cand = (
+            left.join(right, ["chunk", "_len", "proj"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_ka", "_kb")
+        )
     if max_dist == 1:
         # d=1 fast path: for EQUAL-LENGTH strings, levenshtein <= 1
         # iff hamming <= 1, and the values coincide on that range (a
@@ -1183,9 +1238,7 @@ def hamming_pairs(
     # after the groupBy the expression evaluates exactly once per
     # candidate pair.
     return (
-        left.join(right, ["chunk", "_len", "proj"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        cand.groupBy("id_a", "id_b")
         .agg(F.first("_ka").alias("_ka"), F.first("_kb").alias("_kb"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_dist)
@@ -1264,6 +1317,7 @@ def minimizer_candidates(
     min_shared: int = 5,
     max_df: int = 100,
     unit: str = "char",
+    bucket_salt: int = 1,
 ) -> DataFrame:
     """Near-dup candidate pairs from shared winnowing fingerprints
     (the MOSS screen, Schleimer et al. SIGMOD 2003) — the FOURTH
@@ -1294,6 +1348,15 @@ def minimizer_candidates(
     loss at sf0.1), while word grams are near-unique per document,
     so the word unit keeps both recall and a sparse join.
 
+    ``bucket_salt > 1`` routes the fingerprint self-join through
+    :func:`~kaflow_spark.operators.skew.salted_self_pairs` for the
+    corpus where one sub-``max_df`` fingerprint's bucket still
+    dominates a task (a near-``max_df`` boilerplate gram): same
+    measured AQE blockers as the MinHash bucket join, identical pair
+    set by construction (test-asserted); each shared gram still
+    yields exactly one (gram, pair) row, so the ``shared`` count is
+    unchanged.
+
     Returns (id_a, id_b, shared) with id_a < id_b."""
     mk = word_minimizers if unit == "word" else minimizers
     sel = mk(df, id_col, text_col, k=k, w=w).select(
@@ -1303,12 +1366,16 @@ def minimizer_candidates(
         F.col("_df") <= max_df
     )
     sel = sel.join(rare.select("gram"), "gram")
-    a = sel.select(F.col("_mid").alias("id_a"), "gram")
-    b = sel.select(F.col("_mid").alias("id_b"), "gram")
+    if bucket_salt > 1:
+        from kaflow_spark.operators.skew import salted_self_pairs
+
+        cand = salted_self_pairs(sel, ["gram"], "_mid", salt=bucket_salt)
+    else:
+        a = sel.select(F.col("_mid").alias("id_a"), "gram")
+        b = sel.select(F.col("_mid").alias("id_b"), "gram")
+        cand = a.join(b, "gram").filter(F.col("id_a") < F.col("id_b"))
     return (
-        a.join(b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        cand.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )

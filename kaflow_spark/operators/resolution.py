@@ -49,7 +49,7 @@ def deletion_variants(key_col: str) -> F.Column:
 
 
 def edit_distance_pairs(
-    df: DataFrame, id_col: str, key_col: str
+    df: DataFrame, id_col: str, key_col: str, *, bucket_salt: int = 1
 ) -> DataFrame:
     """All pairs of rows whose ``key_col`` values are within
     Levenshtein distance 1 (including exact duplicates at distance 0).
@@ -59,6 +59,15 @@ def edit_distance_pairs(
     deletion-neighborhood argument in the module docstring; the
     ``levenshtein`` verify makes precision exact, so a brute-force
     O(n²) oracle hash-checks the output end-to-end.
+
+    ``bucket_salt > 1`` routes the deletion-variant self-join through
+    :func:`~kaflow_spark.operators.skew.salted_self_pairs` — the
+    fallback for a massive equal-key (or one-typo-family) cohort
+    whose shared variant bucket exceeds a task's budget; AQE's skew
+    split skips this reused-exchange self-join (the measured MinHash
+    blockers). The raw keys ride as payload columns so the
+    Levenshtein verify needs no re-attach join; identical pair set by
+    construction (test-asserted).
     """
     from kaflow_spark.operators.parallelism import fan_out
 
@@ -68,24 +77,40 @@ def edit_distance_pairs(
     variants = base.select(
         "_id", "_k", F.explode(deletion_variants("_k")).alias("_v")
     )
-    a = variants.select(
-        F.col("_id").alias("id_a"),
-        F.col("_k").alias("key_a"),
-        F.col("_v").alias("_v"),
-    )
-    b = variants.select(
-        F.col("_id").alias("id_b"),
-        F.col("_k").alias("key_b"),
-        F.col("_v").alias("_v"),
-    )
-    cand = (
-        a.join(b, ["_v"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        # a pair can share several variants (e.g. adjacent equal
-        # characters); contract before the verify join fan-out
-        .select("id_a", "id_b", "key_a", "key_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if bucket_salt > 1:
+        from kaflow_spark.operators.skew import salted_self_pairs
+
+        cand = (
+            salted_self_pairs(
+                variants, ["_v"], "_id", salt=bucket_salt, payload_cols=["_k"]
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.col("_k_a").alias("key_a"),
+                F.col("_k_b").alias("key_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a = variants.select(
+            F.col("_id").alias("id_a"),
+            F.col("_k").alias("key_a"),
+            F.col("_v").alias("_v"),
+        )
+        b = variants.select(
+            F.col("_id").alias("id_b"),
+            F.col("_k").alias("key_b"),
+            F.col("_v").alias("_v"),
+        )
+        cand = (
+            a.join(b, ["_v"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            # a pair can share several variants (e.g. adjacent equal
+            # characters); contract before the verify join fan-out
+            .select("id_a", "id_b", "key_a", "key_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     # project the distance once, then filter on the projected column —
     # filtering on the raw expression would evaluate levenshtein twice
     lev = F.levenshtein(F.col("key_a"), F.col("key_b"))

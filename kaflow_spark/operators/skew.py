@@ -92,6 +92,7 @@ def salted_self_pairs(
     salt: int = 8,
     out_a: str = "id_a",
     out_b: str = "id_b",
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-safe UNORDERED-PAIR self-equi-join: all (a, b) id pairs
     sharing the ``key_cols`` bucket, each pair exactly once, with the
@@ -120,7 +121,17 @@ def salted_self_pairs(
     deduped by ``id_a < id_b``; cross-slice output is canonicalized
     with least/greatest. Per-row replication cost is ``salt + 1``
     copies of the (usually few-byte) key rows across both sides —
-    the price of subdividing an irreducibly quadratic bucket."""
+    the price of subdividing an irreducibly quadratic bucket.
+
+    ``payload_cols`` carries per-ROW attribute columns through the
+    pair enumeration (the prefix filter's set size, the Hamming
+    verify's raw key): each listed column ``c`` comes back as
+    ``c_a``/``c_b``, swapped in lockstep with the id
+    canonicalization so ``c_a`` always belongs to ``id_a``. This is
+    what lets verify-bearing generators (q146/q154/q159) salt their
+    candidate join without a second join to re-attach attributes —
+    re-attaching by id WOULD be another shuffle of the full id set."""
+    payload_cols = payload_cols or []
     g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
     tagged = df.withColumn("_g", g)
     left = (
@@ -132,6 +143,7 @@ def salted_self_pairs(
             F.col("_g").alias("_ta"),
             "_tb",
             F.col(id_col).alias(out_a),
+            *[F.col(c).alias(f"_pa_{c}") for c in payload_cols],
         )
     )
     right = (
@@ -141,6 +153,7 @@ def salted_self_pairs(
             "_ta",
             F.col("_g").alias("_tb"),
             F.col(id_col).alias(out_b),
+            *[F.col(c).alias(f"_pb_{c}") for c in payload_cols],
         )
     )
     # EXPLICIT repartition on the full salted key: without it, Spark's
@@ -153,13 +166,24 @@ def salted_self_pairs(
     joined = left.repartition(*full_key).join(
         right.repartition(*full_key), full_key
     )
-    return (
-        joined.filter(
-            (F.col("_ta") < F.col("_tb")) | (F.col(out_a) < F.col(out_b))
-        )
-        .select(
-            *key_cols,
-            F.least(out_a, out_b).alias(out_a),
-            F.greatest(out_a, out_b).alias(out_b),
-        )
+    kept = joined.filter(
+        (F.col("_ta") < F.col("_tb")) | (F.col(out_a) < F.col(out_b))
     )
+    swap = F.col(out_a) > F.col(out_b)
+    sel = [
+        *key_cols,
+        F.least(out_a, out_b).alias(out_a),
+        F.greatest(out_a, out_b).alias(out_b),
+    ]
+    for c in payload_cols:
+        sel.append(
+            F.when(swap, F.col(f"_pb_{c}"))
+            .otherwise(F.col(f"_pa_{c}"))
+            .alias(f"{c}_a")
+        )
+        sel.append(
+            F.when(swap, F.col(f"_pa_{c}"))
+            .otherwise(F.col(f"_pb_{c}"))
+            .alias(f"{c}_b")
+        )
+    return kept.select(*sel)

@@ -247,3 +247,179 @@ def test_minhash_bucket_salt_spreads_boilerplate_bucket(spark):
         assert any("_ta" in p and "_tb" in p for p in parts), parts
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _salted_exchange_present(df) -> bool:
+    """Static-planner check (CLAUDE.md trap 9: AQE hides Exchange
+    nodes) that some join exchange carries the full salted key."""
+    import re
+
+    txt = explain_str(df, "simple")
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", txt)
+    return any("_ta" in p and "_tb" in p for p in parts)
+
+
+def _boiler_docs(spark, n_boiler=300, n_uniq=500):
+    """Planted boilerplate corpus: n_boiler docs share one template
+    (every blocking feature collides into one hot bucket family),
+    n_uniq are hash-unique."""
+    boiler = spark.range(n_boiler).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("terms of service boilerplate agreement " * 10),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    uniq = spark.range(1000, 1000 + n_uniq).select(
+        F.col("id").alias("doc_id"),
+        F.sha2(F.concat(F.col("id").cast("string"), F.lit("u")), 512).alias(
+            "text"
+        ),
+    )
+    return boiler.unionAll(uniq)
+
+
+def test_salted_self_pairs_payload_follows_canonicalization(spark):
+    """payload_cols contract: c_a always belongs to id_a, across the
+    swap the cross-slice canonicalization performs."""
+    from kaflow_spark.operators.skew import salted_self_pairs
+
+    rows = [("b", i, f"attr{i}") for i in range(17)]
+    df = spark.createDataFrame(rows, "bucket string, id bigint, k string")
+    for salt in (2, 5):
+        out = salted_self_pairs(
+            df, ["bucket"], "id", salt=salt, payload_cols=["k"]
+        ).collect()
+        assert len(out) == 17 * 16 // 2
+        for r in out:
+            assert r["k_a"] == f"attr{r['id_a']}", r
+            assert r["k_b"] == f"attr{r['id_b']}", r
+
+
+def test_prefix_filter_bucket_salt_matches_plain(spark):
+    """q159's generator: identical candidate set salted vs plain on
+    the planted boilerplate corpus, and the salted join's exchange
+    carries the full (h, tag, tag) key."""
+    from kaflow_spark.operators.dedup import (
+        prefix_filter_candidates,
+        wordgram_shingle_frame,
+    )
+
+    docs = _boiler_docs(spark)
+    sh = wordgram_shingle_frame(docs, "doc_id", "text", 5, eager=False)
+    plain = prefix_filter_candidates(sh, 0.8)
+    salted = prefix_filter_candidates(sh, 0.8, bucket_salt=4)
+    a = sorted((r["id_a"], r["id_b"]) for r in plain.collect())
+    b = sorted((r["id_a"], r["id_b"]) for r in salted.collect())
+    assert a == b and len(a) >= 300 * 299 // 2  # boilerplate family kept
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        fresh = prefix_filter_candidates(
+            wordgram_shingle_frame(docs, "doc_id", "text", 5, eager=False),
+            0.8,
+            bucket_salt=4,
+        )
+        assert _salted_exchange_present(fresh)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_minimizer_bucket_salt_matches_plain(spark):
+    """q164's generator: identical (pair, shared) set salted vs plain
+    — the shared-gram COUNT must survive salting, not just the pair
+    set — plus the salted-key plan assert."""
+    from kaflow_spark.operators.dedup import minimizer_candidates
+
+    # the periodic _boiler_docs template has only ~5 distinct word
+    # grams (cyclic rotations) — too few shared fingerprints for the
+    # count threshold; this template has 40 distinct words, so every
+    # boilerplate pair shares dozens of sub-max_df fingerprints
+    template = " ".join(f"tok{i}" for i in range(40))
+    boiler = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(template + " "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    uniq = spark.range(1000, 1500).select(
+        F.col("id").alias("doc_id"),
+        F.sha2(F.concat(F.col("id").cast("string"), F.lit("u")), 512).alias(
+            "text"
+        ),
+    )
+    docs = boiler.unionAll(uniq)
+    kw = dict(k=5, w=4, min_shared=3, max_df=400, unit="word")
+    plain = minimizer_candidates(docs, "doc_id", "text", **kw)
+    salted = minimizer_candidates(
+        docs, "doc_id", "text", bucket_salt=4, **kw
+    )
+    a = sorted(
+        (r["id_a"], r["id_b"], r["shared"]) for r in plain.collect()
+    )
+    b = sorted(
+        (r["id_a"], r["id_b"], r["shared"]) for r in salted.collect()
+    )
+    assert a == b and len(a) >= 300 * 299 // 2
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        fresh = minimizer_candidates(
+            docs, "doc_id", "text", bucket_salt=4, **kw
+        )
+        assert _salted_exchange_present(fresh)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_hamming_bucket_salt_matches_plain(spark):
+    """q146's blocking: a one-typo family (equal keys + single
+    substitutions) is exactly the hot legitimate bucket the salt
+    subdivides; identical (pair, hamming) output."""
+    from kaflow_spark.operators.dedup import hamming_pairs
+
+    # 120 ids share key 'AAAAAAAA'; 40 more differ in one position
+    rows = [(i, "AAAAAAAA") for i in range(120)] + [
+        (200 + i, "AAAA" + c + "AAA")
+        for i, c in enumerate("BCDEFGHIJKLMNOPQRSTUVWXYZbcdefghijklmn")
+    ]
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    plain = hamming_pairs(df, "id", "k", max_dist=1)
+    salted = hamming_pairs(df, "id", "k", max_dist=1, bucket_salt=4)
+    a = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in plain.collect())
+    b = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in salted.collect())
+    assert a == b and len(a) >= 120 * 119 // 2
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert _salted_exchange_present(
+            hamming_pairs(df, "id", "k", max_dist=1, bucket_salt=4)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_edit_distance_bucket_salt_matches_plain(spark):
+    """q154's generator: identical (pair, lev) output salted vs plain
+    on an equal-key cohort plus deletion/substitution neighbors."""
+    from kaflow_spark.operators.resolution import edit_distance_pairs
+
+    rows = (
+        [(i, "Customer#1234") for i in range(80)]
+        + [(300, "Customer#123"), (301, "Customer#1235"), (302, "Xustomer#1234")]
+        + [(400 + i, f"Unique#{i:06d}") for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    plain = edit_distance_pairs(df, "id", "name")
+    salted = edit_distance_pairs(df, "id", "name", bucket_salt=4)
+    a = sorted((r["id_a"], r["id_b"], r["lev"]) for r in plain.collect())
+    b = sorted((r["id_a"], r["id_b"], r["lev"]) for r in salted.collect())
+    assert a == b and len(a) >= 80 * 79 // 2
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert _salted_exchange_present(
+            edit_distance_pairs(df, "id", "name", bucket_salt=4)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
