@@ -557,3 +557,93 @@ def spike_days(
             ).alias("spike"),
         )
     )
+
+
+def rolling_wau(
+    act: DataFrame,
+    group_col: str,
+    day_col: str,
+    user_col: str,
+    *,
+    window: int = 7,
+) -> DataFrame:
+    """Rolling ``window``-day distinct active users per group (the
+    q203 kernel), over a CONTRACTED distinct-activity frame — one row
+    per (group, day, user); callers dedupe the raw event log first
+    (COUNT(DISTINCT) OVER a moving frame has no Spark window form).
+    Each activity row contributes presence to the ``window`` calendar
+    days it keeps the user active in (a fixed ``window``-way explode
+    of the contracted rows, never the event log); one distinct count
+    per (group, day) computes the exact windowed cardinality, and the
+    observed flag (emit only days with same-day activity) rides the
+    SAME aggregation — a separate calendar branch would
+    de-canonicalize and re-scan (measured, q203). ``day_col`` must be
+    integer epoch days. Output: ``(group, day, wau)``."""
+    contrib = act.select(
+        group_col,
+        user_col,
+        day_col,
+        F.explode(F.expr(f"sequence(0, {window - 1})")).alias("_off"),
+    ).select(
+        group_col,
+        user_col,
+        (F.col(day_col) + F.col("_off")).alias(day_col),
+        (F.col("_off") == 0).alias("_here"),
+    )
+    return (
+        contrib.groupBy(group_col, day_col)
+        .agg(
+            F.count_distinct(user_col).alias("wau"),
+            F.max("_here").alias("_observed"),
+        )
+        .filter("_observed")
+        .select(group_col, day_col, "wau")
+    )
+
+
+def returning_rate(
+    act: DataFrame,
+    group_col: str,
+    day_col: str,
+    user_col: str,
+    *,
+    past: int = 28,
+) -> DataFrame:
+    """Rolling returning-user rate per group (the q207 kernel): of
+    the users active on day d, the share also seen in the PRIOR
+    ``past`` days — another moving-window DISTINCT statistic with no
+    Spark window form. Same contracted-input contract and bounded
+    explode as :func:`rolling_wau`, with TWO markers per contribution
+    (present at offset 0, past-presence at offsets 1..``past``); one
+    aggregation per (group, day, user) merges the markers, a plain
+    aggregate produces the day counts. Emitted only for days with
+    active users; rate in integer basis points. Output: ``(group,
+    day, n_active, n_returning, returning_bp)``."""
+    contrib = act.select(
+        group_col,
+        user_col,
+        day_col,
+        F.explode(F.expr(f"sequence(0, {past})")).alias("_off"),
+    ).select(
+        group_col,
+        user_col,
+        (F.col(day_col) + F.col("_off")).alias(day_col),
+        (F.col("_off") == 0).alias("_present"),
+        (F.col("_off") > 0).alias("_past"),
+    )
+    per_user = contrib.groupBy(group_col, day_col, user_col).agg(
+        F.max("_present").alias("_present"), F.max("_past").alias("_past")
+    )
+    agg = per_user.groupBy(group_col, day_col).agg(
+        F.sum(F.col("_present").cast("long")).alias("n_active"),
+        F.sum(
+            (F.col("_present") & F.col("_past")).cast("long")
+        ).alias("n_returning"),
+    )
+    return agg.filter(F.col("n_active") > 0).select(
+        group_col,
+        day_col,
+        "n_active",
+        "n_returning",
+        F.expr("n_returning * 10000 div n_active").alias("returning_bp"),
+    )

@@ -850,6 +850,8 @@ def q202(spark: SparkSession, sf: str) -> DataFrame:
     tags=("events", "window"),
 )
 def q203(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.events import rolling_wau
+
     e = load(spark, sf, "events")
     act = (
         e.filter(F.col("event_type").isNotNull())
@@ -860,26 +862,8 @@ def q203(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    contrib = act.select(
-        "event_type",
-        "user_id",
-        "day_i",
-        F.explode(F.expr("sequence(0, 6)")).alias("off"),
-    ).select(
-        "event_type",
-        "user_id",
-        (F.col("day_i") + F.col("off")).alias("day_i"),
-        (F.col("off") == 0).alias("here"),
-    )
-    wau = (
-        contrib.groupBy("event_type", "day_i")
-        .agg(
-            F.count_distinct("user_id").alias("wau"),
-            F.max("here").alias("observed"),
-        )
-    )
     return (
-        wau.filter("observed")
+        rolling_wau(act, "event_type", "day_i", "user_id", window=7)
         .select(
             "event_type",
             F.date_from_unix_date(F.col("day_i").cast("int")).alias("day"),
@@ -1152,6 +1136,8 @@ def q206(spark: SparkSession, sf: str) -> DataFrame:
     tags=("events", "window"),
 )
 def q207(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.events import returning_rate
+
     e = load(spark, sf, "events")
     act = (
         e.filter(F.col("event_type").isNotNull())
@@ -1162,35 +1148,14 @@ def q207(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    contrib = act.select(
-        "event_type",
-        "user_id",
-        "day_i",
-        F.explode(F.expr("sequence(0, 28)")).alias("off"),
-    ).select(
-        "event_type",
-        "user_id",
-        (F.col("day_i") + F.col("off")).alias("day_i"),
-        (F.col("off") == 0).alias("present"),
-        (F.col("off") > 0).alias("past"),
-    )
-    per_user = contrib.groupBy("event_type", "day_i", "user_id").agg(
-        F.max("present").alias("present"), F.max("past").alias("past")
-    )
-    agg = per_user.groupBy("event_type", "day_i").agg(
-        F.sum(F.col("present").cast("long")).alias("n_active"),
-        F.sum(
-            (F.col("present") & F.col("past")).cast("long")
-        ).alias("n_returning"),
-    )
     return (
-        agg.filter(F.col("n_active") > 0)
+        returning_rate(act, "event_type", "day_i", "user_id", past=28)
         .select(
             "event_type",
             F.date_from_unix_date(F.col("day_i").cast("int")).alias("day"),
             "n_active",
             "n_returning",
-            F.expr("n_returning * 10000 div n_active").alias("returning_bp"),
+            "returning_bp",
         )
         .orderBy("event_type", "day")
     )

@@ -755,3 +755,177 @@ def streaming_spike(
     return df.groupBy(group_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def _activity_update(group_col, day_col, user_col, mode, span,
+                     emit_horizon, timeout_ms):
+    """Shared kernel for :func:`streaming_wau` (``mode='wau'``,
+    ``span`` = window) and :func:`streaming_returning_rate`
+    (``mode='returning'``, ``span`` = past horizon). State is the set
+    of distinct (user, day) activity pairs, stored as two parallel
+    arrays and bounded BY CONSTRUCTION at ``emit_horizon + span``
+    trailing days per group: the emittable days are the trailing
+    ``emit_horizon``, and the oldest of those looks back ``span``
+    further (window - 1 for WAU, the full past horizon for the
+    returning rate) — the per-(type, user) last-seen design with
+    eviction past the horizon. Fake-GroupState-testable (the
+    test_streaming idiom)."""
+
+    lookback = span - 1 if mode == "wau" else span
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            users, days = state.get
+            pairs = set(zip(users, days))
+        else:
+            pairs = set()
+        for pdf in pdfs:
+            pdf = pdf[pdf[user_col].notna() & pdf[day_col].notna()]
+            for u, d in zip(pdf[user_col], pdf[day_col]):
+                pairs.add((int(u), int(d)))
+        if not pairs:
+            return
+        mx = max(d for _, d in pairs)
+        # eviction: nothing older than the oldest emittable day's
+        # look-back can ever influence an emission again
+        pairs = {(u, d) for u, d in pairs if d > mx - (emit_horizon + lookback)}
+        items = sorted(pairs)
+        state.update(
+            ([u for u, _ in items], [d for _, d in items])
+        )
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        observed = sorted({d for _, d in pairs if d > mx - emit_horizon})
+        if mode == "wau":
+            out_d, out_w = [], []
+            for d in observed:
+                out_d.append(d)
+                out_w.append(
+                    len({u for u, dd in pairs if d - lookback <= dd <= d})
+                )
+            yield pd.DataFrame(
+                {group_col: key[0], day_col: out_d, "wau": out_w}
+            )
+        else:
+            out_d, out_a, out_r, out_bp = [], [], [], []
+            for d in observed:
+                active = {u for u, dd in pairs if dd == d}
+                returning = {
+                    u
+                    for u, dd in pairs
+                    if u in active and d - lookback <= dd <= d - 1
+                }
+                out_d.append(d)
+                out_a.append(len(active))
+                out_r.append(len(returning))
+                # both operands non-negative: Python // == div here
+                out_bp.append(len(returning) * 10000 // len(active))
+            yield pd.DataFrame(
+                {
+                    group_col: key[0],
+                    day_col: out_d,
+                    "n_active": out_a,
+                    "n_returning": out_r,
+                    "returning_bp": out_bp,
+                }
+            )
+
+    return update
+
+
+def streaming_wau(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    user_col: str,
+    *,
+    window: int = 7,
+    emit_horizon: int = 8,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.events.rolling_wau`` (q203's
+    kernel): the live rolling ``window``-day distinct-active-users
+    KPI. State per group is the distinct (user, day) activity set of
+    the trailing ``emit_horizon + window - 1`` days — bounded by
+    construction, evicted past the horizon; each micro-batch re-emits
+    the trailing ``emit_horizon`` OBSERVED days so late partials for
+    a retained day correct it (update mode: latest emission per
+    (group, day) wins; older days were emitted correctly while
+    fresh). On a closed in-order stream the final emissions equal the
+    batch operator row-for-row (asserted in test_streaming). Input
+    rows need not be pre-deduplicated — the state set dedupes.
+    Batch frames fall back to the exact batch operator."""
+    from kaflow_spark.operators.events import rolling_wau
+
+    if not df.isStreaming:
+        return rolling_wau(
+            df.select(group_col, day_col, user_col).distinct(),
+            group_col, day_col, user_col, window=window,
+        )
+    out_schema = f"{group_col} string, {day_col} bigint, wau bigint"
+    state_schema = "users array<bigint>, days array<bigint>"
+    update = _activity_update(
+        group_col, day_col, user_col, "wau", window, emit_horizon,
+        timeout_ms,
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
+def streaming_returning_rate(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    user_col: str,
+    *,
+    past: int = 28,
+    emit_horizon: int = 8,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.events.returning_rate`` (q207's
+    kernel): the live daily retention KPI — of the users active on
+    day d, the share also seen in the prior ``past`` days. Same
+    bounded-state design as :func:`streaming_wau` with the look-back
+    extended to the full ``past`` horizon (state:
+    ``emit_horizon + past`` trailing days of distinct (user, day)
+    pairs per group). Closed in-order stream == batch operator
+    row-for-row (asserted); integer basis points (both operands
+    non-negative, so Python ``//`` matches Spark ``div``). Batch
+    frames fall back to the exact batch operator."""
+    from kaflow_spark.operators.events import returning_rate
+
+    if not df.isStreaming:
+        return returning_rate(
+            df.select(group_col, day_col, user_col).distinct(),
+            group_col, day_col, user_col, past=past,
+        )
+    out_schema = (
+        f"{group_col} string, {day_col} bigint, n_active bigint, "
+        "n_returning bigint, returning_bp bigint"
+    )
+    state_schema = "users array<bigint>, days array<bigint>"
+    update = _activity_update(
+        group_col, day_col, user_col, "returning", past, emit_horizon,
+        timeout_ms,
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

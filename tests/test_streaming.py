@@ -950,3 +950,154 @@ def test_spike_kernel_negative_values_truncating_division():
     by_day = dict(zip(last["day"], last["ratio_bp"]))
     assert by_day[3] == -7142  # truncating; floor division says -7143
     assert -(-(-5 * 10000) // 7) == -7142 and (-5 * 10000) // 7 == -7143
+
+
+def test_streaming_wau_converges_to_batch(spark, tdir):
+    """Round 10: streaming rolling-WAU — after the stream closes the
+    latest emission per (group, day) equals the batch rolling_wau
+    operator row-for-row, including duplicate activity rows split
+    across micro-batches."""
+    from kaflow_spark.operators.events import rolling_wau
+    from kaflow_spark.streaming.stateful import streaming_wau
+
+    ddl = "g string, day bigint, user bigint"
+    rows1 = [
+        ("t", d, u) for d in range(5) for u in range(d + 1)
+    ] + [("t", 2, 0)]  # duplicate activity: must not double-count
+    rows2 = [("t", 5, 9), ("t", 7, 1), ("t", 7, 2), ("t", 8, 1)]
+    spark.createDataFrame(rows1, ddl).coalesce(1).write.mode("append").parquet(tdir)
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(tdir)
+    )
+    out = streaming_wau(stream, "g", "day", "user")
+    latest = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            latest[(r["g"], r["day"])] = r["wau"]
+
+    q = out.writeStream.outputMode("update").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(tdir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch_in = spark.createDataFrame(rows1 + rows2, ddl).distinct()
+    want = {
+        (r["g"], r["day"]): r["wau"]
+        for r in rolling_wau(batch_in, "g", "day", "user").collect()
+    }
+    assert latest == want and len(want) >= 7
+    # day 7: users {1, 2} active that day; window [1..7] also covers
+    # users from days 1-5
+    assert latest[("t", 7)] == len(
+        {u for _, d, u in rows1 + rows2 if 1 <= d <= 7}
+    )
+
+
+def test_streaming_returning_rate_converges_to_batch(spark, tdir):
+    """Round 10: streaming returning-user rate — closed stream ==
+    batch returning_rate row-for-row across all four output columns."""
+    from kaflow_spark.operators.events import returning_rate
+    from kaflow_spark.streaming.stateful import streaming_returning_rate
+
+    ddl = "g string, day bigint, user bigint"
+    rows1 = [("t", 0, 1), ("t", 0, 2), ("t", 1, 1), ("t", 2, 3)]
+    rows2 = [("t", 3, 1), ("t", 3, 4), ("t", 4, 2), ("t", 4, 3)]
+    spark.createDataFrame(rows1, ddl).coalesce(1).write.mode("append").parquet(tdir)
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(tdir)
+    )
+    out = streaming_returning_rate(stream, "g", "day", "user", past=28)
+    latest = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            latest[(r["g"], r["day"])] = (
+                r["n_active"], r["n_returning"], r["returning_bp"]
+            )
+
+    q = out.writeStream.outputMode("update").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(tdir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch_in = spark.createDataFrame(rows1 + rows2, ddl).distinct()
+    want = {
+        (r["g"], r["day"]): (
+            r["n_active"], r["n_returning"], r["returning_bp"]
+        )
+        for r in returning_rate(batch_in, "g", "day", "user", past=28).collect()
+    }
+    assert latest == want and len(want) == 5
+    # day 0: nobody has a past; day 1: user 1 returns (1/1); day 4:
+    # users 2 and 3 both returning (2/2)
+    assert latest[("t", 0)] == (2, 0, 0)
+    assert latest[("t", 1)] == (1, 1, 10000)
+    assert latest[("t", 4)] == (2, 2, 10000)
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.updated = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self.updated = v
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+
+def test_activity_kernel_state_bounded():
+    """Kernel drive with a fake GroupState: the (user, day) pair set
+    never spans more than emit_horizon + lookback trailing days, for
+    both modes, across 80 days of per-day activity."""
+    import pandas as pd
+    from kaflow_spark.streaming.stateful import _activity_update
+
+    for mode, span, bound in (("wau", 7, 8 + 6), ("returning", 28, 8 + 28)):
+        update = _activity_update("g", "day", "user", mode, span, 8, None)
+        st = _FakeGroupState()
+        for d in range(80):
+            pdf = pd.DataFrame({"day": [d] * 3, "user": [d % 5, 7, 9]})
+            list(update(("t",), iter([pdf]), st))
+            users, days = st.updated
+            assert len(set(days)) <= bound, (mode, d)
+            assert max(days) - min(days) < bound, (mode, d)
+        # steady state: 3 distinct users active every day
+        assert len(set(zip(users, days))) <= 3 * bound + 2
+
+
+def test_activity_kernel_wau_counts_window_exactly():
+    """WAU at day d counts distinct users over [d-6, d] only — a user
+    last seen 7 days ago is out."""
+    import pandas as pd
+    from kaflow_spark.streaming.stateful import _activity_update
+
+    update = _activity_update("g", "day", "user", "wau", 7, 8, None)
+    st = _FakeGroupState()
+    list(update(("t",), iter([pd.DataFrame({"day": [0], "user": [1]})]), st))
+    out = list(
+        update(("t",), iter([pd.DataFrame({"day": [6, 7], "user": [2, 3]})]), st)
+    )[0]
+    got = dict(zip(out["day"], out["wau"]))
+    assert got[6] == 2  # users 1 (day 0) and 2 (day 6) within [0..6]
+    assert got[7] == 2  # user 1 aged out of [1..7]; users 2, 3 in
