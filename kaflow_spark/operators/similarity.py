@@ -359,3 +359,260 @@ def hard_negatives(
         .filter(F.col("neg_rank") <= int(k))
         .select("query_id", "neg_rank", id_col, "score")
     )
+
+
+def ivf_list_stats(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """IVF list-occupancy table ``(_ivf_list, n)`` — the health
+    metric behind index maintenance: a quantizer fitted on yesterday's
+    sample shows its age as occupancy drift (new mass crowding into
+    few lists). One partial-agg'd pass over the assignment."""
+    return (
+        ivf_assign(df, vec_col, centroids)
+        .groupBy("_ivf_list")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _multi_query_exact_topk(
+    assigned: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: list[list[float]],
+    k: int,
+) -> DataFrame:
+    """Exact cosine top-``k`` for MANY queries in ONE corpus pass:
+    each Arrow batch scores all queries with a single matmul and
+    emits only its batch-local top-k per query; a tiny global
+    window over the partial winners (|partitions| * Q * k rows)
+    finishes the job. Scores rounded to 6 digits, ties by id — the
+    :func:`cosine_topk` determinism contract. Input must carry
+    ``_ivf_list`` (from :func:`ivf_assign`) so the recall curve can
+    be read off the ground truth without a second retrieval pass.
+
+    Ground truth is the top-k DISTINCT-SCORE neighbors: equal
+    rounded scores are (near-certainly) duplicate vectors, which
+    share one assignment by construction — keeping them all would
+    let a duplicate-heavy corpus (every top-k = k copies of the
+    query, co-located in one list) report recall 1.0 at nprobe=1
+    while genuinely-distinct neighborhoods go unmeasured (observed
+    on the replicated scale fixture: the tuner returned m=1 and
+    WORSENED planted recall). Deduping by score measures the
+    neighborhood structure the index actually has to serve; on a
+    duplicate-free corpus it changes nothing."""
+    from pyspark.sql.window import Window
+
+    qm = np.array(queries, dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    nq = len(queries)
+
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            xn = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
+            s = np.round(xn @ qn.T, 6)  # B x Q
+            ids = pdf[id_col].to_numpy()
+            lists = pdf["_ivf_list"].to_numpy()
+            out_q, out_i, out_l, out_s = [], [], [], []
+            for qi in range(nq):
+                order = np.lexsort((ids, -s[:, qi]))
+                # batch-local distinct-score top-k (first occurrence
+                # = smallest id at that score, matching the window)
+                _, first = np.unique(-s[order, qi], return_index=True)
+                order = order[np.sort(first)][:k]
+                out_q.extend([qi] * len(order))
+                out_i.extend(ids[order])
+                out_l.extend(lists[order])
+                out_s.extend(s[order, qi])
+            yield pd.DataFrame(
+                {
+                    "qid": np.array(out_q, dtype=np.int32),
+                    "_mq_id": np.array(out_i, dtype=np.int64),
+                    "_mq_list": np.array(out_l, dtype=np.int32),
+                    "score": np.array(out_s, dtype=np.float64),
+                }
+            )
+
+    part = assigned.select(
+        F.col(id_col), F.col("_ivf_list"), F.col(vec_col)
+    ).mapInPandas(
+        kernel, "qid int, _mq_id bigint, _mq_list int, score double"
+    )
+    # global distinct-score merge: one row per (qid, score), smallest
+    # id wins (duplicate vectors share score AND list, so this is
+    # lossless for the list-membership statistic)
+    merged = part.groupBy("qid", "score").agg(
+        F.min(F.struct("_mq_id", "_mq_list")).alias("_w")
+    ).select("qid", "score", "_w._mq_id", "_w._mq_list")
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("_mq_id")
+    )
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def ivf_tune_nprobe(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    centroids: list[list[float]] | None = None,
+    n_lists: int = 16,
+    k: int = 10,
+    n_queries: int = 20,
+    target_recall_bp: int = 9500,
+    seed: int = 42,
+) -> dict:
+    """Self-probing nprobe auto-tuner — the maintenance operator that
+    operationalizes the measured SCALING rule "probe more, not
+    finer": as a corpus outgrows its quantizer fit, FIXED-nprobe
+    recall decays; the recovery lever is probing more lists, and this
+    measures how many, with no hand tuning.
+
+    Mechanism (one corpus pass, no per-nprobe re-retrieval): sample
+    ``n_queries`` corpus vectors as self-queries (a corpus vector's
+    neighborhood is the same retrieval job the index serves), compute
+    their EXACT cosine top-``k`` annotated with each hit's assigned
+    IVF list (:func:`_multi_query_exact_topk` — batch-local matmul
+    top-k, then a tiny global window), and read the whole
+    recall-vs-nprobe curve off the ground truth: IVF retrieval at
+    nprobe m returns exactly the best rows inside the m
+    query-nearest lists, so recall@m per query is simply the share
+    of true top-k hits whose list ranks within the query's first m
+    probes. Returns the smallest nprobe whose MEAN recall (basis
+    points, integer) meets ``target_recall_bp``, plus the full curve
+    and occupancy stats for monitoring::
+
+        {"nprobe": m, "recall_bp": {1: ..., ..., L: 10000},
+         "occupancy": {list: n}, "n_lists": L}
+
+    Scale shape: centroid fit is the existing sampled k-means;
+    ground truth is ONE distributed pass (every query scored in the
+    same matmul); everything else is driver arithmetic over Q*k
+    rows. Run it per index build or on an occupancy-drift trigger
+    (:func:`ivf_list_stats`); recall estimates are exact for the
+    sampled queries, seeded and deterministic."""
+    if centroids is None:
+        centroids = ivf_fit(df, vec_col, n_lists=n_lists, seed=seed)
+    n_lists = len(centroids)
+    cents = np.array(centroids, dtype=np.float64)
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+
+    total = df.count()
+    frac = min(1.0, (n_queries * 20) / max(total, 1))
+    pool = (
+        df.select(id_col, vec_col).sample(frac, seed=seed).limit(n_queries * 20)
+    ).collect()
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(pool), size=min(n_queries, len(pool)), replace=False)
+    queries = [list(map(float, pool[i][1])) for i in idx]
+
+    assigned = ivf_assign(df, vec_col, centroids).persist()
+    try:
+        truth = _multi_query_exact_topk(
+            assigned, vec_col, id_col, queries, k
+        ).collect()
+        occupancy = {
+            int(r["_ivf_list"]): int(r["n"])
+            for r in assigned.groupBy("_ivf_list")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    finally:
+        assigned.unpersist()
+
+    qm = np.array(queries, dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    # probe rank of each list per query: position in descending
+    # query-centroid similarity — the ivf_candidates probe order
+    sims = qn @ cn.T
+    ranks = np.empty_like(sims, dtype=np.int64)
+    for qi in range(len(queries)):
+        order = np.argsort(-sims[qi], kind="stable")
+        ranks[qi, order] = np.arange(n_lists)
+
+    per_q: dict[int, list[int]] = {}
+    for r in truth:
+        per_q.setdefault(int(r["qid"]), []).append(int(r["_mq_list"]))
+    curve: dict[int, int] = {}
+    for m in range(1, n_lists + 1):
+        hits = 0
+        n_truth = 0
+        for qi, lists in per_q.items():
+            n_truth += len(lists)
+            hits += sum(1 for li in lists if ranks[qi, li] < m)
+        curve[m] = (hits * 10000) // max(n_truth, 1)
+    chosen = next(
+        (m for m in range(1, n_lists + 1) if curve[m] >= target_recall_bp),
+        n_lists,
+    )
+    return {
+        "nprobe": chosen,
+        "recall_bp": curve,
+        "occupancy": occupancy,
+        "n_lists": n_lists,
+    }
+
+
+def ivf_refresh(
+    df: DataFrame,
+    vec_col: str,
+    old_centroids: list[list[float]],
+    *,
+    n_lists: int | None = None,
+    sample: int = 10_000,
+    seed: int = 43,
+) -> dict:
+    """Quantizer refresh + drift report: refit centroids on a FRESH
+    sample of the CURRENT corpus and compare assignment mass between
+    the old and new quantizers (one pass each, partial-agg'd counts).
+    Returns::
+
+        {"centroids": new, "drift_bp": L1/2 distance between the two
+         assignment-share distributions in basis points (0 = the old
+         fit still tiles the data the same way; large = the corpus
+         outgrew it), "old_shares": {...}, "new_shares": {...}}
+
+    The companion to :func:`ivf_tune_nprobe`: tune answers "how many
+    lists must I probe to hit target recall NOW", refresh answers
+    "should I rebuild instead" — rebuild when drift is high AND the
+    tuned nprobe's candidate fraction (sum of probed occupancy) has
+    crept toward a full scan. Note the shares are sorted before the
+    L1: k-means list IDENTITY is arbitrary across fits, so the
+    comparison is between occupancy SHAPES (how evenly each
+    quantizer tiles the corpus), not per-id reassignment."""
+    n_lists = n_lists or len(old_centroids)
+    new = ivf_fit(df, vec_col, n_lists=n_lists, sample=sample, seed=seed)
+
+    def shares(cents):
+        counts = {
+            int(r["_ivf_list"]): int(r["n"])
+            for r in ivf_list_stats(df, vec_col, cents).collect()
+        }
+        total = sum(counts.values()) or 1
+        return {c: counts.get(c, 0) * 10000 // total for c in range(len(cents))}
+
+    old_s = shares(old_centroids)
+    new_s = shares(new)
+    a = sorted(old_s.values(), reverse=True)
+    b = sorted(new_s.values(), reverse=True)
+    pad = max(len(a), len(b))
+    a += [0] * (pad - len(a))
+    b += [0] * (pad - len(b))
+    drift = sum(abs(x - y) for x, y in zip(a, b)) // 2
+    return {
+        "centroids": new,
+        "drift_bp": drift,
+        "old_shares": old_s,
+        "new_shares": new_s,
+    }

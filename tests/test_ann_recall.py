@@ -104,3 +104,121 @@ def test_fixture_recall_floors_hold(spark, sf_dir):
     recall63 = len(exact & set(a63)) / 10
     assert recall44 >= 0.3, f"q44 fixture recall fell to {recall44}"
     assert recall63 >= 0.6, f"q63 fixture recall fell to {recall63}"
+
+
+def _grown_corpus(spark, mult):
+    """The planted corpus replicated mult x (id-shifted copies of the
+    noise), the scale_probe growth pattern that decays fixed-nprobe
+    recall as the quantizer fit ages relative to the corpus."""
+    rng = random.Random(7)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    dim = 32
+    base = unit([rng.gauss(0, 1) for _ in range(dim)])
+    noise = [
+        (i, unit([rng.gauss(0, 1) for _ in range(dim)])) for i in range(300)
+    ]
+    planted = [
+        (1000 + i, unit([b + rng.gauss(0, 0.1) for b in base]))
+        for i in range(10)
+    ]
+    query = unit([b + rng.gauss(0, 0.1) for b in base])
+    rep = [(i + 10_000_000 * j, v) for j in range(mult) for i, v in noise]
+    df = spark.createDataFrame(
+        rep + planted, "vec_id bigint, embedding array<double>"
+    )
+    return df, query, {p for p, _ in planted}
+
+
+def test_ivf_tuner_restores_recall_at_10x_without_hand_tuning(spark):
+    """Round 10: the self-probing nprobe tuner operationalizes the
+    SCALING rule 'probe more, not finer' — at 10x corpus growth it
+    picks (from its own one-pass recall curve, no hand tuning) an
+    nprobe that retrieves the planted cluster completely."""
+    from kaflow_spark.operators.similarity import (
+        ivf_fit,
+        ivf_topk,
+        ivf_tune_nprobe,
+    )
+
+    df, query, planted = _grown_corpus(spark, 10)
+    cents = ivf_fit(df, "embedding", n_lists=16, seed=42)
+    tune = ivf_tune_nprobe(
+        df, "embedding", "vec_id", centroids=cents, k=10,
+        n_queries=20, target_recall_bp=9500,
+    )
+    m = tune["nprobe"]
+    curve = tune["recall_bp"]
+    # the grown corpus needs MORE probes than the 1x default of 4
+    assert 4 < m <= 16, tune
+    # curve sanity: monotone non-decreasing, exact at full probe,
+    # and m is minimal for the target
+    assert all(curve[i] <= curve[i + 1] for i in range(1, 16))
+    assert curve[16] == 10000
+    assert curve[m] >= 9500 and (m == 1 or curve[m - 1] < 9500)
+    got = {
+        r["vec_id"]
+        for r in ivf_topk(
+            df, "embedding", "vec_id", query, k=10,
+            centroids=cents, nprobe=m,
+        ).collect()
+    }
+    assert got == planted, f"tuned nprobe={m} missed {planted - got}"
+
+
+def test_ivf_tuner_ground_truth_dedupes_exact_copies(spark):
+    """The replication trap the tuner must not fall into: a
+    duplicate-heavy corpus makes every raw top-k = k co-located
+    copies, reporting recall 1.0 at nprobe=1 (observed before the
+    distinct-score dedupe) — while genuine neighborhoods need far
+    more probes. The dedupe keeps the curve honest."""
+    from kaflow_spark.operators.similarity import ivf_fit, ivf_tune_nprobe
+
+    df, _, _ = _grown_corpus(spark, 10)
+    cents = ivf_fit(df, "embedding", n_lists=16, seed=42)
+    tune = ivf_tune_nprobe(
+        df, "embedding", "vec_id", centroids=cents, k=10,
+        n_queries=20, target_recall_bp=9500,
+    )
+    assert tune["nprobe"] > 1, tune
+    assert tune["recall_bp"][1] < 9000, tune["recall_bp"]
+
+
+def test_ivf_refresh_drift_separates_grown_from_stationary(spark):
+    """ivf_refresh's occupancy-shape drift: near-zero when the corpus
+    merely replicated (the old fit still tiles it), large when half
+    the new mass arrived in a direction the old fit never saw."""
+    import random as _random
+
+    from kaflow_spark.operators.similarity import ivf_fit, ivf_refresh
+
+    df, query, _ = _grown_corpus(spark, 5)
+    old = ivf_fit(df, "embedding", n_lists=16, seed=42)
+    stationary = ivf_refresh(df, "embedding", old)
+    assert len(stationary["centroids"]) == 16
+    assert stationary["drift_bp"] < 1200, stationary["drift_bp"]
+
+    rng = _random.Random(11)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    newclust = [
+        (
+            5_000_000 + i,
+            unit([-q + rng.gauss(0, 0.05) for q in query]),
+        )
+        for i in range(1500)
+    ]
+    grown = df.unionAll(
+        df.sparkSession.createDataFrame(
+            newclust, "vec_id bigint, embedding array<double>"
+        )
+    )
+    shifted = ivf_refresh(grown, "embedding", old)
+    assert shifted["drift_bp"] > 1500, shifted["drift_bp"]
+    assert shifted["drift_bp"] > 3 * max(stationary["drift_bp"], 100)

@@ -292,6 +292,48 @@ def main() -> None:
         )
         print(rows[-1], flush=True)
 
+    # the round-10 maintenance loop: the self-probing tuner picks
+    # nprobe from its own one-pass recall curve — "probe more, not
+    # finer" without hand tuning, at every scale
+    from kaflow_spark.operators.similarity import ivf_fit, ivf_tune_nprobe
+
+    cells = {}
+    for mult in (1, 5, 10):
+        noise = replicate(
+            emb.select("vec_id", "embedding"), mult, "vec_id", 10_000_000
+        )
+        corpus = noise.unionAll(
+            spark.createDataFrame(
+                _planted_rows, "vec_id bigint, embedding array<double>"
+            )
+        )
+        cents = ivf_fit(corpus, "embedding", n_lists=16, seed=42)
+        m = ivf_tune_nprobe(
+            corpus, "embedding", "vec_id", centroids=cents, k=10,
+            n_queries=20, target_recall_bp=9500,
+        )["nprobe"]
+        got = {
+            r["vec_id"]
+            for r in ivf_topk(
+                corpus, "embedding", "vec_id", _pquery, k=10,
+                centroids=cents, nprobe=m,
+            ).collect()
+        }
+        n_total = n_emb_base * mult + 10
+        n_cand = ivf_candidates(
+            corpus, "embedding", _pquery, centroids=cents, nprobe=m
+        ).count()
+        cells[mult] = (
+            f"{len(got & _pids) / 10:.2f} (m={m}, cand "
+            f"{100 * n_cand / n_total:.0f}%)"
+        )
+    rows.append(
+        f"| ANN IVF q63 AUTO-tuned nprobe recall@10, planted "
+        f"({n_emb_base} vecs/x) | {cells[1]} | {cells[5]} | {cells[10]} "
+        f"| - |"
+    )
+    print(rows[-1], flush=True)
+
     # ---- round-2 curation suite (q84-q95 operators) ----
 
     from kaflow_spark.operators.curation import (
