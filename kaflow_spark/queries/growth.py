@@ -1,0 +1,515 @@
+"""Round-10 declared queries: growth accounting and cross-domain
+provenance (q209-q214).
+
+The product-analytics layer a live deployment runs on top of the
+round-9 monitors: daily growth accounting (q209 new/retained/
+resurrected/churned — the canonical DAU decomposition), engagement
+stickiness (q210 DAU/MAU), timing-shape fingerprints (q211
+inter-event gap histogram), per-source vocabulary freshness (q212
+hapax share), cross-series co-movement (q213 pairwise Pearson over
+aligned daily series, the q74 exact-moment discipline applied per
+type pair), and the vector-table provenance star (q214 embedding
+norms by the document dimensions, q208's enrichment shape applied to
+the vector corpus). Registry discipline throughout: exact integer
+arithmetic (cents / basis points / micro-units, DECIMAL(38,0) where
+products outgrow int64), floats only in final fixed expressions of
+correctly-rounded IEEE ops with explicit zero-denominator guards on
+both engines, deterministic total orders, and every enumeration runs
+over a BOUNDED contracted table (distinct activity, per-type day
+series, |types|^2 pairs), never the raw event log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kaflow_spark.catalog import load
+from kaflow_spark.queries.base import declare
+
+
+def _activity(e: DataFrame) -> DataFrame:
+    """Contracted distinct (event_type, day_i, user_id) activity —
+    the shared input grain of the growth-accounting family (same
+    contraction as q203/q207: the explode fans out THIS table, never
+    the event log)."""
+    return (
+        e.filter(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+            "user_id",
+        )
+        .distinct()
+    )
+
+
+_ACT_SQL = """
+    SELECT DISTINCT event_type,
+           CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_i,
+           user_id
+    FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+"""
+
+
+@declare(
+    "q209_growth_accounting",
+    oracle=f"""
+    WITH act AS ({_ACT_SQL}),
+    act2 AS (
+        SELECT event_type, user_id, day_i,
+               MIN(day_i) OVER (PARTITION BY event_type, user_id)
+                   AS first_day
+        FROM act),
+    contrib AS (
+        SELECT event_type, user_id, day_i, first_day,
+               TRUE AS cur, FALSE AS prev FROM act2
+        UNION ALL
+        SELECT event_type, user_id, day_i + 1, first_day,
+               FALSE, TRUE FROM act2),
+    pu AS (
+        SELECT event_type, day_i, user_id,
+               MAX(cur) AS cur, MAX(prev) AS prev,
+               MIN(first_day) AS first_day
+        FROM contrib GROUP BY event_type, day_i, user_id),
+    agg AS (
+        SELECT event_type, day_i,
+           CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_active,
+           CAST(SUM(CASE WHEN cur AND first_day = day_i THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN cur AND prev THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+           CAST(SUM(CASE WHEN cur AND NOT prev AND first_day < day_i
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+           CAST(SUM(CASE WHEN prev AND NOT cur THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_churned
+        FROM pu GROUP BY event_type, day_i)
+    SELECT event_type, DATE '1970-01-01' + CAST(day_i AS INT) AS day,
+           n_active, n_new, n_retained, n_resurrected, n_churned
+    FROM agg WHERE n_active > 0
+    ORDER BY event_type, day
+    """,
+    doc="Daily growth accounting per event type — the canonical DAU "
+    "decomposition (new + retained + resurrected = active; churned = "
+    "yesterday's actives who left): per (type, day), users first seen "
+    "that day, users also active the previous day, users back after "
+    "a gap, and users active yesterday but not today. ONE lineage, "
+    "no diamond: first-seen day rides the contracted activity table "
+    "as a window (same bounded table the 2-way presence explode fans "
+    "out), one aggregation per (type, day, user) merges the "
+    "today/yesterday markers, one bounded rollup counts the four "
+    "cohorts. Emitted for observed (n_active > 0) days; identity "
+    "n_new + n_retained + n_resurrected = n_active holds by "
+    "construction and is property-tested.",
+    tags=("events", "window", "audit"),
+)
+def q209(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    act = _activity(load(spark, sf, "events"))
+    act2 = act.withColumn(
+        "first_day",
+        F.min("day_i").over(
+            Window.partitionBy("event_type", "user_id")
+        ),
+    )
+    contrib = act2.select(
+        "event_type",
+        "user_id",
+        "first_day",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("day_i").alias("d"),
+                    F.lit(True).alias("cur"),
+                    F.lit(False).alias("prev"),
+                ),
+                F.struct(
+                    (F.col("day_i") + 1).alias("d"),
+                    F.lit(False).alias("cur"),
+                    F.lit(True).alias("prev"),
+                ),
+            )
+        ).alias("m"),
+    ).select(
+        "event_type",
+        "user_id",
+        "first_day",
+        F.col("m.d").alias("day_i"),
+        F.col("m.cur").alias("cur"),
+        F.col("m.prev").alias("prev"),
+    )
+    pu = contrib.groupBy("event_type", "day_i", "user_id").agg(
+        F.max("cur").alias("cur"),
+        F.max("prev").alias("prev"),
+        F.min("first_day").alias("first_day"),
+    )
+    agg = pu.groupBy("event_type", "day_i").agg(
+        F.sum(F.col("cur").cast("long")).alias("n_active"),
+        F.sum(
+            (F.col("cur") & (F.col("first_day") == F.col("day_i")))
+            .cast("long")
+        ).alias("n_new"),
+        F.sum((F.col("cur") & F.col("prev")).cast("long")).alias(
+            "n_retained"
+        ),
+        F.sum(
+            (
+                F.col("cur")
+                & ~F.col("prev")
+                & (F.col("first_day") < F.col("day_i"))
+            ).cast("long")
+        ).alias("n_resurrected"),
+        F.sum((F.col("prev") & ~F.col("cur")).cast("long")).alias(
+            "n_churned"
+        ),
+    )
+    return (
+        agg.filter(F.col("n_active") > 0)
+        .select(
+            "event_type",
+            F.date_from_unix_date(F.col("day_i").cast("int")).alias("day"),
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            "n_churned",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@declare(
+    "q210_dau_mau_stickiness",
+    oracle=f"""
+    WITH act AS ({_ACT_SQL}),
+    contrib AS (
+        SELECT event_type, user_id, day_i + off.off AS day_i,
+               off.off = 0 AS here
+        FROM act, (SELECT unnest(range(0, 28)) AS off) off),
+    g AS (
+        SELECT event_type, day_i,
+               CAST(COUNT(DISTINCT CASE WHEN here THEN user_id END)
+                   AS BIGINT) AS dau,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau,
+               MAX(here) AS observed
+        FROM contrib GROUP BY event_type, day_i)
+    SELECT event_type, DATE '1970-01-01' + CAST(day_i AS INT) AS day,
+           dau, mau, CAST(dau * 10000 // mau AS BIGINT) AS stickiness_bp
+    FROM g WHERE observed
+    ORDER BY event_type, day
+    """,
+    doc="DAU/MAU stickiness per event type — the engagement-intensity "
+    "ratio next to q203's WAU: distinct users active on day d over "
+    "distinct users active in [d-27, d], integer basis points. ONE "
+    "aggregation computes both cardinalities (the MAU explode's "
+    "offset-0 marker doubles as the DAU membership filter via a "
+    "conditional COUNT DISTINCT), so there is no two-window diamond "
+    "to de-canonicalize; the 28x fan-out multiplies the CONTRACTED "
+    "activity table, never the event log. Observed days only; "
+    "mau >= dau >= 1 by construction, so the division needs no "
+    "guard.",
+    tags=("events", "window"),
+)
+def q210(spark: SparkSession, sf: str) -> DataFrame:
+    act = _activity(load(spark, sf, "events"))
+    contrib = act.select(
+        "event_type",
+        "user_id",
+        "day_i",
+        F.explode(F.expr("sequence(0, 27)")).alias("off"),
+    ).select(
+        "event_type",
+        "user_id",
+        (F.col("day_i") + F.col("off")).alias("day_i"),
+        (F.col("off") == 0).alias("here"),
+    )
+    g = contrib.groupBy("event_type", "day_i").agg(
+        F.count_distinct(
+            F.when(F.col("here"), F.col("user_id"))
+        ).alias("dau"),
+        F.count_distinct("user_id").alias("mau"),
+        F.max("here").alias("observed"),
+    )
+    return (
+        g.filter("observed")
+        .select(
+            "event_type",
+            F.date_from_unix_date(F.col("day_i").cast("int")).alias("day"),
+            "dau",
+            "mau",
+            F.expr("dau * 10000 div mau").alias("stickiness_bp"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@declare(
+    "q211_interarrival_histogram",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, user_id,
+               CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec, event_id
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL),
+    g AS (
+        SELECT event_type,
+               sec - LAG(sec) OVER (PARTITION BY event_type, user_id
+                                    ORDER BY sec, event_id) AS gap
+        FROM s)
+    SELECT event_type,
+           CAST(LENGTH(CAST(gap AS VARCHAR)) AS BIGINT) AS gap_digits,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY event_type, gap_digits
+    ORDER BY event_type, gap_digits
+    """,
+    doc="Inter-event timing fingerprint: per event type, the "
+    "histogram of consecutive same-user gap durations bucketed by "
+    "DECIMAL DIGIT COUNT of the gap in seconds (1 digit = under 10s, "
+    "5 digits = hours-to-a-day...) — the bot-vs-human / batch-vs-"
+    "organic shape audit next to q188's burstiness scalar. The digit "
+    "bucket is length(CAST(gap AS VARCHAR)) — pure integer-to-text, "
+    "identical in both engines, where floor(log10/log2) would ride "
+    "on a non-correctly-rounded libm log (the q201 lesson). Epoch "
+    "seconds via truncation on BOTH sides (Spark's LONG cast "
+    "truncates; DuckDB's epoch() CAST rounds — epoch_us // 1e6 is "
+    "the portable form, the q152 corollary). One user-partitioned "
+    "lag window, then a bounded (|types| x ~12 digit-buckets) "
+    "rollup.",
+    tags=("events", "window", "audit"),
+)
+def q211(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf, "events")
+    s = e.filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        "event_type",
+        "user_id",
+        F.expr("CAST(ts AS LONG)").alias("sec"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("sec", "event_id")
+    g = s.select(
+        "event_type",
+        (F.col("sec") - F.lag("sec").over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return (
+        g.groupBy(
+            "event_type",
+            F.length(F.col("gap").cast("string")).cast("bigint").alias(
+                "gap_digits"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "gap_digits")
+    )
+
+
+@declare(
+    "q212_source_hapax_share",
+    oracle="""
+    WITH tk AS (
+        SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS t
+        FROM documents),
+    pt AS (SELECT source, t, COUNT(*) AS c FROM tk GROUP BY source, t)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000
+                // GREATEST(COUNT(*), 1) AS BIGINT) AS hapax_bp
+    FROM pt GROUP BY source ORDER BY source
+    """,
+    doc="Per-source vocabulary freshness: hapax legomena (tokens "
+    "occurring exactly once in the source) as a share of the "
+    "source's distinct vocabulary — high hapax share = heavy-tailed, "
+    "fresh text; low = templated/repetitive, the complement to "
+    "q196's Heaps growth and q204's boilerplate prefixes for mixture "
+    "weighting. q77's corpus-global shape at the source grain: one "
+    "token explode, one (source, token) partial-agg'd count, one "
+    "bounded per-source fold; integer basis points.",
+    tags=("curation", "text", "audit"),
+)
+def q212(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    tk = d.select(
+        "source",
+        F.explode(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("t"),
+    )
+    pt = tk.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        pt.groupBy("source")
+        .agg(
+            F.sum("c").alias("total_tokens"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.sum((F.col("c") == 1).cast("long")).alias("hapax"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "distinct_tokens",
+            "hapax",
+            F.expr(
+                "hapax * 10000 div greatest(distinct_tokens, 1)"
+            ).alias("hapax_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@declare(
+    "q213_cross_type_correlation",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    ser AS (
+        SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS v
+        FROM e GROUP BY event_type, day),
+    j AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.v AS x, b.v AS y
+        FROM ser a JOIN ser b
+          ON a.day = b.day AND a.event_type < b.event_type),
+    s AS (
+        SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+        FROM j GROUP BY type_a, type_b)
+    SELECT type_a, type_b, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                           / SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 9)
+           END AS corr_r
+    FROM s ORDER BY type_a, type_b
+    """,
+    doc="Cross-series co-movement: pairwise Pearson correlation "
+    "between event types' daily cent volumes over their ALIGNED days "
+    "(inner join on day — days where both series have volume) — the "
+    "'do refunds track checkouts' monitor. q74's exact-moment "
+    "discipline applied per pair: all six sufficient statistics are "
+    "exact DECIMAL(38,0) sums over the BOUNDED per-type day series "
+    "(the |types|^2 pair join never sees the event log), and floats "
+    "enter only in the final fixed expression (cast, two "
+    "correctly-rounded IEEE sqrts, two divides, one round) behind an "
+    "explicit positive-variance guard on BOTH engines (the q198 "
+    "zero-variance lesson) — constant series emit NULL, not "
+    "NaN-vs-NULL divergence.",
+    tags=("events", "stats"),
+)
+def q213(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    ser = (
+        e.filter(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("event_type", "day_i")
+        .agg(F.sum("cents").alias("v"))
+    )
+    a = ser.select(
+        F.col("event_type").alias("type_a"),
+        "day_i",
+        F.col("v").alias("x"),
+    )
+    b = ser.select(
+        F.col("event_type").alias("type_b"),
+        "day_i",
+        F.col("v").alias("y"),
+    )
+    j = a.join(b, "day_i").filter(F.col("type_a") < F.col("type_b"))
+    big = "decimal(38,0)"
+    s = j.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast(big).alias("sx"),
+        F.sum("y").cast(big).alias("sy"),
+        F.sum(F.col("x").cast(big) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(big) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(big) * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        "type_a",
+        "type_b",
+        "n",
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+            " THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+            "           / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))"
+            "           / SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 9)"
+            " END"
+        ).alias("corr_r"),
+    ).orderBy("type_a", "type_b")
+
+
+@declare(
+    "q214_vector_provenance_audit",
+    oracle="""
+    WITH n AS (
+        SELECT d.source, d.lang,
+               CAST(FLOOR(sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * x))) * 1000000) AS BIGINT)
+                   AS norm_micro
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id)
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(norm_micro) AS BIGINT) AS min_norm,
+           CAST(MAX(norm_micro) AS BIGINT) AS max_norm,
+           CAST(SUM(norm_micro) // COUNT(*) AS BIGINT) AS mean_norm
+    FROM n GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+    doc="Vector-table provenance star: embedding norms rolled up by "
+    "the DOCUMENT dimensions (source, lang) via the vec_id = doc_id "
+    "identity — q208's cross-domain enrichment shape applied to the "
+    "vector corpus, and the audit that localizes q202's norm "
+    "anomalies to a provenance cell ('which source shipped the "
+    "near-zero vectors'). The dimension projection (doc_id, source, "
+    "lang) broadcasts — narrow id-keyed rows, no shuffle of the "
+    "vector table (plan-asserted: no SortMergeJoin); norms "
+    "floor-quantized to integer micro-units before any aggregation "
+    "(the q202 discipline — per-row float work is sequential and "
+    "identical on both engines, cross-row work is pure integers).",
+    tags=("vectors", "join", "audit"),
+)
+def q214(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    d = load(spark, sf, "documents").select("doc_id", "source", "lang")
+    n = emb.join(
+        F.broadcast(d), emb["vec_id"] == d["doc_id"]
+    ).select(
+        "source",
+        "lang",
+        F.expr(
+            "CAST(FLOOR(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + CAST(x AS DOUBLE) * x)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("norm_micro"),
+    )
+    return (
+        n.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("norm_micro").alias("min_norm"),
+            F.max("norm_micro").alias("max_norm"),
+            F.expr("SUM(norm_micro) div COUNT(*)").alias("mean_norm"),
+        )
+        .orderBy("source", "lang")
+    )

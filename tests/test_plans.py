@@ -903,3 +903,44 @@ def test_q208_star_broadcasts_dims_no_fact_shuffle_for_join(spark, sf_dir):
 
     txt = explain_str(df)
     assert "SortMergeJoin" not in txt
+
+
+def test_q209_growth_accounting_single_scan(spark, sf_dir):
+    """q209: first-seen day rides the contracted activity table as a
+    window on ONE lineage — no separate first-day aggregation branch
+    re-scanning events (static planner, the trap-9 idiom)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q209_growth_accounting"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert plan.count("Scan parquet") == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q210_stickiness_single_scan_single_distinct_pass(spark, sf_dir):
+    """q210: DAU and MAU come from ONE aggregation over the explode
+    (the conditional distinct count) — one events scan, no per-window
+    diamond."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q210_dau_mau_stickiness"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert plan.count("Scan parquet") == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q214_vector_star_broadcasts_dim(spark, sf_dir):
+    """q214: the document dimension projection broadcasts; the vector
+    table never shuffles to satisfy the join."""
+    df = REGISTRY["q214_vector_provenance_audit"].spark(spark, sf_dir)
+    assert has_broadcast_join(df, count=1)
+    from kaflow_spark.plans.explain import explain_str
+
+    txt = explain_str(df)
+    assert "SortMergeJoin" not in txt

@@ -86,3 +86,8 @@ def test_registry_size_floor_round6_batch2():
     # diff, last-touch attribution, share-of-parent contribution,
     # unpivot roundtrip
     assert len(REGISTRY) >= 173
+
+
+def test_registry_size_floor_round10():
+    # round-10 widening: q209-q214 (growth / provenance families)
+    assert len(REGISTRY) >= 214
