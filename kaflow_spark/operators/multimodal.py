@@ -194,35 +194,10 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
 
 def decode_png(payload: bytes) -> dict:
     """Pure-stdlib PNG decode: chunk walk, inflate, un-filter, pixel
-    stats. Supports 8-bit depth, color types 0/2/4/6, no interlace."""
-    if payload[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG payload")
-    pos, idat = 8, bytearray()
-    width = height = channels = -1
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        tag = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # len + tag + data + crc
-        if tag == b"IHDR":
-            if len(data) < 13:
-                raise ValueError("malformed PNG: IHDR shorter than 13 bytes")
-            width, height, depth, ctype, _, _, interlace = struct.unpack(
-                ">IIBBBBB", data[:13]
-            )
-            if depth != 8 or ctype not in _PNG_CHANNELS or interlace:
-                raise ValueError(
-                    f"unsupported PNG (depth={depth} color={ctype} "
-                    f"interlace={interlace}); only 8-bit non-interlaced"
-                )
-            channels = _PNG_CHANNELS[ctype]
-        elif tag == b"IDAT":
-            idat += data
-        elif tag == b"IEND":
-            break
-    if width < 0:  # IHDR never seen (or parsed short)
-        raise ValueError("malformed PNG: missing IHDR chunk")
-    pixels = _png_unfilter(zlib.decompress(bytes(idat)), width, height, channels)
+    stats. Supports 8-bit depth, color types 0/2/4/6, no interlace.
+    (Front half shared with :func:`resize_png` via
+    :func:`_png_pixels`.)"""
+    width, height, channels, pixels = _png_pixels(payload)
     return {
         "width": width,
         "height": height,
@@ -475,3 +450,140 @@ def frame_sample(df: DataFrame, payload_col: str = "payload", n_frames: int = 4)
         ),
     )
     return stage.withColumn("frame_hashes", frames).drop(bcol, lcol)
+
+
+# -------------------------------------------------------------- resize
+
+
+def _png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Chunk-walk + inflate + un-filter to the flat sample array —
+    the shared front half of :func:`decode_png` and
+    :func:`resize_png`. Same support envelope (8-bit, color types
+    0/2/4/6, no interlace); raises ``ValueError`` otherwise."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, bytearray()
+    width = height = channels = -1
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("malformed PNG: IHDR shorter than 13 bytes")
+            width, height, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+            if depth != 8 or ctype not in _PNG_CHANNELS or interlace:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} color={ctype} "
+                    f"interlace={interlace}); only 8-bit non-interlaced"
+                )
+            channels = _PNG_CHANNELS[ctype]
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if width < 0:
+        raise ValueError("malformed PNG: missing IHDR chunk")
+    return (
+        width,
+        height,
+        channels,
+        _png_unfilter(zlib.decompress(bytes(idat)), width, height, channels),
+    )
+
+
+_PNG_CTYPE_OF_CHANNELS = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def _png_encode(
+    pixels: bytes, width: int, height: int, channels: int
+) -> bytes:
+    """Stdlib PNG encoder (filter type 0 per scanline) — the
+    ``make_png_payload`` writer generalized to arbitrary pixels."""
+    stride = width * channels
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw += pixels[y * stride : (y + 1) * stride]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _PNG_CTYPE_OF_CHANNELS[channels], 0, 0, 0
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor PNG resize, stdlib-only: decode to the
+    flat sample array, sample source coordinates at the fixed grid
+    ``src = (dst * in_dim) // out_dim`` (deterministic integer
+    arithmetic — no float rounding to diverge across platforms),
+    re-encode. Channel count is preserved."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize dimensions must be positive")
+    w, h, ch, px = _png_pixels(payload)
+    stride = w * ch
+    out = bytearray(out_w * out_h * ch)
+    o = 0
+    for dy in range(out_h):
+        sy = (dy * h) // out_h
+        row = sy * stride
+        for dx in range(out_w):
+            sx = row + ((dx * w) // out_w) * ch
+            out[o : o + ch] = px[sx : sx + ch]
+            o += ch
+    return _png_encode(bytes(out), out_w, out_h, ch)
+
+
+IMAGE_RESIZED_DDL = (
+    "media_id bigint, payload binary, width int, height int, channels int"
+)
+
+
+def resize_image(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image resize as an Arrow-batched ``mapInPandas`` stage — the
+    third stage of the brief's multimodal quartet (decode /
+    feature-extract / RESIZE / frame-sample). The PNG path is REAL
+    (stdlib decode -> integer nearest-neighbor -> stdlib re-encode);
+    other containers raise ``ValueError`` per the environment gate
+    (no Pillow in this container — the Spark-side plumbing, schema,
+    batch shape and partitioning are the deliverable and are fully
+    exercised on PNG). Output rows carry the RESIZED payload as a
+    binary column plus its dimensions, ready for a downstream
+    decode/feature stage — the thumbnail-pipeline shape
+    (scan -> resize -> feature) with nothing but binary and ints
+    crossing stage boundaries."""
+
+    def _resize_one(media_id: int, payload: bytes) -> dict:
+        resized = resize_png(payload, out_w, out_h)
+        w, h, ch, _ = _png_pixels(resized)
+        return {
+            "media_id": media_id,
+            "payload": resized,
+            "width": w,
+            "height": h,
+            "channels": ch,
+        }
+
+    cols = ["media_id", "payload", "width", "height", "channels"]
+    return _decode_stage(df, payload_col, _resize_one, cols, IMAGE_RESIZED_DDL)

@@ -808,3 +808,81 @@ def test_hamming_capped_buckets_observable_loss(spark):
     )
     full = hamming_pairs(df, "id", "key", max_dist=1)
     assert full.filter("hamming = 0").count() == 21  # all cohort pairs back
+
+
+def test_resize_png_nearest_neighbor_exact():
+    """Integer nearest-neighbor resize: the 2x downsample of a known
+    pattern contains exactly the even-coordinate source pixels, the
+    identity resize is pixel-for-pixel lossless, and the output is
+    itself a decodable PNG with preserved channel count."""
+    from kaflow_spark.operators.multimodal import (
+        _png_pixels,
+        decode_png,
+        make_png_payload,
+        resize_png,
+    )
+
+    src = make_png_payload(3, 16, 12)
+    w, h, ch, px = _png_pixels(src)
+    assert (w, h, ch) == (16, 12, 3)
+
+    half = resize_png(src, 8, 6)
+    w2, h2, ch2, px2 = _png_pixels(half)
+    assert (w2, h2, ch2) == (8, 6, 3)
+    stride = w * ch
+    for dy in range(6):
+        for dx in range(8):
+            sx, sy = (dx * 16) // 8, (dy * 12) // 6
+            want = px[sy * stride + sx * ch : sy * stride + sx * ch + ch]
+            got = px2[(dy * 8 + dx) * ch : (dy * 8 + dx) * ch + ch]
+            assert bytes(got) == bytes(want), (dx, dy)
+
+    same = resize_png(src, 16, 12)
+    assert _png_pixels(same)[3] == px
+    assert decode_png(same)["mean_px_centi"] == decode_png(src)["mean_px_centi"]
+
+    up = resize_png(src, 32, 24)  # upsample: every source pixel twice
+    assert _png_pixels(up)[:3] == (32, 24, 3)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        resize_png(b"\x00not a png", 4, 4)
+    with pytest.raises(ValueError):
+        resize_png(src, 0, 4)
+
+
+def test_resize_image_stage_feeds_downstream_decode(spark):
+    """The thumbnail-pipeline shape: scan -> resize_image (binary out)
+    -> decode_image consumes the RESIZED payloads — two mapInPandas
+    stages chained on nothing but binary + ints."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from kaflow_spark.operators.multimodal import (
+        MEDIA_DDL,
+        decode_image,
+        make_png_payload,
+        resize_image,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["id"],
+                    "payload": [
+                        make_png_payload(int(i), 20, 10) for i in pdf["id"]
+                    ],
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = spark.range(1, 6).mapInPandas(gen, f"media_id bigint, {MEDIA_DDL}")
+    thumbs = resize_image(media, 5, 5)
+    rows = {r["media_id"]: r for r in decode_image(thumbs).collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert (r["width"], r["height"], r["channels"]) == (5, 5, 3)
+        assert r["mime"] == "image/png"
