@@ -647,3 +647,83 @@ def returning_rate(
         "n_returning",
         F.expr("n_returning * 10000 div n_active").alias("returning_bp"),
     )
+
+
+def growth_accounting(
+    act: DataFrame,
+    group_col: str,
+    day_col: str,
+    user_col: str,
+) -> DataFrame:
+    """Daily growth accounting per group (the q209 kernel) over a
+    CONTRACTED distinct-activity frame: per (group, day) the four
+    cohorts of the canonical DAU decomposition — ``n_new`` (first
+    seen that day), ``n_retained`` (also active the previous day),
+    ``n_resurrected`` (back after a gap), ``n_churned`` (active the
+    previous day, absent today) — with ``n_new + n_retained +
+    n_resurrected = n_active`` by construction. ONE lineage:
+    first-seen rides the activity table as a window (same bounded
+    table the 2-way today/yesterday explode fans out), one
+    aggregation per (group, day, user) merges the markers, one
+    bounded rollup counts the cohorts. Emitted for observed
+    (n_active > 0) days. ``day_col`` must be integer epoch days.
+    Output: ``(group, day, n_active, n_new, n_retained,
+    n_resurrected, n_churned)``."""
+    from pyspark.sql.window import Window
+
+    act2 = act.withColumn(
+        "_first_day",
+        F.min(day_col).over(Window.partitionBy(group_col, user_col)),
+    )
+    contrib = act2.select(
+        group_col,
+        user_col,
+        "_first_day",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(day_col).alias("d"),
+                    F.lit(True).alias("cur"),
+                    F.lit(False).alias("prev"),
+                ),
+                F.struct(
+                    (F.col(day_col) + 1).alias("d"),
+                    F.lit(False).alias("cur"),
+                    F.lit(True).alias("prev"),
+                ),
+            )
+        ).alias("m"),
+    ).select(
+        group_col,
+        user_col,
+        "_first_day",
+        F.col("m.d").alias(day_col),
+        F.col("m.cur").alias("cur"),
+        F.col("m.prev").alias("prev"),
+    )
+    pu = contrib.groupBy(group_col, day_col, user_col).agg(
+        F.max("cur").alias("cur"),
+        F.max("prev").alias("prev"),
+        F.min("_first_day").alias("_first_day"),
+    )
+    agg = pu.groupBy(group_col, day_col).agg(
+        F.sum(F.col("cur").cast("long")).alias("n_active"),
+        F.sum(
+            (F.col("cur") & (F.col("_first_day") == F.col(day_col)))
+            .cast("long")
+        ).alias("n_new"),
+        F.sum((F.col("cur") & F.col("prev")).cast("long")).alias(
+            "n_retained"
+        ),
+        F.sum(
+            (
+                F.col("cur")
+                & ~F.col("prev")
+                & (F.col("_first_day") < F.col(day_col))
+            ).cast("long")
+        ).alias("n_resurrected"),
+        F.sum((F.col("prev") & ~F.col("cur")).cast("long")).alias(
+            "n_churned"
+        ),
+    )
+    return agg.filter(F.col("n_active") > 0)

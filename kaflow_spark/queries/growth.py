@@ -105,68 +105,11 @@ _ACT_SQL = """
     tags=("events", "window", "audit"),
 )
 def q209(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from kaflow_spark.operators.events import growth_accounting
 
     act = _activity(load(spark, sf, "events"))
-    act2 = act.withColumn(
-        "first_day",
-        F.min("day_i").over(
-            Window.partitionBy("event_type", "user_id")
-        ),
-    )
-    contrib = act2.select(
-        "event_type",
-        "user_id",
-        "first_day",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("day_i").alias("d"),
-                    F.lit(True).alias("cur"),
-                    F.lit(False).alias("prev"),
-                ),
-                F.struct(
-                    (F.col("day_i") + 1).alias("d"),
-                    F.lit(False).alias("cur"),
-                    F.lit(True).alias("prev"),
-                ),
-            )
-        ).alias("m"),
-    ).select(
-        "event_type",
-        "user_id",
-        "first_day",
-        F.col("m.d").alias("day_i"),
-        F.col("m.cur").alias("cur"),
-        F.col("m.prev").alias("prev"),
-    )
-    pu = contrib.groupBy("event_type", "day_i", "user_id").agg(
-        F.max("cur").alias("cur"),
-        F.max("prev").alias("prev"),
-        F.min("first_day").alias("first_day"),
-    )
-    agg = pu.groupBy("event_type", "day_i").agg(
-        F.sum(F.col("cur").cast("long")).alias("n_active"),
-        F.sum(
-            (F.col("cur") & (F.col("first_day") == F.col("day_i")))
-            .cast("long")
-        ).alias("n_new"),
-        F.sum((F.col("cur") & F.col("prev")).cast("long")).alias(
-            "n_retained"
-        ),
-        F.sum(
-            (
-                F.col("cur")
-                & ~F.col("prev")
-                & (F.col("first_day") < F.col("day_i"))
-            ).cast("long")
-        ).alias("n_resurrected"),
-        F.sum((F.col("prev") & ~F.col("cur")).cast("long")).alias(
-            "n_churned"
-        ),
-    )
     return (
-        agg.filter(F.col("n_active") > 0)
+        growth_accounting(act, "event_type", "day_i", "user_id")
         .select(
             "event_type",
             F.date_from_unix_date(F.col("day_i").cast("int")).alias("day"),

@@ -929,3 +929,132 @@ def streaming_returning_rate(
     return df.groupBy(group_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def _growth_update(group_col, day_col, user_col, emit_horizon, timeout_ms):
+    """Kernel for :func:`streaming_growth` (fake-GroupState-testable).
+    State per group: each known user's FIRST-SEEN day (the
+    statistic's intrinsic floor — 'new vs resurrected' is
+    unanswerable without it, exactly as streaming SCD2 keeps per-key
+    current rows) plus the distinct (user, day) activity of the
+    trailing ``emit_horizon + 1`` days (the +1 is yesterday's
+    presence for retained/churned) — the recency component is
+    horizon-bounded by construction."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            fu, fd, ru, rd = state.get
+            firsts = dict(zip(fu, fd))
+            recent = set(zip(ru, rd))
+        else:
+            firsts, recent = {}, set()
+        for pdf in pdfs:
+            pdf = pdf[pdf[user_col].notna() & pdf[day_col].notna()]
+            for u, d in zip(pdf[user_col], pdf[day_col]):
+                u, d = int(u), int(d)
+                if u not in firsts or d < firsts[u]:
+                    firsts[u] = d
+                recent.add((u, d))
+        if not recent:
+            return
+        mx = max(d for _, d in recent)
+        recent = {(u, d) for u, d in recent if d > mx - (emit_horizon + 1)}
+        fi = sorted(firsts.items())
+        ri = sorted(recent)
+        state.update(
+            (
+                [u for u, _ in fi],
+                [d for _, d in fi],
+                [u for u, _ in ri],
+                [d for _, d in ri],
+            )
+        )
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        by_day: dict[int, set[int]] = {}
+        for u, d in recent:
+            by_day.setdefault(d, set()).add(u)
+        out = {
+            k: []
+            for k in (
+                day_col, "n_active", "n_new", "n_retained",
+                "n_resurrected", "n_churned",
+            )
+        }
+        for d in sorted(by_day):
+            if d <= mx - emit_horizon:
+                continue
+            active = by_day[d]
+            prev = by_day.get(d - 1, set())
+            out[day_col].append(d)
+            out["n_active"].append(len(active))
+            out["n_new"].append(
+                sum(1 for u in active if firsts[u] == d)
+            )
+            out["n_retained"].append(len(active & prev))
+            out["n_resurrected"].append(
+                sum(1 for u in active if u not in prev and firsts[u] < d)
+            )
+            out["n_churned"].append(len(prev - active))
+        if not out[day_col]:
+            return
+        yield pd.DataFrame({group_col: key[0], **out})
+
+    return update
+
+
+def streaming_growth(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    user_col: str,
+    *,
+    emit_horizon: int = 8,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.events.growth_accounting``
+    (q209's kernel): the live new/retained/resurrected/churned DAU
+    decomposition. State per group = each user's first-seen day (the
+    statistic's intrinsic floor, O(distinct users) — same class as
+    streaming SCD2's per-key state) + the horizon-bounded recent
+    (user, day) set; each micro-batch re-emits the trailing
+    ``emit_horizon`` observed days so late partials correct them
+    (update mode, latest wins). On a closed in-order stream the final
+    emissions equal the batch operator row-for-row (asserted), and
+    the identity n_new + n_retained + n_resurrected = n_active holds
+    on every emitted row by construction. Batch frames fall back to
+    the exact batch operator."""
+    from kaflow_spark.operators.events import growth_accounting
+
+    if not df.isStreaming:
+        return growth_accounting(
+            df.select(group_col, day_col, user_col).distinct(),
+            group_col, day_col, user_col,
+        )
+    out_schema = (
+        f"{group_col} string, {day_col} bigint, n_active bigint, "
+        "n_new bigint, n_retained bigint, n_resurrected bigint, "
+        "n_churned bigint"
+    )
+    state_schema = (
+        "fu array<bigint>, fd array<bigint>, "
+        "ru array<bigint>, rd array<bigint>"
+    )
+    update = _growth_update(
+        group_col, day_col, user_col, emit_horizon, timeout_ms
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

@@ -423,3 +423,46 @@ def test_edit_distance_bucket_salt_matches_plain(spark):
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_salted_self_pairs_randomized_property(spark):
+    """Randomized-shape property: across random bucket-size mixes,
+    multi-column keys, salts (incl. salt > bucket size) and payloads,
+    the salted enumeration equals the brute-force pair set with every
+    payload attached to its own id. Seeded, 6 draws."""
+    import itertools
+    import random
+
+    from kaflow_spark.operators.skew import salted_self_pairs
+
+    rng = random.Random(1010)
+    for trial in range(6):
+        n_buckets = rng.randint(1, 5)
+        rows = []
+        next_id = 0
+        for b in range(n_buckets):
+            size = rng.choice([1, 2, 3, 7, 19])
+            for _ in range(size):
+                rows.append(
+                    (f"k{b}", b % 2, next_id, f"p{next_id}")
+                )
+                next_id += 1
+        df = spark.createDataFrame(
+            rows, "k string, k2 int, id bigint, attr string"
+        )
+        want = sorted(
+            (k, k2, min(x[2], y[2]), max(x[2], y[2]))
+            for (k, k2), members in itertools.groupby(
+                rows, key=lambda r: (r[0], r[1])
+            )
+            for x, y in itertools.combinations(list(members), 2)
+        )
+        salt = rng.choice([2, 3, 8, 31])
+        got_rows = salted_self_pairs(
+            df, ["k", "k2"], "id", salt=salt, payload_cols=["attr"]
+        ).collect()
+        got = sorted((r["k"], r["k2"], r["id_a"], r["id_b"]) for r in got_rows)
+        assert got == want, (trial, salt)
+        for r in got_rows:
+            assert r["attr_a"] == f"p{r['id_a']}", r
+            assert r["attr_b"] == f"p{r['id_b']}", r
