@@ -513,6 +513,8 @@ def ivf_tune_nprobe(
     pool = (
         df.select(id_col, vec_col).sample(frac, seed=seed).limit(n_queries * 20)
     ).collect()
+    if not pool:
+        raise ValueError("ivf_tune_nprobe: empty corpus (no query sample)")
     rng = np.random.RandomState(seed)
     idx = rng.choice(len(pool), size=min(n_queries, len(pool)), replace=False)
     queries = [list(map(float, pool[i][1])) for i in idx]

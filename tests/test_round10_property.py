@@ -168,3 +168,69 @@ def test_cross_type_correlation_matches_numpy(spark, tmp_path):
                 assert abs(r - float(np.corrcoef(xs, ys)[0, 1])) < 1e-8, (
                     ta, tb, r,
                 )
+
+
+def test_round10_operators_handle_empty_inputs(spark):
+    """Empty frames flow through the round-10 operators without
+    errors; the IVF tuner raises a clear error instead of a numpy
+    stack trace on an empty corpus."""
+    import pytest
+
+    from kaflow_spark.operators.events import (
+        growth_accounting,
+        returning_rate,
+        rolling_wau,
+    )
+    from kaflow_spark.operators.graph import triangle_count
+    from kaflow_spark.operators.similarity import ivf_tune_nprobe
+
+    empty_a = spark.createDataFrame([], "g string, day bigint, user bigint")
+    assert rolling_wau(empty_a, "g", "day", "user").count() == 0
+    assert returning_rate(empty_a, "g", "day", "user").count() == 0
+    assert growth_accounting(empty_a, "g", "day", "user").count() == 0
+
+    empty_e = spark.createDataFrame([], "a bigint, b bigint")
+    assert triangle_count(empty_e).collect()[0]["n_triangles"] == 0
+
+    empty_v = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        ivf_tune_nprobe(
+            empty_v, "embedding", "vec_id",
+            centroids=[[1.0, 0.0], [0.0, 1.0]],
+        )
+
+
+def test_streaming_twin_batch_fallbacks(spark):
+    """The round-10 streaming twins run the exact batch operator on
+    non-streaming frames (the TestClient path), including the
+    internal distinct."""
+    from kaflow_spark.operators.events import growth_accounting
+    from kaflow_spark.streaming.stateful import (
+        streaming_growth,
+        streaming_returning_rate,
+        streaming_wau,
+    )
+
+    rows = [("t", 0, 1), ("t", 0, 1), ("t", 1, 1), ("t", 1, 2)]
+    df = spark.createDataFrame(rows, "g string, day bigint, user bigint")
+    wau = {
+        (r["g"], r["day"]): r["wau"]
+        for r in streaming_wau(df, "g", "day", "user").collect()
+    }
+    assert wau == {("t", 0): 1, ("t", 1): 2}
+    rr = {
+        (r["g"], r["day"]): (r["n_active"], r["n_returning"])
+        for r in streaming_returning_rate(df, "g", "day", "user").collect()
+    }
+    assert rr == {("t", 0): (1, 0), ("t", 1): (2, 1)}
+    want = {
+        (r["g"], r["day"]): r["n_new"]
+        for r in growth_accounting(
+            df.distinct(), "g", "day", "user"
+        ).collect()
+    }
+    got = {
+        (r["g"], r["day"]): r["n_new"]
+        for r in streaming_growth(df, "g", "day", "user").collect()
+    }
+    assert got == want and got[("t", 1)] == 1
