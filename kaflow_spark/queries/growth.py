@@ -1,5 +1,5 @@
 """Round-10 declared queries: growth accounting and cross-domain
-provenance (q209-q214).
+provenance (q209-q216).
 
 The product-analytics layer a live deployment runs on top of the
 round-9 monitors: daily growth accounting (q209 new/retained/
@@ -10,7 +10,10 @@ hapax share), cross-series co-movement (q213 pairwise Pearson over
 aligned daily series, the q74 exact-moment discipline applied per
 type pair), and the vector-table provenance star (q214 embedding
 norms by the document dimensions, q208's enrichment shape applied to
-the vector corpus). Registry discipline throughout: exact integer
+the vector corpus), plus the cross-source duplicate provenance
+matrix (q215, q41's verified pairs attributed to |sources|^2 cells)
+and view-to-purchase conversion latency by segment (q216, exact
+lower-median via the q148 cumulative selector). Registry discipline throughout: exact integer
 arithmetic (cents / basis points / micro-units, DECIMAL(38,0) where
 products outgrow int64), floats only in final fixed expressions of
 correctly-rounded IEEE ops with explicit zero-denominator guards on
@@ -458,4 +461,183 @@ def q214(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("SUM(norm_micro) div COUNT(*)").alias("mean_norm"),
         )
         .orderBy("source", "lang")
+    )
+
+
+@declare(
+    "q215_cross_source_dup_matrix",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, list(DISTINCT substring(text, CAST(i AS INT), 5)) AS s
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, greatest(length(text)-4, 1)+1)) AS i
+              FROM documents)
+        GROUP BY doc_id),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+    e AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.9),
+    j AS (
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b
+        FROM e JOIN documents da ON da.doc_id = e.id_a
+               JOIN documents db ON db.doc_id = e.id_b)
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+    doc="Cross-source duplicate provenance matrix: q41's VERIFIED "
+    "jaccard >= 0.9 near-dup pairs attributed to their (source, "
+    "source) cell — the dedup-QA report that separates 'one crawl "
+    "mirrored another' (off-diagonal mass -> dedup ACROSS sources "
+    "before mixing) from 'a source re-posts itself' (diagonal mass "
+    "-> per-source dedup suffices). Pair ends attach to the narrow "
+    "(doc_id, source) projection by id equi-join (the verified pair "
+    "list is churn-bounded and tiny next to the corpus; only ids and "
+    "short source labels shuffle), then one bounded |sources|^2 "
+    "rollup with the unordered cell canonicalized via least/"
+    "greatest. Oracle is the same brute-force O(n^2) jaccard CTE "
+    "q41 hash-checks against (quadratic in documents — sf0.001/0.01 "
+    "gate, like q206).",
+    tags=("dedup", "audit"),
+)
+def q215(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        shingle_frame,
+    )
+
+    d = load(spark, sf, "documents")
+    sh = shingle_frame(d, "doc_id", "text", 5)
+    cand = (
+        minhash_lsh_candidates(d, "doc_id", "text", min_bands=2, shingles=sh)
+        .filter(F.col("est_jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    pairs = (
+        ngram_jaccard_pairs(d, cand, "doc_id", "text", shingles=sh)
+        .filter(F.col("jaccard") >= 0.9)
+        .select("id_a", "id_b")
+    )
+    src = d.select("doc_id", "source")
+    a = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")
+    )
+    b = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@declare(
+    "q216_conversion_latency",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IN ('view', 'purchase')),
+    f AS (
+        SELECT user_id, event_type, sec,
+               MIN(CASE WHEN event_type = 'view' THEN sec END)
+                   OVER (PARTITION BY user_id) AS fv
+        FROM s),
+    conv AS (
+        SELECT user_id, MIN(sec - fv) AS lat
+        FROM f
+        WHERE event_type = 'purchase' AND fv IS NOT NULL AND sec >= fv
+        GROUP BY user_id),
+    seg AS (
+        SELECT c.c_mktsegment AS segment, conv.lat
+        FROM conv JOIN customer c ON c.c_custkey = conv.user_id),
+    cnt AS (SELECT segment, lat, COUNT(*) AS c FROM seg
+            GROUP BY segment, lat),
+    cum AS (
+        SELECT segment, lat,
+               SUM(c) OVER (PARTITION BY segment ORDER BY lat) AS cum,
+               SUM(c) OVER (PARTITION BY segment) AS n
+        FROM cnt)
+    SELECT segment, CAST(MIN(n) AS BIGINT) AS n_converted,
+           CAST(MIN(lat) AS BIGINT) AS median_latency_s
+    FROM cum WHERE cum >= (n + 1) // 2
+    GROUP BY segment ORDER BY segment
+    """,
+    doc="View-to-purchase conversion latency by market segment: per "
+    "user, seconds from the FIRST view to the first purchase at or "
+    "after it; per segment, the converted-user count and the exact "
+    "LOWER-median latency. One lineage to the per-user row: the "
+    "first-view floor is a window over the SAME user partitioning "
+    "the purchase aggregation then groups on (no second scan, no "
+    "first-view join); the segment attaches by broadcast (customer "
+    "is a dim, q208's shape); the median comes from the q148-style "
+    "cumulative selector over the bounded (segment, latency) "
+    "value-count table — never a collect_list over an unbounded "
+    "user population. Truncated epoch seconds on both engines (the "
+    "q152 corollary); integer throughout.",
+    tags=("events", "join", "stats"),
+)
+def q216(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf, "events")
+    s = e.filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isin("view", "purchase")
+    ).select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(ts AS LONG)").alias("sec"),
+    )
+    w = Window.partitionBy("user_id")
+    f = s.withColumn(
+        "fv",
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("sec"))
+        ).over(w),
+    )
+    conv = (
+        f.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("fv").isNotNull()
+            & (F.col("sec") >= F.col("fv"))
+        )
+        .groupBy("user_id")
+        .agg(F.min(F.col("sec") - F.col("fv")).alias("lat"))
+    )
+    c = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    seg = conv.join(F.broadcast(c), "user_id").select("segment", "lat")
+    cnt = seg.groupBy("segment", "lat").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("segment").orderBy("lat")
+    cum = cnt.select(
+        "segment",
+        "lat",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(Window.partitionBy("segment")).alias("n"),
+    )
+    return (
+        cum.filter(F.expr("cum >= (n + 1) div 2"))
+        .groupBy("segment")
+        .agg(
+            F.min("n").alias("n_converted"),
+            F.min("lat").alias("median_latency_s"),
+        )
+        .orderBy("segment")
     )
