@@ -1,5 +1,5 @@
 """Round-10 declared queries: growth accounting and cross-domain
-provenance (q209-q216).
+provenance (q209-q218).
 
 The product-analytics layer a live deployment runs on top of the
 round-9 monitors: daily growth accounting (q209 new/retained/
@@ -13,7 +13,8 @@ norms by the document dimensions, q208's enrichment shape applied to
 the vector corpus), plus the cross-source duplicate provenance
 matrix (q215, q41's verified pairs attributed to |sources|^2 cells)
 and view-to-purchase conversion latency by segment (q216, exact
-lower-median via the q148 cumulative selector). Registry discipline throughout: exact integer
+lower-median via the q148 cumulative selector), the hour-of-day
+profile (q217) and the dominant-account audit (q218). Registry discipline throughout: exact integer
 arithmetic (cents / basis points / micro-units, DECIMAL(38,0) where
 products outgrow int64), floats only in final fixed expressions of
 correctly-rounded IEEE ops with explicit zero-denominator guards on
@@ -640,4 +641,129 @@ def q216(spark: SparkSession, sf: str) -> DataFrame:
             F.min("lat").alias("median_latency_s"),
         )
         .orderBy("segment")
+    )
+
+
+@declare(
+    "q217_hourly_profile",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               (CAST(epoch_us(ts) // 1000000 AS BIGINT) // 3600) % 24
+                   AS hod
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    prof AS (
+        SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM e GROUP BY event_type, hod)
+    SELECT event_type, CAST(hod AS BIGINT) AS hod, n_events,
+           CAST(n_events * 10000 // CAST(SUM(n_events)
+                OVER (PARTITION BY event_type) AS BIGINT) AS BIGINT)
+               AS share_bp
+    FROM prof ORDER BY event_type, hod
+    """,
+    doc="Hour-of-day activity profile per event type: each UTC "
+    "hour's share of the type's event count in basis points — the "
+    "intraday seasonality baseline next to q199's weekly one (and "
+    "the count-based complement to its cents basis). Hour as pure "
+    "integer arithmetic on truncated epoch seconds ((sec div 3600) "
+    "mod 24 — no engine hour()/timezone convention can disagree; "
+    "the q152 epoch-truncation corollary on the oracle side). One "
+    "partial-agg'd aggregation contracts the corpus to <= |types| x "
+    "24 rows; the share window runs over that bounded table; counts "
+    "are >= 1 wherever a row exists, so the division needs no "
+    "guard.",
+    tags=("events", "audit"),
+)
+def q217(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    prof = (
+        e.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.expr("(CAST(ts AS LONG) div 3600) % 24").alias("hod"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        prof.select(
+            "event_type",
+            F.col("hod").cast("bigint").alias("hod"),
+            "n_events",
+            F.expr(
+                "n_events * 10000 div sum(n_events)"
+                " over (partition by event_type)"
+            ).alias("share_bp"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+@declare(
+    "q218_dominant_user_audit",
+    oracle="""
+    WITH cnt AS (
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY event_type, user_id),
+    r AS (
+        SELECT event_type, user_id, n,
+               CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS total,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_users,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, user_id) AS rn
+        FROM cnt)
+    SELECT event_type, user_id AS top_user, n AS top_n, n_users, total,
+           CAST(n * 10000 // total AS BIGINT) AS top_share_bp
+    FROM r WHERE rn = 1
+    ORDER BY event_type
+    """,
+    doc="Dominant-account audit per event type: the single heaviest "
+    "user's share of the type's events in basis points, with the "
+    "user count and total — the 'is this metric one bot' check run "
+    "before trusting any per-type aggregate, and the argmax "
+    "companion to q205's full HHI distribution. Deterministic "
+    "winner under the (count DESC, user_id ASC) total order (ties "
+    "cannot flap the row). One shuffle to the (type, user) count "
+    "table; every window runs over that contracted table, "
+    "partitioned by the bounded type key; total >= top_n >= 1, so "
+    "the division needs no guard.",
+    tags=("events", "audit"),
+)
+def q218(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf, "events")
+    cnt = (
+        e.filter(
+            F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("user_id")
+    )
+    r = cnt.select(
+        "event_type",
+        "user_id",
+        "n",
+        F.sum("n").over(wt).alias("total"),
+        F.count(F.lit(1)).over(wt).alias("n_users"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return (
+        r.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("top_user"),
+            F.col("n").alias("top_n"),
+            "n_users",
+            "total",
+            F.expr("n * 10000 div total").alias("top_share_bp"),
+        )
+        .orderBy("event_type")
     )

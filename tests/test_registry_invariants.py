@@ -89,5 +89,5 @@ def test_registry_size_floor_round6_batch2():
 
 
 def test_registry_size_floor_round10():
-    # round-10 widening: q209-q216 (growth / provenance families)
-    assert len(REGISTRY) >= 216
+    # round-10 widening: q209-q218 (growth / provenance families)
+    assert len(REGISTRY) >= 218
