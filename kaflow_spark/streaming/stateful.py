@@ -760,18 +760,19 @@ def streaming_spike(
 def _activity_update(group_col, day_col, user_col, mode, span,
                      emit_horizon, timeout_ms):
     """Shared kernel for :func:`streaming_wau` (``mode='wau'``,
-    ``span`` = window) and :func:`streaming_returning_rate`
-    (``mode='returning'``, ``span`` = past horizon). State is the set
-    of distinct (user, day) activity pairs, stored as two parallel
-    arrays and bounded BY CONSTRUCTION at ``emit_horizon + span``
-    trailing days per group: the emittable days are the trailing
-    ``emit_horizon``, and the oldest of those looks back ``span``
-    further (window - 1 for WAU, the full past horizon for the
-    returning rate) — the per-(type, user) last-seen design with
-    eviction past the horizon. Fake-GroupState-testable (the
-    test_streaming idiom)."""
+    ``span`` = window), :func:`streaming_returning_rate`
+    (``mode='returning'``, ``span`` = past horizon) and
+    :func:`streaming_stickiness` (``mode='stickiness'``, ``span`` =
+    the MAU window). State is the set of distinct (user, day)
+    activity pairs, stored as two parallel arrays and bounded BY
+    CONSTRUCTION at ``emit_horizon + span`` trailing days per group:
+    the emittable days are the trailing ``emit_horizon``, and the
+    oldest of those looks back ``span`` further (window - 1 for
+    WAU/stickiness, the full past horizon for the returning rate) —
+    the per-(type, user) last-seen design with eviction past the
+    horizon. Fake-GroupState-testable (the test_streaming idiom)."""
 
-    lookback = span - 1 if mode == "wau" else span
+    lookback = span - 1 if mode in ("wau", "stickiness") else span
 
     def update(
         key: tuple[Any, ...],
@@ -812,6 +813,27 @@ def _activity_update(group_col, day_col, user_col, mode, span,
                 )
             yield pd.DataFrame(
                 {group_col: key[0], day_col: out_d, "wau": out_w}
+            )
+        elif mode == "stickiness":
+            out_d, out_dau, out_mau, out_bp = [], [], [], []
+            for d in observed:
+                dau = len({u for u, dd in pairs if dd == d})
+                mau = len(
+                    {u for u, dd in pairs if d - lookback <= dd <= d}
+                )
+                out_d.append(d)
+                out_dau.append(dau)
+                out_mau.append(mau)
+                # mau >= dau >= 1 on observed days: no guard needed
+                out_bp.append(dau * 10000 // mau)
+            yield pd.DataFrame(
+                {
+                    group_col: key[0],
+                    day_col: out_d,
+                    "dau": out_dau,
+                    "mau": out_mau,
+                    "stickiness_bp": out_bp,
+                }
             )
         else:
             out_d, out_a, out_r, out_bp = [], [], [], []
@@ -1049,6 +1071,71 @@ def streaming_growth(
     )
     update = _growth_update(
         group_col, day_col, user_col, emit_horizon, timeout_ms
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
+def streaming_stickiness(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    user_col: str,
+    *,
+    window: int = 28,
+    emit_horizon: int = 8,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of q210's DAU/MAU stickiness: per observed
+    (group, day), distinct users that day, distinct users in the
+    trailing ``window`` days, and their ratio in integer basis
+    points. Same bounded-state design as :func:`streaming_wau`
+    (state: ``emit_horizon + window - 1`` trailing days of distinct
+    (user, day) pairs per group). Closed in-order stream == the
+    batch q210 kernel row-for-row (asserted). Batch frames fall back
+    to the exact batch computation."""
+    if not df.isStreaming:
+        act = df.select(group_col, day_col, user_col).distinct()
+        contrib = act.select(
+            group_col,
+            user_col,
+            day_col,
+            F.explode(F.expr(f"sequence(0, {window - 1})")).alias("_off"),
+        ).select(
+            group_col,
+            user_col,
+            (F.col(day_col) + F.col("_off")).alias(day_col),
+            (F.col("_off") == 0).alias("_here"),
+        )
+        pu = contrib.groupBy(group_col, day_col, user_col).agg(
+            F.max("_here").alias("_here")
+        )
+        g = pu.groupBy(group_col, day_col).agg(
+            F.count(F.lit(1)).alias("mau"),
+            F.sum(F.col("_here").cast("long")).alias("dau"),
+            F.max("_here").alias("_observed"),
+        )
+        return g.filter("_observed").select(
+            group_col,
+            day_col,
+            "dau",
+            "mau",
+            F.expr("dau * 10000 div mau").alias("stickiness_bp"),
+        )
+    out_schema = (
+        f"{group_col} string, {day_col} bigint, dau bigint, mau bigint, "
+        "stickiness_bp bigint"
+    )
+    state_schema = "users array<bigint>, days array<bigint>"
+    update = _activity_update(
+        group_col, day_col, user_col, "stickiness", window, emit_horizon,
+        timeout_ms,
     )
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout

@@ -1179,3 +1179,45 @@ def test_growth_kernel_state_shape():
                 )
     # 7 rotating + 60 unique users ever seen
     assert len(fu) == 7 + 60
+
+
+def test_streaming_stickiness_converges_to_batch(spark, tdir):
+    """Round 10: streaming DAU/MAU — closed stream == the batch q210
+    kernel row-for-row across dau/mau/bp."""
+    from kaflow_spark.streaming.stateful import streaming_stickiness
+
+    ddl = "g string, day bigint, user bigint"
+    rows1 = [("t", 0, 1), ("t", 0, 2), ("t", 1, 1)]
+    rows2 = [("t", 2, 3), ("t", 3, 1), ("t", 3, 4)]
+    spark.createDataFrame(rows1, ddl).coalesce(1).write.mode("append").parquet(tdir)
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(tdir)
+    )
+    out = streaming_stickiness(stream, "g", "day", "user", window=28)
+    latest = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            latest[(r["g"], r["day"])] = (
+                r["dau"], r["mau"], r["stickiness_bp"]
+            )
+
+    q = out.writeStream.outputMode("update").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(tdir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch_in = spark.createDataFrame(rows1 + rows2, ddl)
+    want = {
+        (r["g"], r["day"]): (r["dau"], r["mau"], r["stickiness_bp"])
+        for r in streaming_stickiness(
+            batch_in, "g", "day", "user", window=28
+        ).collect()
+    }
+    assert latest == want and len(want) == 4
+    # day 3: dau=2 (users 1, 4); mau=4 (users 1-4 within 28 days)
+    assert latest[("t", 3)] == (2, 4, 5000)
