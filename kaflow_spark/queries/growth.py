@@ -1,5 +1,5 @@
 """Round-10 declared queries: growth accounting and cross-domain
-provenance (q209-q218).
+provenance (q209-q219).
 
 The product-analytics layer a live deployment runs on top of the
 round-9 monitors: daily growth accounting (q209 new/retained/
@@ -14,7 +14,8 @@ the vector corpus), plus the cross-source duplicate provenance
 matrix (q215, q41's verified pairs attributed to |sources|^2 cells)
 and view-to-purchase conversion latency by segment (q216, exact
 lower-median via the q148 cumulative selector), the hour-of-day
-profile (q217) and the dominant-account audit (q218). Registry discipline throughout: exact integer
+profile (q217), the dominant-account audit (q218) and the
+repeat-purchase cadence (q219). Registry discipline throughout: exact integer
 arithmetic (cents / basis points / micro-units, DECIMAL(38,0) where
 products outgrow int64), floats only in final fixed expressions of
 correctly-rounded IEEE ops with explicit zero-denominator guards on
@@ -766,4 +767,86 @@ def q218(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("n * 10000 div total").alias("top_share_bp"),
         )
         .orderBy("event_type")
+    )
+
+
+@declare(
+    "q219_reorder_interval",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey
+        FROM orders WHERE o_orderdate IS NOT NULL),
+    g AS (
+        SELECT o_custkey,
+               od - LAG(od) OVER (PARTITION BY o_custkey
+                                  ORDER BY od, o_orderkey) AS gap
+        FROM o),
+    seg AS (
+        SELECT c.c_mktsegment AS segment, CAST(g.gap AS BIGINT) AS gap
+        FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+        WHERE g.gap IS NOT NULL),
+    cnt AS (SELECT segment, gap, COUNT(*) AS c FROM seg
+            GROUP BY segment, gap),
+    cum AS (
+        SELECT segment, gap,
+               SUM(c) OVER (PARTITION BY segment ORDER BY gap) AS cum,
+               SUM(c) OVER (PARTITION BY segment) AS n
+        FROM cnt)
+    SELECT segment, CAST(MIN(n) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap) AS BIGINT) AS median_gap_days
+    FROM cum WHERE cum >= (n + 1) // 2
+    GROUP BY segment ORDER BY segment
+    """,
+    doc="Repeat-purchase cadence by market segment: days between a "
+    "customer's consecutive orders (ordered by date with the order "
+    "key as the deterministic tie-break; same-day reorders count as "
+    "gap 0), rolled up to the per-segment gap count and exact "
+    "LOWER-median gap — the replenishment-cycle input to inventory "
+    "and CRM cadence planning, and q216's orders-fact sibling. One "
+    "shuffle to the customer timeline (lag window), segment by "
+    "broadcast dim, median via the q148 cumulative selector over "
+    "the bounded (segment, gap) value-count table. Integer days "
+    "end-to-end (DATE subtraction both engines).",
+    tags=("tpch", "join", "stats"),
+)
+def q219(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("od"),
+            "o_orderkey",
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(F.col("od"), F.lag("od").over(w))
+        .cast("bigint")
+        .alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    c = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    seg = g.join(F.broadcast(c), "o_custkey").select("segment", "gap")
+    cnt = seg.groupBy("segment", "gap").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("segment").orderBy("gap")
+    cum = cnt.select(
+        "segment",
+        "gap",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(Window.partitionBy("segment")).alias("n"),
+    )
+    return (
+        cum.filter(F.expr("cum >= (n + 1) div 2"))
+        .groupBy("segment")
+        .agg(
+            F.min("n").alias("n_gaps"),
+            F.min("gap").alias("median_gap_days"),
+        )
+        .orderBy("segment")
     )
