@@ -1,5 +1,5 @@
 """Round-10 declared queries: growth accounting and cross-domain
-provenance (q209-q219).
+provenance (q209-q220).
 
 The product-analytics layer a live deployment runs on top of the
 round-9 monitors: daily growth accounting (q209 new/retained/
@@ -14,8 +14,9 @@ the vector corpus), plus the cross-source duplicate provenance
 matrix (q215, q41's verified pairs attributed to |sources|^2 cells)
 and view-to-purchase conversion latency by segment (q216, exact
 lower-median via the q148 cumulative selector), the hour-of-day
-profile (q217), the dominant-account audit (q218) and the
-repeat-purchase cadence (q219). Registry discipline throughout: exact integer
+profile (q217), the dominant-account audit (q218) the
+repeat-purchase cadence (q219) and the supply-concentration audit
+(q220, q205's HHI algebra on the TPC-H supply domain). Registry discipline throughout: exact integer
 arithmetic (cents / basis points / micro-units, DECIMAL(38,0) where
 products outgrow int64), floats only in final fixed expressions of
 correctly-rounded IEEE ops with explicit zero-denominator guards on
@@ -849,4 +850,75 @@ def q219(spark: SparkSession, sf: str) -> DataFrame:
             F.min("gap").alias("median_gap_days"),
         )
         .orderBy("segment")
+    )
+
+
+@declare(
+    "q220_supply_concentration",
+    oracle="""
+    WITH q AS (
+        SELECT p.p_brand, l.l_suppkey,
+               CAST(SUM(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity IS NOT NULL
+        GROUP BY p.p_brand, l.l_suppkey)
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(q) AS BIGINT) AS total_qty,
+           CAST(SUM(q::HUGEINT * q) * 10000
+                // (SUM(q)::HUGEINT * SUM(q)) AS BIGINT) AS hhi_bp,
+           CAST((SUM(q)::HUGEINT * SUM(q)) * 100
+                // SUM(q::HUGEINT * q) AS BIGINT) AS eff_suppliers_pct
+    FROM q GROUP BY p_brand ORDER BY p_brand
+    """,
+    doc="Supply-concentration audit per part brand: Herfindahl index "
+    "over each supplier's share of the brand's traded quantity (HHI "
+    "in basis points — 10000 = single-sourced) plus the inverse-"
+    "Simpson 'effective number of suppliers' in percent — the "
+    "procurement-risk report ('which brands are one bankruptcy away "
+    "from a stockout'), q205's concentration algebra applied to the "
+    "TPC-H supply domain. The fixture has no partsupp, so supply is "
+    "the quantity actually traded per (brand, supplier) (the q123 "
+    "derivation). Exact integers throughout: quantities in "
+    "hundredths, both ratios lifted to DECIMAL(38,0)/HUGEINT before "
+    "the truncating division (q_s^2 sums outgrow int64 at "
+    "warehouse scale). Part broadcasts (dim); two aggregations "
+    "contract lineitem -> (brand, supplier) -> |brands| rows.",
+    tags=("tpch", "agg", "audit"),
+)
+def q220(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+    )
+    p = load(spark, sf, "part").select("p_partkey", "p_brand")
+    q = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            "p_brand",
+            "l_suppkey",
+            F.expr(
+                "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("qq"),
+        )
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum("qq").alias("q"))
+    )
+    return (
+        q.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("q").alias("total_qty"),
+            F.expr(
+                "CAST(CAST(SUM(q * CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+                " * 10000 div (CAST(SUM(q) AS DECIMAL(38,0)) * SUM(q))"
+                " AS BIGINT)"
+            ).alias("hhi_bp"),
+            F.expr(
+                "CAST(CAST(SUM(q) AS DECIMAL(38,0)) * SUM(q) * 100"
+                " div CAST(SUM(q * CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+                " AS BIGINT)"
+            ).alias("eff_suppliers_pct"),
+        )
+        .orderBy("p_brand")
     )

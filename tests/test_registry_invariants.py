@@ -89,5 +89,5 @@ def test_registry_size_floor_round6_batch2():
 
 
 def test_registry_size_floor_round10():
-    # round-10 widening: q209-q219 (growth / provenance families)
-    assert len(REGISTRY) >= 219
+    # round-10 widening: q209-q220 (growth / provenance families)
+    assert len(REGISTRY) >= 220
