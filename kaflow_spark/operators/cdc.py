@@ -118,9 +118,18 @@ def recover_merge(target_path: str) -> dict | None:
     merge). A crash BEFORE the commit point needs no recovery: the
     target was never touched, and the orphaned ``.merge-staging-*``
     directory is inert garbage (invisible to Spark readers, removed by
-    the next completed merge's cleanup of its own staging only)."""
+    the next completed merge's cleanup of its own staging only). One
+    exception to the inert-garbage rule is cleaned here: a writer
+    that died BETWEEN writing ``.merge-commit.json.tmp`` and renaming
+    it leaves the tmp as a permanent orphan (the next
+    ``_write_commit`` would overwrite it, but a table that never
+    merges again keeps it forever) — when no committed marker exists,
+    the stale tmp is deleted."""
     path = _commit_path(target_path)
     if not os.path.exists(path):
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            os.remove(tmp)
         return None
     with open(path) as f:
         manifest = json.load(f)
@@ -463,3 +472,124 @@ def merge_into_parquet(
         }
     finally:
         changes.unpersist()
+
+
+def _data_files(d: str) -> list[str]:
+    """Parquet data files in one directory level (Spark part files;
+    skips _SUCCESS / dotfile markers and partition subdirectories)."""
+    return [
+        f
+        for f in os.listdir(d)
+        if not f.startswith(("_", "."))
+        and os.path.isfile(os.path.join(d, f))
+    ]
+
+
+def compact_parquet(
+    spark: SparkSession,
+    target_path: str,
+    *,
+    partition_col: str | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction for a merge-managed parquet table, under
+    the SAME two-phase commit manifest as :func:`merge_into_parquet`.
+
+    Every merge rewrites its touched partitions with up to
+    ``spark.sql.shuffle.partitions`` part files, so a long merge
+    history degrades each hot partition into hundreds of tiny files
+    (footer-read and task-granularity overhead at scan time — the
+    table-format maintenance problem that OPTIMIZE/rewrite_data_files
+    exists for). This rewrites each fragmented slice coalesced to
+    ``ceil(bytes / target_file_bytes)`` files.
+
+    Slices are read by their LEAF directory path (the files
+    themselves, which do not contain the partition column), so the
+    partition value is never decoded — the compacted files move back
+    under the same ``col=value`` directory name, and the
+    string-vs-inferred-int partition-path hazard that
+    :func:`merge_into_parquet` documents cannot arise here at all.
+    Only slices whose current file count EXCEEDS their target count
+    are rewritten; an already-compact table is a no-op (no staging,
+    no manifest).
+
+    Crash safety is the merge's exactly: all compacted slices are
+    staged first, then one fsync'd commit manifest (mode
+    ``partitioned``: replace-only, nothing dropped; unpartitioned
+    tables use the ``full`` two-rename swap) is renamed into place as
+    the single commit point and applied; a crash before the rename
+    leaves the table untouched, after it :func:`recover_merge` rolls
+    the swap forward idempotently (crash-injection covered in
+    test_cdc). Single-writer per target, like the merge.
+
+    Returns ``{"compacted": [slice, ...], "files_before": n,
+    "files_after": n}``.
+    """
+    from kaflow_spark.catalog import clear_load_cache
+
+    recover_merge(target_path)
+
+    if partition_col is not None:
+        prefix = f"{partition_col}="
+        slices = sorted(
+            d
+            for d in os.listdir(target_path)
+            if d.startswith(prefix)
+            and os.path.isdir(os.path.join(target_path, d))
+        )
+    else:
+        slices = [""]
+
+    plan = []  # (slice_name, n_files_now, n_files_target)
+    for s in slices:
+        d = os.path.join(target_path, s) if s else target_path
+        files = _data_files(d)
+        if not files:
+            continue
+        total = sum(os.path.getsize(os.path.join(d, f)) for f in files)
+        n_target = max(1, -(-total // target_file_bytes))  # ceil div
+        if len(files) > n_target:
+            plan.append((s, len(files), n_target))
+    if not plan:
+        return {"compacted": [], "files_before": 0, "files_after": 0}
+
+    staging = os.path.join(
+        os.path.dirname(target_path.rstrip("/")),
+        f".merge-staging-{uuid.uuid4().hex[:8]}",
+    )
+    files_before = 0
+    for s, n_now, n_target in plan:
+        src = os.path.join(target_path, s) if s else target_path
+        dst = os.path.join(staging, s) if s else staging
+        files_before += n_now
+        (
+            spark.read.parquet(src)
+            .coalesce(int(n_target))
+            .write.mode("overwrite")
+            .parquet(dst)
+        )
+    if partition_col is not None:
+        manifest = {
+            "mode": "partitioned",
+            "staging": staging,
+            "replace": [s for s, _, _ in plan],
+            "drop": [],
+        }
+    else:
+        manifest = {
+            "mode": "full",
+            "staging": staging,
+            "old": f"{target_path}.old-{uuid.uuid4().hex[:8]}",
+        }
+    _write_commit(target_path, manifest)
+    _apply_commit(target_path, manifest)
+    clear_load_cache()
+    files_after = 0
+    for s, _, _ in plan:
+        d = os.path.join(target_path, s) if s else target_path
+        files_after += len(_data_files(d))
+    return {
+        "compacted": [s or "." for s, _, _ in plan],
+        "files_before": files_before,
+        "files_after": files_after,
+    }

@@ -435,14 +435,23 @@ def triangle_count(
     the hot-vertex hazard of the naive a<b<c triple join (a
     boilerplate mega-cluster hub turning one reducer into k^2 rows)
     is removed by construction, not by salting. The oriented edge
-    list is persisted once and consumed by both the wedge self-join
-    and the closing probe."""
+    list is persisted for the duration of the count — consumed by
+    both the wedge self-join and the closing probe — then unpersisted
+    before returning (the connected_components/pagerank discipline in
+    this file; the count is computed eagerly so no cached frame
+    outlives the call)."""
     d1 = orient_by_degree(edges, a_col, b_col).persist()
-    closed = oriented_wedges(d1).join(
-        d1.select(F.col("src").alias("u"), F.col("dst").alias("w")),
-        ["u", "w"],
-        "left_semi",
-    )
-    return closed.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    try:
+        closed = oriented_wedges(d1).join(
+            d1.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+            ["u", "w"],
+            "left_semi",
+        )
+        # one bounded action (a single count) while d1 is cached
+        n = closed.count()
+    finally:
+        d1.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n,)], "n_triangles bigint"
     )

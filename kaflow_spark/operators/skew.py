@@ -74,13 +74,20 @@ def salted_join(
 
 def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
     """Skew diagnosis: the heaviest keys and their share — run this
-    before deciding between AQE, salting, or broadcast."""
-    total = df.count()
+    before deciding between AQE, salting, or broadcast.
+
+    ONE scan of ``df``: the grand total is a second, cheap
+    aggregation over the already-aggregated key counts (broadcast
+    back), not a separate ``df.count()`` action — both branches
+    descend from the same partial-agg exchange so the input is read
+    once (plan-asserted in test_sources_skew)."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
     return (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("share", F.col("n") / F.lit(float(total)))
-        .orderBy(F.desc("n"))
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n") / F.col("_total"))
+        .drop("_total")
+        .orderBy(F.desc("n"), key)
         .limit(top)
     )
 

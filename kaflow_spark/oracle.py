@@ -65,8 +65,21 @@ class CompareResult:
 
 
 def compare(
-    q: DeclaredQuery, spark: SparkSession, sf_dir: str, max_diff_show: int = 5
+    q: DeclaredQuery,
+    spark: SparkSession,
+    sf_dir: str,
+    max_diff_show: int = 5,
+    oracle_timeout_s: float | None = None,
 ) -> CompareResult:
+    """Spark-vs-DuckDB compare for one declared query.
+
+    ``oracle_timeout_s`` arms a watchdog thread that interrupts the
+    DuckDB side after that many seconds — the O(n^2) brute-force
+    oracles (q206/q215-family all-pairs CTEs) are quadratic in the
+    corpus and hang for 45+ min at sf0.1; the timeout turns that into
+    a reported ``oracle timeout`` result instead of a wedged run
+    (used by tools/sf_sweep.py; the Spark side is never interrupted —
+    it is the engine under test and scales)."""
     sdf = q.spark(spark, sf_dir)
     s_cols = list(sdf.columns)
     s_rows = [tuple(r) for r in sdf.collect()]
@@ -75,6 +88,13 @@ def compare(
         return CompareResult(q.name, True, f"rows-only: {len(s_rows)} rows")
 
     con = duckdb_connect(sf_dir)
+    timer = None
+    if oracle_timeout_s:
+        import threading
+
+        timer = threading.Timer(oracle_timeout_s, con.interrupt)
+        timer.daemon = True
+        timer.start()
     try:
         # Driver-canon dtype audit: the driver hashes the PANDAS
         # string form of both frames, so an uncast DuckDB HUGEINT
@@ -95,7 +115,16 @@ def compare(
         d_cols = list(rel.columns)
         d_types = [str(t).upper() for t in rel.types]
         d_rows = rel.fetchall()
+    except duckdb.InterruptException:
+        return CompareResult(
+            q.name,
+            False,
+            f"oracle timeout: DuckDB interrupted after "
+            f"{oracle_timeout_s}s (quadratic-oracle gate candidate)",
+        )
     finally:
+        if timer is not None:
+            timer.cancel()
         con.close()
     integral = {
         f.name

@@ -38,12 +38,15 @@ def _activity(e: DataFrame) -> DataFrame:
     """Contracted distinct (event_type, day_i, user_id) activity —
     the shared input grain of the growth-accounting family (same
     contraction as q203/q207: the explode fans out THIS table, never
-    the event log)."""
+    the event log). day_i is the CALENDAR floor (unix_date over the
+    session-TZ date) matching the oracle's CAST(ts AS DATE) — an
+    epoch-seconds div 86400 truncates toward zero and diverges for
+    pre-1970 timestamps."""
     return (
         e.filter(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
         .select(
             "event_type",
-            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+            F.expr("CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)").alias("day_i"),
             "user_id",
         )
         .distinct()
@@ -369,7 +372,7 @@ def q213(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(
             "event_type",
-            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+            F.expr("CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)").alias("day_i"),
             F.expr(
                 "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
             ).alias("cents"),
@@ -504,7 +507,7 @@ def q214(spark: SparkSession, sf: str) -> DataFrame:
     "greatest. Oracle is the same brute-force O(n^2) jaccard CTE "
     "q41 hash-checks against (quadratic in documents — sf0.001/0.01 "
     "gate, like q206).",
-    tags=("dedup", "audit"),
+    tags=("dedup", "audit", "quadratic-oracle"),
 )
 def q215(spark: SparkSession, sf: str) -> DataFrame:
     from kaflow_spark.operators.dedup import (

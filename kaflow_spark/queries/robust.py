@@ -47,7 +47,7 @@ def _day_series(e: DataFrame) -> DataFrame:
         e.filter(F.col("value").isNotNull())
         .select(
             "event_type",
-            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+            F.expr("CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)").alias("day_i"),
             F.expr(_CENTS).alias("cents"),
         )
         .groupBy("event_type", "day_i")
@@ -172,7 +172,7 @@ def q194(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events")
     ud = e.filter(F.col("event_type").isNotNull()).select(
         "user_id",
-        F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+        F.expr("CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)").alias("day_i"),
         "event_type",
     )
     return (
@@ -465,7 +465,7 @@ def q198(spark: SparkSession, sf: str) -> DataFrame:
     ser = (
         e.select(
             "event_type",
-            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+            F.expr("CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)").alias("day_i"),
             F.expr(_CENTS).alias("cents"),
         )
         .groupBy("event_type", "day_i")
@@ -563,7 +563,7 @@ def q199(spark: SparkSession, sf: str) -> DataFrame:
     ser = (
         e.select(
             "event_type",
-            F.expr("(CAST(ts AS LONG) div 86400 + 3) % 7").alias("dow"),
+            F.expr("(CAST(unix_date(CAST(ts AS DATE)) AS BIGINT) + 3) % 7").alias("dow"),
             F.expr(_CENTS).alias("cents"),
         )
         .groupBy("event_type", "dow")
@@ -857,7 +857,7 @@ def q203(spark: SparkSession, sf: str) -> DataFrame:
         e.filter(F.col("event_type").isNotNull())
         .select(
             "event_type",
-            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+            F.expr("CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)").alias("day_i"),
             "user_id",
         )
         .distinct()
@@ -1038,7 +1038,7 @@ def q205(spark: SparkSession, sf: str) -> DataFrame:
     "lowest-order vertex. Wedges from the bounded degree table. All "
     "counts exact integers; the coefficient guards the wedges=0 "
     "corpus.",
-    tags=("dedup", "graph", "audit"),
+    tags=("dedup", "graph", "audit", "quadratic-oracle"),
 )
 def q206(spark: SparkSession, sf: str) -> DataFrame:
     from kaflow_spark.operators.dedup import (
@@ -1060,33 +1060,39 @@ def q206(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .persist()
     )
-    deg = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    w = deg.agg(
-        F.coalesce(
-            F.sum(F.expr("d * (d - 1) div 2")), F.lit(0)
-        ).alias("n_wedges")
-    )
     from kaflow_spark.operators.graph import triangle_count
 
-    t = triangle_count(e, "a", "b")
-    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
-        ne.crossJoin(w)
-        .crossJoin(t)
-        .select(
-            "n_edges",
-            "n_wedges",
-            "n_triangles",
-            F.expr(
-                "CASE WHEN n_wedges > 0 THEN"
-                " n_triangles * 3 * 10000 div n_wedges END"
-            ).alias("transitivity_bp"),
+    # all three report scalars are bounded (one row each), so they
+    # are computed eagerly while e is cached and e is unpersisted
+    # before returning — no cached frame outlives the call (the
+    # triangle_count discipline; previously e leaked for the session)
+    try:
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
         )
+        n_wedges = deg.agg(
+            F.coalesce(
+                F.sum(F.expr("d * (d - 1) div 2")), F.lit(0)
+            ).alias("n_wedges")
+        ).collect()[0]["n_wedges"]
+        t = triangle_count(e, "a", "b")
+        n_edges = e.count()
+    finally:
+        e.unpersist()
+    base = spark.createDataFrame(
+        [(n_edges, n_wedges)], "n_edges bigint, n_wedges bigint"
+    )
+    return base.crossJoin(t).select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CASE WHEN n_wedges > 0 THEN"
+            " n_triangles * 3 * 10000 div n_wedges END"
+        ).alias("transitivity_bp"),
     )
 
 
@@ -1143,7 +1149,7 @@ def q207(spark: SparkSession, sf: str) -> DataFrame:
         e.filter(F.col("event_type").isNotNull())
         .select(
             "event_type",
-            F.expr("CAST(ts AS LONG) div 86400").alias("day_i"),
+            F.expr("CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)").alias("day_i"),
             "user_id",
         )
         .distinct()

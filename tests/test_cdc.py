@@ -452,3 +452,128 @@ def test_crash_full_table_swap_rolls_forward(spark, tmp_path, monkeypatch):
     assert not os.path.exists(path)  # the hazard window, marker pending
     assert cdc.recover_merge(path) is not None
     assert _rows(spark.read.parquet(path)) == _rows(new)
+
+
+# ---- round 11: compaction + stale-tmp hygiene ---------------------------
+
+
+def _n_files(d):
+    from kaflow_spark.operators.cdc import _data_files
+
+    return len(_data_files(d))
+
+
+def test_compact_partitioned_reduces_files_preserves_rows(spark, tmp_path):
+    """A merge history leaves each hot partition with many small part
+    files; compact_parquet rewrites each fragmented slice to its
+    byte-target file count (1 here) without changing a row, and a
+    second invocation is a no-op (already compact)."""
+    from kaflow_spark.operators.cdc import compact_parquet
+
+    ddl = "user_id bigint, seg string, cents bigint"
+    rows = [(i, f"s{i % 3}", i * 10) for i in range(300)]
+    df = spark.createDataFrame(rows, ddl)
+    path = str(tmp_path / "t")
+    # repartition(8) per partition dir = 8 small files in each slice
+    df.repartition(8).write.partitionBy("seg").parquet(path)
+    before = {s: _n_files(os.path.join(path, s)) for s in os.listdir(path) if s.startswith("seg=")}
+    assert all(n > 1 for n in before.values()), before
+
+    stats = compact_parquet(spark, path, partition_col="seg")
+    assert sorted(stats["compacted"]) == ["seg=s0", "seg=s1", "seg=s2"]
+    after = {s: _n_files(os.path.join(path, s)) for s in before}
+    assert all(n == 1 for n in after.values()), after
+    assert stats["files_after"] == 3
+    got = spark.read.schema(ddl).parquet(path)
+    assert _rows(got) == _rows(df)
+
+    # idempotent second pass: nothing fragmented, nothing staged
+    stats2 = compact_parquet(spark, path, partition_col="seg")
+    assert stats2["compacted"] == []
+    assert not any(
+        d.startswith(".merge-staging-")
+        for d in os.listdir(os.path.dirname(path))
+    )
+
+
+def test_compact_unpartitioned_full_swap(spark, tmp_path):
+    from kaflow_spark.operators.cdc import compact_parquet
+
+    ddl = "user_id bigint, seg string, cents bigint"
+    df = spark.createDataFrame(
+        [(i, "x", i) for i in range(200)], ddl
+    )
+    path = str(tmp_path / "t")
+    df.repartition(6).write.parquet(path)
+    assert _n_files(path) == 6
+    stats = compact_parquet(spark, path)
+    assert stats["compacted"] == ["."] and stats["files_after"] == 1
+    assert _n_files(path) == 1
+    assert _rows(spark.read.parquet(path)) == _rows(df)
+
+
+def test_compact_zero_padded_string_partition_safe(spark, tmp_path):
+    """Compaction reads each slice by its LEAF directory (the files
+    carry no partition column), so the numeric-looking string
+    partition that required the explicit-schema fix in the merge
+    cannot be re-typed here at all."""
+    from kaflow_spark.operators.cdc import compact_parquet
+
+    ddl = "user_id bigint, seg string, cents bigint"
+    df = spark.createDataFrame(
+        [(1, "03", 10), (2, "03", 20), (3, "3", 30)], ddl
+    )
+    path = str(tmp_path / "t")
+    df.repartition(4).write.partitionBy("seg").parquet(path)
+    compact_parquet(spark, path, partition_col="seg")
+    got = spark.read.schema(ddl).parquet(path)
+    assert _rows(got) == _rows(df)
+    assert os.path.isdir(os.path.join(path, "seg=03"))
+    assert os.path.isdir(os.path.join(path, "seg=3"))
+
+
+def test_compact_crash_after_commit_rolls_forward(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the compactor between its commit-marker rename and the
+    slice swaps: recover_merge rolls the compaction forward through
+    the SAME manifest machinery as the merge."""
+    import kaflow_spark.operators.cdc as cdc
+
+    ddl = "user_id bigint, seg string, cents bigint"
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", i) for i in range(100)], ddl
+    )
+    path = str(tmp_path / "t")
+    df.repartition(5).write.partitionBy("seg").parquet(path)
+
+    real_rename = os.rename
+    monkeypatch.setattr(
+        cdc.os, "rename", _flaky_rename(real_rename, cdc._COMMIT_SUFFIX, 0)
+    )
+    with pytest.raises(OSError, match="injected"):
+        cdc.compact_parquet(spark, path, partition_col="seg")
+    monkeypatch.setattr(cdc.os, "rename", real_rename)
+
+    assert os.path.exists(cdc._commit_path(path))
+    assert cdc.recover_merge(path) is not None
+    assert not os.path.exists(cdc._commit_path(path))
+    for s in ("seg=s0", "seg=s1"):
+        assert _n_files(os.path.join(path, s)) == 1
+    assert _rows(spark.read.schema(ddl).parquet(path)) == _rows(df)
+
+
+def test_stale_commit_tmp_cleaned(spark, tmp_path):
+    """A writer that died between writing .merge-commit.json.tmp and
+    renaming it leaves a permanent orphan; recover_merge deletes it
+    when no committed marker exists (and still reports nothing to
+    recover)."""
+    import kaflow_spark.operators.cdc as cdc
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, 10)], "k bigint, v bigint").write.parquet(path)
+    tmp = cdc._commit_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("{}")
+    assert cdc.recover_merge(path) is None
+    assert not os.path.exists(tmp)

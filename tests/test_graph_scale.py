@@ -160,3 +160,21 @@ def test_oriented_out_degree_bounded(spark):
 
     got = triangle_count(df).collect()[0]["n_triangles"]
     assert got == kc * (kc - 1) * (kc - 2) // 6
+
+
+def test_triangle_count_leaves_no_cached_frame(spark):
+    """The oriented edge list is persisted only for the duration of
+    the count (computed eagerly) and unpersisted before returning —
+    a long-lived session running q206 per bench pass must not
+    accumulate cached frames (round-10 verdict item)."""
+    from kaflow_spark.operators.graph import triangle_count
+
+    spark.catalog.clearCache()
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a bigint, b bigint"
+    )
+    out = triangle_count(e)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "triangle_count leaked a persisted frame"
+    assert out.collect()[0]["n_triangles"] == 1
+    assert cm.isEmpty()

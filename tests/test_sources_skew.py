@@ -90,6 +90,29 @@ def test_key_histogram_flags_hot_key(spark):
     assert hist[0]["k"] == 1 and abs(hist[0]["share"] - 0.9) < 1e-9
 
 
+def test_key_histogram_one_scan(spark, tmp_path):
+    """The grand total rides the same aggregation as the top-k list
+    (broadcast back over the aggregated key counts), NOT a separate
+    df.count() action — one input scan in the static plan, and the
+    shares still sum to 1 over the full key set."""
+    path = str(tmp_path / "kh")
+    spark.createDataFrame(
+        [(i % 7,) for i in range(700)], "k bigint"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        h = key_histogram(df, "k", top=100)
+        plan = h._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1, plan
+        assert "ReusedExchange" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    rows = key_histogram(df, "k", top=100).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    assert all(r["n"] == 100 for r in rows)
+
+
 def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     from kaflow_spark.sources import read_orc
 
