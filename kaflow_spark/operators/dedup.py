@@ -440,7 +440,7 @@ def minhash_lsh_candidates(
     shingles: DataFrame | None = None,
     side_a=None,
     side_b=None,
-    bucket_salt: int = 1,
+    bucket_salt: int | str = "auto",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -533,6 +533,23 @@ def minhash_lsh_candidates(
         "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
     ).filter(F.col("_bn") <= max_bucket)
     cross = side_a is not None
+    if bucket_salt == "auto":
+        # default max_bucket (1000) algebraically bounds any bucket's
+        # pair work under the task budget, so the common case resolves
+        # to salt 1 with ZERO probe cost; a raised cap triggers one
+        # bounded max(_bn) probe over the cached-signature lineage
+        from kaflow_spark.operators.skew import choose_bucket_salt
+
+        bucket_salt = (
+            1
+            if cross
+            else choose_bucket_salt(
+                counted,
+                ["band", "bucket"],
+                known_cap=max_bucket,
+                count_col="_bn",
+            )
+        )
     if bucket_salt > 1 and not cross:
         # boilerplate-heavy corpora: spread each hot bucket's
         # quadratic pair work over salt*(salt+1)/2 join keys — AQE
@@ -618,7 +635,7 @@ def ngram_jaccard_pairs(
 
 
 def prefix_filter_candidates(
-    shingles: DataFrame, threshold: float, *, bucket_salt: int = 1
+    shingles: DataFrame, threshold: float, *, bucket_salt: int | str = "auto"
 ) -> DataFrame:
     """Deterministic recall-1 candidate pairs for an EXACT Jaccard
     set-similarity self-join (AllPairs / PPJoin prefix filtering,
@@ -689,6 +706,14 @@ def prefix_filter_candidates(
         # join shuffle with zero recall impact
         & (F.col("df") >= 2)
     ).select("id", "h", "n")
+    if bucket_salt == "auto":
+        # prefix tokens have no algebraic cap (a templated corpus's
+        # rarest shared token is the template id) — one linear
+        # max-bucket probe decides; salt 1 in the healthy word-grain
+        # case (near-unique tokens, see CLAUDE.md trap 8)
+        from kaflow_spark.operators.skew import choose_bucket_salt
+
+        bucket_salt = choose_bucket_salt(prefix, ["h"])
     if bucket_salt > 1:
         from kaflow_spark.operators.skew import salted_self_pairs
 
@@ -1115,7 +1140,7 @@ def hamming_pairs(
     *,
     max_dist: int = 1,
     max_bucket: int = 10_000,
-    bucket_salt: int = 1,
+    bucket_salt: int | str = "auto",
 ) -> DataFrame:
     """Fuzzy ENTITY-KEY matching: all equal-length pairs whose keys
     differ in at most ``max_dist`` character positions (Hamming
@@ -1178,6 +1203,18 @@ def hamming_pairs(
     counted = banded.withColumn(
         "_bn", F.count(F.lit(1)).over(Window.partitionBy("chunk", "_len", "proj"))
     ).filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket))
+    if bucket_salt == "auto":
+        # the default last-resort cap (10k) still admits a 50M-pair
+        # bucket — far over the task budget — so the probe is real
+        # here: one bounded max(_bn) over the banding lineage
+        from kaflow_spark.operators.skew import choose_bucket_salt
+
+        bucket_salt = choose_bucket_salt(
+            counted,
+            ["chunk", "_len", "proj"],
+            known_cap=max_bucket,
+            count_col="_bn",
+        )
     if bucket_salt > 1:
         from kaflow_spark.operators.skew import salted_self_pairs
 
@@ -1317,7 +1354,7 @@ def minimizer_candidates(
     min_shared: int = 5,
     max_df: int = 100,
     unit: str = "char",
-    bucket_salt: int = 1,
+    bucket_salt: int | str = "auto",
 ) -> DataFrame:
     """Near-dup candidate pairs from shared winnowing fingerprints
     (the MOSS screen, Schleimer et al. SIGMOD 2003) — the FOURTH
@@ -1366,6 +1403,12 @@ def minimizer_candidates(
         F.col("_df") <= max_df
     )
     sel = sel.join(rare.select("gram"), "gram")
+    if bucket_salt == "auto":
+        # max_df (default 100 => <5k pairs/bucket) is an algebraic
+        # cap — the common case resolves to salt 1 with no probe
+        from kaflow_spark.operators.skew import choose_bucket_salt
+
+        bucket_salt = choose_bucket_salt(sel, ["gram"], known_cap=max_df)
     if bucket_salt > 1:
         from kaflow_spark.operators.skew import salted_self_pairs
 
@@ -1450,7 +1493,7 @@ def near_dup_pairs(
     *,
     method: str = "minhash",
     threshold: float = 0.9,
-    bucket_salt: int = 1,
+    bucket_salt: int | str = "auto",
 ) -> DataFrame:
     """One-call near-duplicate PAIR detection: candidate generation by
     ``method``, then the shared exact char-5-gram Jaccard verify at

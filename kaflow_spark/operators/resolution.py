@@ -49,7 +49,7 @@ def deletion_variants(key_col: str) -> F.Column:
 
 
 def edit_distance_pairs(
-    df: DataFrame, id_col: str, key_col: str, *, bucket_salt: int = 1
+    df: DataFrame, id_col: str, key_col: str, *, bucket_salt: int | str = "auto"
 ) -> DataFrame:
     """All pairs of rows whose ``key_col`` values are within
     Levenshtein distance 1 (including exact duplicates at distance 0).
@@ -77,6 +77,13 @@ def edit_distance_pairs(
     variants = base.select(
         "_id", "_k", F.explode(deletion_variants("_k")).alias("_v")
     )
+    if bucket_salt == "auto":
+        # deletion-variant buckets have no algebraic cap (a massive
+        # equal-key cohort shares every variant) — one linear
+        # max-bucket probe decides
+        from kaflow_spark.operators.skew import choose_bucket_salt
+
+        bucket_salt = choose_bucket_salt(variants, ["_v"])
     if bucket_salt > 1:
         from kaflow_spark.operators.skew import salted_self_pairs
 

@@ -92,6 +92,75 @@ def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
     )
 
 
+# auto-salt policy knobs (module-level so tests can tighten them):
+# a bucket of n members costs n*(n-1)/2 candidate pairs in ONE task
+# when unsalted; above this budget the generators switch to
+# salted_self_pairs. 2M pairs ~ a few seconds of verify work — the
+# upper end of a healthy task.
+AUTO_SALT_TARGET_PAIRS = 2_000_000
+AUTO_SALT_MAX = 32
+
+
+def choose_bucket_salt(
+    keyed: DataFrame,
+    key_cols: list[str],
+    *,
+    target_pairs: int | None = None,
+    max_salt: int | None = None,
+    known_cap: int | None = None,
+    count_col: str | None = None,
+) -> int:
+    """Pick ``bucket_salt`` for a pair-join generator from the actual
+    hottest-bucket cardinality of its keyed frame (round-10 verdict:
+    the salted fallback existed on every generator but nothing CHOSE
+    it — an operator hitting a planted-boilerplate corpus with
+    default arguments still funneled the hot bucket into one task).
+
+    Decision ladder, cheapest first:
+
+    - ``known_cap``: when the caller already bounds bucket size (the
+      MinHash ``max_bucket`` window filter, the minimizer ``max_df``
+      screen) and ``cap*(cap-1)/2 <= target_pairs``, no bucket CAN
+      exceed the task budget — return 1 with zero probe cost. This
+      keeps the capped generators' default plans action-free and
+      unchanged.
+    - otherwise ONE bounded probe action: max bucket count via
+      ``count_col`` (a per-bucket count the generator already
+      computed, e.g. the window's ``_bn`` — one agg over the existing
+      lineage) or a ``groupBy(key).count()`` max. The probe is LINEAR
+      with map-side partial aggregation (shuffles one row per
+      distinct key per partition) — a linear diagnostic pass guarding
+      a potentially quadratic join, the same trade the q168 skew
+      report makes explicit. Catalyst's optimizedPlan size stats
+      cannot rank buckets (they estimate bytes, not key skew), so a
+      probe action is the honest trigger; it is skipped exactly when
+      the algebraic cap already proves it redundant.
+    - salt so each salted cell's pair work fits the budget:
+      ``ceil(hot / sqrt(2 * target_pairs))``, clamped to
+      ``[2, max_salt]`` (replication cost is salt+1 copies of the
+      short key rows — see :func:`salted_self_pairs`).
+    """
+    target = AUTO_SALT_TARGET_PAIRS if target_pairs is None else target_pairs
+    mx = AUTO_SALT_MAX if max_salt is None else max_salt
+    if known_cap is not None and known_cap * (known_cap - 1) // 2 <= target:
+        return 1
+    if count_col is not None:
+        hot = keyed.agg(F.max(count_col)).collect()[0][0]
+    else:
+        hot = (
+            keyed.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n"))
+            .collect()[0][0]
+        )
+    hot = int(hot or 0)
+    if hot * (hot - 1) // 2 <= target:
+        return 1
+    import math
+
+    return max(2, min(mx, math.ceil(hot / math.sqrt(2.0 * target))))
+
+
 def salted_self_pairs(
     df: DataFrame,
     key_cols: list[str],

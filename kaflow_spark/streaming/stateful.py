@@ -880,10 +880,16 @@ def streaming_wau(
     the trailing ``emit_horizon`` OBSERVED days so late partials for
     a retained day correct it (update mode: latest emission per
     (group, day) wins; older days were emitted correctly while
-    fresh). On a closed in-order stream the final emissions equal the
-    batch operator row-for-row (asserted in test_streaming). Input
-    rows need not be pre-deduplicated — the state set dedupes.
-    Batch frames fall back to the exact batch operator."""
+    fresh). Late/out-of-order contract (round-11 tests): a pair whose
+    day is still retained is absorbed — its day AND every retained
+    day whose look-back covers it re-emit corrected; a pair older
+    than the retention boundary is DROPPED (no state growth, no
+    emission, newer rows unperturbed) — bound how late that can be
+    with an upstream watermark. On a closed in-order stream the final
+    emissions equal the batch operator row-for-row (asserted in
+    test_streaming). Input rows need not be pre-deduplicated — the
+    state set dedupes. Batch frames fall back to the exact batch
+    operator."""
     from kaflow_spark.operators.events import rolling_wau
 
     if not df.isStreaming:
@@ -925,7 +931,11 @@ def streaming_returning_rate(
     ``emit_horizon + past`` trailing days of distinct (user, day)
     pairs per group). Closed in-order stream == batch operator
     row-for-row (asserted); integer basis points (both operands
-    non-negative, so Python ``//`` matches Spark ``div``). Batch
+    non-negative, so Python ``//`` matches Spark ``div``). Same
+    late-arrival contract as :func:`streaming_wau`: retained days
+    absorb late pairs and re-emit corrected (including newer days
+    whose look-back they feed — asserted out-of-order in
+    test_streaming), older-than-retention pairs are dropped. Batch
     frames fall back to the exact batch operator."""
     from kaflow_spark.operators.events import returning_rate
 
@@ -1051,8 +1061,12 @@ def streaming_growth(
     (update mode, latest wins). On a closed in-order stream the final
     emissions equal the batch operator row-for-row (asserted), and
     the identity n_new + n_retained + n_resurrected = n_active holds
-    on every emitted row by construction. Batch frames fall back to
-    the exact batch operator."""
+    on every emitted row by construction. Late-arrival contract
+    (round-11 tests): a too-late pair contributes nothing to the
+    recency component (dropped like the other twins) but STILL seeds
+    the first-seen floor — one cheap entry — so the user's eventual
+    return classifies as resurrected, not new. Batch frames fall
+    back to the exact batch operator."""
     from kaflow_spark.operators.events import growth_accounting
 
     if not df.isStreaming:
@@ -1097,9 +1111,11 @@ def streaming_stickiness(
     trailing ``window`` days, and their ratio in integer basis
     points. Same bounded-state design as :func:`streaming_wau`
     (state: ``emit_horizon + window - 1`` trailing days of distinct
-    (user, day) pairs per group). Closed in-order stream == the
-    batch q210 kernel row-for-row (asserted). Batch frames fall back
-    to the exact batch computation."""
+    (user, day) pairs per group), same late-arrival contract
+    (retained days absorb and re-emit corrected; older-than-retention
+    pairs dropped — asserted in test_streaming). Closed in-order
+    stream == the batch q210 kernel row-for-row (asserted). Batch
+    frames fall back to the exact batch computation."""
     if not df.isStreaming:
         act = df.select(group_col, day_col, user_col).distinct()
         contrib = act.select(

@@ -489,3 +489,134 @@ def test_salted_self_pairs_randomized_property(spark):
         for r in got_rows:
             assert r["attr_a"] == f"p{r['id_a']}", r
             assert r["attr_b"] == f"p{r['id_b']}", r
+
+
+# ---- round 11: auto-salt trigger ----------------------------------------
+
+
+def test_choose_bucket_salt_policy(spark):
+    """The ladder: algebraic cap -> no probe at all; hot bucket under
+    the pair budget -> 1; over it -> ceil(hot / sqrt(2*target)),
+    clamped to [2, max]."""
+    from kaflow_spark.operators import skew
+
+    # known_cap shortcut must not touch the frame at all (None would
+    # raise on any attribute access)
+    assert skew.choose_bucket_salt(None, ["k"], known_cap=1000) == 1
+
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(3000)]
+        + [(f"k{i}", 10_000 + i) for i in range(50)],
+        "k string, id bigint",
+    )
+    # 3000-member bucket ~ 4.5M pairs > 2M default budget ->
+    # ceil(3000 / sqrt(4M)) = 2
+    assert skew.choose_bucket_salt(df, ["k"]) == 2
+    assert skew.choose_bucket_salt(df.filter("k != 'hot'"), ["k"]) == 1
+    # count_col path (the generators' existing window count)
+    from pyspark.sql.window import Window
+
+    counted = df.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("k"))
+    )
+    assert skew.choose_bucket_salt(counted, ["k"], count_col="_bn") == 2
+    # tight budget drives the salt up, clamp holds
+    assert 2 <= skew.choose_bucket_salt(df, ["k"], target_pairs=50) <= 32
+    assert skew.choose_bucket_salt(df, ["k"], target_pairs=50, max_salt=4) == 4
+
+
+def test_prefix_filter_auto_salts_planted_boilerplate(spark, monkeypatch):
+    """Round-11 verdict item: with DEFAULT arguments (no bucket_salt
+    from the caller) the planted boilerplate corpus must come back
+    salted — pair set identical to the plain join, salted key on the
+    join exchange. Budget tightened so the 300-doc template trips it
+    at fixture scale."""
+    from kaflow_spark.operators import skew
+    from kaflow_spark.operators.dedup import (
+        prefix_filter_candidates,
+        wordgram_shingle_frame,
+    )
+
+    monkeypatch.setattr(skew, "AUTO_SALT_TARGET_PAIRS", 1000)
+    docs = _boiler_docs(spark)
+    sh = wordgram_shingle_frame(docs, "doc_id", "text", 5, eager=False)
+    auto = prefix_filter_candidates(sh, 0.8)  # defaults only
+    plain = prefix_filter_candidates(sh, 0.8, bucket_salt=1)
+    a = sorted((r["id_a"], r["id_b"]) for r in auto.collect())
+    b = sorted((r["id_a"], r["id_b"]) for r in plain.collect())
+    assert a == b and len(a) >= 300 * 299 // 2
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        fresh = prefix_filter_candidates(
+            wordgram_shingle_frame(docs, "doc_id", "text", 5, eager=False),
+            0.8,
+        )
+        assert _salted_exchange_present(fresh)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_edit_distance_auto_salts_equal_key_cohort(spark, monkeypatch):
+    from kaflow_spark.operators import skew
+    from kaflow_spark.operators.resolution import edit_distance_pairs
+
+    monkeypatch.setattr(skew, "AUTO_SALT_TARGET_PAIRS", 1000)
+    rows = [(i, "Customer#1234") for i in range(90)] + [
+        (400 + i, f"Unique#{i:06d}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    auto = edit_distance_pairs(df, "id", "name")  # defaults only
+    plain = edit_distance_pairs(df, "id", "name", bucket_salt=1)
+    a = sorted((r["id_a"], r["id_b"], r["lev"]) for r in auto.collect())
+    b = sorted((r["id_a"], r["id_b"], r["lev"]) for r in plain.collect())
+    assert a == b and len(a) >= 90 * 89 // 2
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert _salted_exchange_present(edit_distance_pairs(df, "id", "name"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_hamming_auto_salts_equal_key_cohort(spark, monkeypatch):
+    from kaflow_spark.operators import skew
+    from kaflow_spark.operators.dedup import hamming_pairs
+
+    monkeypatch.setattr(skew, "AUTO_SALT_TARGET_PAIRS", 1000)
+    rows = [(i, "AAAAAAAA") for i in range(120)] + [
+        (500 + i, f"{i:08d}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    auto = hamming_pairs(df, "id", "k", max_dist=1)  # defaults only
+    plain = hamming_pairs(df, "id", "k", max_dist=1, bucket_salt=1)
+    a = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in auto.collect())
+    b = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in plain.collect())
+    assert a == b and len(a) >= 120 * 119 // 2
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert _salted_exchange_present(hamming_pairs(df, "id", "k", max_dist=1))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_capped_generators_stay_probe_free_and_unsalted(spark):
+    """minhash (max_bucket=1000) and minimizer (max_df=100) defaults
+    are algebraically under the pair budget: auto resolves to salt 1
+    with no extra aggregation, and the plain-join plan is preserved
+    (no salted exchange)."""
+    from kaflow_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minimizer_candidates,
+    )
+
+    docs = _boiler_docs(spark, n_boiler=30, n_uniq=60)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        mh = minhash_lsh_candidates(docs, "doc_id", "text", min_bands=2)
+        assert not _salted_exchange_present(mh)
+        mc = minimizer_candidates(docs, "doc_id", "text", unit="word")
+        assert not _salted_exchange_present(mc)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -1221,3 +1221,174 @@ def test_streaming_stickiness_converges_to_batch(spark, tdir):
     assert latest == want and len(want) == 4
     # day 3: dau=2 (users 1, 4); mau=4 (users 1-4 within 28 days)
     assert latest[("t", 3)] == (2, 4, 5000)
+
+
+# ---- round 11: out-of-order / late-arrival semantics for KPI twins ------
+#
+# Documented contract of the _activity_update family (wau /
+# stickiness / returning) and _growth_update:
+# - a late (user, day) pair whose day is still RETAINED (within
+#   emit_horizon + lookback of the group's newest day) is absorbed:
+#   its day and every retained day whose look-back covers it are
+#   re-emitted corrected (update mode: latest emission wins);
+# - a pair older than the retention boundary is DROPPED: no state
+#   growth, no emission for that day, no perturbation of newer rows
+#   (pair with an upstream watermark to bound how late that can be);
+# - _growth_update's first-seen floor still LEARNS from a too-late
+#   pair (cheap, one entry per user ever) so a later resurrection
+#   classifies against the true first day.
+
+
+def test_activity_kernel_late_day_within_horizon_corrects():
+    """WAU: a late user for an already-emitted (but retained) day
+    corrects that day AND every retained day whose 7-day window
+    covers it."""
+    import pandas as pd
+    from kaflow_spark.streaming.stateful import _activity_update
+
+    update = _activity_update("g", "day", "user", "wau", 7, 8, None)
+    st = _FakeGroupState()
+    b1 = pd.DataFrame({"day": list(range(10)), "user": list(range(100, 110))})
+    out1 = list(update(("t",), iter([b1]), st))[0]
+    first = dict(zip(out1["day"], out1["wau"]))
+    # late arrival: user 999 on day 5 (retained: 5 > 9 - 8)
+    b2 = pd.DataFrame({"day": [5], "user": [999]})
+    out2 = list(update(("t",), iter([b2]), st))[0]
+    got = dict(zip(out2["day"], out2["wau"]))
+    pairs = {(100 + d, d) for d in range(10)} | {(999, 5)}
+    for d in got:
+        want = len({u for u, dd in pairs if d - 6 <= dd <= d})
+        assert got[d] == want, (d, got[d], want)
+    # every day whose window covers day 5 moved up by exactly one
+    for d in range(5, 10):
+        assert got[d] == first[d] + 1, d
+
+
+def test_activity_kernel_too_late_day_dropped():
+    """A pair older than the retention boundary is dropped: no state
+    growth, no emission for it, newer rows unchanged."""
+    import pandas as pd
+    from kaflow_spark.streaming.stateful import _activity_update
+
+    for mode, span in (("wau", 7), ("stickiness", 28), ("returning", 28)):
+        lookback = span - 1 if mode in ("wau", "stickiness") else span
+        update = _activity_update("g", "day", "user", mode, span, 8, None)
+        st = _FakeGroupState()
+        b1 = pd.DataFrame({"day": [0, 40], "user": [1, 2]})
+        list(update(("t",), iter([b1]), st))
+        users0, days0 = st.updated
+        assert 0 not in days0  # day 0 already beyond 40's retention
+        stale = 40 - (8 + lookback)  # exactly AT the boundary: evicted
+        b2 = pd.DataFrame({"day": [stale], "user": [77]})
+        out2 = list(update(("t",), iter([b2]), st))
+        users1, days1 = st.updated
+        assert stale not in days1 and 77 not in users1, mode
+        assert sorted(zip(users1, days1)) == sorted(zip(users0, days0))
+        emitted_days = set(out2[0]["day"]) if out2 else set()
+        assert stale not in emitted_days, mode
+        # the retained newest day is re-emitted unperturbed
+        if mode == "wau":
+            assert dict(zip(out2[0]["day"], out2[0]["wau"]))[40] == 1
+
+
+def test_activity_kernel_out_of_order_batches_converge():
+    """Returning rate: batch 2 delivers OLDER days than batch 1 (all
+    within the horizon) — the late look-back data corrects already-
+    emitted newer days, and the final answer equals the from-scratch
+    computation on the union."""
+    import pandas as pd
+    from kaflow_spark.streaming.stateful import _activity_update
+
+    update = _activity_update("g", "day", "user", "returning", 28, 8, None)
+    st = _FakeGroupState()
+    b1 = pd.DataFrame({"day": [8, 8], "user": [1, 2]})
+    out1 = list(update(("t",), iter([b1]), st))[0]
+    r1 = {
+        d: (a, r, bp)
+        for d, a, r, bp in zip(
+            out1["day"], out1["n_active"], out1["n_returning"],
+            out1["returning_bp"],
+        )
+    }
+    assert r1[8] == (2, 0, 0)  # nobody has history yet
+    # out-of-order: day 3 arrives after day 8 (retained: 3 > 8 - 8)
+    b2 = pd.DataFrame({"day": [3], "user": [1]})
+    out2 = list(update(("t",), iter([b2]), st))[0]
+    r2 = {
+        d: (a, r, bp)
+        for d, a, r, bp in zip(
+            out2["day"], out2["n_active"], out2["n_returning"],
+            out2["returning_bp"],
+        )
+    }
+    # day 8 re-emitted corrected: user 1 now has day-3 history
+    assert r2[8] == (2, 1, 5000)
+    assert r2[3] == (1, 0, 0)
+
+
+def test_growth_kernel_late_pair_drops_recency_keeps_first_seen():
+    """Growth: a too-late pair contributes nothing to the recency
+    component (no emission, no state growth there) but DOES seed the
+    first-seen floor, so the user's eventual return classifies as
+    resurrected — not new."""
+    import pandas as pd
+    from kaflow_spark.streaming.stateful import _growth_update
+
+    update = _growth_update("g", "day", "user", 8, None)
+    st = _FakeGroupState()
+    b1 = pd.DataFrame({"day": [40], "user": [1]})
+    list(update(("t",), iter([b1]), st))
+    # day 5 is far beyond the recency horizon (40 - 9)
+    b2 = pd.DataFrame({"day": [5], "user": [9]})
+    out2 = list(update(("t",), iter([b2]), st))
+    fu, fd, ru, rd = st.updated
+    assert 9 in fu and dict(zip(fu, fd))[9] == 5  # floor learned
+    assert 5 not in rd  # recency dropped
+    emitted = set(out2[0]["day"]) if out2 else set()
+    assert 5 not in emitted
+    # user 9 comes back on day 41: resurrected (first day 5 < 40),
+    # NOT new — the learned floor is load-bearing
+    b3 = pd.DataFrame({"day": [41], "user": [9]})
+    out3 = list(update(("t",), iter([b3]), st))[0]
+    row = {d: i for i, d in enumerate(out3["day"])}
+    i = row[41]
+    assert out3["n_resurrected"][i] == 1 and out3["n_new"][i] == 0
+
+
+def test_streaming_wau_out_of_order_files_converge(spark, tdir):
+    """Engine-level: micro-batches interleave days ACROSS groups and
+    arrive out of order (file 2 older than file 1, within horizon);
+    final latest-emission-per-(group, day) equals the batch operator
+    on the union."""
+    from kaflow_spark.operators.events import rolling_wau
+    from kaflow_spark.streaming.stateful import streaming_wau
+
+    ddl = "g string, day bigint, user bigint"
+    rows1 = [("a", 6, 1), ("b", 3, 1), ("a", 7, 2)]
+    rows2 = [("a", 2, 3), ("b", 1, 2), ("a", 3, 1)]  # older, retained
+    spark.createDataFrame(rows1, ddl).coalesce(1).write.mode("append").parquet(tdir)
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(tdir)
+    )
+    out = streaming_wau(stream, "g", "day", "user")
+    latest = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            latest[(r["g"], r["day"])] = r["wau"]
+
+    q = out.writeStream.outputMode("update").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(tdir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch_in = spark.createDataFrame(rows1 + rows2, ddl).distinct()
+    want = {
+        (r["g"], r["day"]): r["wau"]
+        for r in rolling_wau(batch_in, "g", "day", "user").collect()
+    }
+    assert latest == want and len(want) == 6
