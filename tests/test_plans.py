@@ -944,3 +944,57 @@ def test_q214_vector_star_broadcasts_dim(spark, sf_dir):
 
     txt = explain_str(df)
     assert "SortMergeJoin" not in txt
+
+
+def test_q222_rfm_one_scan_reused_customer_agg(spark, sf_dir):
+    """q222: the quintile boundaries and the band assignment both
+    consume ONE customer aggregate (identical projections, reused
+    exchange) — one orders scan, no per-metric diamond (static
+    planner, trap-9 idiom)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q222_rfm_segments"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert plan.count("Scan parquet") == 1, plan
+        assert "ReusedExchange" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q224_mad_single_scan_derived_deviations(spark, sf_dir):
+    """q224: the deviation distribution is derived from the same
+    (type, cents, count) contraction as the median — one events
+    scan, the contraction's exchange reused across its three
+    consumers."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q224_mad_outliers"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert plan.count("Scan parquet") == 1, plan
+        assert "ReusedExchange" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q221_q223_q228_single_scan(spark, sf_dir):
+    """The round-11 window-family queries each read events exactly
+    once (cohort floor / islands / session ids are windows on one
+    lineage, never a self-join)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in (
+            "q221_cohort_retention",
+            "q223_activity_streaks",
+            "q228_session_depth_conversion",
+        ):
+            df = REGISTRY[name].spark(spark, sf_dir)
+            plan = explain_str(df, "simple")
+            assert plan.count("Scan parquet") == 1, (name, plan)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

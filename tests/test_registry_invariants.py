@@ -91,3 +91,9 @@ def test_registry_size_floor_round6_batch2():
 def test_registry_size_floor_round10():
     # round-10 widening: q209-q220 (growth / provenance families)
     assert len(REGISTRY) >= 220
+
+
+def test_registry_size_floor_round11():
+    # round-11 widening: q221-q228 (cohort/lifecycle + robust
+    # operations audits)
+    assert len(REGISTRY) >= 228
