@@ -582,7 +582,7 @@ def _winnow_jaccard_oracle() -> str:
     "unique per doc, keeping the join sparse AND recall intact. "
     "Only (id, gram) rows shuffle — ~1/w of gram positions by the "
     "winnowing density bound.",
-    tags=("dedup",),
+    tags=("quadratic-oracle", "dedup",),
 )
 def q164(spark: SparkSession, sf: str) -> DataFrame:
     from kaflow_spark.operators.dedup import (

@@ -674,7 +674,7 @@ def _q90_oracle() -> str:
     "joins it twice on ids, so AQE broadcasts the pairs and nothing "
     "wide shuffles. Oracle = brute-force O(n²) Jaccard + the same "
     "portable split CASE.",
-    tags=("curation", "dedup"),
+    tags=("quadratic-oracle", "curation", "dedup"),
 )
 def q90(spark: SparkSession, sf: str) -> DataFrame:
     from kaflow_spark.operators.curation import cross_split_pairs

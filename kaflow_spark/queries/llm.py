@@ -432,7 +432,7 @@ _EXACT_JACCARD_SQL = f"""
     "also attests banding recall (16 bands of 4 rows: P(miss) at "
     "s=0.9 is (1-0.9^4)^16 ≈ 4e-8; a real miss would fail the row "
     "compare).",
-    tags=("dedup",),
+    tags=("quadratic-oracle", "dedup",),
 )
 def q41(spark: SparkSession, sf: str) -> DataFrame:
     from kaflow_spark.operators.dedup import ngram_jaccard_pairs, shingle_frame
@@ -473,7 +473,7 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
     "sf0.001/0.01/0.1. Same exact output contract as q41 — "
     "deliberately: two independent candidate generators attested "
     "against one brute-force oracle.",
-    tags=("dedup",),
+    tags=("quadratic-oracle", "dedup",),
 )
 def q42(spark: SparkSession, sf: str) -> DataFrame:
     from kaflow_spark.operators.dedup import ngram_jaccard_pairs, shingle_frame
@@ -513,7 +513,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     "(verified 0 misses on the fixture at sf0.01 and sf0.1). The "
     "high-threshold near-dup case (cos ≥ 0.9) needs only one 8-plane "
     "table — the operator serves both via (num_planes, num_tables).",
-    tags=("dedup", "similarity"),
+    tags=("quadratic-oracle", "dedup", "similarity"),
 )
 def q43(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
@@ -593,7 +593,7 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     "operators/graph.py). Component id = smallest member doc_id, "
     "which IS the canonical keeper. The oracle computes the same "
     "fixpoint with a recursive CTE.",
-    tags=("dedup",),
+    tags=("quadratic-oracle", "dedup",),
 )
 def q83(spark: SparkSession, sf: str) -> DataFrame:
     from kaflow_spark.operators.dedup import ngram_jaccard_pairs, shingle_frame
@@ -1233,7 +1233,7 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     "ids/sizes and keeper come out of a single groupBy over the "
     "(tiny) cluster-member frame; the corpus-side quality scores "
     "join in by doc_id before the aggregate.",
-    tags=("dedup", "curation"),
+    tags=("quadratic-oracle", "dedup", "curation"),
 )
 def q137(spark: SparkSession, sf: str) -> DataFrame:
     from kaflow_spark.operators.dedup import ngram_jaccard_pairs, shingle_frame
@@ -1317,7 +1317,7 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
     "restricted to their id sets BEFORE the bucket join, so the "
     "corpus's own within-set collisions never materialize and the "
     "join output scales with corpus-x-bench bucket overlap.",
-    tags=("dedup", "curation"),
+    tags=("quadratic-oracle", "dedup", "curation"),
 )
 def q140(spark: SparkSession, sf: str) -> DataFrame:
     from kaflow_spark.operators.dedup import ngram_jaccard_pairs, shingle_frame

@@ -1,0 +1,487 @@
+"""Round-11 declared queries, batch 2: sequence and distribution
+analytics (q229-q233).
+
+Shapes the earlier suites don't cover: a first-order Markov
+transition matrix over per-user event streams (q229), sweep-line
+peak concurrency of 30-minute sessions (q230 — the +1/-1 delta
+prefix-sum idiom, partitioned per day by clipping sessions at
+midnight so no global single-reducer cumulative sum exists), an
+Instacart-style repeat-purchase share per part brand (q231), a
+time-to-next-event survival curve per event type (q232 — survival
+read off the bounded (type, gap) contraction, never the raw gap
+rows), and Pareto revenue coverage per market segment (q233 — "how
+few customers cover 80% of revenue", an exact integer cumulative
+selector over the per-segment value table in the q222/q148 family).
+
+Registry discipline throughout: exact integer arithmetic (cents and
+basis points; `div` / `//` truncation identical on both engines for
+the non-negative operands used here), truncated epoch seconds
+(CAST(ts AS LONG) == epoch_us // 1e6), ONE total order shared by
+every window of a logical pass (the q152 corollary), and unique-key
+tie-breaks (event_id / (orderkey, linenumber)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kaflow_spark.catalog import load
+from kaflow_spark.queries.base import declare
+
+_SEC = "CAST(ts AS LONG)"
+_SEC_SQL = "CAST(epoch_us(ts) // 1000000 AS BIGINT)"
+
+
+@declare(
+    "q229_event_transitions",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, {_SEC_SQL} AS sec, event_type
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL),
+    p AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY sec, event_id)
+                   AS to_type
+        FROM e),
+    g AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n_trans,
+           CAST(n_trans * 10000 // SUM(n_trans)
+               OVER (PARTITION BY from_type) AS BIGINT) AS prob_bp
+    FROM g ORDER BY from_type, to_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "streams: for each user's time-ordered events (unique event_id "
+    "tie-break), count (event_type -> next event_type) transitions "
+    "and each row's share of its from-type in basis points. One "
+    "user-partitioned shuffle carries the LEAD; the matrix is "
+    "bounded by |types|^2, so the per-from-type normalization "
+    "window runs over a tiny table. The 'what do users do next' "
+    "primitive behind journey analysis.",
+    tags=("events", "window", "agg"),
+)
+def q229(spark: SparkSession, sf: str) -> DataFrame:
+    e = (
+        load(spark, sf, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(_SEC).alias("sec"),
+            "event_type",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    g = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    tot = Window.partitionBy("from_type")
+    return (
+        g.withColumn("tot", F.sum("n_trans").over(tot))
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            F.expr("n_trans * 10000 div tot").alias("prob_bp"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@declare(
+    "q230_peak_concurrency",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, {_SEC_SQL} AS sec
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    f AS (
+        SELECT user_id, sec, event_id,
+               CASE WHEN sec - LAG(sec) OVER w > 1800
+                    OR LAG(sec) OVER w IS NULL THEN 1 ELSE 0 END
+                   AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id
+                            ORDER BY sec, event_id)),
+    s AS (
+        SELECT user_id, sec,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY sec, event_id) AS sid
+        FROM f),
+    ps AS (
+        SELECT user_id, sid, MIN(sec) AS s0, MAX(sec) AS s1
+        FROM s GROUP BY 1, 2),
+    spans AS (
+        SELECT UNNEST(generate_series(s0 // 86400, s1 // 86400))
+                   AS day_i, s0, s1
+        FROM ps),
+    cl AS (
+        SELECT day_i, GREATEST(s0, day_i * 86400) AS lo,
+               LEAST(s1, day_i * 86400 + 86399) AS hi
+        FROM spans),
+    d AS (
+        SELECT day_i, lo AS sec, 1 AS delta FROM cl
+        UNION ALL
+        SELECT day_i, hi + 1, -1 FROM cl),
+    g AS (
+        SELECT day_i, sec, SUM(delta) AS dsum,
+               SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS starts
+        FROM d GROUP BY 1, 2),
+    r AS (
+        SELECT day_i, starts,
+               SUM(dsum) OVER (PARTITION BY day_i ORDER BY sec) AS run
+        FROM g)
+    SELECT CAST(day_i AS BIGINT) AS day_i,
+           CAST(SUM(starts) AS BIGINT) AS n_sessions,
+           CAST(MAX(run) AS BIGINT) AS peak_concurrent
+    FROM r GROUP BY 1 ORDER BY day_i
+    """,
+    doc="Peak concurrent sessions per day, sweep-line: sessionize "
+    "(30-minute gap islands, flag and running sum sharing ONE total "
+    "order — the q152 corollary), clip each session's [start, end] "
+    "second span at midnight boundaries (sequence over its day "
+    "range; sessions are short by construction so the explode is "
+    "1-2 rows), emit +1/-1 deltas at span edges, aggregate deltas "
+    "per (day, second) so the running sum has a unique total order, "
+    "and take the per-day max of the prefix sum. Clipping is the "
+    "scale design: concurrency at any instant only depends on "
+    "sessions overlapping it, so the cumulative window partitions "
+    "BY DAY and distributes — no global single-reducer prefix sum. "
+    "A -1 landing one second past midnight stays attached to its "
+    "own day where it is ordered after every real sample point; a "
+    "decrease never raises a max. Truncated sec//86400 days on "
+    "both engines (identical truncation semantics).",
+    tags=("events", "window", "agg"),
+)
+def q230(spark: SparkSession, sf: str) -> DataFrame:
+    e = (
+        load(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_id", F.expr(_SEC).alias("sec"))
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(w) > 1800)
+            | F.lag("sec").over(w).isNull(),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn("sid", F.sum("new_sess").over(w))
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.min("sec").alias("s0"), F.max("sec").alias("s1")
+    )
+    spans = per_sess.select(
+        F.explode(
+            F.sequence(F.expr("s0 div 86400"), F.expr("s1 div 86400"))
+        ).alias("day_i"),
+        "s0",
+        "s1",
+    )
+    cl = spans.select(
+        "day_i",
+        F.greatest("s0", F.expr("day_i * 86400")).alias("lo"),
+        F.least("s1", F.expr("day_i * 86400 + 86399")).alias("hi"),
+    )
+    deltas = cl.select(
+        "day_i",
+        F.expr(
+            "stack(2, lo, CAST(1 AS BIGINT), "
+            "hi + 1, CAST(-1 AS BIGINT)) AS (sec, delta)"
+        ),
+    )
+    g = deltas.groupBy("day_i", "sec").agg(
+        F.sum("delta").alias("dsum"),
+        F.sum(
+            F.when(F.col("delta") == 1, F.lit(1)).otherwise(F.lit(0))
+        ).alias("starts"),
+    )
+    r = g.withColumn(
+        "run",
+        F.sum("dsum").over(Window.partitionBy("day_i").orderBy("sec")),
+    )
+    return (
+        r.groupBy("day_i")
+        .agg(
+            F.sum("starts").alias("n_sessions"),
+            F.max("run").alias("peak_concurrent"),
+        )
+        .orderBy("day_i")
+    )
+
+
+@declare(
+    "q231_reorder_share",
+    oracle="""
+    WITH j AS (
+        SELECT l.l_partkey, o.o_custkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o.o_custkey, l.l_partkey
+                   ORDER BY o.o_orderdate, l.l_orderkey, l.l_linenumber
+               ) AS rn
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    g AS (
+        SELECT p.p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN j.rn > 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_repeat
+        FROM j JOIN part p ON j.l_partkey = p.p_partkey
+        GROUP BY 1)
+    SELECT p_brand, n_lines, n_repeat,
+           CAST(n_repeat * 10000 // n_lines AS BIGINT) AS repeat_bp
+    FROM g ORDER BY p_brand
+    """,
+    doc="Repeat-purchase share per part brand (the Instacart "
+    "'reordered' flag): a line is a repeat when the same customer "
+    "bought the same part in an earlier order — ROW_NUMBER over "
+    "(customer, part) ordered by (orderdate, orderkey, linenumber), "
+    "a unique total order. One big-big shuffle join lineitem x "
+    "orders on the order key (co-partitioned lineage in a bucketed "
+    "warehouse), one (cust, part) window shuffle, then the part "
+    "dim joins BROADCAST onto the flagged lines and the rollup "
+    "contracts to |brands| rows with the share in basis points.",
+    tags=("tpch", "join", "window", "agg"),
+)
+def q231(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    w = Window.partitionBy("o_custkey", "l_partkey").orderBy(
+        "o_orderdate", "l_orderkey", "l_linenumber"
+    )
+    flagged = j.select(
+        "l_partkey", F.row_number().over(w).alias("rn")
+    )
+    p = load(spark, sf, "part").select("p_partkey", "p_brand")
+    g = (
+        flagged.join(
+            F.broadcast(p), flagged.l_partkey == p.p_partkey
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("rn") > 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_repeat"),
+        )
+    )
+    return g.select(
+        "p_brand",
+        "n_lines",
+        "n_repeat",
+        F.expr("n_repeat * 10000 div n_lines").alias("repeat_bp"),
+    ).orderBy("p_brand")
+
+
+@declare(
+    "q232_gap_survival",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, {_SEC_SQL} AS sec, event_type
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL),
+    g AS (
+        SELECT event_type,
+               (LEAD(sec) OVER (PARTITION BY user_id, event_type
+                                ORDER BY sec, event_id) - sec)
+                   // 86400 AS gap_days
+        FROM e),
+    c AS (
+        SELECT event_type, gap_days, CAST(COUNT(*) AS BIGINT) AS c
+        FROM g WHERE gap_days IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT CAST(v AS BIGINT) AS t_days
+          FROM (VALUES (1), (7), (14), (28)) AS tv(v)),
+    j AS (
+        SELECT event_type, t_days,
+               CAST(SUM(c) AS BIGINT) AS n_gaps,
+               CAST(SUM(CASE WHEN gap_days >= t_days THEN c ELSE 0 END)
+                   AS BIGINT) AS n_survive
+        FROM c CROSS JOIN t GROUP BY 1, 2)
+    SELECT event_type, t_days, n_gaps, n_survive,
+           CAST(n_survive * 10000 // n_gaps AS BIGINT) AS surviving_bp
+    FROM j ORDER BY event_type, t_days
+    """,
+    doc="Time-to-next-event survival curve per event type: gaps "
+    "between consecutive same-type events of a user (unique "
+    "event_id tie-break), bucketed to whole days (truncating "
+    "div 86400 on non-negative gaps, identical on both engines); "
+    "S(t) = share of gaps surviving past t in {{1, 7, 14, 28}} days, "
+    "in basis points. The survival read rides the BOUNDED (type, "
+    "gap_days) contraction crossed with the 4-row threshold frame — "
+    "the raw gap rows are aggregated exactly once, so adding "
+    "thresholds costs |types| x |gaps-grid| x 4, never another "
+    "corpus pass. The churn-model primitive behind 'how long until "
+    "they do it again'.",
+    tags=("events", "window", "stats"),
+)
+def q232(spark: SparkSession, sf: str) -> DataFrame:
+    e = (
+        load(spark, sf, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(_SEC).alias("sec"),
+            "event_type",
+        )
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "sec", "event_id"
+    )
+    gaps = e.select(
+        "event_type",
+        F.expr(
+            "(LEAD(sec) OVER (PARTITION BY user_id, event_type "
+            "ORDER BY sec, event_id) - sec) div 86400"
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    c = gaps.groupBy("event_type", "gap_days").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    thr = spark.createDataFrame(
+        [(1,), (7,), (14,), (28,)], "t_days bigint"
+    )
+    j = (
+        c.crossJoin(F.broadcast(thr))
+        .groupBy("event_type", "t_days")
+        .agg(
+            F.sum("c").alias("n_gaps"),
+            F.sum(
+                F.when(
+                    F.col("gap_days") >= F.col("t_days"), F.col("c")
+                ).otherwise(F.lit(0))
+            ).alias("n_survive"),
+        )
+    )
+    return j.select(
+        "event_type",
+        "t_days",
+        "n_gaps",
+        "n_survive",
+        F.expr("n_survive * 10000 div n_gaps").alias("surviving_bp"),
+    ).orderBy("event_type", "t_days")
+
+
+@declare(
+    "q233_pareto_coverage",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+    seg AS (
+        SELECT c.c_mktsegment AS segment, r.cents
+        FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey),
+    grid AS (
+        SELECT segment, cents, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seg GROUP BY 1, 2),
+    cum AS (
+        SELECT segment, cents, c,
+               SUM(cents * c) OVER (PARTITION BY segment
+                                    ORDER BY cents DESC) AS cum_rev,
+               SUM(c) OVER (PARTITION BY segment
+                            ORDER BY cents DESC) AS cum_cnt,
+               SUM(cents * c) OVER (PARTITION BY segment) AS tot_rev,
+               SUM(c) OVER (PARTITION BY segment) AS tot_cnt
+        FROM grid),
+    sel AS (
+        SELECT segment, tot_cnt, tot_rev,
+               cum_cnt - c
+               + (4 * tot_rev - 5 * (cum_rev - cents * c)
+                  + 5 * cents - 1) // (5 * cents) AS n_top80
+        FROM cum
+        WHERE 5 * (cum_rev - cents * c) < 4 * tot_rev
+          AND 5 * cum_rev >= 4 * tot_rev)
+    SELECT segment,
+           CAST(tot_cnt AS BIGINT) AS n_customers,
+           CAST(tot_rev AS BIGINT) AS total_cents,
+           CAST(n_top80 AS BIGINT) AS n_top80,
+           CAST(n_top80 * 10000 // tot_cnt AS BIGINT) AS top80_bp
+    FROM sel ORDER BY segment
+    """,
+    doc="Pareto revenue coverage per market segment: the exact "
+    "minimum number of customers whose (descending) revenues cover "
+    ">= 80% of the segment's total, and that count's share of the "
+    "segment in basis points — 'how top-heavy is each segment'. "
+    "All integer: per-customer exact cents, the cumulative selector "
+    "over the (segment, cents) value grid (the q222/q148 family — "
+    "never a global row_number over customers), and the partial "
+    "take within the boundary value row as an exact ceiling "
+    "division (all operands positive, so // == div == floor+1 "
+    "semantics match across engines). The boundary row is unique "
+    "by construction: the first value (descending) whose cumulative "
+    "revenue crosses 4/5 of the total. Output is |segments| rows.",
+    tags=("tpch", "agg", "stats"),
+)
+def q233(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("order_cents"),
+    )
+    rev = o.groupBy("o_custkey").agg(
+        F.sum("order_cents").alias("cents")
+    )
+    c = load(spark, sf, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    seg = rev.join(c, rev.o_custkey == c.c_custkey).select(
+        "segment", "cents"
+    )
+    grid = seg.groupBy("segment", "cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wd = Window.partitionBy("segment").orderBy(F.col("cents").desc())
+    wa = Window.partitionBy("segment")
+    cum = grid.select(
+        "segment",
+        "cents",
+        "c",
+        F.sum(F.col("cents") * F.col("c")).over(wd).alias("cum_rev"),
+        F.sum("c").over(wd).alias("cum_cnt"),
+        F.sum(F.col("cents") * F.col("c")).over(wa).alias("tot_rev"),
+        F.sum("c").over(wa).alias("tot_cnt"),
+    )
+    sel = cum.filter(
+        (5 * (F.col("cum_rev") - F.col("cents") * F.col("c")) < 4 * F.col("tot_rev"))
+        & (5 * F.col("cum_rev") >= 4 * F.col("tot_rev"))
+    ).select(
+        "segment",
+        "tot_cnt",
+        "tot_rev",
+        F.expr(
+            "cum_cnt - c + (4 * tot_rev - 5 * (cum_rev - cents * c) "
+            "+ 5 * cents - 1) div (5 * cents)"
+        ).alias("n_top80"),
+    )
+    return sel.select(
+        "segment",
+        F.col("tot_cnt").alias("n_customers"),
+        F.col("tot_rev").alias("total_cents"),
+        "n_top80",
+        F.expr("n_top80 * 10000 div tot_cnt").alias("top80_bp"),
+    ).orderBy("segment")

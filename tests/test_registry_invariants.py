@@ -97,3 +97,10 @@ def test_registry_size_floor_round11():
     # round-11 widening: q221-q228 (cohort/lifecycle + robust
     # operations audits)
     assert len(REGISTRY) >= 228
+
+
+def test_registry_size_floor_round11_batch2():
+    # round-11 widening, batch 2: q229-q233 (sequence/distribution
+    # analytics: transitions, sweep-line concurrency, reorder share,
+    # gap survival, Pareto coverage)
+    assert len(REGISTRY) >= 233
