@@ -14,12 +14,14 @@ from kaflow_spark.queries import REGISTRY
 
 # Oracles tagged "quadratic-oracle" are deliberate O(n^2) all-pairs
 # CTEs (brute-force ground truth for the bucketed dedup operators);
-# they are quadratic in the documents table and hang for 45+ min at
-# sf0.1 (~60k docs). They stay hash-checked at sf0.001/sf0.01; above
-# this row bound the test SKIPS programmatically instead of relying
-# on nobody running `-k q206` at the bench SF (CLAUDE.md note, now
-# enforced).
-QUADRATIC_ORACLE_MAX_DOCS = 10_000
+# they are quadratic in the documents table and infeasible at sf0.1
+# (5,000 docs x long texts: q206's oracle measured 45+ min, q137's
+# exceeded a 300 s watchdog — the cost driver is pairs x per-pair
+# list ops, and sf0.1 has 100x the pairs of sf0.01's 500 docs).
+# They stay hash-checked at sf0.001/sf0.01 (500 docs, the driver
+# gate SF); above this row bound the test SKIPS programmatically
+# instead of relying on nobody running `-k q206` at the bench SF.
+QUADRATIC_ORACLE_MAX_DOCS = 1_000
 
 
 def _documents_rows(sf_dir: str) -> int:

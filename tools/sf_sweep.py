@@ -12,8 +12,9 @@ plus what a bench-SF sweep needs that driver_sim lacks:
   at sf0.1, and an unknown-quadratic oracle should surface as a
   recorded TIMEOUT, not a wedged session;
 - the ``quadratic-oracle`` tag gate (same bound as test_oracle.py):
-  tagged queries report ``gated`` above 10k documents instead of
-  running at all;
+  tagged queries report ``gated`` above 1k documents (sf0.1 has 5k
+  docs x long texts — q206's all-pairs oracle measured 45+ min
+  there) instead of running at all;
 - resumability: results stream into the output JSON after every
   query, and an existing file's entries are skipped on rerun — a
   killed sweep continues where it stopped.
@@ -38,7 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
-QUADRATIC_ORACLE_MAX_DOCS = 10_000
+QUADRATIC_ORACLE_MAX_DOCS = 1_000
 _TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings".split()
