@@ -124,6 +124,64 @@ def nearest_centroid_purity(
     )
 
 
+def squared_silhouette(
+    df: DataFrame, id_col: str, label_col: str, vec_col: str
+) -> DataFrame:
+    """Centroid-based (simplified) silhouette per label, exact: for
+    every vector, ``a`` = squared L2 distance (integer micro² units)
+    to its OWN label's centroid and ``b`` = min squared distance to
+    any OTHER label's centroid; the per-vector score is
+    ``s_bp = (b - a) * 10000 div max(a, b)`` (basis points in
+    [-10000, 10000]; 0 when both distances are 0). Per label:
+    member count ``n``, ``n_neg`` (members closer to a foreign
+    centroid — the misplacement count), and ``mean_s_bp`` (integer
+    floor mean). Uses SQUARED distances rather than the classic
+    euclidean form — monotone-equivalent per vector for the sign and
+    ranking, and it keeps the whole statistic in exact bigint
+    algebra (sqrt of an integer is irrational; any float mean would
+    be shuffle-order-dependent). The simplified (centroid) variant
+    is the standard O(n·k·d) scale path — the textbook silhouette's
+    mean pairwise distance is O(n²·d).
+
+    Scale shape: identical to :func:`nearest_centroid_purity` — the
+    (k × d) centroid table broadcasts into the per-dim join, the
+    corpus never shuffles, per-(vector, label) distances are one
+    partial-agg'd groupBy, and both a and b come off that table in
+    ONE conditional aggregation (no second pass, no window)."""
+    cent = label_centroids(df, label_col, vec_col).select(
+        F.col(label_col).alias("_lc"), "dim", "centroid_micro"
+    )
+    dims = _quantized_dims(df, vec_col, [id_col, label_col])
+    diff = F.col("_q") - F.col("centroid_micro")
+    dist = (
+        dims.join(F.broadcast(cent), "dim")
+        .groupBy(id_col, label_col, "_lc")
+        .agg(F.sum(diff * diff).alias("_d2"))
+    )
+    ab = dist.groupBy(id_col, label_col).agg(
+        F.max(
+            F.when(F.col("_lc") == F.col(label_col), F.col("_d2"))
+        ).alias("_a"),
+        F.min(
+            F.when(F.col("_lc") != F.col(label_col), F.col("_d2"))
+        ).alias("_b"),
+    )
+    scored = ab.select(
+        F.col(label_col),
+        F.expr(
+            "CASE WHEN greatest(_a, _b) = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE (_b - _a) * 10000 div greatest(_a, _b) END"
+        ).alias("_s_bp"),
+    )
+    return scored.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("_s_bp") < 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_neg"),
+        F.expr("sum(_s_bp) div count(1)").alias("mean_s_bp"),
+    )
+
+
 def gram_matrix(
     df: DataFrame, vec_col: str, scale: int = MICRO
 ) -> DataFrame:

@@ -1411,3 +1411,58 @@ def q146(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@declare(
+    "q234_label_silhouette",
+    oracle=f"""
+    WITH {_QUANT_DIMS_CTE},
+    c AS (SELECT label AS lc, dim,
+                 CAST(SUM(q) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cm
+          FROM e GROUP BY label, dim),
+    d AS (SELECT e.vec_id, e.label, c.lc,
+                 CAST(SUM((e.q - c.cm) * (e.q - c.cm)) AS BIGINT) AS d2
+          FROM e JOIN c USING (dim) GROUP BY e.vec_id, e.label, c.lc),
+    ab AS (SELECT vec_id, label,
+                  MAX(CASE WHEN lc = label THEN d2 END) AS a,
+                  MIN(CASE WHEN lc <> label THEN d2 END) AS b
+           FROM d GROUP BY 1, 2),
+    s AS (SELECT label,
+                 CASE WHEN GREATEST(a, b) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE (b - a) * 10000 // GREATEST(a, b) END AS s_bp
+          FROM ab)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN s_bp < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neg,
+           CAST(SUM(s_bp) // COUNT(*) AS BIGINT) AS mean_s_bp
+    FROM s GROUP BY label ORDER BY label
+    """,
+    doc="Per-label silhouette score (simplified/centroid variant, "
+    "exact integer): a = squared L2 to the own-label centroid, b = "
+    "min squared L2 to any other centroid (micro^2 units), per-"
+    "vector s_bp = (b - a) * 10000 div max(a, b); per label the "
+    "member count, the MISPLACED count (s_bp < 0 — closer to a "
+    "foreign centroid) and the floor-mean score. Squared distances "
+    "keep the whole statistic bigint-exact (sqrt of an integer is "
+    "irrational; float means are shuffle-order-dependent) and are "
+    "monotone-equivalent for sign and ranking. Completes the "
+    "cluster-quality family: q91 gives the centroids, q92 the "
+    "purity (hard nearest-centroid vote), q234 the margin-weighted "
+    "score that distinguishes 'barely home' from 'deep inside'. "
+    "Scale shape identical to q92: broadcast (k x d) centroids, no "
+    "corpus shuffle, a and b off ONE conditional aggregation. "
+    "Signed division truncates toward zero in BOTH engines "
+    "(CLAUDE.md trap 6).",
+    tags=("similarity", "curation"),
+)
+def q234(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.embeddings import squared_silhouette
+
+    e = load(spark, sf, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        "embedding",
+    )
+    return squared_silhouette(e, "vec_id", "label", "embedding").orderBy(
+        "label"
+    )

@@ -1,8 +1,8 @@
 """Round-11 declared queries, batch 2: sequence and distribution
-analytics (q229-q233).
+analytics (q229-q233, q235-q236).
 
-Shapes the earlier suites don't cover: a first-order Markov
-transition matrix over per-user event streams (q229), sweep-line
+Shapes the earlier suites don't cover: a within-order shipment
+dispersion audit (q229 — split shipments per priority), sweep-line
 peak concurrency of 30-minute sessions (q230 — the +1/-1 delta
 prefix-sum idiom, partitioned per day by clipping sessions at
 midnight so no global single-reducer cumulative sum exists), an
@@ -12,6 +12,12 @@ read off the bounded (type, gap) contraction, never the raw gap
 rows), and Pareto revenue coverage per market segment (q233 — "how
 few customers cover 80% of revenue", an exact integer cumulative
 selector over the per-segment value table in the q222/q148 family).
+Batch 3 adds single change-point detection per event type (q235 —
+binary segmentation through an exact quantized integer objective)
+and the Mann-Whitney U / common-language effect size between source
+pairs over document length (q236 — the tie-corrected rank-sum kept
+integral by doubling). The cluster-quality silhouette (q234) lives
+with the other embedding queries in llm.py.
 
 Registry discipline throughout: exact integer arithmetic (cents and
 basis points; `div` / `//` truncation identical on both engines for
@@ -35,70 +41,80 @@ _SEC_SQL = "CAST(epoch_us(ts) // 1000000 AS BIGINT)"
 
 
 @declare(
-    "q229_event_transitions",
-    oracle=f"""
-    WITH e AS (
-        SELECT user_id, event_id, {_SEC_SQL} AS sec, event_type
-        FROM events
-        WHERE user_id IS NOT NULL AND ts IS NOT NULL
-          AND event_type IS NOT NULL),
-    p AS (
-        SELECT event_type AS from_type,
-               LEAD(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY sec, event_id)
-                   AS to_type
-        FROM e),
-    g AS (
-        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
-        FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
-    SELECT from_type, to_type, n_trans,
-           CAST(n_trans * 10000 // SUM(n_trans)
-               OVER (PARTITION BY from_type) AS BIGINT) AS prob_bp
-    FROM g ORDER BY from_type, to_type
+    "q229_split_shipments",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               CAST(MAX(CAST(CAST(l_shipdate AS DATE)
+                    - DATE '1970-01-01' AS BIGINT))
+                  - MIN(CAST(CAST(l_shipdate AS DATE)
+                    - DATE '1970-01-01' AS BIGINT)) AS BIGINT)
+                   AS span_days,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY 1),
+    j AS (
+        SELECT o.o_orderpriority, p.span_days
+        FROM per_order p JOIN orders o ON p.l_orderkey = o.o_orderkey)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN span_days >= 7 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_split,
+           CAST(SUM(CASE WHEN span_days >= 7 THEN 1 ELSE 0 END)
+               * 10000 // COUNT(*) AS BIGINT) AS split_bp,
+           CAST(MAX(span_days) AS BIGINT) AS max_span_days,
+           CAST(SUM(span_days) // COUNT(*) AS BIGINT)
+               AS mean_span_days
+    FROM j GROUP BY 1 ORDER BY o_orderpriority
     """,
-    doc="First-order Markov transition matrix over per-user event "
-    "streams: for each user's time-ordered events (unique event_id "
-    "tie-break), count (event_type -> next event_type) transitions "
-    "and each row's share of its from-type in basis points. One "
-    "user-partitioned shuffle carries the LEAD; the matrix is "
-    "bounded by |types|^2, so the per-from-type normalization "
-    "window runs over a tiny table. The 'what do users do next' "
-    "primitive behind journey analysis.",
-    tags=("events", "window", "agg"),
+    doc="Split-shipment audit per order priority: each order's "
+    "lineitems span a shipdate range (calendar-floor epoch days); "
+    "an order is SPLIT when that span reaches 7 days — the "
+    "fulfillment-quality signal behind 'are high-priority orders "
+    "shipping in one go'. Per priority: order count, split count "
+    "and share in basis points, the worst span, and the floor-mean "
+    "span. Shape: lineitem contracts to one row per order in a "
+    "partial-agg'd groupBy on the order key (the natural bucketing "
+    "key of a TPC-H warehouse — co-partitioned with orders, so the "
+    "join adds no extra fact shuffle), then the rollup is "
+    "|priorities| rows. Distinct from q226 (supplier lead-time "
+    "percentiles — per-line latency) and q117 (lateness share): "
+    "this one audits WITHIN-order dispersion.",
+    tags=("tpch", "join", "agg", "audit"),
 )
 def q229(spark: SparkSession, sf: str) -> DataFrame:
-    e = (
-        load(spark, sf, "events")
-        .filter(
-            F.col("user_id").isNotNull()
-            & F.col("ts").isNotNull()
-            & F.col("event_type").isNotNull()
-        )
-        .select(
-            "user_id",
-            "event_id",
-            F.expr(_SEC).alias("sec"),
-            "event_type",
-        )
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(unix_date(CAST(l_shipdate AS DATE)) AS BIGINT)").alias(
+            "ship_day"
+        ),
     )
-    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
-    pairs = e.select(
-        F.col("event_type").alias("from_type"),
-        F.lead("event_type").over(w).alias("to_type"),
-    ).filter(F.col("to_type").isNotNull())
-    g = pairs.groupBy("from_type", "to_type").agg(
-        F.count(F.lit(1)).alias("n_trans")
+    per_order = li.groupBy("l_orderkey").agg(
+        (F.max("ship_day") - F.min("ship_day")).alias("span_days"),
+        F.count(F.lit(1)).alias("n_lines"),
     )
-    tot = Window.partitionBy("from_type")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    j = per_order.join(o, per_order.l_orderkey == o.o_orderkey)
     return (
-        g.withColumn("tot", F.sum("n_trans").over(tot))
-        .select(
-            "from_type",
-            "to_type",
-            "n_trans",
-            F.expr("n_trans * 10000 div tot").alias("prob_bp"),
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("span_days") >= 7, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_split"),
+            F.max("span_days").alias("max_span_days"),
+            F.sum("span_days").alias("_sum_span"),
         )
-        .orderBy("from_type", "to_type")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "n_split",
+            F.expr("n_split * 10000 div n_orders").alias("split_bp"),
+            "max_span_days",
+            F.expr("_sum_span div n_orders").alias("mean_span_days"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 
@@ -485,3 +501,245 @@ def q233(spark: SparkSession, sf: str) -> DataFrame:
         "n_top80",
         F.expr("n_top80 * 10000 div tot_cnt").alias("top80_bp"),
     ).orderBy("segment")
+
+
+_DAY = "CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)"
+_DAY_SQL = "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+
+
+@declare(
+    "q235_change_point",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, {_DAY_SQL} AS day_i,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) // 100 AS BIGINT) AS x
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL
+        GROUP BY 1, 2),
+    pre AS (
+        SELECT event_type, day_i, x,
+               ROW_NUMBER() OVER w AS j,
+               SUM(x) OVER w AS sl,
+               SUM(x) OVER (PARTITION BY event_type) AS s,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_i)),
+    keyed AS (
+        SELECT event_type, day_i, j, n, sl, s - sl AS sr,
+               ((sl * sl * (n - j) + (s - sl) * (s - sl) * j) * 1000)
+                   // (j * (n - j)) AS k
+        FROM pre WHERE j < n),
+    best AS (
+        SELECT event_type, day_i, j, n, sl, sr,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY k DESC, day_i) AS rn
+        FROM keyed)
+    SELECT event_type,
+           CAST(day_i AS BIGINT) AS split_day,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(sl // j AS BIGINT) AS pre_mean_dollars,
+           CAST(sr // (n - j) AS BIGINT) AS post_mean_dollars,
+           CAST(sr // (n - j) - sl // j AS BIGINT) AS shift_dollars
+    FROM best WHERE rn = 1 ORDER BY event_type
+    """,
+    doc="Single change-point detection per event type (binary "
+    "segmentation, one split): over the daily whole-dollar value "
+    "series, pick the split day maximizing the between-segment "
+    "variance SL^2/j + SR^2/(n-j) — equivalent to minimizing "
+    "two-segment SSE since total SS is fixed. All integer: the "
+    "objective is compared through the quantized key "
+    "(N_j * 1000) div (j * (n - j)) with N_j = SL^2*(n-j) + SR^2*j "
+    "— both engines compute the identical quantized key, so the "
+    "argmax (ties -> earliest day) is deterministic; magnitudes "
+    "bounded by (series-total dollars)^2 * n_days * 1000 (lift to "
+    "DECIMAL(38,0) for corpora beyond ~10^5 daily dollars x 1000 "
+    "days). ONE corpus aggregation contracts events to the bounded "
+    "(type, day) series; prefix sums, the key, and the argmax are "
+    "windows riding that contraction on a single partitioning. "
+    "Types with a single active day have no valid split and drop "
+    "out (j < n). The 'did the metric level-shift, and when' "
+    "monitor behind alerting — complementary to q179's CUSUM "
+    "(sequential drift detection over VOLUME): q235 is the "
+    "offline globally-optimal single split over VALUE.",
+    tags=("events", "window", "stats"),
+)
+def q235(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    daily = e.groupBy(
+        "event_type", F.expr(_DAY).alias("day_i")
+    ).agg(
+        F.expr(
+            "SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+            "div 100"
+        ).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day_i")
+    wa = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day_i",
+        F.row_number().over(w).alias("j"),
+        F.sum("x").over(w).alias("sl"),
+        F.sum("x").over(wa).alias("s"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    keyed = pre.filter(F.col("j") < F.col("n")).select(
+        "event_type",
+        "day_i",
+        "j",
+        "n",
+        "sl",
+        (F.col("s") - F.col("sl")).alias("sr"),
+        F.expr(
+            "((sl * sl * (n - j) + (s - sl) * (s - sl) * j) * 1000) "
+            "div (j * (n - j))"
+        ).alias("k"),
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        F.col("k").desc(), F.col("day_i")
+    )
+    best = keyed.withColumn("rn", F.row_number().over(wb)).filter(
+        F.col("rn") == 1
+    )
+    return best.select(
+        "event_type",
+        F.col("day_i").alias("split_day"),
+        F.col("n").alias("n_days"),
+        F.expr("sl div j").alias("pre_mean_dollars"),
+        F.expr("sr div (n - j)").alias("post_mean_dollars"),
+        F.expr("sr div (n - j) - sl div j").alias("shift_dollars"),
+    ).orderBy("event_type")
+
+
+@declare(
+    "q236_source_length_shift",
+    oracle="""
+    WITH d AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS v
+        FROM documents
+        WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+    grid AS (
+        SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM d GROUP BY 1, 2),
+    srcs AS (SELECT DISTINCT source FROM grid),
+    vals AS (SELECT DISTINCT v FROM grid),
+    dense AS (
+        SELECT s.source, va.v, COALESCE(g.c, 0) AS c
+        FROM srcs s CROSS JOIN vals va
+        LEFT JOIN grid g ON g.source = s.source AND g.v = va.v),
+    cums AS (
+        SELECT source, v, c,
+               SUM(c) OVER (PARTITION BY source ORDER BY v) - c
+                   AS below
+        FROM dense),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+            FROM grid GROUP BY 1),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(SUM(a.c * (2 * b.below + b.c)) AS BIGINT) AS u2
+        FROM grid a
+        JOIN cums b ON a.v = b.v AND a.source <> b.source
+        GROUP BY 1, 2)
+    SELECT p.source_a, p.source_b,
+           ta.n AS n_a, tb.n AS n_b, p.u2,
+           CAST(p.u2 * 10000 // (2 * ta.n * tb.n) AS BIGINT)
+               AS cles_bp
+    FROM pairs p
+    JOIN tot ta ON p.source_a = ta.source
+    JOIN tot tb ON p.source_b = tb.source
+    ORDER BY source_a, source_b
+    """,
+    doc="Mann-Whitney U / common-language effect size between every "
+    "ordered source pair over document length: 2*U_ab = sum over "
+    "values of c_a(v) * (2 * count_b_below(v) + c_b(v)) — the exact "
+    "tie-corrected rank-sum statistic kept integral by doubling "
+    "(ties contribute half wins), and CLES = U / (n_a * n_b) in "
+    "basis points: P(random a-doc longer than random b-doc, ties "
+    "half). The nonparametric 'is this source's length distribution "
+    "shifted vs that one' audit — robust where q158's L1 needs "
+    "binning and mean tests need moments (q175's AUC is the "
+    "binary-labels special case of the same rank statistic; this "
+    "is the all-pairs two-sample matrix over a value grid). Scale shape: documents "
+    "contract to the (source, n_chars) value grid in ONE pass; the "
+    "dense per-source cumulative rides a |sources| x |values| "
+    "crossed frame (bounded: sources are enum-small, lengths "
+    "bounded); the pair join is value-grid x dense on the value "
+    "key — never a document-level pair join. Sanity identity: "
+    "u2(a,b) + u2(b,a) = 2 * n_a * n_b. Magnitude bound: u2 * 1e4 "
+    "needs n_a * n_b < ~4.6e14 — lift to DECIMAL(38,0) beyond "
+    "~2e7 docs per source.",
+    tags=("text", "stats"),
+)
+def q236(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        load(spark, sf, "documents")
+        .filter(F.col("source").isNotNull() & F.col("n_chars").isNotNull())
+        .select("source", F.col("n_chars").cast("bigint").alias("v"))
+    )
+    grid = d.groupBy("source", "v").agg(F.count(F.lit(1)).alias("c"))
+    # Every downstream branch is an aggregate OVER grid (never a bare
+    # .distinct(), which collapses straight onto the scan — trap 15b)
+    # and the otherwise-prunable marker columns are 0-weighted into
+    # the dense count so the shared subtree stays canonically
+    # identical (trap 12) — one documents scan, grid's exchange
+    # reused by every consumer.
+    tot = grid.groupBy("source").agg(F.sum("c").alias("n"))
+    vgrid = grid.groupBy("v").agg(F.sum("c").alias("vn"))
+    dense = (
+        tot.crossJoin(vgrid)
+        .join(grid, ["source", "v"], "left")
+        .select(
+            "source",
+            "v",
+            "n",
+            (
+                F.coalesce(F.col("c"), F.lit(0)) + F.lit(0) * F.col("vn")
+            ).alias("c"),
+        )
+    )
+    wc = Window.partitionBy("source").orderBy("v")
+    cums = dense.select(
+        F.col("source").alias("source_b"),
+        "v",
+        F.col("n").alias("n_b"),
+        F.col("c").alias("cb"),
+        (F.sum("c").over(wc) - F.col("c")).alias("below"),
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"),
+        "v",
+        F.col("c").alias("ca"),
+    )
+    pairs = (
+        a.join(
+            cums,
+            (a.v == cums.v) & (a.source_a != cums.source_b),
+        )
+        .groupBy("source_a", "source_b", "n_b")
+        .agg(
+            F.sum(
+                F.col("ca") * (2 * F.col("below") + F.col("cb"))
+            ).alias("u2")
+        )
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "u2",
+            F.expr("u2 * 10000 div (2 * n_a * n_b)").alias("cles_bp"),
+        )
+        .orderBy("source_a", "source_b")
+    )

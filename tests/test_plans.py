@@ -998,3 +998,124 @@ def test_q221_q223_q228_single_scan(spark, sf_dir):
             assert plan.count("Scan parquet") == 1, (name, plan)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q230_q232_single_scan(spark, sf_dir):
+    """The round-11 batch-2 event-sequence queries each read events
+    exactly once: the LAG/LEAD, island sum, and gap derivations are
+    windows on one lineage, and every downstream rollup (per-day
+    sweep line, survival thresholds) consumes a bounded contraction
+    of that single pass."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in (
+            "q230_peak_concurrency",
+            "q232_gap_survival",
+        ):
+            df = REGISTRY[name].spark(spark, sf_dir)
+            plan = explain_str(df, "simple")
+            assert plan.count("Scan parquet") == 1, (name, plan)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q231_broadcasts_part_dim(spark, sf_dir):
+    """q231: the part dimension joins BROADCAST onto the flagged
+    lines; the only sort-merge join is the intended big-big
+    lineitem x orders equi-join on the order key."""
+    df = REGISTRY["q231_reorder_share"].spark(spark, sf_dir)
+    assert has_broadcast_join(df, count=1)
+    from kaflow_spark.plans.explain import explain_str
+
+    txt = explain_str(df, "simple")
+    assert txt.count("Scan parquet") == 3, txt
+
+
+def test_q233_two_scans_shared_windows(spark, sf_dir):
+    """q233: exactly two scans (orders + customer); the cumulative
+    and total windows both ride the per-segment value grid — no
+    second pass over orders for the totals."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q233_pareto_coverage"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert plan.count("Scan parquet") == 2, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q235_single_scan(spark, sf_dir):
+    """q235: events contract to the (type, day) series in one
+    aggregation; prefix sums, the quantized objective, and the argmax
+    are windows on that single lineage."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q235_change_point"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert plan.count("Scan parquet") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q236_single_scan_grid_reused(spark, sf_dir):
+    """q236: ONE documents scan; the (source, value) grid's exchange
+    is reused by every consumer (totals, value list, dense join,
+    a-side) — the srcs/vals branches are aggregates over the grid
+    with 0-weighted markers, never bare distincts that collapse onto
+    the scan (traps 12/15)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q236_source_length_shift"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert plan.count("Scan parquet") == 1, plan
+        assert plan.count("ReusedExchange") >= 3, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q236_u2_identity(spark, sf_dir):
+    """Mann-Whitney identity: u2(a,b) + u2(b,a) == 2 * n_a * n_b for
+    every ordered pair (wins double-counted, ties split)."""
+    rows = (
+        REGISTRY["q236_source_length_shift"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    u = {(r.source_a, r.source_b): r for r in rows}
+    assert u, "no source pairs"
+    for (sa, sb), r in u.items():
+        mirror = u[(sb, sa)]
+        assert r.u2 + mirror.u2 == 2 * r.n_a * r.n_b, (sa, sb)
+        assert r.n_a == mirror.n_b and r.n_b == mirror.n_a
+
+
+def test_q234_broadcast_centroids_no_shuffle_join(spark, sf_dir):
+    """q234: the (k x d) centroid table broadcasts into the per-dim
+    join — the corpus side never shuffles for assignment (same
+    contract as q92)."""
+    df = REGISTRY["q234_label_silhouette"].spark(spark, sf_dir)
+    assert has_broadcast_join(df, count=1)
+    from kaflow_spark.plans.explain import explain_str
+
+    txt = explain_str(df, "simple")
+    assert "SortMergeJoin" not in txt, txt
+
+
+def test_q229_partial_agg_before_join(spark, sf_dir):
+    """q229: lineitem contracts to one row per order via a
+    partial-agg'd groupBy BEFORE joining orders — the fact table
+    never flows through the join at line grain."""
+    df = REGISTRY["q229_split_shipments"].spark(spark, sf_dir)
+    assert has_partial_aggregate(df)
+    from kaflow_spark.plans.explain import explain_str
+
+    txt = explain_str(df, "simple")
+    assert txt.count("Scan parquet") == 2, txt

@@ -104,3 +104,9 @@ def test_registry_size_floor_round11_batch2():
     # analytics: transitions, sweep-line concurrency, reorder share,
     # gap survival, Pareto coverage)
     assert len(REGISTRY) >= 233
+
+
+def test_registry_size_floor_round11_batch3():
+    # round-11 widening, batch 3: q234 centroid silhouette, q235
+    # change-point detection, q236 Mann-Whitney source length shift
+    assert len(REGISTRY) >= 236
