@@ -613,13 +613,20 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_Q75_SQL)
 
 
+# Final cast to DOUBLE, not DECIMAL(38,2) (the q12 convention): the
+# exact decimal sum renders with a fixed scale on the Spark side
+# ("...26.20") while DuckDB converts wide decimals to float64 whose
+# shortest repr drops the trailing zero ("...26.2") — a pure string-
+# form hash mismatch on EQUAL values, first hit at sf0.1 magnitudes
+# (round-11 full-registry sweep). One correctly-rounded decimal->
+# double cast of the SAME exact sum is identical on both engines.
 _Q79_SQL = """
     SELECT o_orderpriority,
            COUNT(*) AS n_all,
            COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
            CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                          FILTER (WHERE o_orderstatus = 'F'), 0)
-                AS DECIMAL(38,2)) AS sum_f
+                AS DOUBLE) AS sum_f
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
