@@ -727,3 +727,63 @@ def growth_accounting(
         ),
     )
     return agg.filter(F.col("n_active") > 0)
+
+
+def change_point_from_daily(
+    daily: DataFrame,
+    group_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single change-point per group (binary segmentation, one split)
+    over a CONTRACTED integer daily series — the q235 kernel: pick
+    the split maximizing the between-segment variance
+    ``SL^2/j + SR^2/(n-j)`` (equivalent to minimizing two-segment SSE
+    since total SS is fixed). The objective is compared through the
+    quantized integer key ``(SL^2*(n-j) + SR^2*j) * 1000 div
+    (j*(n-j))`` — exact bigint algebra, so the argmax (ties ->
+    earliest day) is deterministic under any partitioning and on any
+    engine. Magnitudes bound: (series-total)^2 * n * 1000 must fit
+    bigint — lift to DECIMAL(38,0) for series beyond ~10^5 units x
+    1000 days. Input: one row per (group, day) with an integer
+    ``value_col``; groups with a single row have no valid split and
+    drop out. Output per group: ``(group, split_day, n_days,
+    pre_mean, post_mean, shift)`` with floor means (truncation
+    identical across engines on these operands). All windows ride ONE
+    partitioning of the bounded series."""
+    w = Window.partitionBy(group_col).orderBy(day_col)
+    wa = Window.partitionBy(group_col)
+    pre = daily.select(
+        group_col,
+        day_col,
+        F.row_number().over(w).alias("j"),
+        F.sum(value_col).over(w).alias("sl"),
+        F.sum(value_col).over(wa).alias("s"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    keyed = pre.filter(F.col("j") < F.col("n")).select(
+        group_col,
+        day_col,
+        "j",
+        "n",
+        "sl",
+        (F.col("s") - F.col("sl")).alias("sr"),
+        F.expr(
+            "((sl * sl * (n - j) + (s - sl) * (s - sl) * j) * 1000) "
+            "div (j * (n - j))"
+        ).alias("k"),
+    )
+    wb = Window.partitionBy(group_col).orderBy(
+        F.col("k").desc(), F.col(day_col)
+    )
+    best = keyed.withColumn("rn", F.row_number().over(wb)).filter(
+        F.col("rn") == 1
+    )
+    return best.select(
+        group_col,
+        F.col(day_col).alias("split_day"),
+        F.col("n").alias("n_days"),
+        F.expr("sl div j").alias("pre_mean"),
+        F.expr("sr div (n - j)").alias("post_mean"),
+        F.expr("sr div (n - j) - sl div j").alias("shift"),
+    )

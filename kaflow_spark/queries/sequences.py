@@ -566,6 +566,8 @@ _DAY_SQL = "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
     tags=("events", "window", "stats"),
 )
 def q235(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.events import change_point_from_daily
+
     e = load(spark, sf, "events").filter(
         F.col("event_type").isNotNull()
         & F.col("ts").isNotNull()
@@ -579,42 +581,18 @@ def q235(spark: SparkSession, sf: str) -> DataFrame:
             "div 100"
         ).alias("x")
     )
-    w = Window.partitionBy("event_type").orderBy("day_i")
-    wa = Window.partitionBy("event_type")
-    pre = daily.select(
-        "event_type",
-        "day_i",
-        F.row_number().over(w).alias("j"),
-        F.sum("x").over(w).alias("sl"),
-        F.sum("x").over(wa).alias("s"),
-        F.count(F.lit(1)).over(wa).alias("n"),
+    return (
+        change_point_from_daily(daily, "event_type", "day_i", "x")
+        .select(
+            "event_type",
+            "split_day",
+            "n_days",
+            F.col("pre_mean").alias("pre_mean_dollars"),
+            F.col("post_mean").alias("post_mean_dollars"),
+            F.col("shift").alias("shift_dollars"),
+        )
+        .orderBy("event_type")
     )
-    keyed = pre.filter(F.col("j") < F.col("n")).select(
-        "event_type",
-        "day_i",
-        "j",
-        "n",
-        "sl",
-        (F.col("s") - F.col("sl")).alias("sr"),
-        F.expr(
-            "((sl * sl * (n - j) + (s - sl) * (s - sl) * j) * 1000) "
-            "div (j * (n - j))"
-        ).alias("k"),
-    )
-    wb = Window.partitionBy("event_type").orderBy(
-        F.col("k").desc(), F.col("day_i")
-    )
-    best = keyed.withColumn("rn", F.row_number().over(wb)).filter(
-        F.col("rn") == 1
-    )
-    return best.select(
-        "event_type",
-        F.col("day_i").alias("split_day"),
-        F.col("n").alias("n_days"),
-        F.expr("sl div j").alias("pre_mean_dollars"),
-        F.expr("sr div (n - j)").alias("post_mean_dollars"),
-        F.expr("sr div (n - j) - sl div j").alias("shift_dollars"),
-    ).orderBy("event_type")
 
 
 @declare(

@@ -150,3 +150,72 @@ def ks_monitor(
             on_result(batch_id, row)
 
     return handle
+
+
+def change_point_monitor(
+    group_col: str,
+    day_col: str,
+    cents_col: str,
+    on_result=None,
+):
+    """foreachBatch handler factory: live single change-point
+    detection per group — the streaming twin of q235's kernel
+    (``operators.events.change_point_from_daily``). Each micro-batch
+    is contracted to per-(group, day) integer cent sums and MERGED
+    into a bounded driver-side accumulator (one integer per (group,
+    day) cell — partial sums are mergeable, so arrival order and
+    batch boundaries cannot change the accumulated series); the
+    batch kernel then re-fits the globally-optimal split on the
+    accumulated series and ``on_result(batch_id, rows)`` receives
+    one row per group: (group, split_day, n_days, pre_mean,
+    post_mean, shift) in whole units (cents div 100, truncating
+    toward zero exactly like the batch query).
+
+    Contract: on a CLOSED stream the final emission equals the batch
+    operator on the same data row-for-row (asserted in
+    test_streaming_curation) — late/out-of-order rows are absorbed
+    exactly (the accumulator is a sum), unlike threshold monitors
+    whose past emissions a correction cannot recall; consumers treat
+    the LATEST emission per group as current (update semantics).
+    State bound: |groups| x |days| integers — the same contraction
+    q235 reads, held driver-side; for multi-year horizons cap the
+    series upstream (filter the stream to the audit window). Two
+    actions per batch, but over DIFFERENT frames (the batch
+    contraction collect + the driver-built bounded series), so the
+    staged-frame double-execution trap (#3) does not apply."""
+    from kaflow_spark.operators.events import change_point_from_daily
+
+    acc: dict[tuple, int] = {}
+
+    def _div100(c: int) -> int:
+        # truncate toward zero, matching Spark's `div` on bigints
+        return c // 100 if c >= 0 else -((-c) // 100)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.filter(
+                F.col(group_col).isNotNull()
+                & F.col(day_col).isNotNull()
+                & F.col(cents_col).isNotNull()
+            )
+            .groupBy(group_col, day_col)
+            .agg(F.sum(cents_col).alias("_c"))
+            .collect()
+        )
+        for r in rows:
+            k = (r[group_col], int(r[day_col]))
+            acc[k] = acc.get(k, 0) + int(r["_c"])
+        if not acc:
+            return
+        spark = batch_df.sparkSession
+        daily = spark.createDataFrame(
+            [(g, d, _div100(c)) for (g, d), c in sorted(acc.items())],
+            f"{group_col} string, {day_col} bigint, x bigint",
+        )
+        out = change_point_from_daily(
+            daily, group_col, day_col, "x"
+        ).orderBy(group_col).collect()
+        if on_result is not None:
+            on_result(batch_id, out)
+
+    return handle

@@ -184,3 +184,75 @@ def test_monitors_skip_empty_batches(spark):
     # drift IF its operator emits a row; what it must never do is
     # call back with None
     assert all(r is not None for r in calls)
+
+
+def test_change_point_monitor_matches_q235_on_closed_stream(spark, sf_dir, tmp_path):
+    """The live change-point monitor's FINAL emission equals the q235
+    batch query row-for-row on the same events, with the series
+    arriving split across three micro-batches (days interleaved, so
+    per-(type, day) cent sums must MERGE across batches)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from kaflow_spark.catalog import load
+    from kaflow_spark.queries import REGISTRY
+    from kaflow_spark.streaming.curation import change_point_monitor
+
+    proj = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            F.col("event_type"),
+            F.expr("CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)").alias(
+                "day_i"
+            ),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    path = str(tmp_path / f"cp-{_uuid.uuid4().hex[:6]}")
+    # round-robin split: every batch carries rows of MOST days
+    proj.repartition(3).write.mode("overwrite").parquet(path)
+
+    emissions = {}
+    handle = change_point_monitor(
+        "event_type", "day_i", "cents",
+        on_result=lambda bid, rows: emissions.__setitem__(bid, rows),
+    )
+    stream = (
+        spark.readStream.schema("event_type string, day_i bigint, cents bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = stream.writeStream.foreachBatch(handle).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(emissions) >= 2, "expected multiple micro-batches"
+    final = {
+        r["event_type"]: r for r in emissions[max(emissions)]
+    }
+    batch = {
+        r["event_type"]: r
+        for r in REGISTRY["q235_change_point"].spark(spark, sf_dir).collect()
+    }
+    assert set(final) == set(batch)
+    for t, b in batch.items():
+        m = final[t]
+        assert (
+            m["split_day"], m["n_days"], m["pre_mean"], m["post_mean"], m["shift"]
+        ) == (
+            b["split_day"], b["n_days"], b["pre_mean_dollars"],
+            b["post_mean_dollars"], b["shift_dollars"]
+        ), t
+    # intermediate emissions exist and are well-formed (a prefix of
+    # the series still yields a split per multi-day group)
+    first = emissions[min(emissions)]
+    assert all(r["n_days"] >= 2 for r in first)
