@@ -1,5 +1,5 @@
 """Round-11 declared queries, batch 2: sequence and distribution
-analytics (q229-q233, q235-q236).
+analytics (q229-q233, q235-q237).
 
 Shapes the earlier suites don't cover: a within-order shipment
 dispersion audit (q229 — split shipments per priority), sweep-line
@@ -16,8 +16,11 @@ Batch 3 adds single change-point detection per event type (q235 —
 binary segmentation through an exact quantized integer objective)
 and the Mann-Whitney U / common-language effect size between source
 pairs over document length (q236 — the tie-corrected rank-sum kept
-integral by doubling). The cluster-quality silhouette (q234) lives
-with the other embedding queries in llm.py.
+integral by doubling). q237 reads the OTHER classic sweep-line
+statistic off q230's shared day-clipped delta grid: daily busy-time
+coverage (interval-union length — overlaps counted once). The
+cluster-quality silhouette (q234) lives with the other embedding
+queries in llm.py.
 
 Registry discipline throughout: exact integer arithmetic (cents and
 basis points; `div` / `//` truncation identical on both engines for
@@ -118,10 +121,9 @@ def q229(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@declare(
-    "q230_peak_concurrency",
-    oracle=f"""
-    WITH e AS (
+# ---- shared session-span delta grid (q230 peak / q237 coverage) ----
+
+_SPAN_GRID_SQL = f"""e AS (
         SELECT user_id, event_id, {_SEC_SQL} AS sec
         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
     f AS (
@@ -154,34 +156,19 @@ def q229(spark: SparkSession, sf: str) -> DataFrame:
     g AS (
         SELECT day_i, sec, SUM(delta) AS dsum,
                SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS starts
-        FROM d GROUP BY 1, 2),
-    r AS (
-        SELECT day_i, starts,
-               SUM(dsum) OVER (PARTITION BY day_i ORDER BY sec) AS run
-        FROM g)
-    SELECT CAST(day_i AS BIGINT) AS day_i,
-           CAST(SUM(starts) AS BIGINT) AS n_sessions,
-           CAST(MAX(run) AS BIGINT) AS peak_concurrent
-    FROM r GROUP BY 1 ORDER BY day_i
-    """,
-    doc="Peak concurrent sessions per day, sweep-line: sessionize "
-    "(30-minute gap islands, flag and running sum sharing ONE total "
-    "order — the q152 corollary), clip each session's [start, end] "
-    "second span at midnight boundaries (sequence over its day "
-    "range; sessions are short by construction so the explode is "
-    "1-2 rows), emit +1/-1 deltas at span edges, aggregate deltas "
-    "per (day, second) so the running sum has a unique total order, "
-    "and take the per-day max of the prefix sum. Clipping is the "
-    "scale design: concurrency at any instant only depends on "
-    "sessions overlapping it, so the cumulative window partitions "
-    "BY DAY and distributes — no global single-reducer prefix sum. "
-    "A -1 landing one second past midnight stays attached to its "
-    "own day where it is ordered after every real sample point; a "
-    "decrease never raises a max. Truncated sec//86400 days on "
-    "both engines (identical truncation semantics).",
-    tags=("events", "window", "agg"),
-)
-def q230(spark: SparkSession, sf: str) -> DataFrame:
+        FROM d GROUP BY 1, 2)"""
+
+
+def _session_delta_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-clipped session-span +1/-1 delta grid (the shared sweep-
+    line substrate of q230's peak and q237's coverage): sessionize
+    (30-minute gap islands; flag and running sum share ONE total
+    order — the q152 corollary), clip each session span at midnight
+    (concurrency/coverage at an instant depend only on sessions
+    overlapping it, so everything downstream partitions BY DAY and
+    distributes — no global prefix sum), emit +1/-1 at span edges
+    and aggregate per (day, second) so the downstream running sum
+    has a unique total order. Returns (day_i, sec, dsum, starts)."""
     e = (
         load(spark, sf, "events")
         .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
@@ -219,12 +206,46 @@ def q230(spark: SparkSession, sf: str) -> DataFrame:
             "hi + 1, CAST(-1 AS BIGINT)) AS (sec, delta)"
         ),
     )
-    g = deltas.groupBy("day_i", "sec").agg(
+    return deltas.groupBy("day_i", "sec").agg(
         F.sum("delta").alias("dsum"),
         F.sum(
             F.when(F.col("delta") == 1, F.lit(1)).otherwise(F.lit(0))
         ).alias("starts"),
     )
+
+
+@declare(
+    "q230_peak_concurrency",
+    oracle=f"""
+    WITH {_SPAN_GRID_SQL},
+    r AS (
+        SELECT day_i, starts,
+               SUM(dsum) OVER (PARTITION BY day_i ORDER BY sec) AS run
+        FROM g)
+    SELECT CAST(day_i AS BIGINT) AS day_i,
+           CAST(SUM(starts) AS BIGINT) AS n_sessions,
+           CAST(MAX(run) AS BIGINT) AS peak_concurrent
+    FROM r GROUP BY 1 ORDER BY day_i
+    """,
+    doc="Peak concurrent sessions per day, sweep-line: sessionize "
+    "(30-minute gap islands, flag and running sum sharing ONE total "
+    "order — the q152 corollary), clip each session's [start, end] "
+    "second span at midnight boundaries (sequence over its day "
+    "range; sessions are short by construction so the explode is "
+    "1-2 rows), emit +1/-1 deltas at span edges, aggregate deltas "
+    "per (day, second) so the running sum has a unique total order, "
+    "and take the per-day max of the prefix sum. Clipping is the "
+    "scale design: concurrency at any instant only depends on "
+    "sessions overlapping it, so the cumulative window partitions "
+    "BY DAY and distributes — no global single-reducer prefix sum. "
+    "A -1 landing one second past midnight stays attached to its "
+    "own day where it is ordered after every real sample point; a "
+    "decrease never raises a max. Truncated sec//86400 days on "
+    "both engines (identical truncation semantics).",
+    tags=("events", "window", "agg"),
+)
+def q230(spark: SparkSession, sf: str) -> DataFrame:
+    g = _session_delta_grid(spark, sf)
     r = g.withColumn(
         "run",
         F.sum("dsum").over(Window.partitionBy("day_i").orderBy("sec")),
@@ -720,4 +741,65 @@ def q236(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("u2 * 10000 div (2 * n_a * n_b)").alias("cles_bp"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+@declare(
+    "q237_daily_coverage",
+    oracle=f"""
+    WITH {_SPAN_GRID_SQL},
+    r AS (
+        SELECT day_i, starts,
+               SUM(dsum) OVER (PARTITION BY day_i ORDER BY sec) AS run,
+               LEAD(sec) OVER (PARTITION BY day_i ORDER BY sec) - sec
+                   AS seg
+        FROM g)
+    SELECT CAST(day_i AS BIGINT) AS day_i,
+           CAST(SUM(starts) AS BIGINT) AS n_sessions,
+           CAST(COALESCE(SUM(CASE WHEN run > 0 THEN seg END), 0)
+               AS BIGINT) AS busy_seconds,
+           CAST(COALESCE(SUM(CASE WHEN run > 0 THEN seg END), 0)
+               * 10000 // 86400 AS BIGINT) AS coverage_bp
+    FROM r GROUP BY 1 ORDER BY day_i
+    """,
+    doc="Daily busy-time coverage: the union length of all session "
+    "intervals per day — 'how many seconds of the day had at least "
+    "one active session', with its share of the day in basis "
+    "points. Interval-union length is the sweep-line's other "
+    "classic read: on q230's day-clipped +1/-1 delta grid, a "
+    "positive running count means COVERED, so coverage is the sum "
+    "of inter-grid-point segment lengths where the prefix sum is "
+    "positive (overlapping sessions counted once — unlike summed "
+    "durations, which double-count). The LEAD and the running sum "
+    "share the grid's one total order (distinct seconds after the "
+    "delta aggregation), and the per-day partitioning distributes "
+    "exactly as q230's. The last grid point of each day always "
+    "carries a zero running count (every clipped span closes "
+    "in-day), so its NULL LEAD never meets run > 0.",
+    tags=("events", "window", "agg"),
+)
+def q237(spark: SparkSession, sf: str) -> DataFrame:
+    g = _session_delta_grid(spark, sf)
+    wg = Window.partitionBy("day_i").orderBy("sec")
+    r = g.select(
+        "day_i",
+        "starts",
+        F.sum("dsum").over(wg).alias("run"),
+        (F.lead("sec").over(wg) - F.col("sec")).alias("seg"),
+    )
+    return (
+        r.groupBy("day_i")
+        .agg(
+            F.sum("starts").alias("n_sessions"),
+            F.coalesce(
+                F.sum(F.when(F.col("run") > 0, F.col("seg"))), F.lit(0)
+            ).alias("busy_seconds"),
+        )
+        .select(
+            "day_i",
+            "n_sessions",
+            "busy_seconds",
+            F.expr("busy_seconds * 10000 div 86400").alias("coverage_bp"),
+        )
+        .orderBy("day_i")
     )

@@ -1013,6 +1013,7 @@ def test_q230_q232_single_scan(spark, sf_dir):
         for name in (
             "q230_peak_concurrency",
             "q232_gap_survival",
+            "q237_daily_coverage",
         ):
             df = REGISTRY[name].spark(spark, sf_dir)
             plan = explain_str(df, "simple")

@@ -108,5 +108,6 @@ def test_registry_size_floor_round11_batch2():
 
 def test_registry_size_floor_round11_batch3():
     # round-11 widening, batch 3: q234 centroid silhouette, q235
-    # change-point detection, q236 Mann-Whitney source length shift
-    assert len(REGISTRY) >= 236
+    # change-point detection, q236 Mann-Whitney source length shift,
+    # q237 daily busy-time coverage (interval-union sweep-line)
+    assert len(REGISTRY) >= 237
