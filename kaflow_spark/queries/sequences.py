@@ -1,5 +1,5 @@
 """Round-11 declared queries, batch 2: sequence and distribution
-analytics (q229-q233, q235-q237).
+analytics (q229-q233, q235-q240).
 
 Shapes the earlier suites don't cover: a within-order shipment
 dispersion audit (q229 — split shipments per priority), sweep-line
@@ -16,7 +16,11 @@ Batch 3 adds single change-point detection per event type (q235 —
 binary segmentation through an exact quantized integer objective)
 and the Mann-Whitney U / common-language effect size between source
 pairs over document length (q236 — the tie-corrected rank-sum kept
-integral by doubling). q237 reads the OTHER classic sweep-line
+integral by doubling). Batch 4 adds the co-spike incident matrix
+(q238 — tail-event alignment between event types), the supplier
+price-spread audit (q239 — exact milli-cent unit prices, no float
+division), and the stale-part audit (q240 — data-defined horizon).
+q237 reads the OTHER classic sweep-line
 statistic off q230's shared day-clipped delta grid: daily busy-time
 coverage (interval-union length — overlaps counted once). The
 cluster-quality silhouette (q234) lives with the other embedding
@@ -802,4 +806,282 @@ def q237(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("busy_seconds * 10000 div 86400").alias("coverage_bp"),
         )
         .orderBy("day_i")
+    )
+
+
+@declare(
+    "q238_co_spike_matrix",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, {_DAY_SQL} AS day_i,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2),
+    med AS (
+        SELECT event_type, MIN(cnt) AS med
+        FROM (
+            SELECT event_type, cnt,
+                   SUM(c) OVER (PARTITION BY event_type
+                                ORDER BY cnt) AS cum,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM (SELECT event_type, cnt, COUNT(*) AS c
+                  FROM daily GROUP BY 1, 2))
+        WHERE cum * 2 >= n GROUP BY 1),
+    spikes AS (
+        SELECT d.event_type, d.day_i
+        FROM daily d JOIN med m USING (event_type)
+        WHERE d.cnt > 2 * m.med),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_co
+        FROM spikes a JOIN spikes b
+          ON a.day_i = b.day_i AND a.event_type < b.event_type
+        GROUP BY 1, 2),
+    per AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM spikes GROUP BY 1)
+    SELECT p.type_a, p.type_b, pa.n AS n_a, pb.n AS n_b, p.n_co,
+           CAST(p.n_co * 10000 // LEAST(pa.n, pb.n) AS BIGINT)
+               AS co_bp
+    FROM pairs p
+    JOIN per pa ON p.type_a = pa.event_type
+    JOIN per pb ON p.type_b = pb.event_type
+    ORDER BY type_a, type_b
+    """,
+    doc="Co-spike incident matrix: a day is a SPIKE for an event "
+    "type when its daily volume exceeds 2x that type's overall "
+    "median daily volume (exact lower median via the cumulative "
+    "selector over the bounded (type, count) grid); for every type "
+    "pair, how many days spiked TOGETHER, with the overlap share of "
+    "the rarer type's spikes in basis points — 'when checkout "
+    "errors spike, do refunds spike the same day' incident "
+    "correlation. The pair join runs over SPIKE DAYS only (a "
+    "contraction of the contraction), bounded by |types| x "
+    "|spike days|; output pairs with zero co-occurrence don't "
+    "appear (sparse matrix semantics, documented). Complements "
+    "q200 (per-type trailing-baseline spikes) and q213 (full daily "
+    "cross-correlation): q238 reads tail-event ALIGNMENT, not "
+    "series correlation.",
+    tags=("events", "stats", "audit"),
+)
+def q238(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    # day_i non-nullable via coalesce (ts is filtered NOT NULL, so
+    # the sentinel never fires): the pairs self-join would otherwise
+    # infer isnotnull(day_i) into a and b but not into `per`,
+    # de-canonicalizing spikes' third consumer into a second events
+    # scan (trap 5 / the q100 family)
+    daily = e.groupBy(
+        "event_type", F.expr(f"coalesce({_DAY}, -1)").alias("day_i")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    grid = daily.groupBy("event_type", "cnt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = Window.partitionBy("event_type").orderBy("cnt")
+    wa = Window.partitionBy("event_type")
+    med = (
+        grid.select(
+            "event_type",
+            "cnt",
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("c").over(wa).alias("n"),
+        )
+        .filter(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("cnt").alias("med"))
+    )
+    spikes = daily.join(F.broadcast(med), "event_type").filter(
+        F.col("cnt") > 2 * F.col("med")
+    ).select("event_type", "day_i")
+    a = spikes.select(
+        F.col("event_type").alias("type_a"), "day_i"
+    )
+    b = spikes.select(
+        F.col("event_type").alias("type_b"), "day_i"
+    )
+    pairs = (
+        a.join(b, ["day_i"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    per = spikes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pa = per.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    pb = per.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_co",
+            F.expr("n_co * 10000 div least(n_a, n_b)").alias("co_bp"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@declare(
+    "q239_supplier_price_spread",
+    oracle="""
+    WITH unit AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * 100 AS BIGINT)) * 1000
+                   // SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS unit_mcents
+        FROM lineitem GROUP BY 1, 2),
+    per_part AS (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               MAX(unit_mcents) - MIN(unit_mcents) AS spread
+        FROM unit GROUP BY 1),
+    multi AS (
+        SELECT p.p_brand, pp.spread
+        FROM per_part pp JOIN part p ON pp.l_partkey = p.p_partkey
+        WHERE pp.n_suppliers >= 2)
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(spread) // COUNT(*) AS BIGINT)
+               AS mean_spread_mcents,
+           CAST(MAX(spread) AS BIGINT) AS max_spread_mcents
+    FROM multi GROUP BY 1 ORDER BY p_brand
+    """,
+    doc="Procurement price-spread audit per brand: for every part "
+    "traded by 2+ suppliers, the spread between the cheapest and "
+    "dearest supplier's effective unit price — exact integer "
+    "milli-cents via total_cents * 1000 div total_units per "
+    "(part, supplier), no float division anywhere (a DOUBLE "
+    "price/quantity ratio would be summation-order-dependent and "
+    "never hash). Per brand: the multi-sourced part count, the "
+    "floor-mean spread, and the worst spread — 'where is "
+    "renegotiation worth it'. Shape: lineitem contracts to (part, "
+    "supplier) in one partial-agg'd pass, then to |parts|, then the "
+    "part dim broadcasts; single-sourced parts (no spread to "
+    "measure) drop out, so brands with none vanish (sparse "
+    "semantics). Complements q220 (volume concentration) with the "
+    "PRICE dispersion read on the same derived partsupp relation.",
+    tags=("tpch", "agg", "audit"),
+)
+def q239(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+    )
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.expr("SUM(cents) * 1000 div SUM(qty)").alias("unit_mcents")
+    )
+    per_part = unit.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        (F.max("unit_mcents") - F.min("unit_mcents")).alias("spread"),
+    )
+    p = load(spark, sf, "part").select("p_partkey", "p_brand")
+    multi = per_part.filter(F.col("n_suppliers") >= 2).join(
+        F.broadcast(p), per_part.l_partkey == p.p_partkey
+    )
+    return (
+        multi.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("spread").alias("_sum_spread"),
+            F.max("spread").alias("max_spread_mcents"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            F.expr("_sum_spread div n_parts").alias("mean_spread_mcents"),
+            "max_spread_mcents",
+        )
+        .orderBy("p_brand")
+    )
+
+
+@declare(
+    "q240_stale_parts",
+    oracle="""
+    WITH last_ship AS (
+        SELECT l_partkey,
+               MAX(CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                   AS BIGINT)) AS last_day
+        FROM lineitem GROUP BY 1),
+    horizon AS (SELECT MAX(last_day) AS max_day FROM last_ship),
+    flagged AS (
+        SELECT p.p_brand,
+               CASE WHEN ls.last_day < h.max_day - 90
+                    THEN 1 ELSE 0 END AS stale
+        FROM last_ship ls
+        JOIN part p ON ls.l_partkey = p.p_partkey
+        CROSS JOIN horizon h)
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(stale) AS BIGINT) AS n_stale,
+           CAST(SUM(stale) * 10000 // COUNT(*) AS BIGINT) AS stale_bp
+    FROM flagged GROUP BY 1 ORDER BY p_brand
+    """,
+    doc="Stale-part audit per brand: a traded part is STALE when its "
+    "last shipment is more than 90 days before the newest shipment "
+    "anywhere in the fact table (the data-defined horizon — no wall "
+    "clock, so the answer is reproducible on a frozen fixture). Per "
+    "brand: traded-part count, stale count, stale share in basis "
+    "points — the dead-inventory signal behind assortment pruning. "
+    "Shape: lineitem contracts to one (part, last_day) row per "
+    "part, the 1-row horizon broadcasts into the flagging (a "
+    "broadcast nested loop of ONE row — not a real cross join), "
+    "the part dim broadcasts, rollup is |brands| rows. Parts never "
+    "traded don't appear (no lineitem row — documented sparse "
+    "semantics; q130's important-stock family covers the "
+    "never-traded read).",
+    tags=("tpch", "agg", "audit"),
+)
+def q240(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(unix_date(CAST(l_shipdate AS DATE)) AS BIGINT)").alias(
+            "ship_day"
+        ),
+    )
+    last_ship = li.groupBy("l_partkey").agg(
+        F.max("ship_day").alias("last_day")
+    )
+    horizon = last_ship.agg(F.max("last_day").alias("max_day"))
+    p = load(spark, sf, "part").select("p_partkey", "p_brand")
+    # eqNullSafe: a plain equi-join infers isnotnull(l_partkey) into
+    # THIS branch of the last_ship diamond only, de-canonicalizing
+    # the horizon branch into a second lineitem scan (trap 12)
+    flagged = (
+        last_ship.join(
+            F.broadcast(p), last_ship.l_partkey.eqNullSafe(p.p_partkey)
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "p_brand",
+            F.when(
+                F.col("last_day") < F.col("max_day") - 90, F.lit(1)
+            ).otherwise(F.lit(0)).alias("stale"),
+        )
+    )
+    return (
+        flagged.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("stale").alias("n_stale"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            "n_stale",
+            F.expr("n_stale * 10000 div n_parts").alias("stale_bp"),
+        )
+        .orderBy("p_brand")
     )

@@ -1120,3 +1120,40 @@ def test_q229_partial_agg_before_join(spark, sf_dir):
 
     txt = explain_str(df, "simple")
     assert txt.count("Scan parquet") == 2, txt
+
+
+def test_q238_single_scan_spike_diamond(spark, sf_dir):
+    """q238: ONE events scan feeds daily -> {grid/median, spikes a,
+    spikes b, per-type totals} — the non-nullable day_i keeps all
+    three spike consumers canonically identical (trap 5/q100)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q238_co_spike_matrix"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert plan.count("Scan parquet") == 1, plan
+        assert plan.count("ReusedExchange") >= 3, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q239_q240_fact_contracts_before_dims(spark, sf_dir):
+    """q239/q240: lineitem contracts (per (part, supplier) / per
+    part) before any dim join; the part dim broadcasts; q240's
+    horizon branch reuses the last-ship aggregate instead of
+    re-scanning lineitem (null-safe join, trap 12)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name, scans in (
+            ("q239_supplier_price_spread", 2),
+            ("q240_stale_parts", 2),
+        ):
+            df = REGISTRY[name].spark(spark, sf_dir)
+            plan = explain_str(df, "simple")
+            assert plan.count("Scan parquet") == scans, (name, plan)
+            assert has_broadcast_join(df, count=1), name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -111,3 +111,9 @@ def test_registry_size_floor_round11_batch3():
     # change-point detection, q236 Mann-Whitney source length shift,
     # q237 daily busy-time coverage (interval-union sweep-line)
     assert len(REGISTRY) >= 237
+
+
+def test_registry_size_floor_round11_batch4():
+    # round-11 widening, batch 4: q238 co-spike incident matrix,
+    # q239 supplier price-spread audit, q240 stale-part audit
+    assert len(REGISTRY) >= 240
