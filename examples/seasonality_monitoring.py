@@ -185,6 +185,71 @@ def main() -> None:
         f"(state bounded at 15 periods/type by construction)"
     )
 
+
+    # ---- live level-shift detection (round 11): the change-point ----
+    # monitor re-fits the globally-optimal split per micro-batch on a
+    # MERGEABLE (type, day, cents) accumulator, so late or re-ordered
+    # deliveries converge to the same answer as the batch query
+    from kaflow_spark.streaming.curation import change_point_monitor
+
+    proj = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr("CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)").alias(
+                "day_i"
+            ),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    staged3 = tempfile.mkdtemp(prefix="season-cp-")
+    proj.repartition(3).write.mode("overwrite").parquet(staged3)
+    emitted = {}
+    handle = change_point_monitor(
+        "event_type", "day_i", "cents",
+        on_result=lambda bid, rows: emitted.__setitem__(bid, rows),
+    )
+    stream3 = (
+        spark.readStream.schema(
+            "event_type string, day_i bigint, cents bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged3)
+    )
+    q3 = stream3.writeStream.foreachBatch(handle).start()
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    final_cp = {r["event_type"]: r for r in emitted[max(emitted)]}
+    batch_cp = {
+        r["event_type"]: r
+        for r in REGISTRY["q235_change_point"].spark(spark, sf_dir).collect()
+    }
+    assert set(final_cp) == set(batch_cp)
+    for ty, b in batch_cp.items():
+        m = final_cp[ty]
+        assert (m["split_day"], m["shift"]) == (
+            b["split_day"], b["shift_dollars"],
+        ), ty
+    print(
+        f"live change-point monitor: {len(emitted)} batches, final "
+        f"split per type == batch q235 ({len(batch_cp)} types); "
+        "largest shift: "
+        + max(
+            (f"{t_} {r['shift']}$/day at day {r['split_day']}"
+             for t_, r in final_cp.items()),
+            key=lambda s: abs(int(s.split()[1].rstrip('$/day'))),
+        )
+    )
+
     # ---- behavior: which event types travel together? ----------------
     lift = REGISTRY["q194_cooccurrence_lift"].spark(spark, sf_dir)
     top = lift.orderBy(F.desc("lift_bp"), "type_a", "type_b").limit(3)
