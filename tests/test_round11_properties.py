@@ -1,0 +1,117 @@
+"""Brute-force property tests for the round-11 integer-selector math
+(beyond the DuckDB hash gate: these check the CLAIMED invariants of
+the exact arithmetic against naive Python recomputation)."""
+
+from __future__ import annotations
+
+from kaflow_spark.queries import REGISTRY
+
+
+def test_q233_pareto_selector_vs_bruteforce(spark, sf_dir):
+    """n_top80 equals the naive 'sort customers by revenue desc,
+    count until cumulative >= 80% of total' answer per segment, and
+    the invariants 1 <= n_top80 <= n_customers hold."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/customer.parquet')"
+    )
+    truth = con.execute(
+        """
+        SELECT c.c_mktsegment AS segment, r.cents
+        FROM (SELECT o_custkey,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                         * 100 AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1) r
+        JOIN customer c ON r.o_custkey = c.c_custkey
+        """
+    ).fetchall()
+    by_seg: dict[str, list[int]] = {}
+    for seg, cents in truth:
+        by_seg.setdefault(seg, []).append(int(cents))
+    expected = {}
+    for seg, revs in by_seg.items():
+        revs.sort(reverse=True)
+        tot = sum(revs)
+        cum = 0
+        for i, v in enumerate(revs, start=1):
+            cum += v
+            if 5 * cum >= 4 * tot:
+                expected[seg] = (i, len(revs), tot)
+                break
+    rows = REGISTRY["q233_pareto_coverage"].spark(spark, sf_dir).collect()
+    got = {r["segment"]: r for r in rows}
+    assert set(got) == set(expected)
+    for seg, (n80, n, tot) in expected.items():
+        r = got[seg]
+        assert r["n_top80"] == n80, seg
+        assert r["n_customers"] == n
+        assert r["total_cents"] == tot
+        assert 1 <= r["n_top80"] <= r["n_customers"]
+
+
+def test_q234_silhouette_bounds_and_membership(spark, sf_dir):
+    """Per-label silhouette means stay in [-10000, 10000], misplaced
+    counts never exceed membership, and memberships sum to the
+    vector count."""
+    import pyarrow.parquet as pq
+
+    rows = REGISTRY["q234_label_silhouette"].spark(spark, sf_dir).collect()
+    n_vecs = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    assert sum(r["n"] for r in rows) == n_vecs
+    for r in rows:
+        assert -10000 <= r["mean_s_bp"] <= 10000
+        assert 0 <= r["n_neg"] <= r["n"]
+
+
+def test_q235_split_objective_is_argmax(spark, sf_dir):
+    """The reported split day maximizes the quantized between-segment
+    objective over every candidate split (recomputed naively from the
+    daily dollar series), with the earliest-day tie-break."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    daily = con.execute(
+        """
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) // 100 AS BIGINT) AS x
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series: dict[str, list[tuple[int, int]]] = {}
+    for ty, d, x in daily:
+        series.setdefault(ty, []).append((int(d), int(x)))
+    rows = REGISTRY["q235_change_point"].spark(spark, sf_dir).collect()
+    got = {r["event_type"]: r for r in rows}
+    for ty, pts in series.items():
+        if len(pts) < 2:
+            assert ty not in got
+            continue
+        xs = [x for _, x in pts]
+        n, s = len(xs), sum(xs)
+        best = None
+        sl = 0
+        for j in range(1, n):
+            sl += xs[j - 1]
+            sr = s - sl
+            k = (sl * sl * (n - j) + sr * sr * j) * 1000 // (j * (n - j))
+            if best is None or k > best[0]:
+                best = (k, pts[j - 1][0], j)
+        r = got[ty]
+        assert r["split_day"] == best[1], ty
+        assert r["n_days"] == n
