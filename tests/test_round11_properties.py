@@ -115,3 +115,43 @@ def test_q235_split_objective_is_argmax(spark, sf_dir):
         r = got[ty]
         assert r["split_day"] == best[1], ty
         assert r["n_days"] == n
+
+
+def test_round11_operators_handle_empty_inputs(spark):
+    """The round-11 kernels return empty/identity results (never a
+    stack trace) on empty inputs — the round-9/10 robustness
+    discipline."""
+    from kaflow_spark.operators.embeddings import squared_silhouette
+    from kaflow_spark.operators.events import change_point_from_daily
+    from kaflow_spark.streaming.curation import change_point_monitor
+
+    empty_daily = spark.createDataFrame(
+        [], "g string, day bigint, x bigint"
+    )
+    assert change_point_from_daily(empty_daily, "g", "day", "x").count() == 0
+    # a single-day group has no valid split either
+    one_day = spark.createDataFrame([("a", 1, 5)], "g string, day bigint, x bigint")
+    assert change_point_from_daily(one_day, "g", "day", "x").count() == 0
+
+    empty_v = spark.createDataFrame(
+        [], "vec_id bigint, label bigint, embedding array<float>"
+    )
+    assert squared_silhouette(empty_v, "vec_id", "label", "embedding").count() == 0
+
+    # monitor: empty first batch emits nothing and does not raise;
+    # a later batch still produces the split
+    calls = []
+    handle = change_point_monitor(
+        "g", "day", "cents", on_result=lambda b, r: calls.append((b, r))
+    )
+    empty_b = spark.createDataFrame([], "g string, day bigint, cents bigint")
+    handle(empty_b, 0)
+    assert calls == []
+    handle(
+        spark.createDataFrame(
+            [("a", 1, 100), ("a", 2, 100), ("a", 3, 900)],
+            "g string, day bigint, cents bigint",
+        ),
+        1,
+    )
+    assert len(calls) == 1 and calls[0][1][0]["split_day"] == 2
