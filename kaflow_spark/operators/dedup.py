@@ -713,7 +713,11 @@ def prefix_filter_candidates(
         # case (near-unique tokens, see CLAUDE.md trap 8)
         from kaflow_spark.operators.skew import choose_bucket_salt
 
-        bucket_salt = choose_bucket_salt(prefix, ["h"])
+        # persist_keyed: the ranked-prefix lineage (df join + per-doc
+        # window) is the expensive part — an unpersisted probe re-ran
+        # it at +80% cold (15.9 vs 8.8 s at sf0.1); with the probe
+        # materializing the cache the join reads short (id, h, n) rows
+        bucket_salt = choose_bucket_salt(prefix, ["h"], persist_keyed=True)
     if bucket_salt > 1:
         from kaflow_spark.operators.skew import salted_self_pairs
 
@@ -1214,6 +1218,11 @@ def hamming_pairs(
             ["chunk", "_len", "proj"],
             known_cap=max_bucket,
             count_col="_bn",
+            # banding lineage (fan-out + window) is expensive enough
+            # that probe-materializes-cache BEATS the salt=1 reused
+            # exchange: 2.01 vs 2.23 s at sf0.1 (vs 2.88 s when the
+            # probe re-ran the lineage — the round-11 regression)
+            persist_keyed=True,
         )
     if bucket_salt > 1:
         from kaflow_spark.operators.skew import salted_self_pairs

@@ -100,6 +100,44 @@ def key_histogram(df: DataFrame, key: str, top: int = 20) -> DataFrame:
 AUTO_SALT_TARGET_PAIRS = 2_000_000
 AUTO_SALT_MAX = 32
 
+# keyed frames persisted by the auto-salt probe (see
+# choose_bucket_salt): the probe action materializes the cache so the
+# generator's pair join reads it instead of re-running the explode
+# lineage. Tracked here so tests/long-lived apps can release them.
+_PROBE_CACHED: list[DataFrame] = []
+
+# memoized probe results keyed by (session id, analyzed-plan semantic
+# hash, policy knobs): the hottest-bucket cardinality is a pure
+# function of the keyed frame's DATA, and for file-backed corpora the
+# analyzed plan pins the data (fixture tables are immutable by the
+# catalog.load contract; local-relation test frames embed their rows
+# in the plan, so distinct data can never alias). Re-invocations of a
+# registry query rebuild an IDENTICAL keyed plan on the catalog-cached
+# scan, so the probe job — whose local floor is ~1 s of pure job
+# overhead, more than some generators' entire unsalted join — runs
+# once per (session, corpus), not once per call. Mirrors production:
+# a recurring pipeline profiles its corpus skew once, not per query.
+_PROBE_MEMO: dict[tuple, int] = {}
+
+
+def release_probe_caches() -> int:
+    """Unpersist every keyed frame the auto-salt probe cached and drop
+    the memoized probe results; returns how many frames were released.
+    Safe to call any time — frames whose consumers already ran lose
+    nothing, and a future auto call simply re-probes. Call this after
+    rewriting a parquet path a probe has seen (the
+    catalog.clear_load_cache discipline, CLAUDE.md trap 10)."""
+    _PROBE_MEMO.clear()
+    n = 0
+    while _PROBE_CACHED:
+        df = _PROBE_CACHED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def choose_bucket_salt(
     keyed: DataFrame,
@@ -109,6 +147,7 @@ def choose_bucket_salt(
     max_salt: int | None = None,
     known_cap: int | None = None,
     count_col: str | None = None,
+    persist_keyed: bool = False,
 ) -> int:
     """Pick ``bucket_salt`` for a pair-join generator from the actual
     hottest-bucket cardinality of its keyed frame (round-10 verdict:
@@ -135,6 +174,29 @@ def choose_bucket_salt(
       cannot rank buckets (they estimate bytes, not key skew), so a
       probe action is the honest trigger; it is skipped exactly when
       the algebraic cap already proves it redundant.
+    - **the probe result is memoized** per (session, analyzed-plan
+      semantic hash, knobs): round-11 measured the probe re-running
+      the generator's explode lineage as a separate job at +45–73%
+      steady-state on hamming/edit-distance, and the probe JOB itself
+      has a ~1 s local floor — more than edit-distance's entire
+      unsalted join. Re-invocations of a registry query rebuild an
+      identical keyed plan over the catalog-cached scan, so the memo
+      makes every call after the first probe-free (steady-state auto
+      == explicit salt, A/B-asserted in test_sources_skew). Data that
+      changes under a plan must call :func:`release_probe_caches`
+      (same discipline as catalog.clear_load_cache, trap 10).
+    - ``persist_keyed=True`` additionally persists the keyed frame so
+      the first probe's action doubles as cache materialization and
+      the pair join reads the cache instead of re-running the lineage
+      (CacheManager matches the analyzed plan, so the caller's own
+      reference hits it with no call-site change). Opt-in per
+      generator by measured A/B: hamming's banding lineage (fan-out +
+      window) is expensive enough that auto-with-persist BEATS
+      salt=1 (2.01 vs 2.23 s at sf0.1); edit-distance's bare explode
+      is so cheap that the cache write+read LOSES to recompute
+      (cached join 1.28 s vs 0.83 s uncached) — it relies on the memo
+      alone. Frames are tracked in a module registry;
+      :func:`release_probe_caches` frees them.
     - salt so each salted cell's pair work fits the budget:
       ``ceil(hot / sqrt(2 * target_pairs))``, clamped to
       ``[2, max_salt]`` (replication cost is salt+1 copies of the
@@ -144,6 +206,24 @@ def choose_bucket_salt(
     mx = AUTO_SALT_MAX if max_salt is None else max_salt
     if known_cap is not None and known_cap * (known_cap - 1) // 2 <= target:
         return 1
+    memo_key = None
+    try:
+        sem = keyed._jdf.queryExecution().analyzed().semanticHash()
+        memo_key = (
+            id(keyed.sparkSession),
+            sem,
+            target,
+            mx,
+            count_col,
+            tuple(key_cols),
+        )
+    except Exception:
+        pass  # connect-mode or API drift: probe uncached
+    if memo_key is not None and memo_key in _PROBE_MEMO:
+        return _PROBE_MEMO[memo_key]
+    if persist_keyed:
+        keyed.persist()
+        _PROBE_CACHED.append(keyed)
     if count_col is not None:
         hot = keyed.agg(F.max(count_col)).collect()[0][0]
     else:
@@ -155,10 +235,14 @@ def choose_bucket_salt(
         )
     hot = int(hot or 0)
     if hot * (hot - 1) // 2 <= target:
-        return 1
-    import math
+        salt = 1
+    else:
+        import math
 
-    return max(2, min(mx, math.ceil(hot / math.sqrt(2.0 * target))))
+        salt = max(2, min(mx, math.ceil(hot / math.sqrt(2.0 * target))))
+    if memo_key is not None:
+        _PROBE_MEMO[memo_key] = salt
+    return salt
 
 
 def salted_self_pairs(
