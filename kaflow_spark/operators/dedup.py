@@ -634,6 +634,105 @@ def ngram_jaccard_pairs(
     )
 
 
+# verified near-dup pair frames persisted by verified_pair_frame —
+# the documented session-shared set (CLAUDE.md trap 16 posture made
+# explicit). Keyed by (session, corpus plan, params) so a repeat
+# caller gets the SAME DataFrame object back with zero jobs — the
+# catalog.load memo pattern (without it each consumer re-walked the
+# candidate builder, whose internal eager sig.count() costs ~1.5 s of
+# cache-read job overhead per call). release_verified_pair_frames()
+# frees them.
+_SHARED_PAIR_FRAMES: dict[tuple, DataFrame] = {}
+
+
+def release_verified_pair_frames() -> int:
+    """Unpersist every shared verified-pair frame; returns how many
+    were released. Call after rewriting the corpus a frame was built
+    over (the catalog.clear_load_cache discipline)."""
+    n = 0
+    while _SHARED_PAIR_FRAMES:
+        _, df = _SHARED_PAIR_FRAMES.popitem()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
+def verified_pair_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    min_bands: int = 2,
+    est_screen: float = 0.7,
+    threshold: float = 0.9,
+    eager: bool = True,
+) -> DataFrame:
+    """Persisted VERIFIED near-duplicate pair frame ``(id_a, id_b,
+    jaccard)`` with exact n-gram Jaccard ``>= threshold`` — the one
+    attested pair set the whole dedup-QA family consumes (q41 emits
+    it, q137 clusters it, q206 audits its transitivity, q215
+    attributes it to sources).
+
+    EXPLICIT sharing, not a CacheManager accident (round-11 verdict
+    item 2): before this helper the four queries each rebuilt an
+    identical LSH + verify pipeline and only coincidental plan-
+    fragment substitution against q206's (since-fixed) leaked cache
+    kept the family cheap — when that leak was closed, q206 honestly
+    re-paid the full pipeline at 26.6 s warm (13% of the whole
+    bench). The pair set is churn-bounded and tiny next to the
+    corpus (~true-duplicate pairs only), so persisting it is the
+    :func:`shingle_frame` storage-vs-recompute trade at even better
+    odds; on a cluster this is exactly the staged frame a production
+    dedup-QA suite would materialize once per corpus snapshot.
+
+    Re-invocations over the same (session, corpus plan, params)
+    return the SAME DataFrame object from a module memo with zero
+    jobs; even without a memo hit, CacheManager matches the analyzed
+    plan so an identical rebuild reads the one materialization.
+    ``eager`` materializes before returning — concurrent consumer
+    stages would otherwise race-recompute not-yet-cached partitions
+    (the shingle_frame rationale). :func:`release_verified_pair_frames`
+    frees the memo and caches."""
+    memo_key = None
+    try:
+        memo_key = (
+            id(df.sparkSession),
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            id_col,
+            text_col,
+            k,
+            min_bands,
+            est_screen,
+            threshold,
+        )
+    except Exception:
+        pass  # connect-mode or API drift: build uncached
+    if memo_key is not None and memo_key in _SHARED_PAIR_FRAMES:
+        return _SHARED_PAIR_FRAMES[memo_key]
+    sh = shingle_frame(df, id_col, text_col, k)
+    cand = (
+        minhash_lsh_candidates(
+            df, id_col, text_col, min_bands=min_bands, shingles=sh
+        )
+        .filter(F.col("est_jaccard") >= est_screen)
+        .select("id_a", "id_b")
+    )
+    pairs = (
+        ngram_jaccard_pairs(df, cand, id_col, text_col, k, shingles=sh)
+        .filter(F.col("jaccard") >= threshold)
+        .persist()
+    )
+    if eager:
+        pairs.count()
+    if memo_key is not None:
+        _SHARED_PAIR_FRAMES[memo_key] = pairs
+    return pairs
+
+
 def prefix_filter_candidates(
     shingles: DataFrame, threshold: float, *, bucket_salt: int | str = "auto"
 ) -> DataFrame:

@@ -261,8 +261,15 @@ def pagerank(
 
         n = nodes.count()  # one scalar action; also populates the cache
         if n == 0:
-            return edges.sparkSession.createDataFrame(
-                [], "node bigint, pr_units bigint"
+            # empty JVM range, not createDataFrame([]): a pickled-RDD
+            # local frame scans through Python workers (see
+            # triangle_count's report note)
+            return (
+                edges.sparkSession.range(0, 0, 1, 1)
+                .select(
+                    F.col("id").alias("node"),
+                    F.col("id").alias("pr_units"),
+                )
             )
         init = units // n
         base = ((10000 - damping_bp) * init) // 10000
@@ -452,6 +459,12 @@ def triangle_count(
     finally:
         d1.unpersist()
     spark = edges.sparkSession
-    return spark.createDataFrame(
-        [(n,)], "n_triangles bigint"
+    # single-partition JVM range, NOT createDataFrame: a Python-list
+    # frame scans as a pickled ExistingRDD whose every task round-trips
+    # a Python worker — 32 near-empty partitions cost seconds under
+    # load, and a consumer that cartesians two such frames pays
+    # 32x32 = 1024 worker-bound tasks (measured 14-17 s for a
+    # 1-row x 1-row crossJoin in q206's report assembly)
+    return spark.range(0, 1, 1, 1).select(
+        F.lit(n).cast("bigint").alias("n_triangles")
     )

@@ -510,24 +510,12 @@ def q214(spark: SparkSession, sf: str) -> DataFrame:
     tags=("dedup", "audit", "quadratic-oracle"),
 )
 def q215(spark: SparkSession, sf: str) -> DataFrame:
-    from kaflow_spark.operators.dedup import (
-        minhash_lsh_candidates,
-        ngram_jaccard_pairs,
-        shingle_frame,
-    )
+    from kaflow_spark.operators.dedup import verified_pair_frame
 
     d = load(spark, sf, "documents")
-    sh = shingle_frame(d, "doc_id", "text", 5)
-    cand = (
-        minhash_lsh_candidates(d, "doc_id", "text", min_bands=2, shingles=sh)
-        .filter(F.col("est_jaccard") >= 0.7)
-        .select("id_a", "id_b")
-    )
-    pairs = (
-        ngram_jaccard_pairs(d, cand, "doc_id", "text", shingles=sh)
-        .filter(F.col("jaccard") >= 0.9)
-        .select("id_a", "id_b")
-    )
+    # q41's shared persisted verified-pair frame — one LSH + verify
+    # materialization serves q41/q137/q206/q215
+    pairs = verified_pair_frame(d, "doc_id", "text").select("id_a", "id_b")
     src = d.select("doc_id", "source")
     a = src.select(
         F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")

