@@ -22,12 +22,37 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _trailing_medians(sf: float) -> dict[str, float]:
+    """Per-query median seconds across every prior round's recorded
+    BENCH_r{N}.json — the reference that makes co-tenant noise
+    adjudication mechanical (round-11 verdict item 3: the driver
+    recorded q43 at 5.84 s in a load burst vs 1.69 s quiet, and
+    nothing in the artifact said which to believe)."""
+    import glob
+    import statistics
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    hist: dict[str, list[float]] = {}
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            if d.get("sf") != sf:
+                continue  # medians are only comparable at the same SF
+            for q, s in (d.get("queries") or {}).items():
+                hist.setdefault(q, []).append(float(s))
+        except Exception:
+            continue
+    return {q: statistics.median(v) for q, v in hist.items() if v}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
         sf = -1.0  # non-sf-named dir: report it rather than crash
+    load_before = tuple(round(x, 2) for x in os.getloadavg())
     spark = get_spark("kaflow_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -75,6 +100,29 @@ def main() -> None:
             # frame per query (q41 1.6 -> 4.0 s, q42 0.8 -> 2.9) and
             # measured NOTHING a cluster deployment would see.
 
+    # Hot-outlier retry: a query whose best-of-passes still exceeds
+    # K x its trailing-round median gets ONE extra run (co-tenant
+    # bursts on this sandbox swing identical code 2-3x); if it stays
+    # above the band it is listed as `suspect` so the round ledger
+    # carries the noise adjudication instead of a bare number.
+    medians = _trailing_medians(sf)
+    outlier_k = float(os.environ.get("SPARK_GRAFT_BENCH_OUTLIER_K", "3"))
+    suspect: list[str] = []
+    reruns: dict[str, float] = {}
+    for name in sorted(timings):
+        med = medians.get(name)
+        # sub-50ms medians are pure scheduling jitter — never retried
+        if med is None or med < 0.05 or timings[name] <= outlier_k * med:
+            continue
+        t0 = time.perf_counter()
+        run_query(REGISTRY[name].spark(spark, sf_dir))
+        elapsed = round(time.perf_counter() - t0, 4)
+        reruns[name] = elapsed
+        timings[name] = min(timings[name], elapsed)
+        if timings[name] > outlier_k * med:
+            suspect.append(name)
+
+    load_after = tuple(round(x, 2) for x in os.getloadavg())
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -86,6 +134,11 @@ def main() -> None:
                 "sf": sf,
                 "iterations": iterations,
                 "cold_total": round(sum(cold.values()), 4),
+                "loadavg_before": load_before,
+                "loadavg_after": load_after,
+                "outlier_k": outlier_k,
+                "reruns": reruns,
+                "suspect": suspect,
             }
         )
     )
