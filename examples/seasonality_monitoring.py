@@ -239,15 +239,14 @@ def main() -> None:
         assert (m["split_day"], m["shift"]) == (
             b["split_day"], b["shift_dollars"],
         ), ty
+    big_ty, big = max(
+        final_cp.items(), key=lambda kv: abs(kv[1]["shift"])
+    )
     print(
         f"live change-point monitor: {len(emitted)} batches, final "
         f"split per type == batch q235 ({len(batch_cp)} types); "
-        "largest shift: "
-        + max(
-            (f"{t_} {r['shift']}$/day at day {r['split_day']}"
-             for t_, r in final_cp.items()),
-            key=lambda s: abs(int(s.split()[1].rstrip('$/day'))),
-        )
+        f"largest shift: {big_ty} {big['shift']}$/day at day "
+        f"{big['split_day']}"
     )
 
     # ---- behavior: which event types travel together? ----------------

@@ -750,7 +750,15 @@ def change_point_from_daily(
     drop out. Output per group: ``(group, split_day, n_days,
     pre_mean, post_mean, shift)`` with floor means (truncation
     identical across engines on these operands). All windows ride ONE
-    partitioning of the bounded series."""
+    partitioning of the bounded series.
+
+    Overflow guard (round-11 advice): the key needs
+    ``(sum|x|)^2 * n * 1000`` to fit bigint. ANSI mode already makes
+    the overflow a loud runtime error rather than corruption, but the
+    raw arithmetic error names no fix — the guard below checks the
+    bound per group (``assert_true`` riding the key expression so
+    column pruning cannot drop it) and fails with a message that says
+    to rescale ``value_col`` or lift the key to DECIMAL(38,0)."""
     w = Window.partitionBy(group_col).orderBy(day_col)
     wa = Window.partitionBy(group_col)
     pre = daily.select(
@@ -759,7 +767,16 @@ def change_point_from_daily(
         F.row_number().over(w).alias("j"),
         F.sum(value_col).over(w).alias("sl"),
         F.sum(value_col).over(wa).alias("s"),
+        F.sum(F.abs(F.col(value_col))).over(wa).alias("sabs"),
         F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    # conservative double-precision bound with margin (9.2e18 <
+    # 2^63-1): objective numerator <= sabs^2 * n, quantizer x1000
+    guard_sql = (
+        "assert_true(sabs <= CAST(floor(sqrt(9.2e18 / (1000.0 * n))) "
+        "AS BIGINT), 'change_point_from_daily: (sum(abs(value)))^2 * "
+        "n_days * 1000 exceeds BIGINT - rescale value_col to coarser "
+        "units or lift the objective key to DECIMAL(38,0)')"
     )
     keyed = pre.filter(F.col("j") < F.col("n")).select(
         group_col,
@@ -769,8 +786,9 @@ def change_point_from_daily(
         "sl",
         (F.col("s") - F.col("sl")).alias("sr"),
         F.expr(
+            f"CASE WHEN {guard_sql} IS NULL THEN "
             "((sl * sl * (n - j) + (s - sl) * (s - sl) * j) * 1000) "
-            "div (j * (n - j))"
+            "div (j * (n - j)) END"
         ).alias("k"),
     )
     wb = Window.partitionBy(group_col).orderBy(

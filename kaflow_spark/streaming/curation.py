@@ -157,6 +157,7 @@ def change_point_monitor(
     day_col: str,
     cents_col: str,
     on_result=None,
+    max_days: int | None = None,
 ):
     """foreachBatch handler factory: live single change-point
     detection per group — the streaming twin of q235's kernel
@@ -178,11 +179,22 @@ def change_point_monitor(
     whose past emissions a correction cannot recall; consumers treat
     the LATEST emission per group as current (update semantics).
     State bound: |groups| x |days| integers — the same contraction
-    q235 reads, held driver-side; for multi-year horizons cap the
-    series upstream (filter the stream to the audit window). Two
-    actions per batch, but over DIFFERENT frames (the batch
-    contraction collect + the driver-built bounded series), so the
-    staged-frame double-execution trap (#3) does not apply."""
+    q235 reads, held driver-side. ``max_days`` (round-11 advice) caps
+    BOTH that state and the per-batch re-fit cost for long-lived
+    streams: after each merge, every group's cells older than
+    ``max(day) - max_days + 1`` FOR THAT GROUP are evicted, so the
+    accumulator holds a sliding per-group window and the kernel
+    re-fits only the horizon (a change point older than the horizon
+    is out of scope by declaration, same contract as filtering the
+    stream to the audit window upstream — with the eviction enforced
+    here instead of trusted to the producer). Days that arrive later
+    than the horizon stay absorbed-then-evicted deterministically:
+    the cell merges first, eviction applies after, so a late row for
+    a still-in-horizon day corrects the series while one past the
+    horizon cannot resurrect it. Default None keeps the full-history
+    behavior. Two actions per batch, but over DIFFERENT frames (the
+    batch contraction collect + the driver-built bounded series), so
+    the staged-frame double-execution trap (#3) does not apply."""
     from kaflow_spark.operators.events import change_point_from_daily
 
     acc: dict[tuple, int] = {}
@@ -205,6 +217,14 @@ def change_point_monitor(
         for r in rows:
             k = (r[group_col], int(r[day_col]))
             acc[k] = acc.get(k, 0) + int(r["_c"])
+        if max_days is not None and acc:
+            horizon: dict = {}
+            for (g, d) in acc:
+                horizon[g] = max(horizon.get(g, d), d)
+            for (g, d) in [
+                k for k in acc if k[1] <= horizon[k[0]] - max_days
+            ]:
+                del acc[(g, d)]
         if not acc:
             return
         spark = batch_df.sparkSession

@@ -155,3 +155,86 @@ def test_round11_operators_handle_empty_inputs(spark):
         1,
     )
     assert len(calls) == 1 and calls[0][1][0]["split_day"] == 2
+
+
+def test_change_point_overflow_guard_names_the_fix(spark):
+    """Round-11 advice: the bigint objective key overflows once
+    (sum|x|)^2 * n * 1000 exceeds 2^63. ANSI already errors loudly;
+    the guard makes the failure NAME the remediation instead of
+    surfacing as bare arithmetic overflow — and stays silent on
+    in-bound series."""
+    from kaflow_spark.operators.events import change_point_from_daily
+
+    # in-bound: sums ~1e3, untouched result
+    ok = spark.createDataFrame(
+        [("a", d, 100 if d < 3 else 500) for d in range(6)],
+        "g string, day bigint, x bigint",
+    )
+    row = change_point_from_daily(ok, "g", "day", "x").collect()[0]
+    assert row["split_day"] == 2
+
+    # out-of-bound: sum|x| ~ 4e9 over 4 days -> key ~ (4e9)^2*1000
+    # >> 2^63; must fail with the guard's message, not raw overflow
+    import pytest
+
+    big = spark.createDataFrame(
+        [("a", d, 10**9 + d) for d in range(4)],
+        "g string, day bigint, x bigint",
+    )
+    with pytest.raises(Exception, match="DECIMAL\\(38,0\\)"):
+        change_point_from_daily(big, "g", "day", "x").collect()
+
+
+def test_change_point_monitor_max_days_evicts_per_group(spark):
+    """Round-11 advice: max_days bounds the driver accumulator AND
+    the re-fit cost. Contract: per-group sliding window — cells older
+    than that group's max day - max_days + 1 are evicted after every
+    merge, so the emission equals the batch operator on the WINDOWED
+    series, and a late row past the horizon cannot resurrect an
+    evicted day."""
+    from kaflow_spark.operators.events import change_point_from_daily
+    from kaflow_spark.streaming.curation import change_point_monitor
+
+    calls = []
+    handle = change_point_monitor(
+        "g", "day", "cents",
+        on_result=lambda b, r: calls.append(r),
+        max_days=5,
+    )
+    # batch 0: days 0-5 (6 days; day 0 must evict: horizon is 1..5)
+    handle(
+        spark.createDataFrame(
+            [("a", d, (1000 if d < 3 else 5000) + d) for d in range(6)],
+            "g string, day bigint, cents bigint",
+        ),
+        0,
+    )
+    want = {
+        r["split_day"]: r
+        for r in change_point_from_daily(
+            spark.createDataFrame(
+                [("a", d, ((1000 if d < 3 else 5000) + d) // 100) for d in range(1, 6)],
+                "g string, day bigint, x bigint",
+            ),
+            "g", "day", "x",
+        ).collect()
+    }
+    got = calls[-1][0]
+    assert got["n_days"] == 5  # day 0 evicted
+    assert (got["split_day"], got["shift"]) in {
+        (k, v["shift"]) for k, v in want.items()
+    }
+
+    # batch 1: a LATE row for the evicted day 0 — past the horizon,
+    # must NOT resurrect it; a second group's window is independent
+    handle(
+        spark.createDataFrame(
+            [("a", 0, 99900), ("b", 10, 100), ("b", 11, 900)],
+            "g string, day bigint, cents bigint",
+        ),
+        1,
+    )
+    by_g = {r["g"]: r for r in calls[-1]}
+    assert by_g["a"]["n_days"] == 5  # unchanged: late row evicted again
+    assert by_g["a"]["split_day"] == got["split_day"]
+    assert by_g["b"]["n_days"] == 2

@@ -88,14 +88,14 @@ def _slice_dir(sf_dir: str, n_docs: int) -> tuple[str, int]:
     marker = os.path.join(out, ".complete")
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
-        import pyarrow.compute as pc
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-        sliced = t.filter(
-            pc.equal(pc.mod(t.column("doc_id"), m), 0)
+        mask = pa.array(
+            (v.as_py() % m == 0) for v in t.column("doc_id")
         )
-        pq.write_table(sliced, os.path.join(out, "documents.parquet"))
+        pq.write_table(t.filter(mask), os.path.join(out, "documents.parquet"))
         for tab in _TABLES:
             if tab == "documents":
                 continue
