@@ -590,19 +590,13 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     tags=("quadratic-oracle", "dedup",),
 )
 def q83(spark: SparkSession, sf: str) -> DataFrame:
-    from kaflow_spark.operators.dedup import ngram_jaccard_pairs, shingle_frame
+    from kaflow_spark.operators.dedup import verified_pair_frame
     from kaflow_spark.operators.graph import connected_components
 
     d = load(spark, sf, "documents")
-    sh = shingle_frame(d, "doc_id", "text", 5)
-    cand = (
-        minhash_lsh_candidates(d, "doc_id", "text", min_bands=2, shingles=sh)
-        .filter(F.col("est_jaccard") >= 0.7)
-        .select("id_a", "id_b")
-    )
-    pairs = ngram_jaccard_pairs(d, cand, "doc_id", "text", shingles=sh).filter(
-        F.col("jaccard") >= 0.9
-    )
+    # q41's shared persisted verified-pair frame (one LSH + verify
+    # materialization for the whole dedup-QA family)
+    pairs = verified_pair_frame(d, "doc_id", "text")
     return (
         connected_components(pairs, "id_a", "id_b")
         .select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))

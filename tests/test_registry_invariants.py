@@ -117,3 +117,11 @@ def test_registry_size_floor_round11_batch4():
     # round-11 widening, batch 4: q238 co-spike incident matrix,
     # q239 supplier price-spread audit, q240 stale-part audit
     assert len(REGISTRY) >= 240
+
+
+def test_registry_size_floor_round12():
+    # round-12 widening: q241-q248 (risk & distribution audits:
+    # Kruskal-Wallis, credit exposure replay, supplier HHI,
+    # l-diversity, Lorenz deciles, dormancy, interpolated quantiles,
+    # dup-cluster chain-depth audit)
+    assert len(REGISTRY) >= 248
