@@ -1157,3 +1157,46 @@ def test_q239_q240_fact_contracts_before_dims(spark, sf_dir):
             assert has_broadcast_join(df, count=1), name
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_round12_plan_contracts(spark, sf_dir):
+    """Round-12 suite physical contracts (static planner, trap 9):
+
+    - q241/q247 read their fact table exactly ONCE and close their
+      grid diamonds with ReusedExchange (the value/cumulative grid
+      feeds rank, per-source/priority rollups AND the tie/statistic
+      branches off one shuffle);
+    - q242 shuffles orders once — the running-balance window and the
+      per-customer aggregate share the (c_custkey) partitioning;
+    - q243/q245/q246 broadcast their dimension/scalar side (no
+      shuffle join against a bounded frame)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name, want_scans in (
+            ("q241_kruskal_wallis_sources", 1),
+            ("q247_interpolated_quantiles", 1),
+        ):
+            plan = explain_str(REGISTRY[name].spark(spark, sf_dir), "simple")
+            assert plan.count("Scan parquet") == want_scans, (name, plan)
+            assert plan.count("ReusedExchange") >= 2, (name, plan)
+
+        plan = explain_str(
+            REGISTRY["q242_credit_exposure_replay"].spark(spark, sf_dir),
+            "simple",
+        )
+        # one broadcast (customer opening balances) + one shuffle on
+        # c_custkey shared by window and aggregate + the final sort
+        assert plan.count("BroadcastExchange") == 1, plan
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+        for name in (
+            "q243_supplier_hhi_by_nation",
+            "q245_lorenz_decile_shares",
+            "q246_customer_dormancy",
+        ):
+            plan = explain_str(REGISTRY[name].spark(spark, sf_dir), "simple")
+            assert plan.count("BroadcastExchange") >= 1, (name, plan)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
