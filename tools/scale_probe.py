@@ -1548,6 +1548,30 @@ def main() -> None:
         "operational form of the 'probe more, not finer' rule the "
         "fixed-nprobe rows document."
     )
+    rows.append(
+        " Round-12 rows (the q206 family, VERDICT r11 task 4): stage 1 "
+        "runs exact dedup FIRST (the dedup_clusters discipline — "
+        "replication makes every doc `mult` exact copies, so without "
+        "it verified pairs would grow mult^2 within dup groups, a "
+        "density no deduped corpus has) and is therefore near-FLAT: "
+        "the 5x/10x points measure the bigger exact-dedup scan "
+        "feeding the SAME fixture-sized near-dup tail. The synthetic "
+        "triangle row grows edges linearly with triangles planted "
+        "per 3-node group — near-linear cost is the degree-ordered "
+        "enumeration holding (no k^2 wedge blowup). Stage 2 (deg + "
+        "wedges + triangles + report) runs over the persisted pair "
+        "frame, so its points are fixed job overhead plus "
+        "cluster-bounded rollups; its absolute cost at every scale "
+        "is seconds, the in-suite marginal cost q206 now pays after "
+        "the shared-frame fix. Round-12 adjudication (same artifact "
+        "class as r9/r10): a co-tenant burst during one recording "
+        "printed contamination 56 s at 5x, triangle 15.4 s at 1x and "
+        "an inverted stage-1 curve on identical code; the interleaved "
+        "quiet re-measure (1.0/2.1/4.0 s contamination — 4.0x; "
+        "2.7/3.8/4.8 s triangle — 1.8x; stage 1 flat ~2 s) is what "
+        "the table records, and bench.py's loadavg fields now stamp "
+        "every recording with its load context."
+    )
     # preserve appended sections (e.g. app-surface throughput) that
     # other probes own — everything from the first appended '## '
     # heading onward survives a rewrite of the operator table
