@@ -784,3 +784,438 @@ def q248(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+_SEC = "CAST(ts AS LONG)"
+_DSEC = "CAST(epoch_us(ts) // 1000000 AS BIGINT)"
+
+
+@declare(
+    "q249_reliability_mttr_mtbf",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, {_DSEC} AS sec
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL),
+    nxt AS (
+        SELECT user_id, event_id, event_type, sec,
+               MIN(CASE WHEN event_type <> 'error' THEN sec END)
+                   OVER (PARTITION BY user_id ORDER BY sec, event_id
+                         ROWS BETWEEN 1 FOLLOWING
+                         AND UNBOUNDED FOLLOWING) AS nxt_ok
+        FROM e),
+    errs AS (
+        SELECT user_id, sec, nxt_ok,
+               LAG(sec) OVER (PARTITION BY user_id
+                              ORDER BY sec, event_id) AS prev_err
+        FROM nxt WHERE event_type = 'error'),
+    vals AS (
+        SELECT 'ttr' AS metric, nxt_ok - sec AS val
+        FROM errs WHERE nxt_ok IS NOT NULL
+        UNION ALL
+        SELECT 'tbf' AS metric, sec - prev_err AS val
+        FROM errs WHERE prev_err IS NOT NULL),
+    grid AS (
+        SELECT metric, val, COUNT(*) AS c FROM vals GROUP BY 1, 2),
+    cum AS (
+        SELECT metric, val, c,
+               SUM(c) OVER (PARTITION BY metric ORDER BY val) AS cum,
+               SUM(c) OVER (PARTITION BY metric) AS n
+        FROM grid)
+    SELECT metric, CAST(MIN(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN val END)
+                AS BIGINT) AS p50_sec,
+           CAST(MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN val END)
+                AS BIGINT) AS p90_sec
+    FROM cum GROUP BY metric ORDER BY metric
+    """,
+    doc="Reliability audit over the event stream: MTTR (per error "
+    "event, seconds until the same user's next non-error event — the "
+    "recovery) and MTBF (seconds between a user's consecutive "
+    "errors), each reported as exact percentile_disc p50/p90 via the "
+    "cumulative selector over the bounded (metric, seconds) grid — "
+    "the SRE view of q87/q170's error accounting. Next-recovery is a "
+    "conditional MIN over the FOLLOWING frame of one per-user window "
+    "ordering (unique event_id tie-break, so the ROWS frame is the "
+    "same total order on both engines); between-failures is a "
+    "LAG IGNORE NULLS over the same ordering (Spark: lag over the "
+    "errors-only projection — identical result since only error rows "
+    "read it). Epoch seconds by truncation on both engines "
+    "(CLAUDE.md q152 corollary). One events scan, one user_id "
+    "shuffle; percentiles ride the contracted grid.",
+    tags=("events", "window", "stats", "audit"),
+)
+def q249(spark: SparkSession, sf: str) -> DataFrame:
+    e = (
+        load(spark, sf, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr(_SEC).alias("sec"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt_ok = F.min(
+        F.when(F.col("event_type") != "error", F.col("sec"))
+    ).over(w)
+    rows = e.select("user_id", "event_id", "event_type", "sec", nxt_ok.alias("nxt_ok"))
+    errs = rows.filter(F.col("event_type") == "error")
+    we = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    errs = errs.select(
+        "sec",
+        "nxt_ok",
+        F.lag("sec").over(we).alias("prev_err"),
+    )
+    # ONE pass, not a union of two filtered branches: different
+    # filters/projections above the shared window lineage would
+    # de-canonicalize it and double the events scan (trap 5 —
+    # measured 2 scans, ReusedExchange 0 before this stack)
+    vals = errs.select(
+        F.expr(
+            "stack(2, 'ttr', nxt_ok - sec, 'tbf', sec - prev_err) "
+            "AS (metric, val)"
+        )
+    ).filter(F.col("val").isNotNull())
+    grid = vals.groupBy("metric", "val").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("metric").orderBy("val")
+    wa = Window.partitionBy("metric")
+    cum = grid.select(
+        "metric",
+        "val",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wa).alias("n"),
+    )
+    return (
+        cum.groupBy("metric")
+        .agg(
+            F.min("n").alias("n"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(50 * n + 99) div 100"),
+                    F.col("val"),
+                )
+            ).alias("p50_sec"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(90 * n + 99) div 100"),
+                    F.col("val"),
+                )
+            ).alias("p90_sec"),
+        )
+        .orderBy("metric")
+    )
+
+
+@declare(
+    "q250_order_size_overdispersion",
+    oracle="""
+    WITH x AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS items
+        FROM lineitem GROUP BY 1),
+    seg AS (
+        SELECT c.c_mktsegment AS segment, x.items
+        FROM x JOIN orders o ON x.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey),
+    s AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(items) AS HUGEINT) AS sx,
+               SUM(CAST(items AS HUGEINT) * items) AS sxx
+        FROM seg GROUP BY segment)
+    SELECT segment, n_orders,
+           CAST(sx * 1000 // n_orders AS BIGINT) AS mean_items_milli,
+           CAST(CASE WHEN n_orders > 1 AND sx > 0 THEN
+                (n_orders * sxx - sx * sx) * 1000000
+                // ((n_orders - 1) * sx) END AS BIGINT)
+               AS dispersion_micro
+    FROM s ORDER BY segment
+    """,
+    doc="Order-size overdispersion per market segment: the "
+    "variance-to-mean ratio (index of dispersion) of lineitems per "
+    "order in exact micro-units — a Poisson arrival process sits at "
+    "~1e6, clumped/bursty ordering above it, quota-regularized below "
+    "— the distribution-shape alarm q73's plain variance cannot "
+    "raise by itself. Pure integer algebra: D = (n*Sxx - Sx^2) / "
+    "((n-1) * Sx) lifted to DECIMAL(38,0)/HUGEINT products with ONE "
+    "final integral division, zero-guarded. Lineitem contracts to "
+    "per-order counts at the scan; the segment dimension attaches by "
+    "equi-join; everything above is a bounded rollup.",
+    tags=("tpch", "stats", "audit"),
+)
+def q250(spark: SparkSession, sf: str) -> DataFrame:
+    x = (
+        load(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("items"))
+    )
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    seg = (
+        x.join(o, x.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("segment", "items")
+    )
+    s = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("items").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.expr("CAST(items AS DECIMAL(38,0)) * items")).alias("sxx"),
+    )
+    return s.select(
+        "segment",
+        "n_orders",
+        F.expr("CAST(sx * 1000 div n_orders AS BIGINT)").alias(
+            "mean_items_milli"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n_orders > 1 AND sx > 0 THEN "
+            "(n_orders * sxx - sx * sx) * 1000000 "
+            "div ((n_orders - 1) * sx) END AS BIGINT)"
+        ).alias("dispersion_micro"),
+    ).orderBy("segment")
+
+
+@declare(
+    "q251_lead_lag_correlation",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    ser AS (
+        SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS v
+        FROM e GROUP BY event_type, day),
+    j AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.v AS x, b.v AS y
+        FROM ser a JOIN ser b
+          ON b.day = a.day + INTERVAL 1 DAY
+         AND a.event_type <> b.event_type),
+    s AS (
+        SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+        FROM j GROUP BY type_a, type_b)
+    SELECT type_a, type_b, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                          / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                          / SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 9)
+           END AS corr_lag1
+    FROM s ORDER BY type_a, type_b
+    """,
+    doc="Lead-lag cross-correlation: Pearson r between type A's daily "
+    "cent volume and type B's volume ONE DAY LATER, for every ordered "
+    "type pair — the temporal-precedence companion to q213's "
+    "symmetric same-day matrix ('do errors today predict purchases "
+    "tomorrow'). Identical determinism discipline: exact "
+    "DECIMAL(38,0) moments off the bounded (type, day) series, one "
+    "final fixed float expression using only IEEE-exact SQRT/divide "
+    "(trap 13 — no ln), ROUND(, 9) to pin the printed form. The "
+    "day-shift is an equi-join on day+1 over the contracted series, "
+    "asymmetric pairs kept (lead-lag is directional).",
+    tags=("events", "stats"),
+)
+def q251(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    ser = (
+        e.filter(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr("CAST(unix_date(CAST(ts AS DATE)) AS BIGINT)").alias(
+                "day_i"
+            ),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("event_type", "day_i")
+        .agg(F.sum("cents").alias("v"))
+        # explicit not-null BEFORE the diamond branches: the join
+        # would otherwise infer isnotnull(day_i + 1) on the shifted
+        # side and isnotnull(day_i) on the other, de-canonicalizing
+        # the shared series aggregate (trap 4/5 family)
+        .filter(F.col("day_i").isNotNull())
+    )
+    a = ser.select(
+        F.col("event_type").alias("type_a"),
+        (F.col("day_i") + 1).alias("day_a"),
+        F.col("v").alias("x"),
+    )
+    b = ser.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day_i").alias("day_b"),
+        F.col("v").alias("y"),
+    )
+    # null-safe join key (trap 12): plain equality would infer
+    # isnotnull(day_i + 1) on the shifted side vs isnotnull(day_i) on
+    # the other and de-canonicalize the shared series aggregate
+    # (measured: 2 scans, ReusedExchange 0); day_i is non-null by the
+    # pre-filter, so <=> is semantically identical here
+    j = a.join(b, a.day_a.eqNullSafe(b.day_b)).filter(
+        F.col("type_a") != F.col("type_b")
+    )
+    big = "decimal(38,0)"
+    s = j.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast(big).alias("sx"),
+        F.sum("y").cast(big).alias("sy"),
+        F.sum(F.col("x").cast(big) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(big) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(big) * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        "type_a",
+        "type_b",
+        "n",
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+            " THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+            "           / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))"
+            "           / SQRT(CAST(n * syy - sy * sy AS DOUBLE)), 9)"
+            " END"
+        ).alias("corr_lag1"),
+    ).orderBy("type_a", "type_b")
+
+
+@declare(
+    "q252_funnel_stage_latency",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, {_DSEC} AS sec
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IN ('view', 'click', 'purchase')),
+    fv AS (SELECT user_id, MIN(CASE WHEN event_type = 'view'
+                                    THEN sec END) AS v
+           FROM e GROUP BY user_id),
+    fc AS (
+        SELECT e.user_id, fv.v,
+               MIN(e.sec) AS c
+        FROM e JOIN fv ON e.user_id = fv.user_id
+        WHERE e.event_type = 'click' AND fv.v IS NOT NULL
+          AND e.sec >= fv.v
+        GROUP BY e.user_id, fv.v),
+    fp AS (
+        SELECT e.user_id, fc.v, fc.c, MIN(e.sec) AS p
+        FROM e JOIN fc ON e.user_id = fc.user_id
+        WHERE e.event_type = 'purchase' AND e.sec >= fc.c
+        GROUP BY e.user_id, fc.v, fc.c),
+    vals AS (
+        SELECT 'view_to_click' AS stage_pair, c - v AS val FROM fc
+        UNION ALL
+        SELECT 'click_to_purchase' AS stage_pair, p - c AS val FROM fp),
+    grid AS (
+        SELECT stage_pair, val, COUNT(*) AS c FROM vals GROUP BY 1, 2),
+    cum AS (
+        SELECT stage_pair, val, c,
+               SUM(c) OVER (PARTITION BY stage_pair ORDER BY val)
+                   AS cum,
+               SUM(c) OVER (PARTITION BY stage_pair) AS n
+        FROM grid)
+    SELECT stage_pair, CAST(MIN(n) AS BIGINT) AS n_users,
+           CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN val END)
+                AS BIGINT) AS p50_sec,
+           CAST(MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN val END)
+                AS BIGINT) AS p90_sec
+    FROM cum GROUP BY stage_pair ORDER BY stage_pair
+    """,
+    doc="Funnel stage-latency decomposition: exact percentile_disc "
+    "p50/p90 of first-view -> first-subsequent-click and that-click "
+    "-> first-subsequent-purchase, per ORDERED stage transition — "
+    "which stage is slow, the question q216's end-to-end "
+    "view->purchase latency and q225's strict funnel COUNTS cannot "
+    "answer between them. Stage anchors are conditional MIN "
+    "aggregations per user (first view; first click at-or-after it; "
+    "first purchase at-or-after that), so the whole funnel is three "
+    "contracting aggregates on one user_id partitioning — no ordered "
+    "window over raw events; percentiles ride the bounded "
+    "(stage, seconds) grid via the cumulative selector. Same-second "
+    "transitions count as latency 0 on both engines (>= anchors, "
+    "truncated epoch seconds).",
+    tags=("events", "stats", "audit"),
+)
+def q252(spark: SparkSession, sf: str) -> DataFrame:
+    e = (
+        load(spark, sf, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isin("view", "click", "purchase")
+        )
+        .select("user_id", "event_type", F.expr(_SEC).alias("sec"))
+    )
+    fv = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("sec"))).alias(
+            "v"
+        )
+    ).filter(F.col("v").isNotNull())
+    fc = (
+        e.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("sec") >= F.col("v"))
+        .groupBy("user_id", "v")
+        .agg(F.min("sec").alias("c"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("sec") >= F.col("c"))
+        .groupBy("user_id", "v", "c")
+        .agg(F.min("sec").alias("p"))
+    )
+    vals = fc.select(
+        F.lit("view_to_click").alias("stage_pair"),
+        (F.col("c") - F.col("v")).alias("val"),
+    ).unionByName(
+        fp.select(
+            F.lit("click_to_purchase").alias("stage_pair"),
+            (F.col("p") - F.col("c")).alias("val"),
+        )
+    )
+    grid = vals.groupBy("stage_pair", "val").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = Window.partitionBy("stage_pair").orderBy("val")
+    wa = Window.partitionBy("stage_pair")
+    cum = grid.select(
+        "stage_pair",
+        "val",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wa).alias("n"),
+    )
+    return (
+        cum.groupBy("stage_pair")
+        .agg(
+            F.min("n").alias("n_users"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(50 * n + 99) div 100"),
+                    F.col("val"),
+                )
+            ).alias("p50_sec"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(90 * n + 99) div 100"),
+                    F.col("val"),
+                )
+            ).alias("p90_sec"),
+        )
+        .orderBy("stage_pair")
+    )

@@ -1200,3 +1200,22 @@ def test_round12_plan_contracts(spark, sf_dir):
             assert plan.count("BroadcastExchange") >= 1, (name, plan)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_round12_batch2_plan_contracts(spark, sf_dir):
+    """q249's two metric populations ride ONE events lineage (stack,
+    not a union of differently-filtered branches — trap 5), and
+    q251's day-shifted self-join closes its series diamond with a
+    null-safe key (trap 12): one scan + ReusedExchange each."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in (
+            "q249_reliability_mttr_mtbf",
+            "q251_lead_lag_correlation",
+        ):
+            plan = explain_str(REGISTRY[name].spark(spark, sf_dir), "simple")
+            assert plan.count("Scan parquet") == 1, (name, plan)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -125,3 +125,10 @@ def test_registry_size_floor_round12():
     # l-diversity, Lorenz deciles, dormancy, interpolated quantiles,
     # dup-cluster chain-depth audit)
     assert len(REGISTRY) >= 248
+
+
+def test_registry_size_floor_round12_batch2():
+    # round-12 widening, batch 2: q249 MTTR/MTBF reliability, q250
+    # order-size overdispersion, q251 lead-lag correlation, q252
+    # funnel stage latencies
+    assert len(REGISTRY) >= 252
