@@ -20,6 +20,17 @@ warehouse team runs over the same fixture tables — each exact-integer
   weakest verified edge over q41's shared pair frame — the
   per-cluster detail behind q206's global transitivity)
 
+Batch 2 (q249-q252), the operational-metrics corner of the same pack:
+
+- q249 MTTR/MTBF reliability (exact p50/p90 recovery and
+  between-failure seconds off one events lineage)
+- q250 order-size overdispersion (variance-to-mean index per segment,
+  micro-units — Poisson sits at ~1e6)
+- q251 lead-lag cross-correlation (does type A today predict type B
+  tomorrow — q213's directional companion)
+- q252 funnel stage-latency decomposition (view->click,
+  click->purchase p50/p90 — WHICH stage is slow)
+
 Determinism notes follow the house rules (CLAUDE.md): integer/DECIMAL
 algebra before any float, `div`/`//` truncation parity (trap 6),
 DECIMAL(38,0) for products that can pass 2^63 (mirrored as HUGEINT on
