@@ -32,7 +32,7 @@ from kaflow_spark.operators.similarity import (
     ivf_tune_nprobe,
 )
 
-# maintenance policy: rebuild when the occupancy-shape drift between
+# maintenance policy: rebuild when the quantization-error drift between
 # the serving quantizer and a fresh fit exceeds this (basis points of
 # L1/2 distance between sorted share distributions)
 REBUILD_DRIFT_BP = 1500
@@ -95,7 +95,7 @@ def main() -> None:
     ref = ivf_refresh(grown, "embedding", cents0, seed=11)
     rebuild = ref["drift_bp"] > REBUILD_DRIFT_BP
     print(
-        f"refresh: occupancy-shape drift {ref['drift_bp']} bp -> "
+        f"refresh: quantization-error drift {ref['drift_bp']} bp -> "
         f"{'REBUILD' if rebuild else 'keep serving fit'}"
     )
     cents1 = ref["centroids"] if rebuild else cents0

@@ -191,8 +191,33 @@ def ivf_fit(
     frac = min(1.0, sample / max(total, 1))
     rows = df.select(vec_col).sample(frac, seed=seed).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
+    # canonicalize sample ORDER before the seeded init: collect()
+    # returns partition order, which can shift with scan packing —
+    # k-means at low nprobe is init-sensitive enough that SCALING's
+    # fixed-nprobe recall rows drifted 1.00 <-> 0.70 between runs of
+    # identical code. Lexsort makes the fit a pure function of the
+    # sampled SET (the set itself is pinned by the per-partition
+    # Bernoulli seed on a fixed plan); k-means++ seeding (greedy
+    # spread in cosine distance) then replaces the plain random init,
+    # whose quality was the luck the old run-to-run drift rode.
+    if len(x):
+        x = x[np.lexsort(x.T)]
     rng = np.random.RandomState(seed)
-    cents = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    k = min(n_lists, len(x))
+    xn0 = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    idx = [int(rng.randint(len(x)))]
+    best_dot = xn0 @ xn0[idx[0]]
+    for _ in range(1, k):
+        d2 = np.maximum(1.0 - best_dot, 0.0) ** 2
+        tot = d2.sum()
+        if tot <= 0:
+            # degenerate (all points equal): fall back to first k
+            idx = list(range(k))
+            break
+        nxt = int(rng.choice(len(x), p=d2 / tot))
+        idx.append(nxt)
+        best_dot = np.maximum(best_dot, xn0 @ xn0[nxt])
+    cents = x[np.array(idx[:k])].copy()
     for _ in range(iters):
         # cosine k-means: normalize then nearest-by-dot
         cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
@@ -576,23 +601,30 @@ def ivf_refresh(
     seed: int = 43,
 ) -> dict:
     """Quantizer refresh + drift report: refit centroids on a FRESH
-    sample of the CURRENT corpus and compare assignment mass between
-    the old and new quantizers (one pass each, partial-agg'd counts).
-    Returns::
+    sample of the CURRENT corpus and measure how much the refit
+    REDUCES mean quantization error (cosine distance to the assigned
+    centroid; one distributed pass per quantizer). Returns::
 
-        {"centroids": new, "drift_bp": L1/2 distance between the two
-         assignment-share distributions in basis points (0 = the old
-         fit still tiles the data the same way; large = the corpus
-         outgrew it), "old_shares": {...}, "new_shares": {...}}
+        {"centroids": new, "drift_bp": relative error reduction in
+         basis points — (err_old - err_new) * 10000 / err_old,
+         clamped at 0 (0 = the old fit quantizes the corpus as well
+         as a fresh one; large = the corpus grew mass the old fit
+         never saw), "err_old_micro": ..., "err_new_micro": ...,
+         "old_shares": {...}, "new_shares": {...}}
 
     The companion to :func:`ivf_tune_nprobe`: tune answers "how many
     lists must I probe to hit target recall NOW", refresh answers
     "should I rebuild instead" — rebuild when drift is high AND the
     tuned nprobe's candidate fraction (sum of probed occupancy) has
-    crept toward a full scan. Note the shares are sorted before the
-    L1: k-means list IDENTITY is arbitrary across fits, so the
-    comparison is between occupancy SHAPES (how evenly each
-    quantizer tiles the corpus), not per-id reassignment."""
+    crept toward a full scan. Quantization error, not occupancy
+    shape, is the rebuild signal: an earlier occupancy-shape L1 went
+    BLIND exactly when the k-means++ fit tiles evenly — a new
+    opposite-direction cluster absorbed into one old list produced
+    the same sorted share vector as the refit's dedicated list
+    (measured: shape drift 189 bp on a corpus whose refit cut the
+    quantization error 8x). Shares remain in the report for
+    occupancy inspection (list identity is arbitrary across fits, so
+    they are reported per-quantizer, never diffed)."""
     n_lists = n_lists or len(old_centroids)
     new = ivf_fit(df, vec_col, n_lists=n_lists, sample=sample, seed=seed)
 
@@ -604,17 +636,37 @@ def ivf_refresh(
         total = sum(counts.values()) or 1
         return {c: counts.get(c, 0) * 10000 // total for c in range(len(cents))}
 
+    def mean_err_micro(cents) -> int:
+        from pyspark.sql.functions import pandas_udf
+
+        ca = np.array(cents, dtype=np.float64)
+        cn = ca / np.maximum(
+            np.linalg.norm(ca, axis=1, keepdims=True), 1e-12
+        )
+
+        @pandas_udf("double")
+        def qdist(vecs: pd.Series) -> pd.Series:
+            x = np.array(list(vecs), dtype=np.float64)
+            xn = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
+            return pd.Series(1.0 - (xn @ cn.T).max(axis=1))
+
+        row = df.select(
+            F.avg(qdist(F.col(vec_col))).alias("e")
+        ).collect()[0]
+        return int(round((row["e"] or 0.0) * 1_000_000))
+
     old_s = shares(old_centroids)
     new_s = shares(new)
-    a = sorted(old_s.values(), reverse=True)
-    b = sorted(new_s.values(), reverse=True)
-    pad = max(len(a), len(b))
-    a += [0] * (pad - len(a))
-    b += [0] * (pad - len(b))
-    drift = sum(abs(x - y) for x, y in zip(a, b)) // 2
+    err_old = mean_err_micro(old_centroids)
+    err_new = mean_err_micro(new)
+    drift = max(0, (err_old - err_new) * 10_000 // max(err_old, 1))
     return {
         "centroids": new,
         "drift_bp": drift,
+        "err_old_micro": err_old,
+        "err_new_micro": err_new,
         "old_shares": old_s,
         "new_shares": new_s,
     }
