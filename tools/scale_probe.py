@@ -1570,7 +1570,7 @@ def main() -> None:
         "quiet re-measure (1.0/2.1/4.0 s contamination — 4.0x; "
         "2.7/3.8/4.8 s triangle — 1.8x; stage 1 flat ~2 s) is what "
         "the table records, and bench.py's loadavg fields now stamp "
-        "every recording with its load context."
+        "every recording with its load context. Post-recording round-12 note: the fixed-nprobe recall VALUES in this table were measured before ivf_fit became deterministic (k-means++ on a lexsorted sample — the run-to-run 1.00 <-> 0.70 drift was init sensitivity to driver collect() order); the AUTO-tuned row, which is the operative policy, was 1.00 recall at every scale in every run, and the next probe rewrite will show deterministic fixed-nprobe rows."
     )
     # preserve appended sections (e.g. app-surface throughput) that
     # other probes own — everything from the first appended '## '
