@@ -32,9 +32,15 @@ from kaflow_spark.operators.similarity import (
     ivf_tune_nprobe,
 )
 
-# maintenance policy: rebuild when the quantization-error drift between
-# the serving quantizer and a fresh fit exceeds this (basis points of
-# L1/2 distance between sorted share distributions)
+# maintenance policy: rebuild when a fresh fit REDUCES mean
+# quantization error (cosine distance to the assigned centroid) by more
+# than this, in basis points relative to the serving quantizer's error
+# — ivf_refresh's drift_bp = (err_old - err_new) * 10000 / err_old.
+# 1500 bp = "a refit would cut quantization error >15%", calibrated so
+# sampling jitter on a stable corpus (~0-300 bp) never trips it while
+# genuinely new mass (the drifted fixture measures >5000 bp) always
+# does. (An earlier occupancy-shape L1 metric went blind when k-means++
+# tiled evenly — see ivf_refresh's docstring.)
 REBUILD_DRIFT_BP = 1500
 
 

@@ -119,6 +119,14 @@ _PROBE_CACHED: list[DataFrame] = []
 # a recurring pipeline profiles its corpus skew once, not per query.
 _PROBE_MEMO: dict[tuple, int] = {}
 
+# (session id, plan semanticHash) pairs whose keyed frame is ALREADY
+# persist()-registered: a rebuilt semantically-equal plan arrives on a
+# fresh DataFrame instance, and re-persisting it makes CacheManager log
+# "Asked to cache already cached data" on every repeat invocation while
+# silently relying on plan-matching instead of the memo (round-12
+# verdict item 2). Registration happens at most once per plan.
+_PROBE_PERSISTED: set[tuple] = set()
+
 
 def release_probe_caches() -> int:
     """Unpersist every keyed frame the auto-salt probe cached and drop
@@ -128,6 +136,7 @@ def release_probe_caches() -> int:
     rewriting a parquet path a probe has seen (the
     catalog.clear_load_cache discipline, CLAUDE.md trap 10)."""
     _PROBE_MEMO.clear()
+    _PROBE_PERSISTED.clear()
     n = 0
     while _PROBE_CACHED:
         df = _PROBE_CACHED.pop()
@@ -207,23 +216,33 @@ def choose_bucket_salt(
     if known_cap is not None and known_cap * (known_cap - 1) // 2 <= target:
         return 1
     memo_key = None
+    plan_key = None
     try:
         sem = keyed._jdf.queryExecution().analyzed().semanticHash()
-        memo_key = (
-            id(keyed.sparkSession),
-            sem,
-            target,
-            mx,
-            count_col,
-            tuple(key_cols),
-        )
+        plan_key = (id(keyed.sparkSession), sem)
+        memo_key = plan_key + (target, mx, count_col, tuple(key_cols))
     except Exception:
         pass  # connect-mode or API drift: probe uncached
     if memo_key is not None and memo_key in _PROBE_MEMO:
+        # the memo is keyed on the PLAN + knobs, not persist_keyed: a
+        # persist_keyed=True caller arriving after a False caller
+        # probed the same plan must still get its cache (it would
+        # otherwise silently re-run the expensive lineage — ADVICE
+        # r12), and a semantically-equal REBUILT plan must not
+        # re-register a persist (the CacheManager "already cached"
+        # WARN on every repeat invocation — round-12 verdict item 2)
+        if persist_keyed and plan_key not in _PROBE_PERSISTED:
+            keyed.persist()
+            _PROBE_CACHED.append(keyed)
+            _PROBE_PERSISTED.add(plan_key)
         return _PROBE_MEMO[memo_key]
-    if persist_keyed:
+    if persist_keyed and (
+        plan_key is None or plan_key not in _PROBE_PERSISTED
+    ):
         keyed.persist()
         _PROBE_CACHED.append(keyed)
+        if plan_key is not None:
+            _PROBE_PERSISTED.add(plan_key)
     if count_col is not None:
         hot = keyed.agg(F.max(count_col)).collect()[0][0]
     else:

@@ -188,9 +188,12 @@ def test_ivf_tuner_ground_truth_dedupes_exact_copies(spark):
 
 
 def test_ivf_refresh_drift_separates_grown_from_stationary(spark):
-    """ivf_refresh's occupancy-shape drift: near-zero when the corpus
-    merely replicated (the old fit still tiles it), large when half
-    the new mass arrived in a direction the old fit never saw."""
+    """ivf_refresh's drift_bp — RELATIVE QUANTIZATION-ERROR REDUCTION
+    of a fresh fit vs the serving one, in basis points — is near-zero
+    when the corpus merely replicated (the old fit quantizes it as
+    well as a refit would), large when new mass arrived in a
+    direction the old fit never saw (a refit's dedicated centroid
+    slashes that mass's cosine distance)."""
     import random as _random
 
     from kaflow_spark.operators.similarity import ivf_fit, ivf_refresh

@@ -77,11 +77,14 @@ def _connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _slice_dir(sf_dir: str, n_docs: int) -> tuple[str, int]:
     """Materialize (once) a bench-SF fixture dir whose documents table
-    is the deterministic ``doc_id % m == 0`` slice of <= 1k docs;
+    is the deterministic every-``m``-th-row slice of <= 1k docs
+    (row rank, not doc_id value — identical on the dense fixtures,
+    but rank bounds the row count even under sparse/strided ids);
     every other table is symlinked unchanged. Both engines read the
     same files, so the hash compare is exact — the slice only bounds
     the ORACLE's O(n^2) pair CTE, which is the sole reason these
     queries were gated."""
+    sf_dir = os.path.abspath(sf_dir)  # symlink targets must survive cwd
     m = (n_docs + QUADRATIC_ORACLE_MAX_DOCS - 1) // QUADRATIC_ORACLE_MAX_DOCS
     base = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/sf_slice_{base}_m{m}"
@@ -92,10 +95,16 @@ def _slice_dir(sf_dir: str, n_docs: int) -> tuple[str, int]:
         import pyarrow.parquet as pq
 
         t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-        mask = pa.array(
-            (v.as_py() % m == 0) for v in t.column("doc_id")
+        # slice by ROW RANK, not doc_id value: sparse/strided ids
+        # would leave more than n/m rows behind a value-modulus and
+        # blow the quadratic-oracle budget (ADVICE r12)
+        mask = pa.array(i % m == 0 for i in range(t.num_rows))
+        sliced = t.filter(mask)
+        assert sliced.num_rows <= QUADRATIC_ORACLE_MAX_DOCS, (
+            f"slice still over budget: {sliced.num_rows} docs > "
+            f"{QUADRATIC_ORACLE_MAX_DOCS} (m={m}, base {t.num_rows})"
         )
-        pq.write_table(t.filter(mask), os.path.join(out, "documents.parquet"))
+        pq.write_table(sliced, os.path.join(out, "documents.parquet"))
         for tab in _TABLES:
             if tab == "documents":
                 continue
