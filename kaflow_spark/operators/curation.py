@@ -1962,6 +1962,51 @@ def deterministic_sample_k(
     )
 
 
+def weighted_priority_sample_k(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY-k-per-group WEIGHTED sample without replacement,
+    deterministic and engine-reproducible — priority / sequential
+    Poisson sampling (Ohlsson 1998; Duffield, Lund & Thorup 2007):
+    each row draws a salt-frozen uniform u_i (a 60-bit integer off
+    md5(salt || id)) and is ranked by the priority key u_i / w_i
+    ascending; the k smallest per group win. Inclusion probability is
+    approximately proportional to weight (πps) with the exactly-k
+    guarantee — the weighted companion to
+    :func:`deterministic_sample_k`, and the drawer for the per-source
+    budgets the q178 mixture allocator computes.
+
+    Why priority sampling and not Efraimidis–Spirakis A-ES
+    (u^(1/w)): A-ES keys need exp(ln(u)/w), and ``ln`` is NOT
+    correctly rounded — a measured 1-ULP libm divergence between
+    engines (CLAUDE.md trap 13) could flip the rank of two
+    near-equal keys. The priority key is ONE IEEE division of exact
+    integers (correctly rounded, bit-identical everywhere), so the
+    selected set hash-matches across engines with no quantization.
+    Rows with weight <= 0 or NULL are excluded (they carry no mass).
+
+    Shape: one hash + divide per row, one rank window per group over
+    (group, id, weight) rows — no RNG state, no driver involvement;
+    ties (impossible-ish for distinct ids) break on id."""
+    u = F.expr(
+        f"CAST(conv(substr(md5(concat('{salt}', CAST({id_col} AS STRING)))"
+        ", 1, 15), 16, 10) AS BIGINT)"
+    )
+    key = u.cast("double") / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(key, id_col)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     id_col: str,

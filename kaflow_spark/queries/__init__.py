@@ -16,6 +16,7 @@ from kaflow_spark.queries import pipeline as _pipeline  # noqa: F401
 from kaflow_spark.queries import relational as _relational  # noqa: F401
 from kaflow_spark.queries import risk as _risk  # noqa: F401
 from kaflow_spark.queries import robust as _robust  # noqa: F401
+from kaflow_spark.queries import semantic as _semantic  # noqa: F401
 from kaflow_spark.queries import sequences as _sequences  # noqa: F401
 from kaflow_spark.queries import tpch as _tpch  # noqa: F401
 

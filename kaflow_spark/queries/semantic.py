@@ -1,0 +1,333 @@
+"""Round-13 suite: semantic (embedding-space) dedup at document grain
+(q253-q256) + weighted exactly-k sampling (q257).
+
+The round-12 verdict's one named capability gap: near-dup detection was
+lexical only (shingles/minimizers/prefix/winnowing) — the SemDeDup-style
+screen a modern training-data pipeline runs BESIDE lexical dedup
+(Abbas et al. 2023, arXiv:2303.09540) existed only as q43 over the
+standalone embeddings table, with nothing joining vector near-dups back
+to documents/sources the way q215/q248 do for lexical pairs. This
+module connects the pieces:
+
+- q253 semantic near-dup pairs (IVF multi-assign candidates, exact
+  in-list cosine verify — operators/similarity.semantic_dup_pairs)
+- q254 semantic dup provenance matrix (pairs -> (source, source)
+  cells via the vec_id = doc_id identity — the q215 shape in
+  embedding space)
+- q255 semantic dedup summary (SemDeDup greedy keep-lowest-id policy,
+  per-source kept/dropped counts)
+- q256 semantic-vs-lexical overlap matrix (the audit that says
+  whether the two screens catch the SAME pairs — full-outer pair
+  join against q41's shared verified lexical pair frame)
+- q257 weighted exactly-k sample without replacement (priority /
+  sequential Poisson sampling — the weighted companion to q187,
+  drawing the per-source budgets q178 allocates)
+
+Determinism: pair membership is a threshold decision whose nearest
+fixture pair sits 9.9e-6 from the 0.4 boundary (measured at sf0.1, vs
+~1e-15 float-sum drift) — cosine VALUES stay out of hashed outputs
+(the q43 discipline). The sampler's priority key is one IEEE division
+of exact integers; A-ES was rejected for its non-portable ln (trap 13).
+All counts CAST AS BIGINT on the DuckDB side (driver-canon dtype rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kaflow_spark.catalog import load
+from kaflow_spark.queries.base import declare
+
+# brute-force O(n^2) exact-cosine oracle over the embeddings table —
+# feasible UNGATED at every bench SF (2k vectors at sf0.1: ~4 s
+# measured), unlike the document-jaccard quadratic family
+_SEM_PAIRS_CTE = """
+    sem AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+              >= 0.4)
+"""
+
+# the q41/q215 lexical CTE: exact char-5-gram jaccard >= 0.9 —
+# quadratic in DOCUMENTS (gated/sliced at bench SF)
+_LEX_PAIRS_CTE = """
+    sh AS (
+        SELECT doc_id,
+               list(DISTINCT substring(text, CAST(i AS INT), 5)) AS s
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, greatest(length(text)-4, 1)+1)) AS i
+              FROM documents)
+        GROUP BY doc_id),
+    lex AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.9)
+"""
+
+
+def _sem_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The SHARED persisted semantic pair frame (one IVF fit +
+    assignment + verify materialization per session/corpus — the
+    verified_pair_frame pattern): IVF multi-assign candidates (16
+    lists, p=8 — measured recall 1.0 at threshold 0.4 on
+    sf0.001/0.01/0.1; p=6 was the measured floor, +2 margin) with
+    exact in-list cosine verify. See semantic_dup_pairs' docstring
+    for the full recall table and the 100 TB plan shape."""
+    from kaflow_spark.operators.similarity import semantic_pair_frame
+
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    return semantic_pair_frame(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        n_lists=16,
+        assign_p=8,
+        seed=42,
+    ).select("id_a", "id_b")
+
+
+@declare(
+    "q253_semantic_near_dup",
+    oracle=f"""
+    WITH {_SEM_PAIRS_CTE}
+    SELECT id_a, id_b FROM sem ORDER BY id_a, id_b
+    """,
+    doc="SemDeDup-style semantic near-duplicate pairs, end-to-end: "
+    "IVF coarse quantizer (deterministic sampled k-means++), "
+    "multi-assignment to the 8 nearest of 16 lists, within-list "
+    "exact-cosine verify >= 0.4, pair-level dedupe — hash-checked "
+    "against the brute-force O(n^2) cosine oracle (UNGATED: "
+    "embeddings is the small table, q43 precedent). The fixture "
+    "threshold 0.4 is an adversarially WIDE angle (~66 deg) chosen "
+    "because the synthetic embeddings have no tighter pairs (max "
+    "pair cosine 0.48-0.60 by SF); measured recall at p=8 is 1.0 at "
+    "every SF (p=1: 0.28-0.36 — single-assignment SemDeDup would "
+    "miss two thirds here; production thresholds >= 0.9 sit deep "
+    "inside one cell and need only p=2). Candidates are never "
+    "all-pairs: each list's Gram verify is an independent task, "
+    "n_lists bounds per-task cost, and a hot list auto-salts via "
+    "the memoized skew probe (salt-invariant output by "
+    "construction, test-asserted).",
+    tags=("dedup", "similarity", "vectors"),
+)
+def q253(spark: SparkSession, sf: str) -> DataFrame:
+    return _sem_pairs(spark, sf).orderBy("id_a", "id_b")
+
+
+@declare(
+    "q254_semantic_dup_provenance",
+    oracle=f"""
+    WITH {_SEM_PAIRS_CTE},
+    j AS (
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b
+        FROM sem JOIN documents da ON da.doc_id = sem.id_a
+                 JOIN documents db ON db.doc_id = sem.id_b)
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+    doc="Semantic duplicate provenance matrix: q253's verified "
+    "cosine >= 0.4 pairs attributed to their (source, source) cell "
+    "via the vec_id = doc_id identity (q214's vec->doc join) — the "
+    "q215 lexical provenance report re-run in embedding space. "
+    "Off-diagonal mass means one source semantically mirrors "
+    "another (paraphrase/translation mirrors lexical dedup never "
+    "sees); diagonal mass means intra-source redundancy. The pair "
+    "frame is churn-bounded and tiny next to the corpus; the "
+    "(doc_id, source) dimension projection broadcasts to both pair "
+    "ends, then one bounded |sources|^2 rollup with the unordered "
+    "cell canonicalized via least/greatest.",
+    tags=("dedup", "vectors", "audit"),
+)
+def q254(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = _sem_pairs(spark, sf)
+    src = load(spark, sf, "documents").select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@declare(
+    "q255_semantic_dedup_summary",
+    oracle=f"""
+    WITH {_SEM_PAIRS_CTE},
+    dropped AS (SELECT DISTINCT id_b FROM sem)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(dr.id_b) AS BIGINT) AS n_dropped,
+           CAST((COUNT(*) - COUNT(dr.id_b)) * 10000 // COUNT(*)
+                AS BIGINT) AS kept_bp
+    FROM documents d LEFT JOIN dropped dr ON dr.id_b = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+    doc="SemDeDup removal summary per source: under the greedy "
+    "keep-lowest-id policy (a doc is dropped iff it has ANY "
+    "semantic pair with a lower-id doc — i.e. it appears as id_b; "
+    "the policy SemDeDup applies within clusters, and exactly "
+    "SQL-expressible unlike transitive-closure keepers), how many "
+    "documents each source loses and the integer-basis-point "
+    "retention. Documents without a vector (sf0.1 has 5k docs, 2k "
+    "vectors) are never dropped — the LEFT join keeps them, "
+    "identical on both engines. The drop-list is DISTINCT id_b "
+    "(tiny, broadcast); one bounded per-source rollup.",
+    tags=("dedup", "vectors", "curation"),
+)
+def q255(spark: SparkSession, sf: str) -> DataFrame:
+    dropped = _sem_pairs(spark, sf).select("id_b").distinct()
+    d = load(spark, sf, "documents").select("doc_id", "source")
+    flagged = d.join(
+        F.broadcast(dropped), d["doc_id"] == dropped["id_b"], "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("id_b").alias("n_dropped"),
+            F.expr(
+                "(COUNT(*) - COUNT(id_b)) * 10000 div COUNT(*)"
+            ).alias("kept_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@declare(
+    "q256_semantic_vs_lexical_matrix",
+    oracle=f"""
+    WITH {_SEM_PAIRS_CTE},
+    {_LEX_PAIRS_CTE},
+    u AS (
+        SELECT COALESCE(s.id_a, l.id_a) AS id_a,
+               COALESCE(s.id_b, l.id_b) AS id_b,
+               CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_sem,
+               CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_lex
+        FROM sem s FULL OUTER JOIN lex l
+          ON s.id_a = l.id_a AND s.id_b = l.id_b),
+    j AS (
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b,
+               is_sem, is_lex
+        FROM u JOIN documents da ON da.doc_id = u.id_a
+               JOIN documents db ON db.doc_id = u.id_b)
+    SELECT source_a, source_b,
+           CAST(SUM(is_sem) AS BIGINT) AS n_semantic,
+           CAST(SUM(is_lex) AS BIGINT) AS n_lexical,
+           CAST(SUM(is_sem * is_lex) AS BIGINT) AS n_both
+    FROM j GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+    doc="Semantic-vs-lexical dedup overlap matrix: per (source, "
+    "source) cell, how many near-dup pairs ONLY the embedding "
+    "screen sees (paraphrase-type redundancy), ONLY the char-5-gram "
+    "jaccard >= 0.9 screen sees (surface copies of embedding-"
+    "distant texts), and both — the audit that justifies running "
+    "the two screens side by side (SemDeDup's core claim). The "
+    "lexical side is q41's SHARED verified pair frame (one LSH + "
+    "verify materialization per corpus, 7th consumer); the semantic "
+    "side is q253's IVF pipeline; the full-outer pair join is over "
+    "two churn-bounded pair sets, never the corpus. The docs join "
+    "makes the sliced bench-SF oracle consistent: both engines "
+    "attribute only pairs whose BOTH ends are in the (possibly "
+    "sliced) documents table. Oracle carries the lexical O(n^2) "
+    "jaccard CTE -> quadratic-oracle gate, like q215.",
+    tags=("dedup", "vectors", "audit", "quadratic-oracle"),
+)
+def q256(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.dedup import verified_pair_frame
+
+    sem = _sem_pairs(spark, sf).withColumn("is_sem", F.lit(1))
+    d = load(spark, sf, "documents")
+    lex = (
+        verified_pair_frame(d, "doc_id", "text")
+        .select("id_a", "id_b")
+        .withColumn("is_lex", F.lit(1))
+    )
+    u = sem.join(lex, ["id_a", "id_b"], "full").select(
+        "id_a",
+        "id_b",
+        F.coalesce("is_sem", F.lit(0)).alias("is_sem"),
+        F.coalesce("is_lex", F.lit(0)).alias("is_lex"),
+    )
+    src = d.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        u.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "is_sem",
+            "is_lex",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("is_sem").alias("n_semantic"),
+            F.sum("is_lex").alias("n_lexical"),
+            F.sum(F.col("is_sem") * F.col("is_lex")).alias("n_both"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@declare(
+    "q257_weighted_priority_sample",
+    oracle="""
+    WITH r AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+                   CAST(CAST(concat('0x', substr(md5('w13|'
+                       || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       AS DOUBLE)
+                     / CAST(n_chars AS DOUBLE),
+                   doc_id) AS rk
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight
+    FROM r WHERE rk <= 5
+    ORDER BY source, doc_id
+    """,
+    doc="Exactly-5-per-source WEIGHTED sample without replacement "
+    "(weight = n_chars), deterministic across engines — priority / "
+    "sequential Poisson sampling (Ohlsson 1998; Duffield-Lund-"
+    "Thorup 2007): rank by u/w where u is a salt-frozen 60-bit "
+    "uniform off md5(salt || id), keep the k smallest per group. "
+    "Approximate-πps inclusion with the exactly-k guarantee — the "
+    "weighted companion to q187's uniform draw, and the drawer for "
+    "the per-source budgets the q178 mixture allocator computes. "
+    "A-ES (u^(1/w)) was rejected on the float discipline: its key "
+    "needs exp(ln(u)/w) and ln is measured 1-ULP divergent between "
+    "engines (trap 13); the priority key is ONE correctly-rounded "
+    "IEEE division of exact integers, bit-identical everywhere "
+    "(Spark conv(hex) == DuckDB hex-cast, verified). One hash + "
+    "divide per row, one rank window per group.",
+    tags=("curation", "sampling"),
+)
+def q257(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.curation import weighted_priority_sample_k
+
+    d = load(spark, sf, "documents").select("source", "doc_id", "n_chars")
+    return (
+        weighted_priority_sample_k(
+            d, "source", "doc_id", "n_chars", 5, salt="w13|"
+        )
+        .select(
+            "source", "doc_id", F.col("n_chars").cast("bigint").alias("weight")
+        )
+        .orderBy("source", "doc_id")
+    )

@@ -1219,3 +1219,57 @@ def test_round12_batch2_plan_contracts(spark, sf_dir):
             assert plan.count("Scan parquet") == 1, (name, plan)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_round13_semantic_plan_contracts(spark, sf_dir):
+    """Round-13 semantic-dedup family physical contracts (static
+    planner, trap 9):
+
+    - after one q253 build, q254/q255 read the SHARED pair frame from
+      cache (InMemoryTableScan) and attach document dimensions by
+      broadcast — no SortMergeJoin anywhere, no second IVF pipeline;
+    - q256's only SortMergeJoin is the full-outer join of the two
+      churn-bounded pair frames (full outer cannot broadcast); both
+      pair inputs are cache reads;
+    - q257 keeps the exactly-k rank fully pushed down: a
+      Partial+Final WindowGroupLimit pair around ONE hash exchange on
+      the group key (each map task forwards at most k rows per group
+      — the 100 TB shape), and exactly one corpus scan;
+    - nothing in the family plans a CartesianProduct.
+    """
+    from kaflow_spark.operators import similarity
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        similarity.release_semantic_pair_frames()
+        REGISTRY["q253_semantic_near_dup"].spark(spark, sf_dir).count()
+
+        for name in (
+            "q254_semantic_dup_provenance",
+            "q255_semantic_dedup_summary",
+        ):
+            plan = explain_str(REGISTRY[name].spark(spark, sf_dir), "simple")
+            assert "InMemoryTableScan" in plan, (name, plan)
+            assert plan.count("BroadcastExchange") >= 1, (name, plan)
+            assert "SortMergeJoin" not in plan, (name, plan)
+            assert "CartesianProduct" not in plan, (name, plan)
+
+        plan = explain_str(
+            REGISTRY["q256_semantic_vs_lexical_matrix"].spark(spark, sf_dir),
+            "simple",
+        )
+        assert plan.count("SortMergeJoin") == 1, plan
+        assert "FullOuter" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+        plan = explain_str(
+            REGISTRY["q257_weighted_priority_sample"].spark(spark, sf_dir),
+            "simple",
+        )
+        assert plan.count("Scan parquet") == 1, plan
+        assert plan.count("WindowGroupLimit") == 2, plan  # Partial + Final
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        similarity.release_semantic_pair_frames()
