@@ -1161,3 +1161,194 @@ def streaming_stickiness(
     return df.groupBy(group_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def _exposure_update(cust_col, day_col, key_col, price_col, start_col,
+                     horizon, timeout_ms):
+    """Kernel for :func:`streaming_exposure`, split out so tests can
+    drive it with a fake GroupState (the sandbox timeout-eviction
+    gotcha). State per customer:
+
+    ``(start, n_base, sum_base, min_base, od_base, days, keys, prices)``
+
+    where the *base* fields summarize the trajectory of orders that
+    fell behind the replay horizon (count, debit sum, running-balance
+    minimum, first-overdraft day — -1 encodes "none"; min_base is
+    MAXINT-encoded "none" while no order has been folded), and the
+    arrays retain the trailing-horizon orders verbatim so a LATE order
+    landing inside the horizon replays the trajectory EXACTLY —
+    running-minimum and first-overdraft are order-sensitive, which is
+    why this kernel cannot get away with the distributive-partial
+    trick the CUSUM twin uses."""
+    _NONE_MIN = 1 << 62
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            (start, n_base, sum_base, min_base, od_base,
+             days, keys, prices) = state.get
+            retained = list(zip(days, keys, prices))
+        else:
+            start = None
+            n_base, sum_base, min_base, od_base = 0, 0, _NONE_MIN, -1
+            retained = []
+        seen_keys = {k for _, k, _ in retained}
+        # the base boundary: orders at or before it are already folded
+        # and can never be replayed — late arrivals behind it DROP
+        hw = max((d for d, _, _ in retained), default=None)
+        cutoff_old = None if hw is None else hw - horizon
+        new_rows = []
+        for pdf in pdfs:
+            pdf = pdf[pdf[price_col].notna()]
+            if start is None and len(pdf):
+                start = int(pdf[start_col].iloc[0])
+            for d, k, p in zip(pdf[day_col], pdf[key_col], pdf[price_col]):
+                d, k, p = int(d), int(k), int(p)
+                if cutoff_old is not None and d <= cutoff_old:
+                    continue  # older than the replay horizon: dropped
+                if k in seen_keys:
+                    continue  # duplicate delivery of a retained order
+                seen_keys.add(k)
+                new_rows.append((d, k, p))
+        merged = sorted(retained + new_rows)
+        if not merged and not state.exists:
+            return
+        # advance the base: everything behind the NEW high water's
+        # horizon folds into the exact running summary, in order
+        hw = max((d for d, _, _ in merged), default=hw)
+        cutoff = hw - horizon if hw is not None else None
+        keep = []
+        for d, k, p in merged:
+            if cutoff is not None and d <= cutoff:
+                n_base += 1
+                sum_base += p
+                bal = start - sum_base
+                min_base = min(min_base, bal)
+                if od_base < 0 and bal < 0:
+                    od_base = d
+            else:
+                keep.append((d, k, p))
+        state.update((
+            start, n_base, sum_base, min_base, od_base,
+            [d for d, _, _ in keep],
+            [k for _, k, _ in keep],
+            [p for _, _, p in keep],
+        ))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        # replay the retained tail off the base summary — exact
+        n = n_base
+        s = sum_base
+        mn = min_base
+        od = od_base
+        for d, _, p in keep:
+            n += 1
+            s += p
+            bal = start - s
+            mn = min(mn, bal)
+            if od < 0 and bal < 0:
+                od = d
+        if n == 0:
+            return  # no orders yet: the batch query has no row either
+        yield pd.DataFrame(
+            {
+                cust_col: [key[0]],
+                "n_orders": [n],
+                "final_balance_cents": [start - s],
+                "min_balance_cents": [mn],
+                "first_overdraft_day": pd.array(
+                    [od if od >= 0 else None], dtype="Int64"
+                ),
+            }
+        )
+
+    return update
+
+
+def streaming_exposure(
+    df: DataFrame,
+    cust_col: str,
+    day_col: str,
+    key_col: str,
+    price_col: str,
+    start_col: str,
+    *,
+    horizon: int = 35,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of q242's credit-exposure replay (queries/
+    risk.py): per customer, the opening balance is debited by every
+    order in (day, order-key) order, and each update emits the
+    current ``(n_orders, final_balance_cents, min_balance_cents,
+    first_overdraft_day)`` row — the canonical RUNNING-BALANCE
+    stateful shape the twin family lacked (round-12 verdict task 5).
+
+    Input rows must carry the customer's opening balance
+    (``start_col`` — a stream-static broadcast join against the
+    customer dim upstream) and integer day/price units (cast dates to
+    epoch days, money to cents). Output in update mode; the LATEST
+    emission per customer is the current answer, and on a closed
+    in-order stream it equals the batch q242 aggregates row-for-row
+    (asserted in test_streaming_exposure).
+
+    Late/out-of-order contract: the running MINIMUM and the first-
+    overdraft day are order-sensitive — a late debit rewrites the
+    trajectory after it — so state retains the trailing ``horizon``
+    days of orders verbatim (bounded: a customer's orders within the
+    horizon) plus an exact O(1) summary of everything older. A late
+    order landing inside the horizon is absorbed EXACTLY (the tail
+    replays); one landing behind it is DROPPED (no state growth, no
+    emission change) — bound how late that can be with an upstream
+    watermark. Duplicate deliveries of a retained order key are
+    ignored (exactly-once per key within the horizon).
+
+    On a batch frame this falls back to the exact one-window batch
+    formulation (q242's plan: one shuffle shared by window and
+    aggregate), so one pipeline definition serves both postures."""
+    if not df.isStreaming:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(cust_col).orderBy(day_col, key_col)
+        r = df.select(
+            cust_col,
+            day_col,
+            F.col(start_col).alias("_start"),
+            F.col(price_col).alias("_price"),
+            (F.col(start_col) - F.sum(price_col).over(w)).alias("_bal"),
+        )
+        return r.groupBy(cust_col).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.min("_start") - F.sum("_price")).alias("final_balance_cents"),
+            F.min("_bal").alias("min_balance_cents"),
+            F.min(
+                F.when(F.col("_bal") < 0, F.col(day_col))
+            ).alias("first_overdraft_day"),
+        )
+
+    out_schema = (
+        f"{cust_col} bigint, n_orders bigint, final_balance_cents bigint, "
+        "min_balance_cents bigint, first_overdraft_day bigint"
+    )
+    state_schema = (
+        "start bigint, n_base bigint, sum_base bigint, min_base bigint, "
+        "od_base bigint, days array<bigint>, keys array<bigint>, "
+        "prices array<bigint>"
+    )
+    update = _exposure_update(
+        cust_col, day_col, key_col, price_col, start_col, horizon,
+        timeout_ms,
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(cust_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
