@@ -1,17 +1,23 @@
-"""IVF index maintenance on kaflow_spark: the full drift-trigger loop.
+"""IVF index maintenance on kaflow_spark: the full drift-trigger loop,
+APPEND-ONLY edition (round-13).
 
-Round-11 wiring of the three maintenance operators into the cycle a
-long-lived ANN service actually runs (round-10 built them; nothing
-drove the loop end-to-end):
+Round-11 wired the maintenance operators into the cycle a long-lived
+ANN service runs; round-13 adds the 100 TB-honest append path — a
+growing corpus must NOT rescan its base per append, so the rebuild
+signal folds delta-only passes:
 
-    build -> serve -> corpus grows/drifts -> occupancy monitor trips
-    -> ivf_refresh (rebuild or keep, by measured drift) -> re-tune
-    nprobe for the target recall -> serve again
+    build (+ baseline stats) -> serve -> appends arrive -> assign-only
+    stats over EACH DELTA (ivf_corpus_stats, frozen centroids) folded
+    into the running report (ivf_merge_stats, driver integers) ->
+    cheap trigger reads err-growth/occupancy off the report
+    (ivf_append_signal, zero jobs) -> on trip, the EXPENSIVE confirm
+    (ivf_refresh: refit vs serving quantizer) decides rebuild ->
+    re-tune nprobe -> serve again
 
 Every stage is a bounded-driver distributed operator: the quantizer
-fit is sampled k-means, occupancy/drift are one partial-agg'd pass
-each, and the tuner reads the whole recall-vs-nprobe curve off ONE
-corpus pass (Q*k ground-truth rows on the driver).
+fit is sampled k-means, per-delta stats are one partial-agg'd pass
+over the delta alone, and the tuner reads the whole recall-vs-nprobe
+curve off ONE corpus pass (Q*k ground-truth rows on the driver).
 
     PYTHONPATH=/root/repo python examples/index_maintenance.py [sf_dir]
 """
@@ -25,8 +31,11 @@ from pyspark.sql import functions as F
 from kaflow_spark import get_spark
 from kaflow_spark.catalog import load
 from kaflow_spark.operators.similarity import (
+    ivf_append_signal,
+    ivf_corpus_stats,
     ivf_fit,
     ivf_list_stats,
+    ivf_merge_stats,
     ivf_refresh,
     ivf_topk,
     ivf_tune_nprobe,
@@ -76,26 +85,51 @@ def main() -> None:
         f"hottest list {skew0} bp"
     )
 
-    # ---- the corpus outgrows the fit: new mass arrives in a region
-    # the day-0 quantizer never saw (a shifted+negated copy — the
-    # "new data source onboarded" drift every serving index meets)
+    # baseline report for the append-only signal: one pass at build
+    # time, then the base corpus is NEVER rescanned by the monitor
+    build_report = ivf_corpus_stats(base, "embedding", cents0)
+    report = build_report
+
+    # ---- append wave 1: same-distribution growth (a re-crawl) ------
+    # assign-only stats over the DELTA alone, folded driver-side
+    same = base.select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+    )
+    report = ivf_merge_stats(
+        report, ivf_corpus_stats(same, "embedding", cents0)
+    )
+    sig1 = ivf_append_signal(build_report, report)
+    print(
+        f"append1: +{sig1['added']} same-distribution vectors | "
+        f"err growth {sig1['err_growth_bp']} bp -> "
+        f"{'TRIP' if sig1['err_growth_bp'] > 500 else 'no action'}"
+    )
+    assert sig1["err_growth_bp"] <= 500  # a re-crawl must NOT trip
+
+    # ---- append wave 2: new mass in a region the day-0 quantizer
+    # never saw (a shifted+negated copy — the "new data source
+    # onboarded" drift every serving index meets)
     drifted = base.select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"),
         F.transform(
             "embedding", lambda x: F.lit(2.5) - x
         ).alias("embedding"),
     )
-    grown = base.unionByName(drifted)
-    n1 = grown.count()
+    report = ivf_merge_stats(
+        report, ivf_corpus_stats(drifted, "embedding", cents0)
+    )
+    grown = base.unionByName(same).unionByName(drifted)
+    n1 = report["n"]
 
-    # ---- always-on monitor: occupancy under the SERVING quantizer --
-    skew1 = occupancy_skew_bp(
-        ivf_list_stats(grown, "embedding", cents0).collect(), 16
-    )
+    # ---- always-on monitors: the zero-job append signal + occupancy
+    sig2 = ivf_append_signal(build_report, report)
+    skew1 = max(report["occupancy"].values()) * 10000 // n1
     print(
-        f"monitor: {n1} vectors | hottest list {skew1} bp under the "
-        f"day-0 quantizer ({'TRIP' if skew1 > 2 * 10000 // 16 else 'ok'})"
+        f"monitor: {n1} vectors | err growth {sig2['err_growth_bp']} bp, "
+        f"hottest list {skew1} bp under the day-0 quantizer "
+        f"({'TRIP' if sig2['err_growth_bp'] > 500 else 'ok'})"
     )
+    assert sig2["err_growth_bp"] > 500  # the drifted wave must trip
 
     # ---- refresh decision: measured drift, not a guess --------------
     ref = ivf_refresh(grown, "embedding", cents0, seed=11)

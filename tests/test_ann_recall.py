@@ -225,3 +225,90 @@ def test_ivf_refresh_drift_separates_grown_from_stationary(spark):
     shifted = ivf_refresh(grown, "embedding", old)
     assert shifted["drift_bp"] > 1500, shifted["drift_bp"]
     assert shifted["drift_bp"] > 3 * max(stationary["drift_bp"], 100)
+
+
+def test_ivf_append_only_maintenance_loop(spark):
+    """Round-13 (r12 verdict task 6): the append-only maintenance
+    path — per-delta assign-only stats fold into one running report
+    (counts exact), a same-distribution append leaves the signal
+    quiet, a drifted append trips it, and the expensive confirm
+    (ivf_refresh) then justifies the rebuild. The base corpus is
+    scanned exactly once (at build); every later pass is delta-only
+    by construction of the API."""
+    import numpy as np
+
+    from kaflow_spark.operators.similarity import (
+        ivf_append_signal,
+        ivf_corpus_stats,
+        ivf_fit,
+        ivf_merge_stats,
+        ivf_refresh,
+    )
+
+    df, query, _ = _grown_corpus(spark, 3)
+    cents = ivf_fit(df, "embedding", n_lists=16, seed=42)
+    build = ivf_corpus_stats(df, "embedding", cents)
+    n0 = df.count()
+    assert build["n"] == n0
+    assert sum(build["occupancy"].values()) == n0
+    assert build["err_sum_micro"] >= 0
+
+    # append 1: a replica of the corpus — same distribution, and the
+    # folded report's counts/err must be EXACTLY additive
+    delta_same = df.selectExpr("vec_id + 900000 AS vec_id", "embedding")
+    d1 = ivf_corpus_stats(delta_same, "embedding", cents)
+    assert d1["n"] == n0 and d1["err_sum_micro"] == build["err_sum_micro"]
+    assert d1["occupancy"] == build["occupancy"]
+    report = ivf_merge_stats(build, d1)
+    assert report["n"] == 2 * n0
+    assert report["err_sum_micro"] == 2 * build["err_sum_micro"]
+    sig = ivf_append_signal(build, report)
+    assert sig["err_growth_bp"] == 0 and sig["added"] == n0
+
+    # append 2: mass in a direction the quantizer never saw
+    rng = np.random.RandomState(5)
+    anti = [
+        (
+            950_000 + i,
+            [float(x) for x in -(np.array(query) + rng.normal(0, 0.05, len(query)))],
+        )
+        for i in range(1200)
+    ]
+    delta_drift = spark.createDataFrame(
+        anti, "vec_id bigint, embedding array<double>"
+    )
+    d2 = ivf_corpus_stats(delta_drift, "embedding", cents)
+    report = ivf_merge_stats(report, d2)
+    assert report["n"] == 2 * n0 + 1200
+    sig = ivf_append_signal(build, report)
+    assert sig["err_growth_bp"] > 300, sig  # the trigger trips
+    assert sig["added"] == n0 + 1200
+
+    # the expensive confirm: a refit must cut quantization error
+    grown = df.unionByName(delta_same).unionByName(delta_drift)
+    ref = ivf_refresh(grown, "embedding", cents, seed=11)
+    assert ref["drift_bp"] > 1500, ref["drift_bp"]  # rebuild justified
+
+
+def test_ivf_corpus_stats_matches_assign_and_refresh_err(spark):
+    """ivf_corpus_stats' one-pass (occupancy, error) must agree with
+    the separate ivf_list_stats occupancy and (up to the documented
+    per-row floor quantization) ivf_refresh's mean error."""
+    from kaflow_spark.operators.similarity import (
+        ivf_corpus_stats,
+        ivf_fit,
+        ivf_list_stats,
+    )
+
+    df, _, _ = _grown_corpus(spark, 2)
+    cents = ivf_fit(df, "embedding", n_lists=8, seed=42)
+    stats = ivf_corpus_stats(df, "embedding", cents)
+    occ = {
+        int(r["_ivf_list"]): int(r["n"])
+        for r in ivf_list_stats(df, "embedding", cents).collect()
+    }
+    assert stats["occupancy"] == occ
+    # mean error in micro-units: per-row floor vs mean-then-round —
+    # within 1 micro-unit per row of each other
+    n = stats["n"]
+    assert 0 <= stats["err_sum_micro"] <= n * 2_000_000
