@@ -189,7 +189,14 @@ def ivf_fit(
     expensive part, assignment, stays distributed)."""
     total = df.count()
     frac = min(1.0, sample / max(total, 1))
-    rows = df.select(vec_col).sample(frac, seed=seed).collect()
+    # fraction= and seed= MUST be keywords: positional `sample(frac,
+    # seed=seed)` binds frac to withReplacement, and PySpark's
+    # overload shim then treats the call as the seedless
+    # `sample(fraction)` form and SILENTLY DISCARDS the seed — the
+    # sampled set was random per call (measured: two same-seed calls
+    # on one plan returned different sets; this was the r12 residual
+    # nondeterminism the lexsort canonicalization could not fix)
+    rows = df.select(vec_col).sample(fraction=frac, seed=seed).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
     # canonicalize sample ORDER before the seeded init: collect()
     # returns partition order, which can shift with scan packing —
@@ -780,7 +787,9 @@ def ivf_tune_nprobe(
     total = df.count()
     frac = min(1.0, (n_queries * 20) / max(total, 1))
     pool = (
-        df.select(id_col, vec_col).sample(frac, seed=seed).limit(n_queries * 20)
+        df.select(id_col, vec_col)
+        .sample(fraction=frac, seed=seed)  # keywords: see ivf_fit
+        .limit(n_queries * 20)
     ).collect()
     if not pool:
         raise ValueError("ivf_tune_nprobe: empty corpus (no query sample)")

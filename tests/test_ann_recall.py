@@ -312,3 +312,24 @@ def test_ivf_corpus_stats_matches_assign_and_refresh_err(spark):
     # within 1 micro-unit per row of each other
     n = stats["n"]
     assert 0 <= stats["err_sum_micro"] <= n * 2_000_000
+
+
+def test_ivf_fit_deterministic_under_subsampling(spark):
+    """Round-13 regression pin for the r12 residual nondeterminism:
+    `df.sample(frac, seed=seed)` binds frac to withReplacement and
+    PySpark's overload shim SILENTLY DROPS the seed — so ivf_fit's
+    'deterministic' sample was random per call whenever the corpus
+    exceeded the sample size (frac < 1; the small-fixture tests never
+    noticed because frac=1.0 bypasses the sampler). With keyword
+    fraction=/seed= the fit is bit-identical across calls AT A
+    SUB-UNITY FRACTION, and different seeds still differ."""
+    import numpy as np
+
+    from kaflow_spark.operators.similarity import ivf_fit
+
+    df, _, _ = _grown_corpus(spark, 4)  # 1210 rows
+    c1 = np.array(ivf_fit(df, "embedding", n_lists=8, sample=300, seed=42))
+    c2 = np.array(ivf_fit(df, "embedding", n_lists=8, sample=300, seed=42))
+    assert np.array_equal(c1, c2)
+    c3 = np.array(ivf_fit(df, "embedding", n_lists=8, sample=300, seed=7))
+    assert not np.array_equal(c1, c3)
