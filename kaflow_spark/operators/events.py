@@ -504,6 +504,81 @@ def basket_lift(
     )
 
 
+def association_rules(
+    df: DataFrame,
+    basket_cols: list[str],
+    item_col: str,
+) -> DataFrame:
+    """DIRECTIONAL association rules over arbitrary baskets — the
+    classic market-basket mining triple for every ordered item pair
+    (antecedent -> consequent), in exact integer basis points:
+
+    - ``support_bp``    = n_ab * 10000 div N        (pair frequency)
+    - ``confidence_bp`` = n_ab * 10000 div n_a      (P(b | a))
+    - ``lift_bp``       = n_ab * N * 10000 div (n_a * n_b)
+
+    The directional companion to :func:`basket_lift` (lift is
+    symmetric; confidence is not — 'buyers of a also buy b' and the
+    reverse differ exactly when the marginals differ, which is the
+    actionable half of rule mining). Same one-shuffle contraction:
+    baskets collapse to sorted distinct item-sets, unordered pairs
+    enumerate inside the bounded array and each emits BOTH directions,
+    marginals/basket-count branch off the same aggregate, normalizers
+    broadcast. DECIMAL(38,0) for the lift product (the q189/q194
+    idiom); everything non-negative so truncating division is
+    engine-portable. Output ordered by (antecedent, consequent)."""
+    baskets = df.groupBy(*basket_cols).agg(
+        F.sort_array(F.collect_set(item_col)).alias("_items")
+    )
+    n = baskets.filter(F.size("_items") >= 1).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    marg = (
+        baskets.select(F.explode("_items").alias("_item"))
+        .groupBy("_item")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+    )
+    pair_expr = (
+        "explode(flatten(transform(_items, (x, i) ->"
+        " flatten(transform(slice(_items, i + 2, size(_items)),"
+        " y -> array(struct(x AS antecedent, y AS consequent),"
+        "            struct(y AS antecedent, x AS consequent)))))))"
+    )
+    pairs = (
+        baskets.select(F.expr(pair_expr).alias("p"))
+        .select("p.antecedent", "p.consequent")
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ma = F.broadcast(
+        marg.select(
+            F.col("_item").alias("antecedent"), F.col("_nt").alias("_na")
+        )
+    )
+    mb = F.broadcast(
+        marg.select(
+            F.col("_item").alias("consequent"), F.col("_nt").alias("_nb")
+        )
+    )
+    return (
+        pairs.join(ma, "antecedent")
+        .join(mb, "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            F.expr("n_ab * 10000 div _n").alias("support_bp"),
+            F.expr("n_ab * 10000 div _na").alias("confidence_bp"),
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * _n * 10000"
+                " div (CAST(_na AS DECIMAL(38,0)) * _nb) AS BIGINT)"
+            ).alias("lift_bp"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
 def spike_days(
     ser: DataFrame,
     group_col: str,

@@ -9,6 +9,7 @@ from kaflow_spark.queries import audits as _audits  # noqa: F401
 from kaflow_spark.queries import base as _base
 from kaflow_spark.queries import cohorts as _cohorts  # noqa: F401
 from kaflow_spark.queries import curation as _curation  # noqa: F401
+from kaflow_spark.queries import distributions as _distributions  # noqa: F401
 from kaflow_spark.queries import extended as _extended  # noqa: F401
 from kaflow_spark.queries import growth as _growth  # noqa: F401
 from kaflow_spark.queries import llm as _llm  # noqa: F401

@@ -1,0 +1,392 @@
+"""Round-13 batch 2: distribution-shape audits (q258-q261).
+
+The second-order screens a warehouse team layers on the round-12
+risk pack — digit-level fraud conformance, directional rule mining,
+concentration-as-diversity, and robust outlier rates — each exact
+integer end to end so a DuckDB twin hash-checks it:
+
+- q258 Benford SECOND-digit conformance per order priority (the
+  follow-up screen auditors run when first digits pass: fabricators
+  who learn the leading-digit law still draw later digits uniformly
+  — Nigrini's standard two-digit test; q180's first-digit sibling)
+- q259 brand association rules over order baskets — directional
+  support/confidence/lift for every (antecedent -> consequent) brand
+  pair (confidence is the asymmetric, actionable half q194's
+  symmetric lift cannot express)
+- q260 effective event-type diversity per day (inverse Simpson
+  N²/Σc² in exact micro-units — the 'how many types is today really
+  spread across' number; purely rational, no logs, unlike Shannon)
+- q261 Tukey-fence outlier rate per market segment (share of orders
+  outside [Q1 - 1.5·IQR, Q3 + 1.5·IQR] — quartiles by exact
+  percentile_disc selectors, fences compared in doubled integer
+  units so 1.5·IQR never needs a float)
+
+House determinism rules throughout: bounded (value, count) grids
+before any selector, cumulative integer selectors for quartiles,
+DECIMAL(38,0)/HUGEINT for products that can pass 2^63, CAST(... AS
+BIGINT) on every oracle integral output, non-negative operands
+wherever truncating division appears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kaflow_spark.catalog import load
+from kaflow_spark.queries.base import declare
+
+_CENTS_O = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+# P(second digit = d) = sum_{k=1..9} log10(1 + 1/(10k+d)), in bp
+_BENFORD2_BP = {
+    0: 1197, 1: 1139, 2: 1088, 3: 1043, 4: 1003,
+    5: 967, 6: 934, 7: 904, 8: 876, 9: 850,
+}
+_BENFORD2_SQL = " ".join(
+    f"WHEN {d} THEN {bp}" for d, bp in _BENFORD2_BP.items()
+)
+
+
+@declare(
+    "q258_benford_second_digit",
+    oracle=f"""
+    WITH amt AS (
+        SELECT o_orderpriority, {_CENTS_O} AS cents FROM orders),
+    cnt AS (
+        SELECT o_orderpriority,
+               CAST(substring(CAST(cents AS VARCHAR), 2, 1) AS INTEGER)
+                   AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM amt WHERE cents >= 10
+        GROUP BY 1, 2),
+    tot AS (
+        SELECT o_orderpriority, CAST(SUM(c) AS BIGINT) AS n
+        FROM cnt GROUP BY o_orderpriority),
+    grid AS (
+        SELECT t.o_orderpriority, t.n, g.d
+        FROM tot t, (SELECT unnest(range(0, 10)) AS d) g),
+    bp AS (
+        SELECT grid.o_orderpriority, grid.n,
+               (COALESCE(cnt.c, 0) * 10000) // grid.n AS share_bp,
+               CASE grid.d {_BENFORD2_SQL} END AS exp_bp
+        FROM grid LEFT JOIN cnt
+          ON cnt.o_orderpriority = grid.o_orderpriority
+         AND cnt.d = grid.d)
+    SELECT o_orderpriority, n AS n_amounts,
+           CAST(SUM(ABS(share_bp - exp_bp)) AS BIGINT) AS l1_bp
+    FROM bp GROUP BY o_orderpriority, n
+    ORDER BY o_orderpriority
+    """,
+    doc="Benford's-law SECOND-digit conformance per order priority: "
+    "L1 distance (basis points) between the second-significant-digit "
+    "distribution of order totals and Nigrini's two-digit "
+    "expectation P(d) = sum_k log10(1+1/(10k+d)) — the follow-up "
+    "fraud screen for fabricators who learned the leading-digit law "
+    "(second digits include 0 and flatten toward uniform; a "
+    "hand-typed amount column usually fails here first). Same "
+    "machinery as q180: digit from the exact-cents integer's string "
+    "form (no float log10), densified 0-9 grid so absent digits "
+    "contribute their full expected share, amounts under 10 cents "
+    "(no second digit) excluded identically on both engines. One "
+    "scan to the bounded (priority, digit) grid.",
+    tags=("tpch", "audit", "stats"),
+)
+def q258(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf, "orders").select(
+        "o_orderpriority", F.expr(_CENTS_O).alias("cents")
+    )
+    # ONE scan: the per-priority total rides the bounded digit grid
+    # as a window instead of a second aggregation branch (trap 5 —
+    # the groupBy-then-join-back form split the diamond and scanned
+    # orders twice; the window and the densifying join both sit
+    # above the single (priority, digit) partial aggregate)
+    cnt = (
+        o.filter(F.col("cents") >= 10)
+        .select(
+            "o_orderpriority",
+            F.substring(F.col("cents").cast("string"), 2, 1)
+            .cast("int")
+            .alias("d"),
+        )
+        .groupBy("o_orderpriority", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "n", F.sum("c").over(Window.partitionBy("o_orderpriority"))
+        )
+    )
+    digits = spark.sql("SELECT explode(sequence(0, 9)) AS d")
+    pr = cnt.select("o_orderpriority", "n").distinct()
+    grid = pr.join(F.broadcast(digits))
+    exp_bp = F.expr(f"CASE d {_BENFORD2_SQL} END")
+    # null-safe join keys (trap-12 family): plain equi-keys make
+    # InferFiltersFromConstraints push isnotnull(priority, d) into
+    # the LEFT-OUTER join's inner branch only, de-canonicalizing the
+    # shared (priority, digit) aggregate — the scan then runs twice.
+    # eqNullSafe infers nothing and both consumers reuse ONE exchange
+    # (plan-contracted).
+    right = cnt.select(
+        F.col("o_orderpriority").alias("_pr"),
+        F.col("d").alias("_d"),
+        "c",
+    )
+    bp = grid.join(
+        right,
+        grid["o_orderpriority"].eqNullSafe(right["_pr"])
+        & grid["d"].eqNullSafe(right["_d"]),
+        "left",
+    ).select(
+        "o_orderpriority",
+        "n",
+        F.expr("COALESCE(c, 0) * 10000 div n").alias("share_bp"),
+        exp_bp.alias("exp_bp"),
+    )
+    return (
+        bp.groupBy("o_orderpriority", "n")
+        .agg(
+            F.sum(F.abs(F.col("share_bp") - F.col("exp_bp"))).alias("l1_bp")
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n").alias("n_amounts"),
+            "l1_bp",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@declare(
+    "q259_brand_association_rules",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n FROM b),
+    marg AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_t
+        FROM b GROUP BY brand),
+    pairs AS (
+        SELECT a.brand AS antecedent, c.brand AS consequent,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM b a JOIN b c
+          ON a.okey = c.okey AND a.brand <> c.brand
+        GROUP BY 1, 2)
+    SELECT p.antecedent, p.consequent, p.n_ab,
+           CAST(p.n_ab * 10000 // n.n AS BIGINT) AS support_bp,
+           CAST(p.n_ab * 10000 // ma.n_t AS BIGINT) AS confidence_bp,
+           CAST(p.n_ab::HUGEINT * n.n * 10000
+                // (ma.n_t::HUGEINT * mc.n_t) AS BIGINT) AS lift_bp
+    FROM pairs p
+    JOIN marg ma ON ma.brand = p.antecedent
+    JOIN marg mc ON mc.brand = p.consequent, n
+    ORDER BY antecedent, consequent
+    """,
+    doc="Directional brand association rules over order baskets: for "
+    "every (antecedent -> consequent) brand pair, exact-integer "
+    "support (pair share of all orders), confidence (P(consequent | "
+    "antecedent) — the asymmetric, actionable statistic q194's "
+    "symmetric lift cannot express: 'buyers of A also buy B' and its "
+    "reverse differ exactly when the marginals do), and lift. ONE "
+    "corpus shuffle: orders contract to sorted distinct brand-sets "
+    "(part is a broadcast dim), each unordered in-array pair emits "
+    "BOTH directions, and the basket count, marginals and pair "
+    "counts branch off that single aggregate with broadcast "
+    "normalizers — the q194 plan shape with a 2x bounded cell table "
+    "(<= |brands|^2 rows). DECIMAL(38,0)/HUGEINT lift product; "
+    "non-negative truncating division throughout.",
+    tags=("tpch", "audit", "join"),
+)
+def q259(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.events import association_rules
+
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    b = li.join(F.broadcast(p), "l_partkey").select(
+        F.col("l_orderkey").alias("okey"), "brand"
+    )
+    return association_rules(b, ["okey"], "brand")
+
+
+@declare(
+    "q260_effective_type_diversity",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2),
+    d AS (
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST(SUM(c::HUGEINT * c) AS HUGEINT) AS sumsq
+        FROM c GROUP BY day)
+    SELECT day, n_events, n_types,
+           CAST(n_events::HUGEINT * n_events * 1000000 // sumsq
+                AS BIGINT) AS effective_types_micro
+    FROM d ORDER BY day
+    """,
+    doc="Effective event-type diversity per day — the inverse Simpson "
+    "index N^2/sum(c^2) in exact integer micro-units: 'how many "
+    "equally-active types is today's traffic really spread across' "
+    "(equals n_types when perfectly even, falls toward 1 as one type "
+    "dominates — 1/HHI, the ecology/economics 'effective number'). "
+    "Chosen over Shannon entropy deliberately: Simpson is purely "
+    "RATIONAL in the counts, so the statistic is exact integer "
+    "algebra with no log anywhere (trap 13 — ln is not portable and "
+    "would force micro-floor hashing like q201). One scan contracts "
+    "events to the bounded (day, type) grid; HUGEINT/DECIMAL(38,0) "
+    "squares (c^2 times N^2 passes 2^63 early at scale).",
+    tags=("events", "audit", "stats"),
+)
+def q260(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    c = (
+        e.select(F.col("ts").cast("date").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d = c.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("n_events"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("sumsq"),
+    )
+    return d.select(
+        "day",
+        "n_events",
+        "n_types",
+        F.expr(
+            "CAST(CAST(n_events AS DECIMAL(38,0)) * n_events * 1000000"
+            " div sumsq AS BIGINT)"
+        ).alias("effective_types_micro"),
+    ).orderBy("day")
+
+
+@declare(
+    "q261_tukey_outlier_rate",
+    oracle="""
+    WITH o AS (
+        SELECT c.c_mktsegment AS segment, {cents} AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cnt AS (
+        SELECT segment, cents, CAST(COUNT(*) AS BIGINT) AS c
+        FROM o GROUP BY 1, 2),
+    cum AS (
+        SELECT segment, cents, c,
+               SUM(c) OVER (PARTITION BY segment ORDER BY cents) AS cum,
+               SUM(c) OVER (PARTITION BY segment) AS n
+        FROM cnt),
+    q AS (
+        SELECT segment, CAST(MIN(n) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN cum * 4 >= n THEN cents END)
+                    AS BIGINT) AS q1,
+               CAST(MIN(CASE WHEN cum * 4 >= 3 * n THEN cents END)
+                    AS BIGINT) AS q3
+        FROM cum GROUP BY segment),
+    f AS (
+        SELECT segment, n, q1, q3,
+               2 * q1 - 3 * (q3 - q1) AS lo2,
+               2 * q3 + 3 * (q3 - q1) AS hi2
+        FROM q)
+    SELECT f.segment, f.n, f.q1 AS q1_cents, f.q3 AS q3_cents,
+           CAST(COALESCE(SUM(CASE WHEN 2 * o.cents < f.lo2
+                                    OR 2 * o.cents > f.hi2
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_outliers,
+           CAST(COALESCE(SUM(CASE WHEN 2 * o.cents < f.lo2
+                                    OR 2 * o.cents > f.hi2
+                              THEN 1 ELSE 0 END), 0)
+                * 10000 // f.n AS BIGINT) AS outlier_bp
+    FROM f JOIN o ON o.segment = f.segment
+    GROUP BY f.segment, f.n, f.q1, f.q3
+    ORDER BY f.segment
+    """.format(cents=_CENTS_O),
+    doc="Tukey-fence outlier rate per market segment: the share of "
+    "orders outside [Q1 - 1.5*IQR, Q3 + 1.5*IQR] in integer basis "
+    "points — the boxplot whisker rule, the robust companion to "
+    "q163's winsorized moments (winsorizing CAPS tails; this COUNTS "
+    "them) and q247's type-7 quantiles. Quartiles are exact "
+    "percentile_disc selectors (smallest value whose cumulative "
+    "count reaches ceil(q*n), computed as cum*4 >= n / cum*4 >= 3n "
+    "over the bounded (segment, cents) value grid); the fences "
+    "compare in DOUBLED units (2x < 2*Q1 - 3*IQR) so 1.5*IQR stays "
+    "integer. The outlier count never touches the fact table again: "
+    "the value grid already carries every (value, count) row, so the "
+    "fences re-join the BOUNDED grid (broadcast) and sum the counts "
+    "outside — one orders scan total, plan-contracted.",
+    tags=("tpch", "audit", "stats"),
+)
+def q261(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf, "orders").select(
+        "o_custkey", F.expr(_CENTS_O).alias("cents")
+    )
+    c = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    seg = o.join(F.broadcast(c), "o_custkey").select("segment", "cents")
+    cnt = seg.groupBy("segment", "cents").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("segment")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("segment")
+    cum = cnt.select(
+        "segment",
+        "cents",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    q = cum.groupBy("segment").agg(
+        F.min("n").alias("n"),
+        F.min(
+            F.when(F.col("cum") * 4 >= F.col("n"), F.col("cents"))
+        ).alias("q1_cents"),
+        F.min(
+            F.when(F.col("cum") * 4 >= 3 * F.col("n"), F.col("cents"))
+        ).alias("q3_cents"),
+    )
+    f = q.select(
+        "segment",
+        "n",
+        "q1_cents",
+        "q3_cents",
+        (2 * F.col("q1_cents") - 3 * (F.col("q3_cents") - F.col("q1_cents")))
+        .alias("lo2"),
+        (2 * F.col("q3_cents") + 3 * (F.col("q3_cents") - F.col("q1_cents")))
+        .alias("hi2"),
+    )
+    # the value grid already carries every (cents, count) row, so the
+    # outlier tally sums grid counts against the broadcast fences —
+    # the fact table never scans again (both consumers of the grid
+    # sit above ONE exchange; plan-contracted ReusedExchange)
+    out_c = F.when(
+        (2 * F.col("cents") < F.col("lo2"))
+        | (2 * F.col("cents") > F.col("hi2")),
+        F.col("c"),
+    ).otherwise(F.lit(0))
+    return (
+        cum.select("segment", "cents", "c")
+        .join(F.broadcast(f), "segment")
+        .groupBy("segment", "n", "q1_cents", "q3_cents")
+        .agg(F.sum(out_c).alias("n_outliers"))
+        .select(
+            "segment",
+            "n",
+            "q1_cents",
+            "q3_cents",
+            "n_outliers",
+            F.expr("n_outliers * 10000 div n").alias("outlier_bp"),
+        )
+        .orderBy("segment")
+    )

@@ -1273,3 +1273,31 @@ def test_round13_semantic_plan_contracts(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         similarity.release_semantic_pair_frames()
+
+
+def test_round13_batch2_plan_contracts(spark, sf_dir):
+    """Round-13 batch-2 physical contracts (static planner, trap 9):
+    q258's per-priority total rides the digit grid as a window with
+    eqNullSafe densify keys (plain keys inferred isnotnull into one
+    branch and split the diamond — measured 2 scans); q260 is one
+    scan; q261 counts outliers off the bounded value GRID, never
+    re-scanning orders (1 fact scan + the customer dim, grid diamond
+    reused); q259 keeps the q194 shape — one lineitem scan, basket
+    aggregate reused by count/marginals/pairs, part + normalizers
+    broadcast."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name, scans, reused in (
+            ("q258_benford_second_digit", 1, 1),
+            ("q260_effective_type_diversity", 1, 0),
+            ("q261_tukey_outlier_rate", 2, 1),
+            ("q259_brand_association_rules", 2, 3),
+        ):
+            plan = explain_str(REGISTRY[name].spark(spark, sf_dir), "simple")
+            assert plan.count("Scan parquet") == scans, (name, plan)
+            assert plan.count("ReusedExchange") >= reused, (name, plan)
+            assert "CartesianProduct" not in plan, (name, plan)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
