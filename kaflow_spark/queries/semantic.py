@@ -331,3 +331,45 @@ def q257(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "doc_id")
     )
+
+
+@declare(
+    "q262_semantic_decontamination",
+    oracle=f"""
+    WITH {_SEM_PAIRS_CTE}
+    SELECT CASE WHEN id_a % 20 = 0 THEN id_b ELSE id_a END AS corpus_id,
+           CASE WHEN id_a % 20 = 0 THEN id_a ELSE id_b END AS bench_id
+    FROM sem
+    WHERE (id_a % 20 = 0) <> (id_b % 20 = 0)
+    ORDER BY corpus_id, bench_id
+    """,
+    doc="SEMANTIC benchmark decontamination: corpus documents whose "
+    "embedding sits within cosine 0.4 of a benchmark item's — the "
+    "embedding-space screen that catches paraphrased eval copies "
+    "both exact n-gram screens (q68/q95) and the fuzzy jaccard "
+    "screen (q140) miss when the rewrite shares no surface form. "
+    "Same fixture benchmark convention as q140 (every 20th doc via "
+    "the vec_id = doc_id identity), pairs normalized to (corpus_id, "
+    "bench_id). Consumes the SHARED semantic pair frame (one IVF "
+    "fit + assignment per corpus — this query is a projection of "
+    "the q253 materialization, zero extra vector work in-suite), "
+    "then keeps only cross-membership pairs; the O(n*m) cosine "
+    "oracle stays UNGATED like q253's. Completes the "
+    "decontamination family: exact grams (q68), word grams (q95), "
+    "fuzzy lexical (q140), semantic (this).",
+    tags=("dedup", "curation", "vectors"),
+)
+def q262(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = _sem_pairs(spark, sf)
+    bench_a = F.col("id_a") % 20 == 0
+    bench_b = F.col("id_b") % 20 == 0
+    return (
+        pairs.filter(bench_a != bench_b)
+        .select(
+            F.when(bench_a, F.col("id_b")).otherwise(F.col("id_a"))
+            .alias("corpus_id"),
+            F.when(bench_a, F.col("id_a")).otherwise(F.col("id_b"))
+            .alias("bench_id"),
+        )
+        .orderBy("corpus_id", "bench_id")
+    )
