@@ -390,3 +390,87 @@ def q261(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@declare(
+    "q263_budgeted_weighted_draw",
+    oracle="""
+    WITH r AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+                   CAST(CAST(concat('0x', substr(md5('w13b|'
+                       || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       AS DOUBLE)
+                     / CAST(n_chars AS DOUBLE),
+                   doc_id) AS rk,
+               CAST(SUM(n_chars) OVER (PARTITION BY source) AS BIGINT)
+                   AS w_tot
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+    tot AS (
+        SELECT CAST(SUM(w_tot) AS BIGINT) AS total
+        FROM (SELECT DISTINCT source, w_tot FROM r)),
+    k AS (
+        SELECT r.*, GREATEST(1, w_tot * 50 // tot.total) AS k_budget
+        FROM r, tot)
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+           CAST(k_budget AS BIGINT) AS k_budget
+    FROM k WHERE rk <= k_budget
+    ORDER BY source, doc_id
+    """,
+    doc="Budget-PROPORTIONAL weighted draw: each source's sample size "
+    "is its share of a 50-doc global budget (k_s = max(1, w_s * 50 "
+    "div W), w = total chars — the q178 allocator shape reduced to "
+    "proportional shares), and within each source exactly k_s docs "
+    "are drawn by the q257 priority-sampling key (u/weight, one "
+    "IEEE division of exact integers). The composition a mixture "
+    "pipeline actually runs: allocate ACROSS sources, draw WITHIN "
+    "each — variable-k per group, where q257 is the fixed-k "
+    "primitive. One corpus exchange: the rank window and the "
+    "per-source weight total share the source partitioning; the "
+    "global normalizer routes through the bounded DISTINCT (source, "
+    "w_tot) rollup (never a global window over raw rows) and "
+    "returns as a 1-row broadcast.",
+    tags=("curation", "sampling"),
+)
+def q263(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = (
+        load(spark, sf, "documents")
+        .select("source", "doc_id", "n_chars")
+        .filter(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+    )
+    u = F.expr(
+        "CAST(conv(substr(md5(concat('w13b|', CAST(doc_id AS STRING)))"
+        ", 1, 15), 16, 10) AS BIGINT)"
+    )
+    key = u.cast("double") / F.col("n_chars").cast("double")
+    wrank = Window.partitionBy("source").orderBy(key, "doc_id")
+    wsrc = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(wrank).alias("rk"),
+        F.sum("n_chars").over(wsrc).alias("w_tot"),
+    )
+    tot = (
+        r.select("source", "w_tot")
+        .distinct()
+        .agg(F.sum("w_tot").alias("total"))
+    )
+    return (
+        r.join(F.broadcast(tot))
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.greatest(
+                F.lit(1), F.expr("w_tot * 50 div total")
+            ).alias("k_budget"),
+            "rk",
+        )
+        .filter(F.col("rk") <= F.col("k_budget"))
+        .drop("rk")
+        .orderBy("source", "doc_id")
+    )
