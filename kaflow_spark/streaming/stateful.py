@@ -1352,3 +1352,118 @@ def streaming_exposure(
     return df.groupBy(cust_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def _weighted_sample_update(group_col, id_col, weight_col, k, salt,
+                            timeout_ms):
+    """Kernel for :func:`streaming_weighted_sample`. State per group is
+    the current reservoir — at most ``k`` (priority_key, id, weight)
+    triples — merged with each batch's candidates and re-truncated to
+    the k smallest by (key, id). Priorities replicate the batch
+    operator bit-for-bit: u = the first 15 hex digits of
+    md5(salt || str(id)) as an integer, key = u / weight (one IEEE
+    double division — Python, the JVM and DuckDB all round it
+    identically on identical integer inputs)."""
+    import hashlib
+
+    def _key(i: int, w: int) -> float:
+        u = int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:15], 16)
+        return u / float(w)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            keys, ids, weights = state.get
+            pool = {int(i): (float(kk), int(w)) for kk, i, w in
+                    zip(keys, ids, weights)}
+        else:
+            pool = {}
+        for pdf in pdfs:
+            pdf = pdf[pdf[weight_col].notna()]
+            for i, w in zip(pdf[id_col], pdf[weight_col]):
+                i, w = int(i), int(w)
+                if w <= 0 or i in pool:
+                    continue  # weightless rows carry no mass; id dedupe
+                pool[i] = (_key(i, w), w)
+        best = sorted(
+            ((kk, i, w) for i, (kk, w) in pool.items()),
+        )[:k]
+        state.update((
+            [kk for kk, _, _ in best],
+            [i for _, i, _ in best],
+            [w for _, _, w in best],
+        ))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if not best:
+            return
+        yield pd.DataFrame(
+            {
+                group_col: key[0],
+                id_col: [i for _, i, _ in best],
+                "weight": [w for _, _, w in best],
+            }
+        )
+
+    return update
+
+
+def streaming_weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "",
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of
+    ``operators.curation.weighted_priority_sample_k`` (q257's
+    exactly-k weighted WOR draw): the classic weighted RESERVOIR —
+    state per group is just the k smallest priority keys seen so far
+    (priority sampling's u/w key, recomputed bit-identically in the
+    kernel), merged and re-truncated per batch. Emits the current
+    reservoir per update; the latest emission per group is the
+    current sample.
+
+    The best-behaved twin in the family: the min-k of a set is
+    ORDER-INSENSITIVE, so a closed stream equals the batch operator
+    regardless of arrival order — late data is just data; no horizon,
+    no retention contract, state bounded at k rows per group FOREVER
+    (asserted in tests). Duplicate deliveries of an id are ignored.
+    On a batch frame this falls back to the exact batch operator."""
+    if not df.isStreaming:
+        from kaflow_spark.operators.curation import (
+            weighted_priority_sample_k,
+        )
+
+        return weighted_priority_sample_k(
+            df, group_col, id_col, weight_col, k, salt=salt
+        ).select(
+            group_col,
+            id_col,
+            F.col(weight_col).cast("bigint").alias("weight"),
+        )
+
+    out_schema = f"{group_col} string, {id_col} bigint, weight bigint"
+    state_schema = (
+        "keys array<double>, ids array<bigint>, weights array<bigint>"
+    )
+    update = _weighted_sample_update(
+        group_col, id_col, weight_col, k, salt, timeout_ms
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(group_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
