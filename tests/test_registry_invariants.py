@@ -132,3 +132,13 @@ def test_registry_size_floor_round12_batch2():
     # order-size overdispersion, q251 lead-lag correlation, q252
     # funnel stage latencies
     assert len(REGISTRY) >= 252
+
+
+def test_registry_size_floor_round13():
+    # round-13 widening: q253-q257 (semantic dedup at document grain:
+    # pairs, provenance, keeper summary, semantic-vs-lexical overlap;
+    # weighted exactly-k priority sample), q258-q261 (Benford second
+    # digit, brand association rules, inverse-Simpson diversity,
+    # Tukey-fence outlier rate), q262 semantic decontamination,
+    # q263 budget-proportional weighted draw
+    assert len(REGISTRY) >= 263
