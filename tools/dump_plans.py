@@ -345,6 +345,40 @@ HEADLINERS: dict[str, str] = {
         "observed-day flag rides the SAME aggregation (max over the "
         "offset-0 marker), keeping the query to one events scan."
     ),
+    "q253_semantic_near_dup": (
+        "SemDeDup at document grain: IVF multi-assignment (one Arrow "
+        "matmul) explodes to (list, id, vec) rows; each (list, "
+        "salt-cell) group is an independent in-list Gram verify task "
+        "— never an all-pairs join — and n_lists is the lever that "
+        "bounds per-task cost at 100 TB (SemDeDup runs L~50k). The "
+        "whole q253-q256 family reads ONE persisted pair "
+        "materialization (semantic_pair_frame)."
+    ),
+    "q257_weighted_priority_sample": (
+        "Exactly-k weighted WOR per group with the rank fully pushed "
+        "down: a Partial+Final WindowGroupLimit pair around ONE hash "
+        "exchange on the group key means each map task forwards at "
+        "most k rows per group — the shuffle carries O(groups * k) "
+        "rows no matter the corpus size. The priority key is one "
+        "IEEE division of md5-derived integers (no RNG state, "
+        "engine-portable)."
+    ),
+    "q259_brand_association_rules": (
+        "Directional rule mining in ONE corpus shuffle: orders "
+        "contract to sorted distinct brand-sets (part broadcast), "
+        "unordered in-array pairs emit both directions, and basket "
+        "count / marginals / pair counts all branch off the single "
+        "basket aggregate (ReusedExchange x3); normalizers return as "
+        "broadcasts into the bounded |brands|^2 cell table."
+    ),
+    "q261_tukey_outlier_rate": (
+        "Robust outlier rate without a second fact pass: quartiles "
+        "come from exact integer selectors over the bounded "
+        "(segment, cents) value grid, fences compare in doubled "
+        "units, and the outlier tally sums the GRID's counts against "
+        "broadcast fences — the orders table scans once, and both "
+        "grid consumers share the exchange."
+    ),
 }
 
 
