@@ -521,8 +521,11 @@ def association_rules(
     symmetric; confidence is not — 'buyers of a also buy b' and the
     reverse differ exactly when the marginals differ, which is the
     actionable half of rule mining). Same one-shuffle contraction:
-    baskets collapse to sorted distinct item-sets, unordered pairs
-    enumerate inside the bounded array and each emits BOTH directions,
+    baskets collapse to sorted distinct item-sets, UNORDERED pairs
+    enumerate inside the bounded array (the pair co-occurrence count
+    n_ab is symmetric, so counting each pair once and expanding to
+    both directions ABOVE the aggregate halves the pair-shuffle
+    volume — only the bounded |items|² cell table doubles);
     marginals/basket-count branch off the same aggregate, normalizers
     broadcast. DECIMAL(38,0) for the lift product (the q189/q194
     idiom); everything non-negative so truncating division is
@@ -540,15 +543,30 @@ def association_rules(
     )
     pair_expr = (
         "explode(flatten(transform(_items, (x, i) ->"
-        " flatten(transform(slice(_items, i + 2, size(_items)),"
-        " y -> array(struct(x AS antecedent, y AS consequent),"
-        "            struct(y AS antecedent, x AS consequent)))))))"
+        " transform(slice(_items, i + 2, size(_items)),"
+        " y -> struct(x AS item_a, y AS item_b)))))"
     )
     pairs = (
         baskets.select(F.expr(pair_expr).alias("p"))
-        .select("p.antecedent", "p.consequent")
-        .groupBy("antecedent", "consequent")
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("item_a").alias("antecedent"),
+                        F.col("item_b").alias("consequent"),
+                    ),
+                    F.struct(
+                        F.col("item_b").alias("antecedent"),
+                        F.col("item_a").alias("consequent"),
+                    ),
+                )
+            ).alias("d"),
+            "n_ab",
+        )
+        .select("d.antecedent", "d.consequent", "n_ab")
     )
     ma = F.broadcast(
         marg.select(
