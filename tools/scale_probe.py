@@ -312,6 +312,46 @@ def main() -> None:
     )
     print(rows[-1], flush=True)
 
+    # ---- semantic dedup (q253 operator) at scale ----
+    # Replication makes every vector `mult` EXACT copies, so at
+    # threshold 0.95 the true pair set is exactly the copy groups —
+    # n_base * mult*(mult-1)/2 pairs, asserted per point so the probe
+    # measures the machinery AND attests recall. n_lists scales with
+    # the corpus (constant expected list SIZE — the documented
+    # SemDeDup operating discipline: L ~ n / target_cluster_size), so
+    # per-task Gram work stays bounded and the curve tracks corpus
+    # volume: assignment matmul + in-list verify + pair dedupe.
+    from kaflow_spark.operators.similarity import (
+        release_semantic_pair_frames,
+        semantic_dup_pairs,
+    )
+    from kaflow_spark.operators import skew as skew_mod
+
+    times = {}
+    n_emb = emb.count()
+    for mult in (1, 5, 10):
+        e = replicate(
+            emb.select("vec_id", "embedding"), mult, "vec_id", 10_000_000
+        )
+        want_pairs = n_emb * mult * (mult - 1) // 2
+
+        def _run():
+            got = semantic_dup_pairs(
+                e, "vec_id", "embedding", threshold=0.95,
+                n_lists=16 * mult, assign_p=4,
+            ).count()
+            assert mult == 1 or got >= want_pairs, (got, want_pairs)
+
+        times[mult] = timed(_run)
+        release_semantic_pair_frames()
+        skew_mod.release_probe_caches()
+    rows.append(
+        f"| semantic dedup pairs q253 (copies at t=0.95, L=16x, "
+        f"{n_emb} vecs/x) | {times[1]:.1f}s | {times[5]:.1f}s "
+        f"| {times[10]:.1f}s | {times[10] / times[1]:.1f}x |"
+    )
+    print(rows[-1], flush=True)
+
     # ---- ANN recall at scale (q44 LSH / q63 IVF) ----
     # The accuracy story has to scale with the perf story: plant 10
     # near-duplicates of the query (cos ~0.95, far above the uniform
