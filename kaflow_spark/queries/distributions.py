@@ -474,3 +474,205 @@ def q263(spark: SparkSession, sf: str) -> DataFrame:
         .drop("rk")
         .orderBy("source", "doc_id")
     )
+
+
+@declare(
+    "q264_chao1_vocab_richness",
+    oracle="""
+    WITH w AS (
+        SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS tok
+        FROM documents),
+    uni AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS r
+        FROM w GROUP BY source, tok),
+    s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS s_obs,
+               CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f1,
+               CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f2
+        FROM uni GROUP BY source)
+    SELECT source, s_obs, f1, f2,
+           CAST(s_obs * 1000
+                + f1 * (f1 - 1) * 1000 // (2 * (f2 + 1))
+                AS BIGINT) AS chao1_milli
+    FROM s ORDER BY source
+    """,
+    doc="Chao1 species-richness estimate of each source's vocabulary "
+    "— the 'how many word types does this source REALLY have, "
+    "including the ones we haven't seen yet' lower-bound estimator "
+    "(Chao 1984, bias-corrected form: S_obs + f1(f1-1)/(2(f2+1)) "
+    "where f1/f2 are singleton/doubleton type counts). Completes the "
+    "vocabulary-growth family: q196 Heaps measures how vocabulary "
+    "GROWS with tokens, q197 Good-Turing the frequency spectrum, "
+    "Chao1 the asymptote — together the tokenizer-budget trio. "
+    "Purely rational (the bias-corrected denominator f2+1 never "
+    "vanishes, so no guard branch), exact integer milli-units. Two "
+    "partial-agg'd aggregations — corpus to per-(source, type) "
+    "counts, counts to the 3-number-per-source summary; nothing "
+    "wider than (source, token) ever shuffles.",
+    tags=("curation", "text", "stats"),
+)
+def q264(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    uni = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("r"))
+    s = uni.groupBy("source").agg(
+        F.count(F.lit(1)).alias("s_obs"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("r") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    return s.select(
+        "source",
+        "s_obs",
+        "f1",
+        "f2",
+        F.expr(
+            "s_obs * 1000 + f1 * (f1 - 1) * 1000 div (2 * (f2 + 1))"
+        ).alias("chao1_milli"),
+    ).orderBy("source")
+
+
+@declare(
+    "q265_mad_outlier_rate",
+    oracle="""
+    WITH o AS (
+        SELECT c.c_mktsegment AS segment, {cents} AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cnt AS (
+        SELECT segment, cents, CAST(COUNT(*) AS BIGINT) AS c
+        FROM o GROUP BY 1, 2),
+    cum AS (
+        SELECT segment, cents, c,
+               SUM(c) OVER (PARTITION BY segment ORDER BY cents) AS cum,
+               SUM(c) OVER (PARTITION BY segment) AS n
+        FROM cnt),
+    med AS (
+        SELECT segment, CAST(MIN(n) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN cum * 2 >= n THEN cents END)
+                    AS BIGINT) AS median_cents
+        FROM cum GROUP BY segment),
+    dev AS (
+        SELECT cnt.segment, ABS(cnt.cents - med.median_cents) AS d,
+               cnt.c, med.n, med.median_cents
+        FROM cnt JOIN med ON med.segment = cnt.segment),
+    dcum AS (
+        SELECT segment, d, c, n, median_cents,
+               SUM(c) OVER (PARTITION BY segment ORDER BY d) AS cum
+        FROM dev),
+    mad AS (
+        SELECT segment, CAST(MIN(n) AS BIGINT) AS n,
+               CAST(MIN(median_cents) AS BIGINT) AS median_cents,
+               CAST(MIN(CASE WHEN cum * 2 >= n THEN d END)
+                    AS BIGINT) AS mad_cents
+        FROM dcum GROUP BY segment),
+    flag AS (
+        SELECT mad.segment, mad.n, mad.median_cents, mad.mad_cents,
+               CAST(SUM(CASE WHEN ABS(cnt.cents - mad.median_cents)
+                                  * 6745
+                                > 35 * mad.mad_cents * 1000
+                             THEN cnt.c ELSE 0 END) AS BIGINT)
+                   AS n_outliers
+        FROM cnt JOIN mad ON mad.segment = cnt.segment
+        GROUP BY mad.segment, mad.n, mad.median_cents, mad.mad_cents)
+    SELECT segment, n, median_cents, mad_cents, n_outliers,
+           CAST(n_outliers * 10000 // n AS BIGINT) AS outlier_bp
+    FROM flag ORDER BY segment
+    """.format(cents=_CENTS_O),
+    doc="Modified z-score (MAD) outlier rate per market segment — the "
+    "robust-statistics companion to q261's Tukey fences: a point is "
+    "an outlier when |x - median| * 0.6745 / MAD > 3.5 (Iglewicz & "
+    "Hoaglin's standard cut), evaluated EXACTLY in integers as "
+    "|x - median| * 6745 > 3.5 * MAD * 2000 (both sides scaled by "
+    "10^4/10 — no float anywhere). Median and MAD are exact "
+    "lower-median selectors: the median off the (segment, cents) "
+    "value grid, the MAD off the DEVIATION grid derived from the "
+    "same bounded table (|x-median| regroups grid rows, never fact "
+    "rows), and the outlier tally again sums GRID counts — the fact "
+    "table contributes one scan building the grid and is never "
+    "touched again. Zero-MAD segments (over half the mass at the "
+    "median) flag everything off-median, identically on both "
+    "engines.",
+    tags=("tpch", "audit", "stats"),
+)
+def q265(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf, "orders").select(
+        "o_custkey", F.expr(_CENTS_O).alias("cents")
+    )
+    c = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    seg = o.join(F.broadcast(c), "o_custkey").select("segment", "cents")
+    cnt = seg.groupBy("segment", "cents").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("segment")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("segment")
+    cum = cnt.select(
+        "segment",
+        "cents",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    med = cum.groupBy("segment").agg(
+        F.min("n").alias("n"),
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("n"), F.col("cents"))
+        ).alias("median_cents"),
+    )
+    dev = cnt.join(F.broadcast(med), "segment").select(
+        "segment",
+        F.abs(F.col("cents") - F.col("median_cents")).alias("d"),
+        "c",
+        "n",
+        "median_cents",
+    )
+    wdev = (
+        Window.partitionBy("segment")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dcum = dev.withColumn("cum", F.sum("c").over(wdev))
+    mad = dcum.groupBy("segment").agg(
+        F.min("n").alias("n"),
+        F.min("median_cents").alias("median_cents"),
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("n"), F.col("d"))
+        ).alias("mad_cents"),
+    )
+    flagged = cnt.join(F.broadcast(mad), "segment").select(
+        "segment",
+        "n",
+        "median_cents",
+        "mad_cents",
+        F.when(
+            F.abs(F.col("cents") - F.col("median_cents")) * 6745
+            > F.lit(35) * F.col("mad_cents") * 1000,
+            F.col("c"),
+        )
+        .otherwise(F.lit(0))
+        .alias("oc"),
+    )
+    return (
+        flagged.groupBy("segment", "n", "median_cents", "mad_cents")
+        .agg(F.sum("oc").alias("n_outliers"))
+        .select(
+            "segment",
+            "n",
+            "median_cents",
+            "mad_cents",
+            "n_outliers",
+            F.expr("n_outliers * 10000 div n").alias("outlier_bp"),
+        )
+        .orderBy("segment")
+    )

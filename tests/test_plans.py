@@ -1301,3 +1301,27 @@ def test_round13_batch2_plan_contracts(spark, sf_dir):
             assert "CartesianProduct" not in plan, (name, plan)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_round13_batch3_plan_contracts(spark, sf_dir):
+    """q264 is one corpus scan (two stacked partial aggregations);
+    q265's median, MAD and outlier tallies all derive from ONE
+    (segment, cents) value grid — 1 fact scan + the customer dim,
+    grid exchange reused by every consumer, summaries broadcast."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = explain_str(
+            REGISTRY["q264_chao1_vocab_richness"].spark(spark, sf_dir),
+            "simple",
+        )
+        assert p.count("Scan parquet") == 1, p
+        p = explain_str(
+            REGISTRY["q265_mad_outlier_rate"].spark(spark, sf_dir), "simple"
+        )
+        assert p.count("Scan parquet") == 2, p
+        assert p.count("ReusedExchange") >= 2, p
+        assert "SortMergeJoin" not in p, p
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

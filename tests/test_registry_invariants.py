@@ -142,3 +142,9 @@ def test_registry_size_floor_round13():
     # Tukey-fence outlier rate), q262 semantic decontamination,
     # q263 budget-proportional weighted draw
     assert len(REGISTRY) >= 263
+
+
+def test_registry_size_floor_round13_batch3():
+    # round-13 batch 3: q264 Chao1 vocabulary richness, q265 MAD
+    # modified-z outlier rate
+    assert len(REGISTRY) >= 265
