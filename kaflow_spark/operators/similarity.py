@@ -844,6 +844,29 @@ def ivf_tune_nprobe(
     }
 
 
+def ivf_write_partitioned(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    path: str,
+    *,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a corpus AT REST partitioned by its IVF list —
+    the storage layout every ivf docstring in this module promises:
+    ``ivf_candidates``' probe filter is an IN-list on ``_ivf_list``,
+    and against this layout Spark serves it via PARTITION PRUNING
+    (the scan's PartitionFilters, attested in test_ann_recall) — a
+    query at nprobe m reads m/L of the files, no row-level filtering
+    anywhere. At 100 TB this is the difference between an ANN probe
+    costing a full scan and costing ``nprobe/n_lists`` of one;
+    maintenance appends (``ivf_assign`` on the delta with the FROZEN
+    serving centroids, mode='append') land in the same layout."""
+    ivf_assign(df, vec_col, centroids).write.partitionBy(
+        "_ivf_list"
+    ).mode(mode).parquet(path)
+
+
 def ivf_corpus_stats(
     df: DataFrame, vec_col: str, centroids: list[list[float]]
 ) -> dict:

@@ -333,3 +333,57 @@ def test_ivf_fit_deterministic_under_subsampling(spark):
     assert np.array_equal(c1, c2)
     c3 = np.array(ivf_fit(df, "embedding", n_lists=8, sample=300, seed=7))
     assert not np.array_equal(c1, c3)
+
+
+def test_ivf_partitioned_storage_prunes_probe_scan(spark, tmp_path):
+    """The storage layout the IVF docstrings promise, attested:
+    ivf_write_partitioned lays the corpus out by _ivf_list, and a
+    probe's IN-list filter is served by PARTITION PRUNING — the scan
+    plans PartitionFilters on _ivf_list and reads only the probed
+    lists' files, and the pruned read returns exactly the rows a
+    full-scan filter would."""
+    from pyspark.sql import functions as F
+
+    from kaflow_spark.operators.similarity import (
+        ivf_fit,
+        ivf_write_partitioned,
+    )
+
+    df, query, _ = _planted_corpus(spark)
+    cents = ivf_fit(df, "embedding", n_lists=8, seed=42)
+    path = str(tmp_path / "ivf_store")
+    ivf_write_partitioned(df, "embedding", cents, path)
+
+    stored = spark.read.parquet(path)
+    probes = [0, 3]
+    pruned = stored.filter(F.col("_ivf_list").isin(probes))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_ivf_list" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], plan
+
+    # the pruned scan reads ONLY the probed partitions' files
+    pruned.collect()
+    files = {
+        r[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert files and all(
+        any(f"_ivf_list={p}/" in f for p in probes) for f in files
+    ), files
+    # and row-for-row equals the full-scan filter
+    want = {
+        r["vec_id"]
+        for r in stored.collect()
+        if r["_ivf_list"] in probes
+    }
+    got = {r["vec_id"] for r in pruned.collect()}
+    assert got == want and got
+
+    # maintenance append with FROZEN centroids lands in the layout
+    delta = df.selectExpr("vec_id + 900000 AS vec_id", "embedding")
+    ivf_write_partitioned(delta, "embedding", cents, path, mode="append")
+    again = spark.read.parquet(path).filter(
+        F.col("_ivf_list").isin(probes)
+    )
+    assert again.count() == 2 * len(want)
