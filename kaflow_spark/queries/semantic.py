@@ -373,3 +373,56 @@ def q262(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("corpus_id", "bench_id")
     )
+
+
+@declare(
+    "q266_semantic_pair_label_matrix",
+    oracle=f"""
+    WITH {_SEM_PAIRS_CTE},
+    j AS (
+        SELECT LEAST(ea.label, eb.label) AS label_a,
+               GREATEST(ea.label, eb.label) AS label_b
+        FROM sem JOIN embeddings ea ON ea.vec_id = sem.id_a
+                 JOIN embeddings eb ON eb.vec_id = sem.id_b)
+    SELECT CAST(label_a AS BIGINT) AS label_a,
+           CAST(label_b AS BIGINT) AS label_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY label_a, label_b
+    ORDER BY label_a, label_b
+    """,
+    doc="Semantic-pair label confusion matrix: q253's verified "
+    "cosine >= 0.4 pairs attributed to their (label, label) cell — "
+    "the embedding-QUALITY audit beside q254's provenance one. "
+    "Diagonal mass says near-neighbors share labels (the embedding "
+    "respects the labeling — what a retrieval/clustering consumer "
+    "needs); off-diagonal cells name the label pairs the embedding "
+    "space conflates, the per-cell detail behind q92's single "
+    "centroid-purity number and the triage list before trusting "
+    "label-stratified ANN or semantic dedup across label "
+    "boundaries. Same shape as q254: the tiny pair frame (SHARED "
+    "materialization, zero extra vector work in-suite) joins the "
+    "narrow (vec_id, label) projection by broadcast, then one "
+    "bounded |labels|^2 rollup with least/greatest "
+    "canonicalization.",
+    tags=("vectors", "audit"),
+)
+def q266(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = _sem_pairs(spark, sf)
+    lab = load(spark, sf, "embeddings").select("vec_id", "label")
+    a = lab.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("_la")
+    )
+    b = lab.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("_lb")
+    )
+    return (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .select(
+            F.least("_la", "_lb").cast("bigint").alias("label_a"),
+            F.greatest("_la", "_lb").cast("bigint").alias("label_b"),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("label_a", "label_b")
+    )
