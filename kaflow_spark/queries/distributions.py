@@ -676,3 +676,156 @@ def q265(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@declare(
+    "q267_dup_cluster_size_spectrum",
+    oracle="""
+    WITH RECURSIVE
+    sh AS (
+        SELECT doc_id, list(DISTINCT substring(text, CAST(i AS INT), 5)) AS s
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, greatest(length(text)-4, 1)+1)) AS i
+              FROM documents)
+        GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.9),
+    reach(node, label) AS (
+        SELECT id_a, id_a FROM pairs
+        UNION
+        SELECT id_b, id_b FROM pairs
+        UNION
+        SELECT e.b, r.label
+        FROM reach r JOIN (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM pairs) e
+        ON e.a = r.node),
+    cc AS (
+        SELECT node, MIN(label) AS cluster_id
+        FROM reach GROUP BY node),
+    sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM cc GROUP BY cluster_id)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+    doc="Duplicate-cluster SIZE spectrum: for each cluster size, how "
+    "many verified near-dup clusters have it, how many documents "
+    "they hold, and how many a keep-one-per-cluster dedup would "
+    "remove — the one-page capacity-planning rollup over q83's "
+    "connected components (q248 reports per-cluster detail; this is "
+    "the histogram that says 'duplication is pairs' vs 'one giant "
+    "template cluster', which decides whether keeper selection or "
+    "boilerplate stripping is the right tool). Consumes the SHARED "
+    "verified pair frame (8th consumer — zero extra LSH cost "
+    "in-suite), runs the attested tiered CC, then two bounded "
+    "rollups (|clusters| rows, then |distinct sizes|). Oracle is "
+    "the q83 recursive-CTE fixpoint plus the same two rollups — "
+    "quadratic in documents, so bench SF checks on the slice.",
+    tags=("dedup", "audit", "quadratic-oracle"),
+)
+def q267(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.dedup import verified_pair_frame
+    from kaflow_spark.operators.graph import connected_components
+
+    d = load(spark, sf, "documents")
+    pairs = verified_pair_frame(d, "doc_id", "text")
+    cc = connected_components(pairs, "id_a", "id_b")
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size")).alias("n_docs"),
+            (F.col("n_clusters") * (F.col("cluster_size") - 1)).alias(
+                "n_removable"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@declare(
+    "q268_source_token_imbalance",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '\\S+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+    t AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+               CAST(SUM(n_tokens) AS BIGINT) AS tt
+        FROM s)
+    SELECT s.source, s.n_docs, s.n_tokens,
+           CAST(s.n_docs * 10000 // t.td AS BIGINT) AS doc_share_bp,
+           CAST(s.n_tokens * 10000 // t.tt AS BIGINT) AS token_share_bp,
+           CAST(CASE WHEN s.n_docs * t.tt > 0 THEN
+                CAST(s.n_tokens AS HUGEINT) * t.td * 10000
+                // (CAST(s.n_docs AS HUGEINT) * t.tt) END AS BIGINT)
+               AS imbalance_bp
+    FROM s, t ORDER BY s.source
+    """,
+    doc="Source token-vs-document share imbalance: each source's "
+    "share of DOCUMENTS vs its share of TOKENS, and their ratio in "
+    "basis points (10000 = documents and tokens agree; above = this "
+    "source's documents run long and it punches above its doc count "
+    "in the actual training mixture) — the one-look audit that says "
+    "whether doc-count-based sampling weights (q69 quotas, q84 "
+    "temperature) silently over/under-weight long-document sources, "
+    "and the reason the q178 allocator and q257/q263 draws weight by "
+    "tokens/chars rather than doc counts. One scan to the bounded "
+    "per-source rollup; the two global normalizers ride a 1-row "
+    "broadcast; HUGEINT/DECIMAL(38,0) cross-product (n_tokens * "
+    "total_docs * 1e4 passes 2^63 at corpus scale).",
+    tags=("curation", "audit"),
+)
+def q268(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    # filter('' ) guard: Spark's split on an EMPTY/whitespace-only
+    # string yields [''] (size 1) where DuckDB's \S+ extract yields 0
+    # — the fixture has no such text, but the count must not depend
+    # on that
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.trim("text"), r"\s+"),
+                    lambda x: x != "",
+                )
+            )
+        ).alias("n_tokens"),
+    )
+    t = s.agg(
+        F.sum("n_docs").alias("td"), F.sum("n_tokens").alias("tt")
+    )
+    return (
+        s.join(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_docs * 10000 div td").alias("doc_share_bp"),
+            F.expr("n_tokens * 10000 div tt").alias("token_share_bp"),
+            F.expr(
+                "CAST(CASE WHEN n_docs * tt > 0 THEN"
+                " CAST(n_tokens AS DECIMAL(38,0)) * td * 10000"
+                " div (CAST(n_docs AS DECIMAL(38,0)) * tt) END AS BIGINT)"
+            ).alias("imbalance_bp"),
+        )
+        .orderBy("source")
+    )

@@ -146,5 +146,6 @@ def test_registry_size_floor_round13():
 
 def test_registry_size_floor_round13_batch3():
     # round-13 batch 3: q264 Chao1 vocabulary richness, q265 MAD
-    # modified-z outlier rate, q266 semantic-pair label confusion
-    assert len(REGISTRY) >= 266
+    # modified-z outlier rate, q266 semantic-pair label confusion,
+    # q267 dup-cluster size spectrum, q268 source token imbalance
+    assert len(REGISTRY) >= 268
