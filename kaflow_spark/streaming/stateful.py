@@ -1467,3 +1467,114 @@ def streaming_weighted_sample(
     return df.groupBy(group_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", timeout
     )
+
+
+def _diversity_update(day_col, type_col, count_col, timeout_ms):
+    """Kernel for :func:`streaming_diversity`. State per day is the
+    per-type count map (two parallel arrays — bounded at |types|);
+    same-period partials arriving across batches ACCUMULATE (the
+    upstream per-(day, type) aggregation is distributive), so late
+    data is just data and the closed stream equals the batch q260
+    operator under any arrival order."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            types, counts = state.get
+            acc = dict(zip(types, counts))
+        else:
+            acc = {}
+        for pdf in pdfs:
+            pdf = pdf[pdf[count_col].notna()]
+            for t, c in zip(pdf[type_col], pdf[count_col]):
+                acc[str(t)] = acc.get(str(t), 0) + int(c)
+        if not acc:
+            return
+        state.update((list(acc.keys()), list(acc.values())))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        n = sum(acc.values())
+        sumsq = sum(c * c for c in acc.values())
+        # non-negative ints: Python // == Spark div == DuckDB //
+        yield pd.DataFrame(
+            {
+                day_col: [key[0]],
+                "n_events": [n],
+                "n_types": [len(acc)],
+                "effective_types_micro": [n * n * 1_000_000 // sumsq],
+            }
+        )
+
+    return update
+
+
+def streaming_diversity(
+    df: DataFrame,
+    day_col: str,
+    type_col: str,
+    count_col: str,
+    *,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of q260's effective-type diversity (inverse
+    Simpson N²/Σc² in exact integer micro-units): the live 'how many
+    equally-active types is today really spread across' monitor.
+    Input contract is the PRE-AGGREGATED per-(day, type) partial
+    count table (the streaming_cusum contract — the upstream
+    aggregation is distributive, so micro-batch partials for one
+    (day, type) cell simply accumulate in state). State per day is
+    the per-type count map (bounded at |types| entries); because the
+    statistic is a pure function of accumulated counts, late and
+    out-of-order data need NO horizon or retention contract — every
+    update re-emits the day's exact current value and the closed
+    stream equals the batch operator under any arrival order
+    (asserted both directions in test_streaming_diversity). Inverse
+    Simpson is chosen over Shannon for the same reason as the batch
+    query: purely rational in the counts — exact integers end to
+    end, no logs. On a batch frame this computes the exact batch
+    formulation directly."""
+    if not df.isStreaming:
+        # merge per-(day, type) PARTIALS first — the kernel
+        # accumulates them in state, and the fallback must honor the
+        # same input contract (duplicate cells are partial counts,
+        # not extra types)
+        merged = df.groupBy(day_col, type_col).agg(
+            F.sum(count_col).alias(count_col)
+        )
+        agg = merged.groupBy(day_col).agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(count_col).alias("n_events"),
+            F.sum(
+                F.expr(f"CAST({count_col} AS DECIMAL(38,0)) * {count_col}")
+            ).alias("_sumsq"),
+        )
+        return agg.select(
+            day_col,
+            "n_events",
+            "n_types",
+            F.expr(
+                "CAST(CAST(n_events AS DECIMAL(38,0)) * n_events * 1000000"
+                " div _sumsq AS BIGINT)"
+            ).alias("effective_types_micro"),
+        )
+
+    out_schema = (
+        f"{day_col} string, n_events bigint, n_types bigint, "
+        "effective_types_micro bigint"
+    )
+    state_schema = "types array<string>, counts array<bigint>"
+    update = _diversity_update(day_col, type_col, count_col, timeout_ms)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(day_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
