@@ -1993,10 +1993,15 @@ def weighted_priority_sample_k(
     Shape: one hash + divide per row, one rank window per group over
     (group, id, weight) rows — no RNG state, no driver involvement;
     ties (impossible-ish for distinct ids) break on id."""
-    u = F.expr(
-        f"CAST(conv(substr(md5(concat('{salt}', CAST({id_col} AS STRING)))"
-        ", 1, 15), 16, 10) AS BIGINT)"
-    )
+    # Column API, not an expr() f-string: salt is a bound literal, so a
+    # quote inside it cannot break or inject the expression (ADVICE r13)
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
     key = u.cast("double") / F.col(weight_col).cast("double")
     w = Window.partitionBy(group_col).orderBy(key, id_col)
     return (

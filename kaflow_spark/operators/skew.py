@@ -219,7 +219,12 @@ def choose_bucket_salt(
     plan_key = None
     try:
         sem = keyed._jdf.queryExecution().analyzed().semanticHash()
-        plan_key = (id(keyed.sparkSession), sem)
+        # applicationId, not id(session): a recycled CPython address can
+        # alias a NEW session to a stale memo/persist entry after a
+        # stop/start (the dedup.py _stable_session_key rationale —
+        # ADVICE r13)
+        app = keyed.sparkSession.sparkContext.applicationId
+        plan_key = (app, sem)
         memo_key = plan_key + (target, mx, count_col, tuple(key_cols))
     except Exception:
         pass  # connect-mode or API drift: probe uncached

@@ -440,10 +440,15 @@ def q263(spark: SparkSession, sf: str) -> DataFrame:
         .select("source", "doc_id", "n_chars")
         .filter(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
     )
-    u = F.expr(
-        "CAST(conv(substr(md5(concat('w13b|', CAST(doc_id AS STRING)))"
-        ", 1, 15), 16, 10) AS BIGINT)"
-    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("w13b|"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
     key = u.cast("double") / F.col("n_chars").cast("double")
     wrank = Window.partitionBy("source").orderBy(key, "doc_id")
     wsrc = Window.partitionBy("source")

@@ -1205,7 +1205,11 @@ def _exposure_update(cust_col, day_col, key_col, price_col, start_col,
         cutoff_old = None if hw is None else hw - horizon
         new_rows = []
         for pdf in pdfs:
-            pdf = pdf[pdf[price_col].notna()]
+            # the stream-static join contract is that every row carries
+            # the opening balance; rows violating it (null start) are
+            # dropped WITH their price rather than crashing the kernel
+            # or folding into a None-start balance (ADVICE r13)
+            pdf = pdf[pdf[price_col].notna() & pdf[start_col].notna()]
             if start is None and len(pdf):
                 start = int(pdf[start_col].iloc[0])
             for d, k, p in zip(pdf[day_col], pdf[key_col], pdf[price_col]):
@@ -1437,8 +1441,16 @@ def streaming_weighted_sample(
     ORDER-INSENSITIVE, so a closed stream equals the batch operator
     regardless of arrival order — late data is just data; no horizon,
     no retention contract, state bounded at k rows per group FOREVER
-    (asserted in tests). Duplicate deliveries of an id are ignored.
-    On a batch frame this falls back to the exact batch operator."""
+    (asserted in tests). Duplicate deliveries of an id are ignored —
+    which means weights must be IMMUTABLE per id: the first weight
+    seen freezes that id's priority key, so a stream that re-delivers
+    an id with a *corrected* weight converges to a different
+    reservoir than a batch run over the final data (the equivalence
+    contract is exactly-once semantics per (id, weight) fact, the
+    same contract the exposure twin states for order keys — ADVICE
+    r13). Weight corrections need a keyed upsert upstream, not this
+    twin. On a batch frame this falls back to the exact batch
+    operator."""
     if not df.isStreaming:
         from kaflow_spark.operators.curation import (
             weighted_priority_sample_k,

@@ -321,10 +321,7 @@ def main() -> None:
     # SemDeDup operating discipline: L ~ n / target_cluster_size), so
     # per-task Gram work stays bounded and the curve tracks corpus
     # volume: assignment matmul + in-list verify + pair dedupe.
-    from kaflow_spark.operators.similarity import (
-        release_semantic_pair_frames,
-        semantic_dup_pairs,
-    )
+    from kaflow_spark.operators.similarity import semantic_dup_pairs
     from kaflow_spark.operators import skew as skew_mod
 
     times = {}
@@ -343,7 +340,11 @@ def main() -> None:
             assert mult == 1 or got >= want_pairs, (got, want_pairs)
 
         times[mult] = timed(_run)
-        release_semantic_pair_frames()
+        # semantic_dup_pairs registers nothing in the shared-frame memo
+        # (only semantic_pair_frame does), so the only cache to free
+        # between multipliers is the auto-salt probe's keyed frame
+        # (ADVICE r13: the release_semantic_pair_frames() call here was
+        # a no-op and is dropped)
         skew_mod.release_probe_caches()
     rows.append(
         f"| semantic dedup pairs q253 (copies at t=0.95, L=16x, "
