@@ -152,6 +152,30 @@ def ks_monitor(
     return handle
 
 
+def _accumulator_frame(
+    spark, cells: list, group_col: str, day_col: str
+) -> DataFrame:
+    """Driver-held (group, day, x) accumulator -> bounded DataFrame via
+    single-partition ``inline(array(struct(lit...)))`` over a JVM
+    range — NOT ``createDataFrame(python_list)``, which scans as a
+    pickled ExistingRDD through 32 near-empty Python-worker partitions
+    (CLAUDE.md trap 18 — measured 14-17 s for 1-row report frames).
+    Literals bind Column-side (no SQL splicing of data-derived group
+    strings) and the whole relation stays JVM-local; the accumulator
+    is bounded (|groups| x horizon days) by the caller's eviction, so
+    the literal tree stays small. Plan-contracted in
+    test_streaming_curation (no ExistingRDD / Python-worker scan)."""
+    structs = [
+        F.struct(
+            F.lit(g).alias(group_col),
+            F.lit(int(d)).cast("bigint").alias(day_col),
+            F.lit(int(x)).cast("bigint").alias("x"),
+        )
+        for g, d, x in cells
+    ]
+    return spark.range(0, 1, 1, 1).select(F.inline(F.array(*structs)))
+
+
 def change_point_monitor(
     group_col: str,
     day_col: str,
@@ -228,9 +252,11 @@ def change_point_monitor(
         if not acc:
             return
         spark = batch_df.sparkSession
-        daily = spark.createDataFrame(
+        daily = _accumulator_frame(
+            spark,
             [(g, d, _div100(c)) for (g, d), c in sorted(acc.items())],
-            f"{group_col} string, {day_col} bigint, x bigint",
+            group_col,
+            day_col,
         )
         out = change_point_from_daily(
             daily, group_col, day_col, "x"

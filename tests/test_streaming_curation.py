@@ -483,3 +483,22 @@ def test_change_point_monitor_prefix_contract_under_late_arrival(
     # convention, equal to the batch operator's on the full series)
     assert emissions[2][0]["split_day"] == 4
     assert emissions[2][0]["shift"] > 0
+
+
+def test_accumulator_frame_is_jvm_local(spark):
+    """The change-point monitor's per-batch accumulator frame must NOT
+    plan a pickled ExistingRDD scan (CLAUDE.md trap 18: 32 near-empty
+    Python-worker partitions billed per micro-batch) — the
+    inline(array(struct(lit...))) assembly stays a JVM-local relation
+    with no Python workers and a single partition, and data-derived
+    group strings (quotes included) bind as literals, never spliced
+    into SQL text."""
+    from kaflow_spark.streaming.curation import _accumulator_frame
+
+    cells = [("ca'rt", 1, 10), ("view", 1, 20), ("view", 2, 30)]
+    daily = _accumulator_frame(spark, cells, "g", "d")
+    plan = daily._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan, plan
+    assert "Python" not in plan, plan  # no BatchEvalPython/ArrowEval
+    got = sorted(tuple(r) for r in daily.collect())
+    assert got == sorted(cells)
