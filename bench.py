@@ -65,14 +65,67 @@ def _flag_suspects(
     return sorted(out)
 
 
-def _trailing_medians(sf: float) -> dict[str, float]:
-    """Per-query median seconds across every prior round's recorded
-    BENCH_r{N}.json — the reference that makes co-tenant noise
-    adjudication mechanical (round-11 verdict item 3: the driver
-    recorded q43 at 5.84 s in a load burst vs 1.69 s quiet, and
-    nothing in the artifact said which to believe)."""
+def _run_suspect(
+    timings: dict[str, float],
+    mins: dict[str, float],
+    load_at_start: float,
+    *,
+    ratio: float = 1.3,
+    load_threshold: float = 2.0,
+    min_common: int = 20,
+) -> tuple[bool, float | None, float | None]:
+    """RUN-level noise adjudication (round-13 verdict item 1): uniform
+    co-tenant inflation lifts EVERY query together, so per-query
+    k-thresholds see nothing (the r13 history carries an 1151.6 s run
+    that self-labeled ZERO suspects). The whole artifact is stamped
+    ``suspect_run`` when (a) the 1-minute loadavg at timed-run start
+    exceeded ``load_threshold``, or (b) the run total over queries
+    with trailing history exceeds ``ratio`` x the trailing QUIET
+    total — the sum of per-query historical minimums (min ~= quiet on
+    this sandbox; medians absorb prior loaded rounds and drift with
+    the noise they adjudicate). Queries new this round have no
+    reference and are excluded from BOTH sides; below ``min_common``
+    overlapping queries the ratio test abstains. Pure, so a recorded
+    artifact can be re-adjudicated without Spark.
+
+    Returns (suspect, common_total, quiet_ref_total)."""
+    common = [q for q in timings if q in mins]
+    if len(common) < min_common:
+        return (load_at_start > load_threshold, None, None)
+    got = sum(timings[q] for q in common)
+    ref = sum(mins[q] for q in common)
+    suspect = load_at_start > load_threshold or got > ratio * ref
+    return (suspect, round(got, 4), round(ref, 4))
+
+
+def _wait_for_quiet(
+    threshold: float = 2.0,
+    max_wait: float = 240.0,
+    poll: float = 10.0,
+) -> float:
+    """Best-effort defer until the box is quiet: co-tenant load is the
+    single biggest artifact distorter (three rounds running the real
+    number lived in prose while the shipped BENCH carried 1.3-2x
+    uniform inflation). Polls the 1-minute loadavg until it drops
+    under ``threshold`` or ``max_wait`` elapses — bounded, so a
+    persistently-loaded box still produces an artifact (which then
+    self-labels via :func:`_run_suspect`). Returns seconds waited.
+    Disable with SPARK_GRAFT_BENCH_QUIET_WAIT=0."""
+    waited = 0.0
+    while waited < max_wait and os.getloadavg()[0] > threshold:
+        time.sleep(poll)
+        waited += poll
+    return waited
+
+
+def _bench_history(sf: float) -> dict[str, list[float]]:
+    """Per-query second samples across every prior round's recorded
+    BENCH_r{N}.json and self-recorded BENCH_HISTORY.jsonl line at the
+    same SF — the reference that makes co-tenant noise adjudication
+    mechanical (round-11 verdict item 3: the driver recorded q43 at
+    5.84 s in a load burst vs 1.69 s quiet, and nothing in the
+    artifact said which to believe)."""
     import glob
-    import statistics
 
     here = os.path.dirname(os.path.abspath(__file__))
     hist: dict[str, list[float]] = {}
@@ -110,7 +163,25 @@ def _trailing_medians(sf: float) -> dict[str, float]:
                     continue
     except OSError:
         pass
-    return {q: statistics.median(v) for q, v in hist.items() if v}
+    return hist
+
+
+def _trailing_medians(sf: float) -> dict[str, float]:
+    """Per-query trailing MEDIAN — the per-query outlier baseline (a
+    single query in a burst vs its own typical cost)."""
+    import statistics
+
+    return {
+        q: statistics.median(v) for q, v in _bench_history(sf).items() if v
+    }
+
+
+def _trailing_mins(sf: float) -> dict[str, float]:
+    """Per-query trailing MINIMUM — the QUIET reference for run-level
+    adjudication: on this sandbox the minimum over rounds is the
+    closest recorded proxy for an unloaded run, where the median
+    absorbs prior loaded rounds."""
+    return {q: min(v) for q, v in _bench_history(sf).items() if v}
 
 
 def main() -> None:
@@ -119,6 +190,14 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
         sf = -1.0  # non-sf-named dir: report it rather than crash
+    # Defer (bounded) until the box is quiet: the shipped artifact
+    # should BE the quiet run, not carry a noise annotation the reader
+    # must re-derive (round-13 verdict item 1). stderr only — the
+    # driver reads one JSON line from stdout.
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "240"))
+    waited = _wait_for_quiet(max_wait=max_wait) if max_wait > 0 else 0.0
+    if waited:
+        print(f"bench: waited {waited:.0f}s for quiet load", file=sys.stderr)
     load_before = tuple(round(x, 2) for x in os.getloadavg())
     spark = get_spark("kaflow_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -188,6 +267,12 @@ def main() -> None:
 
     load_after = tuple(round(x, 2) for x in os.getloadavg())
     total = round(sum(timings.values()), 4)
+    # Run-level adjudication: uniform co-tenant inflation defeats the
+    # per-query threshold (every query lifts together), so the whole
+    # artifact self-labels against the trailing quiet total.
+    suspect_run, common_total, quiet_ref = _run_suspect(
+        timings, _trailing_mins(sf), load_before[0]
+    )
     out = json.dumps(
             {
                 "metric": "declared_query_suite_seconds",
@@ -199,9 +284,13 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 4),
                 "loadavg_before": load_before,
                 "loadavg_after": load_after,
+                "quiet_waited_sec": waited,
                 "outlier_k": outlier_k,
                 "reruns": reruns,
                 "suspect": suspect,
+                "suspect_run": suspect_run,
+                "common_total": common_total,
+                "quiet_ref_total": quiet_ref,
             }
     )
     print(out)

@@ -74,3 +74,68 @@ def test_noisy_round12_artifact_self_labels():
 
 def test_flag_suspects_ignores_unknown_queries():
     assert _flag_suspects({"q999_new": 100.0}, {}, 2.0) == []
+
+
+def test_run_suspect_flags_uniform_inflation():
+    """Round-13 miss: a uniformly-loaded run (EVERY query ~2x) clears
+    the per-query k threshold round-trip — the 1151.6 s r13 history
+    run recorded ZERO suspects. The RUN-level check must catch it off
+    the trailing quiet (per-query min) totals."""
+    from bench import _run_suspect
+
+    quiet = {f"q{i:03d}_x": 1.0 for i in range(40)}
+    loaded = {q: 2.0 for q in quiet}  # uniform 2x: no per-query flag
+    assert _flag_suspects(loaded, quiet, 2.0) == []  # the r13 miss
+    suspect, got, ref = _run_suspect(loaded, quiet, load_at_start=0.5)
+    assert suspect and got == 80.0 and ref == 40.0
+    # quiet run at quiet load: clean
+    suspect, got, ref = _run_suspect(dict(quiet), quiet, 0.5)
+    assert not suspect
+    # high load at run start stamps the run even if totals look fine
+    assert _run_suspect(dict(quiet), quiet, 5.0)[0]
+
+
+def test_run_suspect_excludes_new_queries_and_abstains_when_thin():
+    from bench import _run_suspect
+
+    quiet = {f"q{i:03d}_x": 1.0 for i in range(30)}
+    timings = dict.fromkeys(quiet, 1.0)
+    timings["q999_new"] = 50.0  # no history: excluded from both sides
+    suspect, got, ref = _run_suspect(timings, quiet, 0.5)
+    assert not suspect and got == 30.0 and ref == 30.0
+    # under min_common overlapping queries the ratio test abstains
+    # (load still decides)
+    assert _run_suspect({"q1_a": 9.0}, {"q1_a": 1.0}, 0.5) == (
+        False,
+        None,
+        None,
+    )
+    assert _run_suspect({"q1_a": 9.0}, {"q1_a": 1.0}, 9.0)[0]
+
+
+def test_trailing_mins_vs_medians():
+    """The quiet reference is the per-query MIN over history (median
+    absorbs prior loaded rounds and drifts with the noise it
+    adjudicates)."""
+    import bench
+
+    hist = {"q1_a": [1.0, 2.2, 2.4], "q2_b": [0.5]}
+    orig = bench._bench_history
+    bench._bench_history = lambda sf: hist
+    try:
+        assert bench._trailing_mins(0.1) == {"q1_a": 1.0, "q2_b": 0.5}
+        assert bench._trailing_medians(0.1) == {"q1_a": 2.2, "q2_b": 0.5}
+    finally:
+        bench._bench_history = orig
+
+
+def test_wait_for_quiet_bounded(monkeypatch):
+    import bench
+
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (9.0, 9.0, 9.0))
+    sleeps = []
+    monkeypatch.setattr(bench.time, "sleep", sleeps.append)
+    waited = bench._wait_for_quiet(threshold=2.0, max_wait=30, poll=10)
+    assert waited == 30 and len(sleeps) == 3
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 1.0, 1.0))
+    assert bench._wait_for_quiet() == 0.0
