@@ -22,6 +22,10 @@ module connects the pieces:
 - q257 weighted exactly-k sample without replacement (priority /
   sequential Poisson sampling — the weighted companion to q187,
   drawing the per-source budgets q178 allocates)
+- q269 the EMITTED semantically-deduplicated corpus (round 14):
+  connected components over the shared pair frame, highest-quality
+  keeper per cluster via q137's integer argmax key, documents minus
+  semantic dups — the removal operator q255 only summarized
 
 Determinism: pair membership is a threshold decision whose nearest
 fixture pair sits 9.9e-6 from the 0.4 boundary (measured at sf0.1, vs
@@ -425,4 +429,136 @@ def q266(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("label_a", "label_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("label_a", "label_b")
+    )
+
+
+def _q269_oracle() -> str:
+    from kaflow_spark.queries.llm import _QSCORE_EXPR, _quality_components_cte
+
+    return f"""
+    WITH RECURSIVE {_SEM_PAIRS_CTE},
+    reach(node, label) AS (
+        SELECT id_a, id_a FROM sem
+        UNION
+        SELECT id_b, id_b FROM sem
+        UNION
+        SELECT e.b, r.label
+        FROM reach r JOIN (
+            SELECT id_a AS a, id_b AS b FROM sem
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM sem) e
+        ON e.a = r.node),
+    cl AS (SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+           FROM reach GROUP BY node),
+    {_quality_components_cte()},
+    s AS (SELECT doc_id, {_QSCORE_EXPR} AS score_bp FROM c),
+    j AS (SELECT cl.cluster_id, cl.doc_id,
+                 (s.score_bp + 100000) * 1000000000000 - (cl.doc_id + 1)
+                     AS argkey
+          FROM cl JOIN s USING (doc_id)),
+    k AS (SELECT cluster_id,
+                 CAST(COUNT(*) AS BIGINT) AS cluster_size,
+                 CAST((MAX(argkey) // 1000000000000 + 1) * 1000000000000
+                      - MAX(argkey) - 1 AS BIGINT) AS keeper_id
+          FROM j GROUP BY cluster_id)
+    SELECT d.doc_id, d.source,
+           CAST(COALESCE(k.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+           CAST(COALESCE(k.cluster_size, 1) AS BIGINT) AS cluster_size
+    FROM documents d
+    LEFT JOIN cl ON cl.doc_id = d.doc_id
+    LEFT JOIN k ON k.cluster_id = cl.cluster_id AND k.keeper_id = d.doc_id
+    WHERE cl.doc_id IS NULL OR k.keeper_id IS NOT NULL
+    ORDER BY d.doc_id
+    """
+
+
+@declare(
+    "q269_semantic_dedup_corpus",
+    oracle=_q269_oracle(),
+    doc="The EMITTED semantically-deduplicated corpus — the operator "
+    "the lexical family has in q137's canonical keeper but the "
+    "semantic family only summarized (q255 reports counts; nothing "
+    "produced the surviving documents). Connected components over "
+    "q253's SHARED verified pair frame give variable-size semantic "
+    "clusters (stronger than q255's greedy drop-any-id_b rule, which "
+    "keeps every member with no lower-id neighbor — a path a-c-b "
+    "with a<b<c keeps BOTH a and b; CC keeps one doc per cluster); "
+    "each cluster keeps its highest-QUALITY member (ties -> smallest "
+    "doc_id) via q137's integer-encoded argmax key ((score_bp + "
+    "10^5) * 10^12 - (doc_id + 1), exact bigint decode with `div` — "
+    "long/long `/` promotes to double and corrupts past 2^53). "
+    "Output: every surviving document with its cluster id (own id "
+    "when unclustered) and the cluster size it represents. Scale "
+    "shape: the quality regexes run ONLY on cluster members (score "
+    "projected ABOVE the broadcast cc join, never on the full "
+    "corpus); the drop list and keeper table are pair-bounded "
+    "broadcasts; the corpus-sized pass is one narrow (doc_id, "
+    "source) scan + left-anti broadcast join. Docs without a vector "
+    "are never dropped (q255's contract).",
+    tags=("dedup", "vectors", "curation"),
+)
+def q269(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.functions.textstats import quality_score_bp
+    from kaflow_spark.operators.graph import connected_components
+
+    pairs = _sem_pairs(spark, sf)
+    # persisted + materialized by connected_components: safe for the
+    # two consumers below (members join + drop list) with no recompute
+    cc = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+    )
+    d = load(spark, sf, "documents")
+    stride = F.lit(10**12)
+    # score only the members: the expensive regex projection sits
+    # ABOVE the broadcast join, so the corpus-wide scan never pays it
+    members = (
+        d.select("doc_id", "text")
+        .join(F.broadcast(cc), "doc_id")
+        .select(
+            "cluster_id",
+            (
+                (quality_score_bp(F.col("text")) + 100000) * stride
+                - (F.col("doc_id") + 1)
+            ).alias("argkey"),
+        )
+    )
+    keepers = (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.max("argkey").alias("_mk"),
+        )
+        .select(
+            "cluster_id",
+            "cluster_size",
+            # bigint `div` decode, never floor(a / b) (q137 discipline)
+            ((F.expr("_mk div 1000000000000") + 1) * stride - F.col("_mk") - 1)
+            .cast("bigint")
+            .alias("doc_id"),
+        )
+    )
+    # the oracle's own shape — membership via cc, keeper via ONE
+    # (cluster_id, doc_id) left join: keepers has a single consumer,
+    # so the member-scoring subtree (a full text scan) is never
+    # duplicated (a drop-list formulation consumed keepers twice
+    # under two different projections — no exchange reuse, two scans)
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(cc), "doc_id", "left")
+        .join(F.broadcast(keepers), ["cluster_id", "doc_id"], "left")
+        .filter(
+            F.col("cluster_id").isNull() | F.col("cluster_size").isNotNull()
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("cluster_id", F.col("doc_id"))
+            .cast("bigint")
+            .alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1))
+            .cast("bigint")
+            .alias("cluster_size"),
+        )
+        .orderBy("doc_id")
     )

@@ -1325,3 +1325,29 @@ def test_round13_batch3_plan_contracts(spark, sf_dir):
         assert "SortMergeJoin" not in p, p
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q269_semantic_corpus_plan_contract(spark, sf_dir):
+    """q269 emits the semantically-deduplicated corpus with exactly
+    TWO documents scans — the member-scoring branch (quality regexes
+    projected ABOVE the broadcast cc join, never on the full corpus)
+    and the narrow (doc_id, source) output branch — every join a
+    broadcast, no cartesian/sort-merge. A drop-list formulation
+    consumed the keeper aggregate under two different projections
+    (no exchange reuse -> the scoring scan ran twice); the single
+    (cluster_id, doc_id) keeper left-join keeps it at one."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = explain_str(
+            REGISTRY["q269_semantic_dedup_corpus"].spark(spark, sf_dir),
+            "simple",
+        )
+        # embeddings-lineage scans vary with pair-frame cache state;
+        # the contract is on the CORPUS side only
+        assert p.count("documents.parquet") == 2, p
+        assert "CartesianProduct" not in p, p
+        assert "SortMergeJoin" not in p, p
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
