@@ -1061,3 +1061,147 @@ def ivf_refresh(
         "old_shares": old_s,
         "new_shares": new_s,
     }
+
+
+# ---------------------------------------------------------------- SQ8
+# Scalar-quantized (int8) IVF serving — the memory-bound serving step
+# at 100 TB: an nprobe-m probe over the partitioned layout reads m/L
+# of the FILES (partition pruning) and, within them, only the narrow
+# (id, code, scale) columns (parquet column pruning) — ~4x fewer
+# bytes than the float32 vector column, 8x fewer than float64. The
+# float vector column stays IN the same layout for the exact-rerank
+# refine step and for ivf_tune_nprobe, which runs unchanged; a probe
+# that never selects it never reads its pages (columnar storage).
+# Quantization convention matches q155's audit (symmetric absmax,
+# round-half-away-from-zero) applied to the UNIT vector, so the
+# asymmetric approximate score is one scale multiply per row:
+# cos(q, v) ~= scale_v * (q_unit . codes_v).
+
+
+def sq8_encode(df: DataFrame, vec_col: str) -> DataFrame:
+    """Add ``_sq8_code`` (binary: dim int8 bytes) and ``_sq8_scale``
+    (double) — symmetric absmax scalar quantization of the UNIT
+    vector (q155's rounding: floor(y+0.5) / ceil(y-0.5)), one Arrow
+    pass. Dequantized ``codes * scale`` approximates the unit vector,
+    so approximate cosine needs no stored norm. The all-zero vector
+    encodes to all-zero codes with scale 0."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<code: binary, scale: double>")
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"code": [], "scale": []})
+        x = np.array(list(vecs), dtype=np.float64)
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        u = x / np.maximum(n, 1e-300)
+        amax = np.abs(u).max(axis=1)
+        scale = amax / 127.0
+        y = u / np.maximum(scale, 1e-300)[:, None]
+        codes = np.where(
+            y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)
+        ).astype(np.int8)
+        codes[amax == 0.0] = 0
+        return pd.DataFrame(
+            {
+                "code": [c.tobytes() for c in codes],
+                "scale": np.where(amax == 0.0, 0.0, scale),
+            }
+        )
+
+    out = df.withColumn("_sq8", enc(F.col(vec_col)))
+    return out.select(
+        "*",
+        F.col("_sq8.code").alias("_sq8_code"),
+        F.col("_sq8.scale").alias("_sq8_scale"),
+    ).drop("_sq8")
+
+
+def sq8_write_partitioned(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    path: str,
+    *,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the SQ8 serving layout: IVF-assigned (frozen
+    ``centroids``), SQ8-encoded, partitioned by ``_ivf_list`` — the
+    quantized twin of :func:`ivf_write_partitioned`, carrying BOTH
+    the int8 codes (the probe's narrow read) and the float vector
+    (refine rerank + tuner), in one layout with partition AND column
+    pruning doing the byte accounting. Appends with the frozen
+    serving centroids land in place (mode='append')."""
+    sq8_encode(
+        ivf_assign(df, vec_col, centroids), vec_col
+    ).write.partitionBy("_ivf_list").mode(mode).parquet(path)
+
+
+def sq8_probe_topk(
+    index: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    *,
+    centroids: list[list[float]],
+    nprobe: int = 4,
+    refine: int = 4,
+) -> DataFrame:
+    """IVF top-k served from the SQ8 layout: probe the ``nprobe``
+    nearest lists (partition-pruned IN filter), score candidates by
+    the asymmetric int8 dot (``scale * (q_unit . codes)`` — reads
+    ONLY (id, code, scale)), shortlist the top ``k * refine`` by
+    approximate score, then exact-cosine rerank the shortlist from
+    the float column (a second pruned read pushed down to
+    ``id IN shortlist`` — row-group stats skip everything else).
+    Final output follows :func:`cosine_topk`'s determinism contract
+    (score rounded to 6 digits, ties by id); the approximate pass
+    only has to land the true top-k inside the shortlist, which the
+    recall-parity tests pin against the float path."""
+    cents = np.array(centroids, dtype=np.float64)
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    q = np.array(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(p) for p in (qn @ cn.T).argsort()[::-1][:nprobe]]
+
+    cand = index.filter(F.col("_ivf_list").isin(*probes))
+    narrow = cand.select(id_col, "_sq8_code", "_sq8_scale")
+    n_short = k * refine
+
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["_sq8_code"]), dtype=np.int8
+            ).reshape(len(pdf), -1)
+            s = (codes.astype(np.float64) @ qn) * pdf[
+                "_sq8_scale"
+            ].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            order = np.lexsort((ids, -s))[:n_short]
+            yield pd.DataFrame(
+                {id_col: ids[order], "_approx": s[order]}
+            )
+
+    part = narrow.mapInPandas(kernel, f"{id_col} bigint, _approx double")
+    shortlist = [
+        r[0]
+        for r in part.orderBy(F.desc("_approx"), id_col)
+        .limit(n_short)
+        .collect()
+    ]
+    if not shortlist:
+        return cosine_topk(
+            cand.select(id_col, vec_col).limit(0),
+            vec_col,
+            id_col,
+            query,
+            k,
+        )
+    exact = cand.filter(F.col(id_col).isin(*shortlist)).select(
+        id_col, vec_col
+    )
+    return cosine_topk(exact, vec_col, id_col, query, k)

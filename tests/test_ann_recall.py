@@ -387,3 +387,145 @@ def test_ivf_partitioned_storage_prunes_probe_scan(spark, tmp_path):
         F.col("_ivf_list").isin(probes)
     )
     assert again.count() == 2 * len(want)
+
+
+def test_sq8_probe_matches_float_path_on_planted_corpus(spark, tmp_path):
+    """The SQ8 serving path (round 14): probe the quantized layout,
+    int8 asymmetric shortlist, exact rerank — the final top-k must
+    EQUAL the float ivf_topk's under the same frozen centroids and
+    probes (exact rerank makes parity achievable, not just recall
+    overlap), and the planted cluster must be fully retrieved."""
+    from kaflow_spark.operators.similarity import (
+        ivf_fit,
+        ivf_topk,
+        sq8_probe_topk,
+        sq8_write_partitioned,
+    )
+
+    df, query, planted = _planted_corpus(spark)
+    cents = ivf_fit(df, "embedding", n_lists=8, seed=42)
+    path = str(tmp_path / "sq8_store")
+    sq8_write_partitioned(df, "embedding", cents, path)
+    stored = spark.read.parquet(path)
+
+    got = sq8_probe_topk(
+        stored, "embedding", "vec_id", query, 10,
+        centroids=cents, nprobe=3,
+    ).collect()
+    want = ivf_topk(
+        df, "embedding", "vec_id", query, 10,
+        centroids=cents, nprobe=3,
+    ).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    assert set(r["vec_id"] for r in got) == set(planted)
+
+
+def test_sq8_probe_matches_float_path_on_fixtures(spark):
+    """Recall parity on the uniform fixture corpora at every SF — the
+    adversarial case (no planted structure, scores packed together):
+    same centroids, same probes, identical final top-10."""
+    from kaflow_spark.catalog import load
+    from kaflow_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fit,
+        ivf_topk,
+        sq8_encode,
+        sq8_probe_topk,
+    )
+    from kaflow_spark.queries.llm import _fixture_query_vec
+
+    for sf in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+        query = _fixture_query_vec(sf)
+        cents = ivf_fit(e, "embedding", n_lists=8, seed=42)
+        index = sq8_encode(ivf_assign(e, "embedding", cents), "embedding")
+        got = sq8_probe_topk(
+            index, "embedding", "vec_id", query, 10,
+            centroids=cents, nprobe=3,
+        ).collect()
+        want = ivf_topk(
+            e, "embedding", "vec_id", query, 10,
+            centroids=cents, nprobe=3,
+        ).collect()
+        assert [r["vec_id"] for r in got] == [
+            r["vec_id"] for r in want
+        ], sf
+
+
+def test_sq8_layout_prunes_partitions_and_columns(spark, tmp_path):
+    """The byte accounting the SQ8 path promises at 100 TB, attested
+    on the plans: (a) the probe's narrow read plans PartitionFilters
+    on _ivf_list AND a ReadSchema WITHOUT the float vector column
+    (column pruning — the 4x saving); (b) the refine read pushes the
+    shortlist down as an In filter on vec_id (row-group skipping)."""
+    from pyspark.sql import functions as F
+
+    from kaflow_spark.operators.similarity import (
+        ivf_fit,
+        sq8_write_partitioned,
+    )
+
+    df, query, _ = _planted_corpus(spark)
+    cents = ivf_fit(df, "embedding", n_lists=8, seed=42)
+    path = str(tmp_path / "sq8_prune")
+    sq8_write_partitioned(df, "embedding", cents, path)
+    stored = spark.read.parquet(path)
+
+    narrow = stored.filter(F.col("_ivf_list").isin(0, 3)).select(
+        "vec_id", "_sq8_code", "_sq8_scale"
+    )
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    rs = plan.split("ReadSchema", 1)[1][:200]
+    assert "_sq8_code" in rs and "embedding" not in rs, rs
+
+    rerank = stored.filter(F.col("_ivf_list").isin(0, 3)).filter(
+        F.col("vec_id").isin(1, 2, 3)
+    )
+    plan2 = rerank._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan2 and "In(vec_id" in plan2.split(
+        "PushedFilters", 1
+    )[1][:200], plan2
+
+
+def test_ivf_tuner_runs_unchanged_over_sq8_layout(spark, tmp_path):
+    """ivf_tune_nprobe consumes the float column the SQ8 layout
+    retains — it runs UNCHANGED over the read-back quantized store:
+    same corpus evidence (occupancy identical to the source frame),
+    a well-formed monotone recall curve closing at 10000, and
+    deterministic (two runs over the layout are identical). The
+    self-query SET is not asserted equal to the source frame's —
+    Bernoulli sampling is per-partition seeded, so it is pinned per
+    PLAN (the ivf_fit contract), not across physical layouts."""
+    from kaflow_spark.operators.similarity import (
+        ivf_fit,
+        ivf_tune_nprobe,
+        sq8_write_partitioned,
+    )
+
+    df, _, _ = _planted_corpus(spark)
+    cents = ivf_fit(df, "embedding", n_lists=8, seed=42)
+    path = str(tmp_path / "sq8_tune")
+    sq8_write_partitioned(df, "embedding", cents, path)
+    stored = spark.read.parquet(path).select("vec_id", "embedding")
+
+    src = ivf_tune_nprobe(
+        df, "embedding", "vec_id", centroids=cents, k=5, n_queries=8
+    )
+    back = ivf_tune_nprobe(
+        stored, "embedding", "vec_id", centroids=cents, k=5, n_queries=8
+    )
+    assert back["occupancy"] == src["occupancy"]
+    assert back["n_lists"] == 8
+    curve = [back["recall_bp"][m] for m in range(1, 9)]
+    assert curve == sorted(curve) and curve[-1] == 10000
+    assert 1 <= back["nprobe"] <= 8
+    again = ivf_tune_nprobe(
+        stored, "embedding", "vec_id", centroids=cents, k=5, n_queries=8
+    )
+    assert again["recall_bp"] == back["recall_bp"]
+    assert again["nprobe"] == back["nprobe"]
