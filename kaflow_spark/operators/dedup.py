@@ -1333,6 +1333,7 @@ def hamming_pairs(
     max_dist: int = 1,
     max_bucket: int = 10_000,
     bucket_salt: int | str = "auto",
+    keep_keys: bool = False,
 ) -> DataFrame:
     """Fuzzy ENTITY-KEY matching: all equal-length pairs whose keys
     differ in at most ``max_dist`` character positions (Hamming
@@ -1471,12 +1472,28 @@ def hamming_pairs(
     # subexpression-elimination trap), tripling the per-char work;
     # after the groupBy the expression evaluates exactly once per
     # candidate pair.
-    return (
+    out = (
         cand.groupBy("id_a", "id_b")
         .agg(F.first("_ka").alias("_ka"), F.first("_kb").alias("_kb"))
-        .select("id_a", "id_b", ham.alias("hamming"))
+        .select(
+            "id_a",
+            "id_b",
+            ham.alias("hamming"),
+            # keep_keys: downstream verifies that need the raw keys
+            # (the dHash bit-distance refine) read them off the pair
+            # row instead of re-joining the corpus-sized key table
+            *(
+                [
+                    F.col("_ka").alias("key_a"),
+                    F.col("_kb").alias("key_b"),
+                ]
+                if keep_keys
+                else []
+            ),
+        )
         .filter(F.col("hamming") <= max_dist)
     )
+    return out
 
 
 def wordgram_shingle_frame(
