@@ -1,4 +1,5 @@
-"""Round-13 batch 2: distribution-shape audits (q258-q261).
+"""Round-13 batch 2: distribution-shape audits (q258-q261) + the
+round-14 entropy evenness audit (q270).
 
 The second-order screens a warehouse team layers on the round-12
 risk pack — digit-level fraud conformance, directional rule mining,
@@ -834,3 +835,96 @@ def q268(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@declare(
+    "q270_source_entropy_evenness",
+    oracle="""
+    WITH cells AS (
+        SELECT source, n_chars // 256 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, bucket),
+    t AS (
+        SELECT source, bucket, c,
+               CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_src,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS k
+        FROM cells),
+    s AS (
+        SELECT source,
+               CAST(MAX(n_src) AS BIGINT) AS n_docs,
+               CAST(MAX(k) AS BIGINT) AS k_buckets,
+               CAST(SUM(CAST(FLOOR(
+                   -(CAST(c AS DOUBLE) / n_src)
+                   * ln(CAST(c AS DOUBLE) / n_src) * 1000000)
+                   AS BIGINT)) AS BIGINT) AS entropy_micro
+        FROM t GROUP BY source)
+    SELECT source, n_docs, k_buckets, entropy_micro,
+           CASE WHEN k_buckets > 1 THEN LEAST(CAST(10000 AS BIGINT),
+               CAST(entropy_micro * 10000
+                    // CAST(FLOOR(ln(CAST(k_buckets AS DOUBLE)) * 1000000)
+                            AS BIGINT) AS BIGINT))
+           ELSE CAST(10000 AS BIGINT) END AS evenness_bp
+    FROM s ORDER BY source
+    """,
+    doc="Shannon entropy + Pielou evenness of each source's document-"
+    "length mixture (256-char buckets) — the diversity audit beside "
+    "the HHI concentration (q207) and inverse-Simpson (q260) views: "
+    "entropy in NATS reported as the SUM of per-cell FLOOR-quantized "
+    "micro-unit contributions (-p ln p), evenness as integer basis "
+    "points of the ln(k) maximum. The q201 ln discipline, extended "
+    "to a SUM: ln is NOT correctly rounded (measured 1-ULP libm/JVM "
+    "divergence), so each CELL's contribution floors to integer "
+    "micro-units FIRST and the cross-cell sum is exact integer "
+    "arithmetic — a sum of raw doubles would be order-dependent on "
+    "top of the ULP. The evenness ratio is integer division of two "
+    "quantized integers, LEAST-capped at 10000 (per-cell flooring "
+    "can leave the quotient a hair above 1 on a perfectly uniform "
+    "mixture). k=1 sources are maximally even by convention. One "
+    "scan: cells -> per-source windows -> one bounded rollup.",
+    tags=("audit", "curation"),
+)
+def q270(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cells = (
+        load(spark, sf, "documents")
+        .select("source", F.expr("n_chars div 256").alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = cells.select(
+        "source",
+        "c",
+        F.sum("c").over(Window.partitionBy("source")).alias("n_src"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("k"),
+    )
+    s = t.groupBy("source").agg(
+        F.max("n_src").cast("bigint").alias("n_docs"),
+        F.max("k").cast("bigint").alias("k_buckets"),
+        F.sum(
+            F.expr(
+                "CAST(FLOOR(-(CAST(c AS DOUBLE) / n_src)"
+                " * ln(CAST(c AS DOUBLE) / n_src) * 1000000) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("entropy_micro"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "k_buckets",
+        "entropy_micro",
+        F.when(
+            F.col("k_buckets") > 1,
+            F.least(
+                F.lit(10000).cast("bigint"),
+                F.expr(
+                    "entropy_micro * 10000 div CAST(FLOOR("
+                    "ln(CAST(k_buckets AS DOUBLE)) * 1000000) AS BIGINT)"
+                ),
+            ),
+        )
+        .otherwise(F.lit(10000).cast("bigint"))
+        .alias("evenness_bp"),
+    ).orderBy("source")
