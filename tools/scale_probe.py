@@ -353,6 +353,59 @@ def main() -> None:
     )
     print(rows[-1], flush=True)
 
+    # ---- SQ8 serving path (round 14) at scale ----
+    # Two rows: the encode+assign pass (one Arrow matmul + int8
+    # quantization per batch — the index-build marginal cost over the
+    # float layout), and the end-to-end quantized probe (int8
+    # asymmetric shortlist + exact rerank) against the in-memory
+    # index with L scaled to the corpus (constant expected list size,
+    # nprobe fixed) — the probe's work should track the probed-list
+    # fraction, not corpus volume. Parity with the float path is
+    # pinned in test_ann_recall; this row is the cost story.
+    from kaflow_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fit,
+        sq8_encode,
+        sq8_probe_topk,
+    )
+
+    t_enc, t_probe = {}, {}
+    for mult in (1, 5, 10):
+        e = replicate(
+            emb.select("vec_id", "embedding"), mult, "vec_id", 10_000_000
+        )
+        lists = 16 * mult
+        cents = ivf_fit(e, "embedding", n_lists=lists, seed=42)
+        t_enc[mult] = timed(
+            lambda: sq8_encode(ivf_assign(e, "embedding", cents), "embedding")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        index = sq8_encode(
+            ivf_assign(e, "embedding", cents), "embedding"
+        ).persist()
+        index.count()  # the at-rest layout stands in memory, untimed
+        t_probe[mult] = timed(
+            lambda: sq8_probe_topk(
+                index, "embedding", "vec_id", query, 10,
+                centroids=cents, nprobe=4,
+            ).collect()
+        )
+        index.unpersist()
+    rows.append(
+        f"| SQ8 encode+assign ({n_emb} vecs/x, L=16x) "
+        f"| {t_enc[1]:.1f}s | {t_enc[5]:.1f}s | {t_enc[10]:.1f}s "
+        f"| {t_enc[10] / t_enc[1]:.1f}x |"
+    )
+    print(rows[-1], flush=True)
+    rows.append(
+        f"| SQ8 probe top-10 (nprobe 4 of L=16x, shortlist+rerank) "
+        f"| {t_probe[1]:.1f}s | {t_probe[5]:.1f}s | {t_probe[10]:.1f}s "
+        f"| {t_probe[10] / t_probe[1]:.1f}x |"
+    )
+    print(rows[-1], flush=True)
+
     # ---- ANN recall at scale (q44 LSH / q63 IVF) ----
     # The accuracy story has to scale with the perf story: plant 10
     # near-duplicates of the query (cos ~0.95, far above the uniform
