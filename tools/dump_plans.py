@@ -379,6 +379,25 @@ HEADLINERS: dict[str, str] = {
         "broadcast fences — the orders table scans once, and both "
         "grid consumers share the exchange."
     ),
+    "q269_semantic_dedup_corpus": (
+        "The emitted semantically-deduplicated corpus: CC over the "
+        "shared persisted semantic pair frame (tiny), quality "
+        "regexes projected ABOVE the broadcast cc join so only "
+        "cluster MEMBERS pay them, the keeper argmax one bounded "
+        "aggregation with a single consumer (a drop-list "
+        "formulation duplicated the scoring scan), and the "
+        "corpus-sized pass is one narrow (doc_id, source) scan + "
+        "two broadcast left joins — documents scans exactly twice, "
+        "every join broadcast."
+    ),
+    "q270_source_entropy_evenness": (
+        "Entropy/evenness in ONE scan: cells -> per-source windows "
+        "-> one bounded rollup; the float stage is per-CELL "
+        "(-p ln p) floored to integer micro-nats BEFORE the "
+        "cross-cell sum, so the engine-divergent ln ULP never "
+        "reaches a hashed value and the sum is exact integer "
+        "arithmetic."
+    ),
 }
 
 
