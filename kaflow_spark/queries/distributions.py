@@ -1,5 +1,6 @@
 """Round-13 batch 2: distribution-shape audits (q258-q261) + the
-round-14 entropy evenness audit (q270).
+round-14 entropy evenness audit (q270) and pairwise smoothed-KL
+drift matrix (q271).
 
 The second-order screens a warehouse team layers on the round-12
 risk pack — digit-level fraud conformance, directional rule mining,
@@ -928,3 +929,123 @@ def q270(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.lit(10000).cast("bigint"))
         .alias("evenness_bp"),
     ).orderBy("source")
+
+
+@declare(
+    "q271_source_kl_matrix",
+    oracle="""
+    WITH cells AS (
+        SELECT source, n_chars // 256 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+    srcs AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_src
+        FROM cells GROUP BY source),
+    grid AS (SELECT DISTINCT bucket FROM cells),
+    nbf AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM grid),
+    pa AS (
+        SELECT s.source, g.bucket,
+               CAST(COALESCE(c.c, 0) + 1 AS BIGINT) AS cs,
+               CAST(s.n_src + nbf.nb AS BIGINT) AS tot
+        FROM srcs s CROSS JOIN grid g CROSS JOIN nbf
+        LEFT JOIN cells c ON c.source = s.source AND c.bucket = g.bucket)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM(CAST(FLOOR((CAST(a.cs AS DOUBLE) / a.tot)
+                * ln((CAST(a.cs AS DOUBLE) * b.tot)
+                     / (CAST(b.cs AS DOUBLE) * a.tot))
+                * 1000000) AS BIGINT)) AS BIGINT) AS kl_micro
+    FROM pa a JOIN pa b ON a.bucket = b.bucket AND a.source <> b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Pairwise smoothed KL-divergence drift matrix over the "
+    "sources' document-length mixtures (256-char buckets, add-one "
+    "smoothing over the union bucket grid so absent cells carry "
+    "mass) — the asymmetric info-theoretic member beside the "
+    "symmetric screens (q157 overlap, q158 L1, q183 KS, q201 PSI): "
+    "KL(a||b) answers 'how surprised is b's mixture by a's "
+    "documents', which is the direction that matters when source b "
+    "is the training mix and a the candidate. The q270/q201 ln "
+    "discipline: each CELL's p_a ln(p_a/p_b) term floors to integer "
+    "micro-nats FIRST (ln is 1-ULP engine-divergent), the cross-cell "
+    "sum is exact integer arithmetic. Plan shape (ONE corpus scan, "
+    "plan-contracted): every branch — per-source totals, the "
+    "densifying bucket grid, the global bucket count, the cell "
+    "left-join, and BOTH self-join sides — reuses the single "
+    "(source, bucket) cell aggregate; two trap-15 hazards are "
+    "defused by construction: the grid's bucket projection rides "
+    "the load-bearing least(_lb, 1) smoothing term (numerically "
+    "exactly the +1 — a bare select('bucket') demotes the branch "
+    "to DISTINCT straight off the scan, measured 2 scans), and the "
+    "global count is sum(least(_lb, 1)) for the same reason.",
+    tags=("audit", "curation", "stats"),
+)
+def q271(spark: SparkSession, sf: str) -> DataFrame:
+    cells = (
+        load(spark, sf, "documents")
+        .select("source", F.expr("n_chars div 256").alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    srcs = cells.groupBy("source").agg(F.sum("c").alias("n_src"))
+    buckets = cells.groupBy("bucket").agg(
+        F.sum(F.least(F.col("c"), F.lit(1))).alias("_lb")
+    )
+    nbf = buckets.agg(F.sum(F.least(F.col("_lb"), F.lit(1))).alias("nb"))
+    grid = srcs.crossJoin(F.broadcast(buckets)).crossJoin(F.broadcast(nbf))
+    right = cells.select(
+        F.col("source").alias("_s"), F.col("bucket").alias("_b"), "c"
+    )
+    pa = (
+        grid.join(
+            right,
+            grid["source"].eqNullSafe(right["_s"])
+            & grid["bucket"].eqNullSafe(right["_b"]),
+            "left",
+        ).select(
+            "source",
+            "bucket",
+            # least(_lb, 1) == 1 (every present bucket has _lb >= 1):
+            # the add-one smoothing term, spelled load-bearing so the
+            # grid branch keeps the shared cell aggregate (trap 15)
+            (F.coalesce("c", F.lit(0)) + F.least(F.col("_lb"), F.lit(1)))
+            .cast("bigint")
+            .alias("cs"),
+            (F.col("n_src") + F.col("nb")).cast("bigint").alias("tot"),
+        )
+    )
+    a = pa.select(
+        F.col("source").alias("source_a"),
+        "bucket",
+        F.col("cs").alias("cs_a"),
+        F.col("tot").alias("tot_a"),
+    )
+    b = pa.select(
+        F.col("source").alias("source_b"),
+        F.col("bucket").alias("_bb"),
+        F.col("cs").alias("cs_b"),
+        F.col("tot").alias("tot_b"),
+    )
+    j = a.join(
+        b,
+        a["bucket"].eqNullSafe(b["_bb"])
+        & (
+            F.coalesce(a["source_a"], F.lit(""))
+            != F.coalesce(b["source_b"], F.lit(""))
+        ),
+    )
+    return (
+        j.groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR((CAST(cs_a AS DOUBLE) / tot_a)"
+                    " * ln((CAST(cs_a AS DOUBLE) * tot_b)"
+                    " / (CAST(cs_b AS DOUBLE) * tot_a))"
+                    " * 1000000) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("kl_micro")
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1351,3 +1351,31 @@ def test_q269_semantic_corpus_plan_contract(spark, sf_dir):
         assert "SortMergeJoin" not in p, p
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_round14_audit_plan_contracts(spark, sf_dir):
+    """q270 is ONE corpus scan (cells -> windows -> rollup); q271's
+    five consumers of the (source, bucket) cell aggregate — source
+    totals, densifying grid, global bucket count, cell left-join,
+    both self-join sides — all reuse ONE exchange off ONE scan (the
+    load-bearing least(_lb, 1) smoothing term keeps the grid branch
+    on the shared aggregate; a bare select('bucket') demoted it to
+    DISTINCT straight off the scan — trap 15, measured 2 scans)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = explain_str(
+            REGISTRY["q270_source_entropy_evenness"].spark(spark, sf_dir),
+            "simple",
+        )
+        assert p.count("Scan parquet") == 1, p
+        assert "CartesianProduct" not in p, p
+        p = explain_str(
+            REGISTRY["q271_source_kl_matrix"].spark(spark, sf_dir), "simple"
+        )
+        assert p.count("Scan parquet") == 1, p
+        assert p.count("ReusedExchange") >= 5, p
+        assert "CartesianProduct" not in p, p
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
