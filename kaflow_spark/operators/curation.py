@@ -1894,6 +1894,7 @@ def weighted_median(
     group_col: str,
     value_col: str,
     weight_col: str,
+    bucket_div: int = 1 << 16,
 ) -> DataFrame:
     """Exact weighted median per group, percentile_disc-style: the
     smallest value whose CUMULATIVE WEIGHT reaches half the group's
@@ -1902,26 +1903,94 @@ def weighted_median(
     data value and cannot drift between engines). The volume-weighted
     generalization of the q53 selector.
 
-    Shape: one partial-agg'd (group, value) weight rollup, then the
-    cumulative window per group over that contracted table; the
-    selector is a plain filter + min."""
-    counts = df.groupBy(group_col, value_col).agg(
-        F.sum(weight_col).alias("_w"),
-        F.count(F.lit(1)).alias("_n"),
-    )
-    wg = Window.partitionBy(group_col)
-    wc = (
-        Window.partitionBy(group_col)
+    Shape (r14 rewrite, measured): the original "(group, value) grid
+    rollup + cumulative window per group" paid twice on near-unique
+    values — lineitem cents are ~99% distinct, so the grid groupBy was
+    a full-table hash aggregate + exchange that contracted NOTHING
+    (593,702 grid rows from ~600k inputs), and the per-group window
+    then funneled every row into |groups| single tasks (3 for q148 —
+    29 of 32 cores idle). This version splits the cumulative sum into
+    a PARALLEL intra-bucket window (partitionBy(group, value div
+    bucket_div) — one exchange, spread over all cores) plus a
+    carry-in computed from the bounded per-bucket totals grid (a few
+    hundred rows; its single-task window is trivial) broadcast back.
+    Equivalence: intra-bucket cum + carry == global row-grain cum, and
+    the row-grain selector picks the same value as the grid selector
+    (a partial tie-run prefix crossing the threshold implies the full
+    run crosses; min(value) is unchanged) — asserted value-equal on
+    lineitem and by the hand/property tests. Interleaved best-of-5 on
+    q185's input: grid 2.57 s / row-grain 1.68 s / this 1.41 s; B is
+    insensitive 2^16..2^22 locally (1.22-1.31 s). At 100 TB the old
+    shape is a straggler by construction (billions of rows through
+    |groups| tasks); here no task ever sees more than one bucket.
+
+    Weights must be NON-NEGATIVE (true of every caller: quantities,
+    counts, durations) — the carry derivation reads each bucket's
+    weight sum as ``max`` of its cumulative sum, which requires a
+    monotone cumulative. ``bucket_div`` is the value-domain width per
+    parallel bucket —
+    keep it a power of two sized so the expected value range spans
+    hundreds-to-thousands of buckets (cents and epoch-second domains
+    both land well with the 2^16 default); a degenerate single-bucket
+    group degrades gracefully to the row-grain shape, never to the
+    grid's extra exchange."""
+    bk = F.expr(f"`{value_col}` div {int(bucket_div)}")
+    rows = df.select(
+        group_col, value_col, weight_col
+    ).withColumn("_bk", bk)
+    win = (
+        Window.partitionBy(group_col, "_bk")
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    c = (
-        counts.withColumn("_tw", F.sum("_w").over(wg))
-        .withColumn("_tn", F.sum("_n").over(wg))
-        .withColumn("_cum", F.sum("_w").over(wc))
+    cw = rows.withColumn("_cw", F.sum(weight_col).over(win))
+    # Per-bucket totals read off the WINDOW OUTPUT (max of a
+    # non-negative-weight cumulative sum == the bucket's weight sum),
+    # not a separate groupBy on the raw rows: an aggregate over `rows`
+    # plans its partial agg below its own ENSURE_REQUIREMENTS exchange,
+    # which subsumes the window's exchange non-canonically — measured
+    # as TWO full scans + two full shuffles of the fact table (the
+    # trap-5 family, agg-pushdown flavor). Consuming the window output
+    # keeps both branches on ONE exchange (static plan: 1 scan,
+    # ReusedExchange on the carry branch; asserted in test_plans).
+    bkt = cw.groupBy(group_col, "_bk").agg(
+        F.max("_cw").alias("_bw"),
+        F.count(F.lit(1)).alias("_bn"),
+    )
+    wcb = (
+        Window.partitionBy(group_col)
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wag = Window.partitionBy(group_col)
+    carries = (
+        bkt.withColumn("_bcum", F.sum("_bw").over(wcb))
+        .withColumn("_tw", F.sum("_bw").over(wag))
+        .withColumn("_tn", F.sum("_bn").over(wag))
+        .select(
+            group_col,
+            "_bk",
+            (F.col("_bcum") - F.col("_bw")).alias("_carry"),
+            "_tw",
+            "_tn",
+        )
+    )
+    # eqNullSafe on BOTH keys (q100/q190 discipline): a plain equality
+    # join infers isnotnull(_bk) into the probe branch only — measured
+    # here as de-canonicalized subtrees and a second full scan — and
+    # silently drops null-value rows, whose weights the grid selector
+    # counted toward _tw. Null-safe keys keep both, exactly.
+    car = (
+        carries.withColumnRenamed(group_col, "_cg")
+        .withColumnRenamed("_bk", "_cbk")
+    )
+    j = cw.join(
+        F.broadcast(car),
+        F.col(group_col).eqNullSafe(F.col("_cg"))
+        & F.col("_bk").eqNullSafe(F.col("_cbk")),
     )
     return (
-        c.filter(F.col("_cum") * 2 >= F.col("_tw"))
+        j.filter((F.col("_cw") + F.col("_carry")) * 2 >= F.col("_tw"))
         .groupBy(group_col)
         .agg(
             F.min(value_col).alias("wmedian"),

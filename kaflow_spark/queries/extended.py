@@ -755,40 +755,27 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
     tags=("agg", "window", "tpch"),
 )
 def q148(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from kaflow_spark.operators.curation import weighted_median
 
-    l = load(spark, sf, "lineitem")
-    g = (
-        l.select(
-            "l_returnflag",
-            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
-            .cast("long")
-            .alias("price_cents"),
-            F.col("l_quantity").cast("long").alias("qty"),
-        )
-        .groupBy("l_returnflag", "price_cents")
-        .agg(F.sum("qty").alias("wsum"))
+    l = load(spark, sf, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
     )
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("price_cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("l_returnflag").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    # r14: the inline (flag, price) grid rollup contracted nothing on
+    # near-unique prices (594k grid rows / 600k inputs) and funneled
+    # every row through 3 single-task windows; the shared operator's
+    # bucket-parallel selector is value-identical (same percentile_disc
+    # semantics) and measured ~2x faster — see weighted_median's
+    # docstring for the A/B and the equivalence argument.
+    wm = weighted_median(l, "l_returnflag", "price_cents", "qty")
     return (
-        g.select(
+        wm.select(
             "l_returnflag",
-            "price_cents",
-            F.sum("wsum").over(w_cum).alias("cumw"),
-            F.sum("wsum").over(w_all).alias("totw"),
-        )
-        .filter(2 * F.col("cumw") >= F.col("totw"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.min("price_cents").cast("bigint").alias("wmedian_cents"),
-            F.min("totw").cast("bigint").alias("total_weight"),
+            F.col("wmedian").cast("bigint").alias("wmedian_cents"),
+            F.col("total_weight").cast("bigint").alias("total_weight"),
         )
         .orderBy("l_returnflag")
     )

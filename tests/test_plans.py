@@ -1379,3 +1379,28 @@ def test_round14_audit_plan_contracts(spark, sf_dir):
         assert "CartesianProduct" not in p, p
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_r14_weighted_median_bucket_parallel_contracts(spark, sf_dir):
+    """r14 optimization contract for the bucket-parallel weighted
+    median (q148/q185/q188): ONE fact scan — the carry branch reads
+    bucket totals off the window output and REUSES the (group, _bk)
+    exchange (a groupBy on the raw rows instead planned its partial
+    agg below a second exchange: measured 2 full scans + 2 full
+    shuffles); eqNullSafe on BOTH carry-join keys keeps isnotnull
+    inference from de-canonicalizing the diamond (q100/q190)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name, scans in (
+            ("q148_weighted_median_price", 1),
+            ("q185_weighted_median", 1),
+            ("q188_interarrival_median", 1),
+        ):
+            p = explain_str(REGISTRY[name].spark(spark, sf_dir), "simple")
+            assert p.count("Scan parquet") == scans, (name, p)
+            assert p.count("ReusedExchange") >= 1, (name, p)
+            assert "CartesianProduct" not in p, (name, p)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
