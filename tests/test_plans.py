@@ -1404,3 +1404,32 @@ def test_r14_weighted_median_bucket_parallel_contracts(spark, sf_dir):
             assert "CartesianProduct" not in p, (name, p)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_r14_text_single_explode_contracts(spark, sf_dir):
+    """r14: q88/q89 compute doc-frequency and per-token totals as
+    WINDOW sums over ONE (id, token, count) postings frame instead of
+    aggregate branches joined back on (isnotnull inference on the
+    join keys re-ran the explode 3x: q88's static plan measured 3
+    scans / 3 Generates, with a vocabulary-sized broadcast build).
+    Contract: at most one explode on the postings path (q89's grand
+    total re-derives above the REUSED fan-out exchange — text
+    shuffles once — so it may add one more Generate, never a third),
+    no vocabulary broadcast diamond (scan counts pinned)."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = explain_str(
+            REGISTRY["q88_tfidf_top_terms"].spark(spark, sf_dir), "simple"
+        )
+        assert p.count("Generate") == 1, p
+        assert p.count("Scan parquet") <= 2, p
+        p = explain_str(
+            REGISTRY["q89_unigram_surprisal"].spark(spark, sf_dir), "simple"
+        )
+        assert p.count("Generate") <= 2, p
+        assert p.count("Scan parquet") == 1, p
+        assert p.count("ReusedExchange") >= 1, p
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
