@@ -652,6 +652,115 @@ def spike_days(
     )
 
 
+def _windowed_presence_counts(
+    act: DataFrame,
+    group_col: str,
+    day_col: str,
+    user_col: str,
+    window: int,
+) -> DataFrame:
+    """Exact moving-window distinct-user counts per (group, day)
+    WITHOUT the window-way day-offset explode (r14): a user's
+    activity days cover the reporting days ``[a, a+window-1]``; merged
+    per-user cover INTERVALS (island detection via lag — a new island
+    starts when the gap from the previous active day reaches
+    ``window``; adjacent islands produce net-zero boundary deltas, so
+    only true overlaps must merge) emit +1/-1 deltas at
+    ``[start, end+window)``, and one cumulative sum per group over the
+    union of deltas and observed-day markers reads off the windowed
+    cardinality at every observed day. Shuffled volume is the
+    contracted activity table once (island window) plus <= 2 interval
+    endpoints per island — never ``window x`` the activity rows (q210:
+    80k act rows exploded to 2.3M before; islands emit ~2 rows per
+    user-burst). Both window chains share one total order per spec
+    (q152 discipline); everything is integer and tie-independent
+    (delta rows sort before their day's marker, and sums commute
+    within a tie). Returns ``(group, day, n_today, n_window)`` for
+    observed days only; duplicate activity rows are collapsed by an
+    internal distinct that the optimizer merges with the caller's
+    (trap 15 works FOR us here)."""
+    # The contraction carries a count column so BOTH consumers can
+    # reference it load-bearingly: a bare distinct + a count-only
+    # marker branch collapses into its own scan (trap 15a, measured —
+    # q203's marker aggregation re-scanned events), whereas
+    # sum/max(least(_m, 1)) cannot be folded away and pins every
+    # branch to this ONE aggregate (the q195 discipline).
+    dd = (
+        act.select(group_col, user_col, day_col)
+        .groupBy(group_col, user_col, day_col)
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    wlag = Window.partitionBy(group_col, user_col).orderBy(day_col)
+    flagged = (
+        dd.withColumn("_prev", F.lag(day_col).over(wlag))
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev").isNull()
+                | (F.col(day_col) - F.col("_prev") >= window)
+            ).cast("long"),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_new").over(
+                wlag.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    islands = flagged.groupBy(group_col, user_col, "_isl").agg(
+        F.min(day_col).alias("_s"),
+        F.max(day_col).alias("_e"),
+        # == 1 always (_m >= 1); rides into the deltas arithmetically
+        # so column pruning cannot narrow this branch's copy of dd.
+        F.max(F.least(F.col("_m"), F.lit(1))).alias("_lb"),
+    )
+    deltas = islands.select(
+        group_col,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_s").alias("_d"),
+                    F.col("_lb").cast("long").alias("_delta"),
+                ),
+                F.struct(
+                    (F.col("_e") + window).alias("_d"),
+                    (-F.col("_lb")).cast("long").alias("_delta"),
+                ),
+            )
+        ).alias("_x"),
+    ).select(
+        group_col,
+        F.col("_x._d").alias(day_col),
+        F.col("_x._delta").alias("_delta"),
+        F.lit(0).alias("_rank"),
+        F.lit(None).cast("bigint").alias("n_today"),
+    )
+    markers = (
+        dd.groupBy(group_col, day_col)
+        .agg(F.sum(F.least(F.col("_m"), F.lit(1))).alias("n_today"))
+        .select(
+            group_col,
+            day_col,
+            F.lit(0).cast("long").alias("_delta"),
+            F.lit(1).alias("_rank"),
+            "n_today",
+        )
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(day_col, "_rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        deltas.unionByName(markers)
+        .withColumn("_nw", F.sum("_delta").over(wcum))
+        .filter(F.col("_rank") == 1)
+        .select(
+            group_col, day_col, "n_today", F.col("_nw").alias("n_window")
+        )
+    )
+
+
 def rolling_wau(
     act: DataFrame,
     group_col: str,
@@ -664,33 +773,55 @@ def rolling_wau(
     q203 kernel), over a CONTRACTED distinct-activity frame — one row
     per (group, day, user); callers dedupe the raw event log first
     (COUNT(DISTINCT) OVER a moving frame has no Spark window form).
-    Each activity row contributes presence to the ``window`` calendar
-    days it keeps the user active in (a fixed ``window``-way explode
-    of the contracted rows, never the event log); one distinct count
-    per (group, day) computes the exact windowed cardinality, and the
-    observed flag (emit only days with same-day activity) rides the
-    SAME aggregation — a separate calendar branch would
-    de-canonicalize and re-scan (measured, q203). ``day_col`` must be
-    integer epoch days. Output: ``(group, day, wau)``."""
-    contrib = act.select(
-        group_col,
-        user_col,
-        day_col,
-        F.explode(F.expr(f"sequence(0, {window - 1})")).alias("_off"),
-    ).select(
-        group_col,
-        user_col,
-        (F.col(day_col) + F.col("_off")).alias(day_col),
-        (F.col("_off") == 0).alias("_here"),
-    )
-    return (
-        contrib.groupBy(group_col, day_col)
-        .agg(
-            F.count_distinct(user_col).alias("wau"),
-            F.max("_here").alias("_observed"),
+    r14: WIDE windows route through the interval-delta kernel
+    (:func:`_windowed_presence_counts` — per-user cover islands emit
+    two endpoint deltas, one cumulative sum per group reads the
+    moving cardinality at observed days; exact by construction,
+    value-identical, and the shuffle never multiplies the activity
+    table). NARROW windows keep the ``window``-way day-offset
+    explode: interleaved best-of-5 at sf0.1 measured the explode
+    FASTER at window=7 (0.89 s vs 1.26 s — three window chains +
+    a union cost more than a 7x fan-out of an already-contracted
+    frame) and the kernel 1.7-2.2x faster at window=28 (q210 1.79 ->
+    1.08 s, q207 1.83 -> 0.83 s, where the explode is a 28-29x blow-
+    up). The crossover sits around window~10; dispatch below it.
+    ``day_col`` must be integer epoch days. Output:
+    ``(group, day, wau)``."""
+    if window <= 10:
+        contrib = act.select(
+            group_col,
+            user_col,
+            day_col,
+            F.explode(F.expr(f"sequence(0, {window - 1})")).alias("_off"),
+        ).select(
+            group_col,
+            user_col,
+            (F.col(day_col) + F.col("_off")).alias(day_col),
+            (F.col("_off") == 0).alias("_here"),
         )
-        .filter("_observed")
-        .select(group_col, day_col, "wau")
+        return (
+            contrib.groupBy(group_col, day_col)
+            .agg(
+                F.count_distinct(user_col).alias("wau"),
+                F.max("_here").alias("_observed"),
+            )
+            .filter("_observed")
+            .select(group_col, day_col, "wau")
+        )
+    counts = _windowed_presence_counts(
+        act, group_col, day_col, user_col, window
+    )
+    # n_window + least(n_today, 0) == n_window exactly (n_today >= 1
+    # on marker rows), but keeps n_today load-bearing: a bare select
+    # pruned the marker branch's count, demoting its aggregate to
+    # keys-only — which then collapsed through the distinct into a
+    # SECOND events scan (trap 15; plan-contracted back to one).
+    return counts.select(
+        group_col,
+        day_col,
+        (F.col("n_window") + F.least(F.col("n_today"), F.lit(0))).alias(
+            "wau"
+        ),
     )
 
 
@@ -704,34 +835,34 @@ def returning_rate(
 ) -> DataFrame:
     """Rolling returning-user rate per group (the q207 kernel): of
     the users active on day d, the share also seen in the PRIOR
-    ``past`` days — another moving-window DISTINCT statistic with no
-    Spark window form. Same contracted-input contract and bounded
-    explode as :func:`rolling_wau`, with TWO markers per contribution
-    (present at offset 0, past-presence at offsets 1..``past``); one
-    aggregation per (group, day, user) merges the markers, a plain
-    aggregate produces the day counts. Emitted only for days with
-    active users; rate in integer basis points. Output: ``(group,
-    day, n_active, n_returning, returning_bp)``."""
-    contrib = act.select(
-        group_col,
-        user_col,
-        day_col,
-        F.explode(F.expr(f"sequence(0, {past})")).alias("_off"),
-    ).select(
-        group_col,
-        user_col,
-        (F.col(day_col) + F.col("_off")).alias(day_col),
-        (F.col("_off") == 0).alias("_present"),
-        (F.col("_off") > 0).alias("_past"),
+    ``past`` days. r14 rewrite: "seen in [d-past, d-1]" is evaluated
+    DIRECTLY as a per-(group, user) RANGE-frame window over the
+    activity days — ``max(day) over (orderBy day range [-past, -1])``
+    is non-null exactly when the user has prior-window activity — so
+    the (past+1)-way day-offset explode (29x the contracted activity
+    table: 80k -> 2.3M rows at sf0.1, then a 2.3M-row merge
+    aggregation) is gone; the window exchange carries the activity
+    rows once. The range frame (not ``lag``) keeps duplicate
+    (group, user, day) rows exact — a same-day duplicate is offset-0
+    presence, never prior-window evidence — and the (group, day,
+    user) merge aggregation is retained so duplicate inputs collapse
+    exactly as before. Emitted only for days with active users; rate
+    in integer basis points. Output: ``(group, day, n_active,
+    n_returning, returning_bp)``."""
+    win = (
+        Window.partitionBy(group_col, user_col)
+        .orderBy(day_col)
+        .rangeBetween(-past, -1)
     )
-    per_user = contrib.groupBy(group_col, day_col, user_col).agg(
-        F.max("_present").alias("_present"), F.max("_past").alias("_past")
+    marked = act.select(group_col, user_col, day_col).withColumn(
+        "_ret", F.max(day_col).over(win).isNotNull()
+    )
+    per_user = marked.groupBy(group_col, day_col, user_col).agg(
+        F.max("_ret").alias("_ret")
     )
     agg = per_user.groupBy(group_col, day_col).agg(
-        F.sum(F.col("_present").cast("long")).alias("n_active"),
-        F.sum(
-            (F.col("_present") & F.col("_past")).cast("long")
-        ).alias("n_returning"),
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.col("_ret").cast("long")).alias("n_returning"),
     )
     return agg.filter(F.col("n_active") > 0).select(
         group_col,

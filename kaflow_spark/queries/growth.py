@@ -167,29 +167,24 @@ def q209(spark: SparkSession, sf: str) -> DataFrame:
     tags=("events", "window"),
 )
 def q210(spark: SparkSession, sf: str) -> DataFrame:
+    from kaflow_spark.operators.events import _windowed_presence_counts
+
     act = _activity(load(spark, sf, "events"))
-    contrib = act.select(
-        "event_type",
-        "user_id",
-        "day_i",
-        F.explode(F.expr("sequence(0, 27)")).alias("off"),
+    # r14: interval-delta kernel replaces the 28-way offset explode
+    # (80k activity rows -> 2.3M before; islands emit ~2 endpoint
+    # deltas per user-burst) — dau = per-day distinct actives rides
+    # the marker rows, mau = the cumulative interval count, emitted
+    # for observed days only, value-identical to the explode form.
+    g = _windowed_presence_counts(
+        act, "event_type", "day_i", "user_id", 28
     ).select(
         "event_type",
-        "user_id",
-        (F.col("day_i") + F.col("off")).alias("day_i"),
-        (F.col("off") == 0).alias("here"),
-    )
-    pu = contrib.groupBy("event_type", "day_i", "user_id").agg(
-        F.max("here").alias("here")
-    )
-    g = pu.groupBy("event_type", "day_i").agg(
-        F.count(F.lit(1)).alias("mau"),
-        F.sum(F.col("here").cast("long")).alias("dau"),
-        F.max("here").alias("observed"),
+        "day_i",
+        F.col("n_today").alias("dau"),
+        F.col("n_window").alias("mau"),
     )
     return (
-        g.filter("observed")
-        .select(
+        g.select(
             "event_type",
             F.date_from_unix_date(F.col("day_i").cast("int")).alias("day"),
             "dau",
