@@ -869,28 +869,40 @@ def ngram_surprisal(
     ``(id, ngrams, bits_bp)`` for documents with >= 1 n-gram;
     ``bits_bp = sum(count * bits) * 10000 // ngrams``.
 
-    Shape at scale: the (id, gram) count frame is computed once and
-    feeds both the corpus gram totals and the per-doc rollup — the
-    same diamond as the unigram operator, with the gram exchange as
-    the shared subtree; the grand total is a 1-row broadcast. Shuffled
-    rows are (gram, count) pairs, never text."""
+    Shape at scale (r14 rewrite, measured): ONE explode — the same
+    window formulation as :func:`unigram_surprisal`. The original
+    joined a per-gram totals aggregate back onto the postings frame;
+    isnotnull(gram) inference de-canonicalized the diamond and the
+    explode re-ran three times (static plan: 3 Generates). The
+    per-gram corpus total is now a WINDOW sum over the single
+    postings frame and the grand total a 1-row broadcast off the same
+    exchange; the fan-out keeps the gram build parallel on a
+    single-split scan (trap 11). Interleaved best-of-5 on sf0.1
+    (two runs): 1.44/1.55 s → 1.14/1.23 s, and the vocabulary-sized
+    aggregate + join are gone. Shuffled rows are (id, gram, count)
+    triples, never text."""
     from kaflow_spark.functions.textstats import int_div
 
-    words = df.select(
-        F.col(id_col).alias("_id"), _tokens(text_col).alias("_w")
-    )
     per = (
-        words.select("_id", F.explode(word_gram_array("_w", n)).alias("gram"))
+        fan_out(df, id_col)
+        .select(F.col(id_col).alias("_id"), _tokens(text_col).alias("_w"))
+        .select("_id", F.explode(word_gram_array("_w", n)).alias("gram"))
         .groupBy("_id", "gram")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    totals = per.groupBy("gram").agg(F.sum("_c").alias("_tc"))
-    grand = totals.agg(F.sum("_tc").alias("_g"))
+    wt = Window.partitionBy("gram")
+    # least(_c, 2^62) == _c but blocks the sum-over-count collapse
+    # that would rewrite the grand total as count(*) straight off the
+    # explode, splitting the diamond (trap 15 family — see
+    # unigram_surprisal).
+    grand = per.agg(
+        F.sum(F.least(F.col("_c"), F.lit(1 << 62))).alias("_g")
+    )
     bits = (
         F.length(F.bin(int_div(F.col("_g"), F.col("_tc")))) - 1
     ).cast("bigint")
     return (
-        per.join(totals, "gram")
+        per.withColumn("_tc", F.sum("_c").over(wt))
         .crossJoin(F.broadcast(grand))
         .select("_id", "_c", bits.alias("_bits"))
         .groupBy("_id")

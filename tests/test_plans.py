@@ -1431,5 +1431,13 @@ def test_r14_text_single_explode_contracts(spark, sf_dir):
         assert p.count("Generate") <= 2, p
         assert p.count("Scan parquet") == 1, p
         assert p.count("ReusedExchange") >= 1, p
+        # q133 adopted the same formulation in r14 (bigram grain): the
+        # old totals-join shape measured 3 Generates / 3 scans.
+        p = explain_str(
+            REGISTRY["q133_bigram_surprisal"].spark(spark, sf_dir), "simple"
+        )
+        assert p.count("Generate") <= 2, p
+        assert p.count("Scan parquet") == 1, p
+        assert p.count("ReusedExchange") >= 1, p
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
