@@ -1923,6 +1923,80 @@ def ks_drift_bp(
     )
 
 
+def parallel_cum_weights(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    bucket_div: int = 1 << 16,
+) -> DataFrame:
+    """Exact per-group INCLUSIVE cumulative weight ordered by value,
+    computed bucket-parallel — the shared kernel behind
+    :func:`weighted_median` and the r14 wide-grid order-statistic
+    rewrites (q265/q247): ``sum(w) over (partition by g order by v)``
+    funnels every row of a group through ONE task (a straggler by
+    construction on near-unique value domains — orders cents are
+    99.8% distinct), whereas this splits the sum into a parallel
+    intra-bucket window on ``(group, value div bucket_div)`` plus a
+    carry-in from the bounded per-bucket totals grid, broadcast back
+    onto the window output (which REUSES the window's exchange — a
+    groupBy on the raw rows instead plans its partial agg under a
+    second exchange: measured 2 full scans; eqNullSafe on both carry
+    keys keeps isnotnull inference from de-canonicalizing the
+    diamond, q100/q190).
+
+    Returns the input rows plus ``_cum`` (exact inclusive per-group
+    cumulative weight; rows tied on ``value_col`` receive an
+    arbitrary-order partial cumulative — consume it only through
+    tie-robust selectors, see the equivalence argument in
+    :func:`weighted_median`), ``_tw`` (group total weight) and
+    ``_tn`` (group row count). Weights must be NON-NEGATIVE (bucket
+    totals are read as ``max`` of the monotone cumulative);
+    ``value_col`` must be integral (``div`` bucketing — truncation is
+    monotone, so negative values order correctly)."""
+    bk = F.expr(f"`{value_col}` div {int(bucket_div)}")
+    rows = df.withColumn("_bk", bk)
+    win = (
+        Window.partitionBy(group_col, "_bk")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cw = rows.withColumn("_cw", F.sum(weight_col).over(win))
+    bkt = cw.groupBy(group_col, "_bk").agg(
+        F.max("_cw").alias("_bw"),
+        F.count(F.lit(1)).alias("_bn"),
+    )
+    wcb = (
+        Window.partitionBy(group_col)
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wag = Window.partitionBy(group_col)
+    carries = (
+        bkt.withColumn("_bcum", F.sum("_bw").over(wcb))
+        .withColumn("_tw", F.sum("_bw").over(wag))
+        .withColumn("_tn", F.sum("_bn").over(wag))
+        .select(
+            F.col(group_col).alias("_cg"),
+            F.col("_bk").alias("_cbk"),
+            (F.col("_bcum") - F.col("_bw")).alias("_carry"),
+            "_tw",
+            "_tn",
+        )
+    )
+    j = cw.join(
+        F.broadcast(carries),
+        F.col(group_col).eqNullSafe(F.col("_cg"))
+        & F.col("_bk").eqNullSafe(F.col("_cbk")),
+    )
+    return j.select(
+        *df.columns,
+        (F.col("_cw") + F.col("_carry")).alias("_cum"),
+        "_tw",
+        "_tn",
+    )
+
+
 def weighted_median(
     df: DataFrame,
     group_col: str,
@@ -1968,63 +2042,15 @@ def weighted_median(
     both land well with the 2^16 default); a degenerate single-bucket
     group degrades gracefully to the row-grain shape, never to the
     grid's extra exchange."""
-    bk = F.expr(f"`{value_col}` div {int(bucket_div)}")
-    rows = df.select(
-        group_col, value_col, weight_col
-    ).withColumn("_bk", bk)
-    win = (
-        Window.partitionBy(group_col, "_bk")
-        .orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cw = rows.withColumn("_cw", F.sum(weight_col).over(win))
-    # Per-bucket totals read off the WINDOW OUTPUT (max of a
-    # non-negative-weight cumulative sum == the bucket's weight sum),
-    # not a separate groupBy on the raw rows: an aggregate over `rows`
-    # plans its partial agg below its own ENSURE_REQUIREMENTS exchange,
-    # which subsumes the window's exchange non-canonically — measured
-    # as TWO full scans + two full shuffles of the fact table (the
-    # trap-5 family, agg-pushdown flavor). Consuming the window output
-    # keeps both branches on ONE exchange (static plan: 1 scan,
-    # ReusedExchange on the carry branch; asserted in test_plans).
-    bkt = cw.groupBy(group_col, "_bk").agg(
-        F.max("_cw").alias("_bw"),
-        F.count(F.lit(1)).alias("_bn"),
-    )
-    wcb = (
-        Window.partitionBy(group_col)
-        .orderBy("_bk")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wag = Window.partitionBy(group_col)
-    carries = (
-        bkt.withColumn("_bcum", F.sum("_bw").over(wcb))
-        .withColumn("_tw", F.sum("_bw").over(wag))
-        .withColumn("_tn", F.sum("_bn").over(wag))
-        .select(
-            group_col,
-            "_bk",
-            (F.col("_bcum") - F.col("_bw")).alias("_carry"),
-            "_tw",
-            "_tn",
-        )
-    )
-    # eqNullSafe on BOTH keys (q100/q190 discipline): a plain equality
-    # join infers isnotnull(_bk) into the probe branch only — measured
-    # here as de-canonicalized subtrees and a second full scan — and
-    # silently drops null-value rows, whose weights the grid selector
-    # counted toward _tw. Null-safe keys keep both, exactly.
-    car = (
-        carries.withColumnRenamed(group_col, "_cg")
-        .withColumnRenamed("_bk", "_cbk")
-    )
-    j = cw.join(
-        F.broadcast(car),
-        F.col(group_col).eqNullSafe(F.col("_cg"))
-        & F.col("_bk").eqNullSafe(F.col("_cbk")),
+    cum = parallel_cum_weights(
+        df.select(group_col, value_col, weight_col),
+        group_col,
+        value_col,
+        weight_col,
+        bucket_div,
     )
     return (
-        j.filter((F.col("_cw") + F.col("_carry")) * 2 >= F.col("_tw"))
+        cum.filter(F.col("_cum") * 2 >= F.col("_tw"))
         .groupBy(group_col)
         .agg(
             F.min(value_col).alias("wmedian"),
