@@ -1377,19 +1377,36 @@ def q144(spark: SparkSession, sf: str) -> DataFrame:
     tags=("join", "agg", "tpch", "curation"),
 )
 def q145(spark: SparkSession, sf: str) -> DataFrame:
-    from kaflow_spark.operators.curation import basket_pairs
-
     l = load(spark, sf, "lineitem")
+    # r14: ONE (order, part) contraction feeds every branch — the old
+    # shape built it twice (basket_pairs' internal distinct + the
+    # query-local one for supports) and count_distinct(o) collapsed
+    # into a third scan (trap 15b distinct-of-distinct). The
+    # contraction is a groupBy with a load-bearing count: least(_m,1)
+    # rides into the pair products, supports, and the order total so
+    # aggregate-function pruning cannot demote any branch's copy to
+    # keys-only (q195 discipline). Static plan: 2 scans -> 1, four
+    # ReusedExchange; local timing a wash (2.15/2.03 best-of-5) — the
+    # win is one fewer full lineitem pass at scale.
     dp = (
         l.filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+        .groupBy("o", "p")
+        .agg(F.count(F.lit(1)).alias("_m"))
     )
-    pairs = basket_pairs(l, "l_orderkey", "l_partkey").filter(
-        F.col("n_both") >= 3
+    lb = F.least(F.col("_m"), F.lit(1))
+    pa = dp.select("o", F.col("p").alias("p1"), lb.alias("_ma"))
+    pb = dp.select("o", F.col("p").alias("p2"), lb.alias("_mb"))
+    pairs = (
+        pa.join(pb, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.sum(F.col("_ma") * F.col("_mb")).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
     )
-    sup = dp.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
-    tot = dp.agg(F.count_distinct("o").alias("n_orders"))
+    sup = dp.groupBy("p").agg(F.sum(lb).alias("n"))
+    ords = dp.groupBy("o").agg(F.max(lb).alias("_x"))
+    tot = ords.agg(F.sum("_x").alias("n_orders"))
     return (
         pairs.join(
             sup.select(F.col("p").alias("p1"), F.col("n").alias("_n1")), "p1"

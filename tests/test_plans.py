@@ -1406,6 +1406,26 @@ def test_r14_weighted_median_bucket_parallel_contracts(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_r14_q145_single_contraction_diamond(spark, sf_dir):
+    """r14: q145's pair enumeration, supports, and order total all
+    branch off ONE (order, part) contraction with a load-bearing
+    count (the old shape built the distinct twice and
+    count_distinct(o) collapsed into a third scan — trap 15b):
+    1 lineitem scan, every other consumer a ReusedExchange."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = explain_str(
+            REGISTRY["q145_basket_affinity"].spark(spark, sf_dir), "simple"
+        )
+        assert p.count("Scan parquet") == 1, p
+        assert p.count("ReusedExchange") >= 3, p
+        assert "CartesianProduct" not in p, p
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_r14_text_single_explode_contracts(spark, sf_dir):
     """r14: q88/q89 compute doc-frequency and per-token totals as
     WINDOW sums over ONE (id, token, count) postings frame instead of
