@@ -1406,6 +1406,26 @@ def test_r14_weighted_median_bucket_parallel_contracts(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_r14_q116_single_lineitem_pass(spark, sf_dir):
+    """r14: Q21's EXISTS/NOT-EXISTS pair evaluates as per-order
+    supplier counts — ONE lineitem scan (the semi+anti decorrelation
+    scanned it 3x with a SortMergeJoin), the orderkey window reusing
+    the contraction's partitioning, every join a broadcast."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p = explain_str(
+            REGISTRY["q116_tpch_q21_waiting_supplier"].spark(spark, sf_dir),
+            "simple",
+        )
+        assert p.count("lineitem.parquet") == 1, p
+        assert p.count("Scan parquet") == 4, p
+        assert "SortMergeJoin" not in p, p
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_r14_q145_single_contraction_diamond(spark, sf_dir):
     """r14: q145's pair enumeration, supports, and order total all
     branch off ONE (order, part) contraction with a load-bearing
