@@ -195,13 +195,14 @@ def test_tpch_q6_is_pure_scan_agg(spark, sf_dir):
     assert "l_discount" in pushed and "l_quantity" in pushed
 
 
-def test_tpch_q21_semi_anti_chain(spark, sf_dir):
-    """q116: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, no
-    nested-loop anywhere in the decorrelated plan."""
+def test_tpch_q21_no_nested_loop(spark, sf_dir):
+    """q116: the r14 supplier-count window rewrite replaced the
+    LeftSemi/LeftAnti decorrelation pair outright — no nested-loop
+    (and no semi/anti chain) anywhere in the plan. The full shape
+    contract lives in test_r14_q116_single_lineitem_pass."""
     from kaflow_spark.plans.explain import explain_str
 
     txt = explain_str(REGISTRY["q116_tpch_q21_waiting_supplier"].spark(spark, sf_dir))
-    assert "LeftSemi" in txt and "LeftAnti" in txt
     assert "NestedLoop" not in txt
 
 
