@@ -2166,41 +2166,65 @@ def pmi_collocations(
     Spark's ``div`` on decimals returns the exact integral quotient,
     DuckDB's HUGEINT ``//`` likewise — verified equal).
 
-    Shape: one (gram) count aggregation feeds BOTH the support-
-    filtered pair table and the grand bigram total M (shared-subtree
-    diamond); the unigram vocabulary and the two 1-row totals are
-    broadcast into the bounded pair table. ``min_count`` keeps the
-    emitted table support-bounded; ordering (pmi_bits DESC, n_xy
-    DESC, w1, w2) is total, so ``top_k`` is deterministic."""
+    Shape at scale (r14 rewrite, measured): ONE explode. The old
+    shape exploded the corpus twice (unigram positions and bigram
+    strings) and every totals/vocabulary branch re-ran its own copy
+    (isnotnull inference on the plain equi-joins de-canonicalized the
+    diamond: 4 Generates in the static plan). Now one
+    token-with-successor explode (the last token of a document pairs
+    with NULL) feeds ONE (t1, t2, count) cell aggregation; unigram
+    counts, N and M are all derived FROM that bounded cell table
+    (n_x = sum of c over t1 including the null-successor row; M
+    drops it), with three guards keeping the diamond canonical:
+    ``least(_c, 2^62)`` blocks aggregate-function pruning (trap 15),
+    the support filter is the single predicate ``when(t2 notnull, c)
+    else 0 >= min_count`` — referencing the aggregated count so it
+    cannot push below the cell aggregate and split the explode — and
+    the vocabulary joins are null-safe (``<=>``, trap 12) so no
+    branch gets an inferred isnotnull on a group key. ``min_count``
+    keeps the emitted table support-bounded; ordering (pmi_bits
+    DESC, n_xy DESC, w1, w2) is total, so ``top_k`` is
+    deterministic."""
     from kaflow_spark.operators.parallelism import fan_out
 
     words = fan_out(df, id_col).select(
         F.col(id_col).alias("_id"), _tokens(text_col).alias("_w")
     )
-    uni = (
-        words.select(F.explode("_w").alias("_t"))
-        .groupBy("_t")
-        .agg(F.count(F.lit(1)).alias("_nw"))
+    cells = (
+        words.select(
+            F.explode(
+                F.expr(
+                    "transform(_w, (x, i) ->"
+                    " struct(x AS t1, try_element_at(_w, i + 2) AS t2))"
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p.t1").alias("w1"), F.col("_p.t2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
-    n_tot = uni.agg(F.sum("_nw").alias("_n"))
-    bi = (
-        words.select(F.explode(word_gram_array("_w", 2)).alias("gram"))
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("n_xy"))
+    big = F.lit(1 << 62)
+    tot = cells.agg(
+        F.sum(F.least(F.col("_c"), big)).alias("_n"),
+        F.sum(
+            F.when(F.col("w2").isNotNull(), F.least(F.col("_c"), big)).otherwise(
+                F.lit(0)
+            )
+        ).alias("_m"),
     )
-    m_tot = bi.agg(F.sum("n_xy").alias("_m"))
-    pairs = (
-        bi.filter(F.col("n_xy") >= min_count)
-        .withColumn("w1", F.split("gram", " ")[0])
-        .withColumn("w2", F.split("gram", " ")[1])
+    uni = cells.groupBy("w1").agg(
+        F.sum(F.least(F.col("_c"), big)).alias("_nw")
     )
-    u1 = uni.select(F.col("_t").alias("w1"), F.col("_nw").alias("_n1"))
-    u2 = uni.select(F.col("_t").alias("w2"), F.col("_nw").alias("_n2"))
+    pairs = cells.filter(
+        F.when(F.col("w2").isNotNull(), F.col("_c")).otherwise(F.lit(0))
+        >= min_count
+    ).select("w1", "w2", F.col("_c").alias("n_xy"))
+    u1 = uni.select(F.col("w1").alias("_t1k"), F.col("_nw").alias("_n1"))
+    u2 = uni.select(F.col("w1").alias("_t2k"), F.col("_nw").alias("_n2"))
     scored = (
-        pairs.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
-        .crossJoin(F.broadcast(n_tot))
-        .crossJoin(F.broadcast(m_tot))
+        pairs.join(F.broadcast(u1), F.col("w1").eqNullSafe(F.col("_t1k")))
+        .join(F.broadcast(u2), F.col("w2").eqNullSafe(F.col("_t2k")))
+        .crossJoin(F.broadcast(tot))
         .withColumn(
             "_q",
             F.expr(

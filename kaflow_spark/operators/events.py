@@ -248,12 +248,19 @@ def mad_outliers(
     pure bigint cents. No floats anywhere, so any engine reproduces
     the row set bit-for-bit.
 
-    Shape at scale: the (id, group, cents) projection is built once;
-    each median reduces a per-(group, value) COUNT table — bounded by
-    the metric's distinct-cent range, corpus-size-independent for
-    bounded metrics (bin first if the metric is unbounded) — through
-    one per-group sorted window, and the resulting |groups|-row maps
-    broadcast back. NULL values are excluded outright."""
+    Shape at scale (r14 rewrite, measured): events aggregate ONCE into
+    the bounded per-(group, cents) COUNT table and the deviation
+    distribution is DERIVED from that same table (re-group its counts
+    by |cents − med| — the q224 idiom) instead of re-scanning and
+    re-aggregating the corpus rows; both medians then reduce
+    count-table rows only. The old shape repartitioned the full rows
+    up front and aggregated the corpus twice, and its diamond
+    de-canonicalized besides (static plan: 8 scans, a full-row
+    exchange, a second corpus-sized aggregation). Now: two pruned
+    scans (counts branch and the row-emission branch — sharing them
+    would force the full-row exchange back), zero corpus-row
+    shuffles; the |groups|-row median/MAD maps broadcast onto the
+    final scan. NULL values are excluded outright."""
     w = Window.partitionBy(group_col).orderBy("_v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -261,10 +268,7 @@ def mad_outliers(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
 
-    def lower_median(frame: DataFrame, val_col: str) -> DataFrame:
-        counts = frame.groupBy(group_col, F.col(val_col).alias("_v")).agg(
-            F.count(F.lit(1)).alias("_c")
-        )
+    def lower_median(counts: DataFrame, out_col: str) -> DataFrame:
         return (
             counts.select(
                 group_col,
@@ -274,26 +278,36 @@ def mad_outliers(
             )
             .filter(2 * F.col("_cum") >= F.col("_n"))
             .groupBy(group_col)
-            .agg(F.min("_v").alias("_med"))
+            .agg(F.min("_v").alias(out_col))
         )
 
-    s = (
-        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    c1 = base.select(F.col(group_col), cents.alias("_v")).groupBy(
+        group_col, "_v"
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    med = lower_median(c1, "_med")
+    # deviation counts from the VALUE count table, never the rows
+    c2 = (
+        c1.join(F.broadcast(med), group_col)
         .select(
-            F.col(id_col),
-            F.col(group_col),
-            (F.col(value_col).cast("decimal(18,2)") * 100).cast("long").alias("_y"),
+            group_col,
+            F.abs(F.col("_v") - F.col("_med")).alias("_v"),
+            "_c",
         )
-        .repartition(F.col(id_col))
+        .groupBy(group_col, "_v")
+        .agg(F.sum("_c").alias("_c"))
     )
-    med = lower_median(s, "_y")
-    dev = s.join(F.broadcast(med), group_col).withColumn(
-        "_d", F.abs(F.col("_y") - F.col("_med"))
+    mad = lower_median(c2, "_mad")
+    rows = base.select(
+        F.col(id_col), F.col(group_col), cents.alias("_y")
     )
-    mad = lower_median(dev, "_d").withColumnRenamed("_med", "_mad")
     return (
-        dev.join(F.broadcast(mad), group_col)
-        .filter(F.col("_d") > F.lit(k) * F.col("_mad"))
+        rows.join(F.broadcast(med), group_col)
+        .join(F.broadcast(mad), group_col)
+        .filter(F.abs(F.col("_y") - F.col("_med")) > F.lit(k) * F.col("_mad"))
         .select(id_col, group_col, F.col("_y").alias("value_cents"))
     )
 

@@ -786,10 +786,12 @@ def test_q192_pmi_topk_heap_and_shared_bigram_agg(spark, sf_dir):
         plan = explain_str(df, "simple")
         assert "TakeOrderedAndProject" in plan
         assert "ReusedExchange" in plan
-        # two scans max: the unigram and bigram paths apply different
-        # explodes to the tokenized frame (not shareable without a
-        # persist); anything above that must reuse
-        assert plan.count("Scan parquet") <= 2
+        # r14: ONE token-with-successor explode feeds ONE (t1, t2,
+        # count) cell aggregate; unigram counts, N and M all derive
+        # from that bounded table (least() guards, null-safe joins),
+        # so the corpus is scanned and exploded exactly once
+        assert plan.count("Scan parquet") == 1, plan
+        assert plan.count("Generate") == 1, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
@@ -977,6 +979,29 @@ def test_q224_mad_single_scan_derived_deviations(spark, sf_dir):
         plan = explain_str(df, "simple")
         assert plan.count("Scan parquet") == 1, plan
         assert "ReusedExchange" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q138_mad_rows_two_pruned_scans_no_corpus_shuffle(spark, sf_dir):
+    """r14: the mad_outliers OPERATOR derives the deviation counts
+    from the (group, cents, count) contraction (the q224 idiom) —
+    the old shape repartitioned full rows and aggregated the corpus
+    twice (8 static scans). Now exactly two pruned events scans
+    (count branch + row-emission branch) and no full-row exchange:
+    every Exchange in the plan sits above an aggregate or window of
+    the bounded count table."""
+    from kaflow_spark.plans.explain import explain_str
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["q138_mad_outliers"].spark(spark, sf_dir)
+        plan = explain_str(df, "simple")
+        assert plan.count("Scan parquet") == 2, plan
+        assert "ReusedExchange" in plan, plan
+        # the old shape's marker: a round-robin/hash repartition of
+        # event rows directly above a scan
+        assert "REPARTITION_BY_COL" not in plan, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
