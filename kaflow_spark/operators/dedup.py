@@ -1621,10 +1621,15 @@ def minimizer_candidates(
     unchanged.
 
     Returns (id_a, id_b, shared) with id_a < id_b."""
-    mk = word_minimizers if unit == "word" else minimizers
-    sel = mk(df, id_col, text_col, k=k, w=w).select(
-        F.col(id_col).alias("_mid"), "gram"
-    ).distinct()
+    # word grain uses the hashed (MOSS/robust-winnowing) selection:
+    # 8-byte gram keys through the window min, distinct, df count and
+    # self-join, no per-position gram strings (r14, measured; recall
+    # on run-sharing pairs is order-independent — see word_minimizers)
+    if unit == "word":
+        sel = word_minimizers(df, id_col, text_col, k=k, w=w, hashed=True)
+    else:
+        sel = minimizers(df, id_col, text_col, k=k, w=w)
+    sel = sel.select(F.col(id_col).alias("_mid"), "gram").distinct()
     rare = sel.groupBy("gram").agg(F.count(F.lit(1)).alias("_df")).filter(
         F.col("_df") <= max_df
     )
@@ -1657,6 +1662,7 @@ def word_minimizers(
     *,
     k: int = 5,
     w: int = 4,
+    hashed: bool = False,
 ) -> DataFrame:
     """(w,k)-minimizer selection at the WORD grain: from every window
     of ``w`` consecutive word-``k``-grams keep the lexicographically
@@ -1670,7 +1676,23 @@ def word_minimizers(
     sparse). Plan shape identical to the char version: position
     explode, one id shuffle, frame min, distinct — and the full-window
     start filter sits ABOVE the window (the tail-truncation trap
-    fixed in the char operator)."""
+    fixed in the char operator).
+
+    ``hashed=True`` (r14, the MOSS/robust-winnowing variant) selects
+    by 64-bit gram HASH order instead of lexicographic order and
+    emits ``gram`` as a bigint ``xxhash64`` key: per-word hashes are
+    materialized once per document and each position hashes k longs —
+    no per-position gram STRING is ever built, and every downstream
+    distinct/df-count/join runs on 8-byte keys. The winnowing
+    guarantee is ORDER-INDEPENDENT (any shared run >= w+k-1 words
+    yields a window with identical contents in both documents, whose
+    minimum — under any fixed total order — is the same gram), so
+    candidate recall on run-sharing pairs is preserved exactly; which
+    incidental (non-run) grams get selected differs, which is why the
+    default stays lexicographic for the engine-portable q118
+    fingerprint contract. Hash collisions only MERGE distinct grams
+    (equal grams always hash equal): they can add candidates, never
+    lose them."""
     from kaflow_spark.operators.curation import words_of
     from kaflow_spark.operators.parallelism import fan_out
 
@@ -1678,19 +1700,32 @@ def word_minimizers(
         F.col(id_col), words_of(text_col).alias("_w")
     )
     n_grams = F.size(F.col("_w")) - (k - 1)
+    gram_expr = (
+        F.expr(f"xxhash64(slice(_xw, pos + 1, {k}))")
+        if hashed
+        else F.expr(f"array_join(slice(_w, pos + 1, {k}), ' ')")
+    )
+    if hashed:
+        # per-word hashes ONCE per document (trap 1: a raw _w slice
+        # hash would re-tokenize nothing, but hashing k strings per
+        # position costs ~6x hashing k longs; the word-hash array is
+        # its own projection so it is evaluated once, not per element)
+        wdf = wdf.select(
+            id_col, "_w", F.expr("transform(_w, x -> xxhash64(x))").alias("_xw")
+        )
     pos_gram = (
         wdf.filter(F.size(F.col("_w")) >= k + w - 1)
         .select(
             id_col,
             n_grams.alias("_n"),
             F.explode(F.sequence(F.lit(0), n_grams - 1)).alias("pos"),
-            "_w",
+            *(["_xw"] if hashed else ["_w"]),
         )
         .select(
             id_col,
             "_n",
             "pos",
-            F.expr(f"array_join(slice(_w, pos + 1, {k}), ' ')").alias("gram"),
+            gram_expr.alias("gram"),
         )
     )
     win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
