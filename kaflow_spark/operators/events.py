@@ -534,77 +534,114 @@ def association_rules(
     The directional companion to :func:`basket_lift` (lift is
     symmetric; confidence is not — 'buyers of a also buy b' and the
     reverse differ exactly when the marginals differ, which is the
-    actionable half of rule mining). Same one-shuffle contraction:
-    baskets collapse to sorted distinct item-sets, UNORDERED pairs
-    enumerate inside the bounded array (the pair co-occurrence count
-    n_ab is symmetric, so counting each pair once and expanding to
-    both directions ABOVE the aggregate halves the pair-shuffle
-    volume — only the bounded |items|² cell table doubles);
-    marginals/basket-count branch off the same aggregate, normalizers
-    broadcast. DECIMAL(38,0) for the lift product (the q189/q194
-    idiom); everything non-negative so truncating division is
-    engine-portable. Output ordered by (antecedent, consequent)."""
+    actionable half of rule mining).
+
+    Shape at scale (r14 rewrite, measured): ONE corpus shuffle (the
+    basket contraction) and ONE explode. Each basket emits, from one
+    generator expression, a (NULL, NULL) basket-counter row, a
+    (item, NULL) marginal row per item, and one UNORDERED (a, b) row
+    per in-array pair (n_ab is symmetric; directions expand above
+    the aggregate, so only the bounded |items|² cell table doubles).
+    Everything reduces through ONE (a, b, count) cell aggregate:
+    antecedent marginals ride a per-``a`` window, the basket total a
+    single-partition window (the bounded-table totals idiom — both
+    windows also act as a pushdown barrier, so the consequent-slice
+    filter and join inference cannot reach below the aggregate and
+    re-run the explode; the old shape ran THREE explodes over the
+    contraction), and the consequent marginal is a broadcast
+    self-slice of the windowed cell table. DECIMAL(38,0) for the
+    lift product (the q189/q194 idiom); everything non-negative so
+    truncating division is engine-portable. Output ordered by
+    (antecedent, consequent)."""
     baskets = df.groupBy(*basket_cols).agg(
         F.sort_array(F.collect_set(item_col)).alias("_items")
     )
-    n = baskets.filter(F.size("_items") >= 1).agg(
-        F.count(F.lit(1)).alias("_n")
-    )
-    marg = (
-        baskets.select(F.explode("_items").alias("_item"))
-        .groupBy("_item")
-        .agg(F.count(F.lit(1)).alias("_nt"))
-    )
-    pair_expr = (
-        "explode(flatten(transform(_items, (x, i) ->"
+    tp = dict(baskets.dtypes)["_items"]
+    assert tp.startswith("array<") and tp.endswith(">")
+    el = tp[len("array<"):-1]
+    gen = (
+        "explode(concat("
+        f" CASE WHEN size(_items) >= 1 THEN array(struct("
+        f"   CAST(NULL AS {el}) AS a, CAST(NULL AS {el}) AS b))"
+        f"  ELSE array() END,"
+        f" transform(_items, x -> struct(x AS a, CAST(NULL AS {el}) AS b)),"
+        " flatten(transform(_items, (x, i) ->"
         " transform(slice(_items, i + 2, size(_items)),"
-        " y -> struct(x AS item_a, y AS item_b)))))"
+        " y -> struct(x AS a, y AS b))))"
+        "))"
     )
-    pairs = (
-        baskets.select(F.expr(pair_expr).alias("p"))
-        .select("p.item_a", "p.item_b")
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+    cells = (
+        baskets.select(F.expr(gen).alias("_p"))
+        .select("_p.a", "_p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_a = Window.partitionBy("a")
+    w_all = Window.partitionBy(F.lit(1))
+    fr = cells.select(
+        "a",
+        "b",
+        "_c",
+        F.sum(
+            F.when(F.col("b").isNull() & F.col("a").isNotNull(), F.col("_c"))
+        ).over(w_a).alias("_na"),
+        F.sum(F.when(F.col("a").isNull(), F.col("_c"))).over(w_all).alias(
+            "_n"
+        ),
+    )
+    # Consequent marginals: the b-IS-NULL slice of the windowed cell
+    # table, reading the count from the wA window output (_na == _c on
+    # a marginal row) so the window is load-bearing for this branch —
+    # a _c read would let window elimination strip both windows here,
+    # and with the barrier gone the slice predicate pushes below the
+    # cell aggregate and re-runs the explode (observed). The single
+    # predicate references b only, which is not wA's partition key, so
+    # it cannot push below the surviving window; the (NULL, NULL)
+    # sentinel row rides along harmlessly (a NULL join key never
+    # matches).
+    mb = F.broadcast(
+        fr.filter(F.col("b").isNull()).select(
+            F.col("a").alias("_bk"), F.col("_na").alias("_nb")
+        )
+    )
+    return (
+        # null-safe join key (trap 12): a plain equality infers
+        # isnotnull(_bk) = isnotnull(a) on the build side, which pushes
+        # below wA (a IS its partition key), below the cell aggregate
+        # and into the explode — splitting the corpus subtree. The
+        # probe side filters b IS NOT NULL, so <=> matches exactly the
+        # same rows.
+        fr.filter(F.col("b").isNotNull())
+        .join(mb, F.col("b").eqNullSafe(F.col("_bk")))
         .select(
             F.explode(
                 F.array(
                     F.struct(
-                        F.col("item_a").alias("antecedent"),
-                        F.col("item_b").alias("consequent"),
+                        F.col("a").alias("antecedent"),
+                        F.col("b").alias("consequent"),
+                        F.col("_na").alias("_ma"),
+                        F.col("_nb").alias("_mc"),
                     ),
                     F.struct(
-                        F.col("item_b").alias("antecedent"),
-                        F.col("item_a").alias("consequent"),
+                        F.col("b").alias("antecedent"),
+                        F.col("a").alias("consequent"),
+                        F.col("_nb").alias("_ma"),
+                        F.col("_na").alias("_mc"),
                     ),
                 )
             ).alias("d"),
-            "n_ab",
+            F.col("_c").alias("n_ab"),
+            "_n",
         )
-        .select("d.antecedent", "d.consequent", "n_ab")
-    )
-    ma = F.broadcast(
-        marg.select(
-            F.col("_item").alias("antecedent"), F.col("_nt").alias("_na")
-        )
-    )
-    mb = F.broadcast(
-        marg.select(
-            F.col("_item").alias("consequent"), F.col("_nt").alias("_nb")
-        )
-    )
-    return (
-        pairs.join(ma, "antecedent")
-        .join(mb, "consequent")
-        .crossJoin(F.broadcast(n))
         .select(
-            "antecedent",
-            "consequent",
+            "d.antecedent",
+            "d.consequent",
             "n_ab",
             F.expr("n_ab * 10000 div _n").alias("support_bp"),
-            F.expr("n_ab * 10000 div _na").alias("confidence_bp"),
+            F.expr("n_ab * 10000 div d._ma").alias("confidence_bp"),
             F.expr(
                 "CAST(CAST(n_ab AS DECIMAL(38,0)) * _n * 10000"
-                " div (CAST(_na AS DECIMAL(38,0)) * _nb) AS BIGINT)"
+                " div (CAST(d._ma AS DECIMAL(38,0)) * d._mc) AS BIGINT)"
             ).alias("lift_bp"),
         )
         .orderBy("antecedent", "consequent")

@@ -1319,12 +1319,21 @@ def test_round13_batch2_plan_contracts(spark, sf_dir):
             ("q258_benford_second_digit", 1, 1),
             ("q260_effective_type_diversity", 1, 0),
             ("q261_tukey_outlier_rate", 2, 1),
-            ("q259_brand_association_rules", 2, 3),
+            # r14: one sentinel/marginal/pair explode into one cell
+            # aggregate; marginals ride windows, the consequent slice
+            # reuses the cell exchange (null-safe join, load-bearing
+            # _na — the plain shape re-ran the explode 3x)
+            ("q259_brand_association_rules", 2, 1),
         ):
             plan = explain_str(REGISTRY[name].spark(spark, sf_dir), "simple")
             assert plan.count("Scan parquet") == scans, (name, plan)
             assert plan.count("ReusedExchange") >= reused, (name, plan)
             assert "CartesianProduct" not in plan, (name, plan)
+        p259 = explain_str(
+            REGISTRY["q259_brand_association_rules"].spark(spark, sf_dir),
+            "simple",
+        )
+        assert p259.count("Generate explode(concat") == 1, p259
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
