@@ -1064,13 +1064,18 @@ def q206(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    n_wedges = deg.agg(
+    # ONE action for wedges AND edges: sum(d) counts every edge twice
+    # (each endpoint contributes 1), so n_edges = sum(d) div 2 exactly
+    # — the separate e.count() action this replaces cost its own job
+    # over the cached pair frame (r14, driver-action budget: 3 -> 2)
+    row = deg.agg(
         F.coalesce(
             F.sum(F.expr("d * (d - 1) div 2")), F.lit(0)
-        ).alias("n_wedges")
-    ).collect()[0]["n_wedges"]
+        ).alias("n_wedges"),
+        F.coalesce(F.expr("sum(d) div 2"), F.lit(0)).alias("n_edges"),
+    ).collect()[0]
+    n_wedges, n_edges = row["n_wedges"], row["n_edges"]
     n_tri = triangle_count(e, "a", "b").collect()[0]["n_triangles"]
-    n_edges = e.count()
     # one single-partition JVM range, not createDataFrame+crossJoin:
     # two Python-list local frames cartesian as 32x32 pickled-RDD
     # tasks, each round-tripping a Python worker — measured 14-17 s
