@@ -977,9 +977,23 @@ def lexical_retrieval_topk(
     — only (id, token, tf) triples move."""
     from kaflow_spark.functions.textstats import int_div
 
+    # r15 (guide §3.2/§3.4 — prune the big side before it shuffles):
+    # every output value depends only on tokens that appear in a QUERY
+    # (scores sum over shared terms; df(t) is read only for those t
+    # and its per-token value is corpus-global either way), so a
+    # broadcast LEFT SEMI of the corpus token stream against the raw
+    # query token instances — BELOW the postings aggregate — drops
+    # non-query terms before the corpus's only exchange without
+    # changing a single score. The build side is the small probe set's
+    # unaggregated tokens (a hash build dedups keys; no distinct
+    # needed, which would add an exchange and a trap-15b collapse
+    # hazard). The semi-join sits in the SHARED dpost subtree, so the
+    # dfreq/scoring diamond still canonicalizes to one exchange.
+    qtok = queries.select(F.explode(_tokens(qtext_col)).alias("token"))
     dpost = (
         corpus.filter(F.col(id_col).isNotNull())
         .select(F.col(id_col).alias("_did"), F.explode(_tokens(text_col)).alias("token"))
+        .join(F.broadcast(qtok), "token", "left_semi")
         .groupBy("_did", "token")
         .agg(F.count(F.lit(1)).alias("_dtf"))
     )
@@ -2003,6 +2017,7 @@ def weighted_median(
     value_col: str,
     weight_col: str,
     bucket_div: int = 1 << 16,
+    grid: bool = False,
 ) -> DataFrame:
     """Exact weighted median per group, percentile_disc-style: the
     smallest value whose CUMULATIVE WEIGHT reaches half the group's
@@ -2041,7 +2056,45 @@ def weighted_median(
     hundreds-to-thousands of buckets (cents and epoch-second domains
     both land well with the 2^16 default); a degenerate single-bucket
     group degrades gracefully to the row-grain shape, never to the
-    grid's extra exchange."""
+    grid's extra exchange.
+
+    ``grid=True`` keeps the r13 one-exchange shape — a partial-agg'd
+    (group, value) weight rollup, then the cumulative window per group
+    over the CONTRACTED table. Use it when the caller knows the
+    (group, value) domain contracts strongly (q188's (type, gap-secs)
+    cells: ~1M gap rows collapse to a small grid, so the per-group
+    window input is bounded and the bucket-parallel machinery is pure
+    overhead — measured 0.54-0.75x at 10x/30x bench volume in the r15
+    scale A/B, while the near-unique lineitem cents domain shows the
+    OPPOSITE at 30x: grid old-shape tails of 44-66 s vs 29 s worst for
+    the bucket-parallel, OPTIMIZATION_r15.md item 1). Identical
+    values either way (both asserted against the same oracles)."""
+    if grid:
+        counts = df.groupBy(group_col, value_col).agg(
+            F.sum(weight_col).alias("_w"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        wg = Window.partitionBy(group_col)
+        wc = (
+            Window.partitionBy(group_col)
+            .orderBy(value_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = (
+            counts.withColumn("_tw", F.sum("_w").over(wg))
+            .withColumn("_tn", F.sum("_n").over(wg))
+            .withColumn("_cum", F.sum("_w").over(wc))
+        )
+        return (
+            cum.filter(F.col("_cum") * 2 >= F.col("_tw"))
+            .groupBy(group_col)
+            .agg(
+                F.min(value_col).alias("wmedian"),
+                F.max("_tn").alias("n_rows"),
+                F.max("_tw").alias("total_weight"),
+            )
+            .select(group_col, "n_rows", "total_weight", "wmedian")
+        )
     cum = parallel_cum_weights(
         df.select(group_col, value_col, weight_col),
         group_col,

@@ -442,9 +442,14 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    return bfs_hops(edges, "src", "dst", [0], max_hops=4).orderBy(
-        "hop", "node"
-    )
+    # r15: the node space is the NATION key (|V| <= 25 by schema), so
+    # the distinct edge table is bounded (<= 625 rows) — persist it
+    # once and broadcast the frontier/visited sets each round instead
+    # of re-deriving the 4-table edge join per round behind AQE stage
+    # reuse (verdict item 4; A/B in OPTIMIZATION_r15.md).
+    return bfs_hops(
+        edges, "src", "dst", [0], max_hops=4, bounded_nodes=True
+    ).orderBy("hop", "node")
 
 
 @declare(
@@ -2206,7 +2211,11 @@ def q188(spark: SparkSession, sf: str) -> DataFrame:
         .select("event_type", "gap")
         .withColumn("_one", F.lit(1))
     )
-    wm = weighted_median(gaps, "event_type", "gap", "_one")
+    # r15 scale A/B: gap-seconds cells contract ~10:1 even at 30x
+    # volume, so the one-exchange grid selector beats the
+    # bucket-parallel kernel here at every measured volume (0.54-0.75x
+    # the other way) — the q265/q247/q261 bounded-grid finding again.
+    wm = weighted_median(gaps, "event_type", "gap", "_one", grid=True)
     return wm.select(
         "event_type",
         F.col("n_rows").alias("n_gaps"),

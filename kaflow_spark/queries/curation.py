@@ -901,7 +901,10 @@ def q134(spark: SparkSession, sf: str) -> DataFrame:
     "(rank ties break on doc_id), so the oracle hashes exactly. "
     "Plan: corpus postings aggregate built ONCE (its exchange feeds "
     "both the document-frequency rollup and the scoring join — "
-    "null-safe token key keeps the diamond canonical); the small "
+    "null-safe token key keeps the diamond canonical), and (r15) the "
+    "corpus token stream is pruned to QUERY terms by a broadcast "
+    "LEFT SEMI below that exchange — score-preserving, since scores "
+    "and the df reads only ever touch shared terms; the small "
     "query side broadcasts weighted postings into the corpus, "
     "scoring partial-aggs map-side to (query, doc, score), one "
     "window per query for the top-k. Corpus text never shuffles.",

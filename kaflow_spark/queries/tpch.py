@@ -981,26 +981,33 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
     doc="TPC-H Q16 parts/supplier relationship shape. The fixture has "
-    "no partsupp table, so the part-supplier relation is DERIVED as "
-    "the distinct (l_partkey, l_suppkey) pairs actually traded — the "
-    "same relation Q16 interrogates; the complaints exclusion becomes "
-    "an acctbal threshold (the fixture has no s_comment). Plan: the "
-    "pair-derivation distinct shuffles 16-byte key pairs once and is "
-    "immediately reused as the grouping input; part is broadcast with "
-    "brand/type/size predicates pushed to its scan; the NOT-IN "
-    "(non-null key) decorrelates to a broadcast LEFT ANTI; COUNT "
-    "(DISTINCT supplier) is Spark's two-phase distinct-aggregate "
-    "expansion — no single-partition stage anywhere.",
+    "no partsupp table, so the part-supplier relation is DERIVED from "
+    "the (l_partkey, l_suppkey) pairs actually traded — the same "
+    "relation Q16 interrogates; the complaints exclusion becomes "
+    "an acctbal threshold (the fixture has no s_comment). Plan (r15): "
+    "COUNT(DISTINCT supplier) is duplicate-invariant, so the explicit "
+    "pair-derivation DISTINCT (a full 16-byte-pair exchange) is "
+    "dropped; part broadcasts with brand/type/size predicates pushed "
+    "to its scan and the NOT-IN (non-null key) decorrelates to a "
+    "broadcast LEFT ANTI, BOTH below the first exchange, so only "
+    "part-matching rows shuffle, map-side partially deduplicated by "
+    "Spark's two-phase distinct-aggregate expansion — no "
+    "single-partition stage anywhere.",
     tags=("join", "agg", "tpch"),
 )
 def q123(spark: SparkSession, sf: str) -> DataFrame:
-    ps = (
-        load(spark, sf, "lineitem")
-        .select(
-            F.col("l_partkey").alias("ps_partkey"),
-            F.col("l_suppkey").alias("ps_suppkey"),
-        )
-        .distinct()
+    # r15: the (partkey, suppkey) DISTINCT derivation was redundant —
+    # COUNT(DISTINCT suppkey) is duplicate-invariant, so raw lineitem
+    # rows feed the distinct-aggregate directly and the derivation's
+    # full-pair exchange disappears. The part predicate (broadcast
+    # inner join, 1:1 on partkey) and the supplier exclusion
+    # (broadcast anti) both apply BEFORE the first exchange, so only
+    # matching rows shuffle, map-side partially deduplicated on
+    # (brand, type, size, suppkey) (guide §2.3/§2.4). Exchanges over
+    # lineitem-derived rows: 3 -> 2, and the first is part-filtered.
+    ps = load(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
     )
     p = (
         load(spark, sf, "part")
@@ -1135,12 +1142,14 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
     "(MIN(l_extendedprice) per (partkey, suppkey) — exact DECIMAL, "
     "order-independent). The correlated MIN subquery becomes a self "
     "diamond over the derived relation: per-part MIN on one branch, the "
-    "row branch equi-joined on (partkey, cost = min_cost). Plan: part "
-    "(LIKE-free type filter) and the region-pruned supplier dim both "
-    "broadcast INTO the shared subtree, so the per-(part,supp) "
-    "aggregate's lineitem shuffle is built once and ReusedExchange "
-    "feeds both branches (the branches re-run only the cheap agg above "
-    "it). The cost equality is null-safe (coalesce) so "
+    "row branch equi-joined on (partkey, cost = min_cost). Plan (r15): "
+    "part (LIKE-free type filter) and the region-pruned supplier key "
+    "set push BELOW the aggregate as broadcast LEFT SEMI joins — both "
+    "predicates are on group keys, so values are untouched while the "
+    "per-(part,supp) aggregate's lineitem shuffle carries only "
+    "LARGE-part EUROPE-supplier rows; the shuffle is built once and "
+    "ReusedExchange feeds both branches (the branches re-run only the "
+    "cheap agg above it). The cost equality is null-safe (coalesce) so "
     "InferFiltersFromConstraints cannot add isnotnull(ps_cost) to one "
     "branch and de-canonicalize the diamond (q114's lesson); the join "
     "keys carry explicit isNotNull at the lineitem scan. Top-100 = "
@@ -1151,11 +1160,6 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q129(spark: SparkSession, sf: str) -> DataFrame:
     l = load(spark, sf, "lineitem")
-    ps = (
-        l.filter(F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull())
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(dec("l_extendedprice")).alias("ps_cost"))
-    )
     large = (
         load(spark, sf, "part")
         .filter(F.col("p_type") == "LARGE")
@@ -1178,9 +1182,31 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
+    # r15 (guide §2.3 — shuffle fewer bytes): both predicates are on
+    # the GROUP KEYS (partkey / suppkey), so pushing them below the
+    # per-(part,supp) MIN as broadcast LEFT SEMI joins is
+    # value-preserving — the aggregate's lineitem exchange now carries
+    # only LARGE-part, EUROPE-supplier rows instead of the full table.
+    # Both semi-joins live in the SHARED subtree (the mn branch and
+    # the row branch read the same ps), so the diamond's
+    # ReusedExchange is untouched.
+    ps = (
+        l.filter(F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .join(
+            F.broadcast(large),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(sup.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(dec("l_extendedprice")).alias("ps_cost"))
+    )
     eu = (
-        ps.join(F.broadcast(large), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        ps.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("l_partkey").alias("ps_partkey"),
             "ps_cost",

@@ -378,7 +378,9 @@ def test_q135_single_corpus_explode_postings_diamond(spark, sf_dir):
     document-frequency rollup and the scoring join — ONE full-corpus
     explode via ReusedExchange (the dfreq count is expressed as
     sum(least(tf,1)) so the shared aggregate cannot be pruned apart;
-    the remaining Generate is the small query side)."""
+    the other Generates are the small query side: qpost + the r15
+    semi-join build side that prunes corpus postings to query terms
+    BELOW the postings exchange)."""
     from kaflow_spark.plans.explain import explain_str
 
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -386,7 +388,10 @@ def test_q135_single_corpus_explode_postings_diamond(spark, sf_dir):
         df = REGISTRY["q135_lexical_retrieval_topk"].spark(spark, sf_dir)
         plan = explain_str(df, "simple")
         assert "ReusedExchange" in plan
-        assert plan.count("Generate") == 2  # full corpus once + query side
+        # corpus explode once + qpost explode + semi build-side explode
+        assert plan.count("Generate") == 3
+        # the query-term prune must reach below the postings aggregate
+        assert "LeftSemi" in plan
         assert has_broadcast_join(df)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -386,22 +386,25 @@ def test_rank_agreement_extremes_and_reference(spark):
 def test_weighted_median_hand_cases(spark):
     from kaflow_spark.operators.curation import weighted_median
 
+    # both execution shapes (r15: grid=True is the one-exchange
+    # contracted-table selector for bounded value domains) must agree
     rows = [("g", 10, 1), ("g", 20, 1), ("g", 30, 8)]  # weight mass at 30
     df = spark.createDataFrame(rows, "g string, v bigint, w bigint")
-    [r] = weighted_median(df, "g", "v", "w").collect()
-    assert (r["wmedian"], r["n_rows"], r["total_weight"]) == (30, 3, 10)
-    # exact half boundary: cum(10)=5, 2*5 >= 10 -> the LOWER value wins
-    rows2 = [("g", 10, 5), ("g", 20, 5)]
-    df2 = spark.createDataFrame(rows2, "g string, v bigint, w bigint")
-    [r2] = weighted_median(df2, "g", "v", "w").collect()
-    assert r2["wmedian"] == 10
-    # unweighted (all w=1) == percentile_disc(0.5)
-    vals = [3, 1, 4, 1, 5, 9, 2, 6]
-    df3 = spark.createDataFrame(
-        [("g", v, 1) for v in vals], "g string, v bigint, w bigint"
-    )
-    [r3] = weighted_median(df3, "g", "v", "w").collect()
-    assert r3["wmedian"] == sorted(vals)[(len(vals) - 1) // 2]
+    for use_grid in (False, True):
+        [r] = weighted_median(df, "g", "v", "w", grid=use_grid).collect()
+        assert (r["wmedian"], r["n_rows"], r["total_weight"]) == (30, 3, 10)
+        # exact half boundary: cum(10)=5, 2*5 >= 10 -> the LOWER value wins
+        rows2 = [("g", 10, 5), ("g", 20, 5)]
+        df2 = spark.createDataFrame(rows2, "g string, v bigint, w bigint")
+        [r2] = weighted_median(df2, "g", "v", "w", grid=use_grid).collect()
+        assert r2["wmedian"] == 10
+        # unweighted (all w=1) == percentile_disc(0.5)
+        vals = [3, 1, 4, 1, 5, 9, 2, 6]
+        df3 = spark.createDataFrame(
+            [("g", v, 1) for v in vals], "g string, v bigint, w bigint"
+        )
+        [r3] = weighted_median(df3, "g", "v", "w", grid=use_grid).collect()
+        assert r3["wmedian"] == sorted(vals)[(len(vals) - 1) // 2]
 
 
 def test_twap_holds_by_duration_not_frequency(spark):
