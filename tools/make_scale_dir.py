@@ -20,15 +20,24 @@ Two non-obvious choices, both load-bearing:
 - doc_id shifts by a multiple of 20*97 so the fixture's structural
   mod predicates (q140's %20 benchmark split, q135's %97 probe set)
   keep their meaning on every replica.
-- document TEXT is per-replica word-tagged (every \\S+ word gets a
-  '~<i>' suffix; replica 0 stays verbatim): a verbatim copy would make
-  every doc an exact clone of its 9 siblings and near-dup candidate
-  volume would grow QUADRATICALLY in replicas — a different workload,
-  not 10x this one. The per-word tag keeps within-replica word-grain
-  overlap structure byte-identical (word equality is preserved inside
-  a replica) while cross-replica words can never collide, so pair
-  populations scale linearly like a real 10x corpus. n_chars is
-  recomputed to stay consistent with the tagged text.
+- document TEXT is per-replica perturbed (replica 0 stays verbatim):
+  a verbatim copy would make every doc an exact clone of its 9
+  siblings and near-dup candidate volume would grow QUADRATICALLY in
+  replicas — a different workload, not 10x this one. Two schemes:
+
+  * ``--doc-scheme translate`` (default): per-replica Caesar rotation
+    of the letters (``translate(text, a..zA..Z, rotated_i)``) — a
+    length-preserving BIJECTION, so within-replica equality structure
+    is preserved at EVERY grain (char n-grams, 40-char windows, words)
+    while cross-replica grams/words can never collide (equality would
+    require the identity rotation). Measured necessity: the first
+    r15 scale A/B used word tags and q140's CHAR-5-gram screen saw
+    2.96M cross-replica borderline candidates at 10x (est_jaccard
+    0.35-0.5 near-miss cloud — an artifact, not a workload);
+    rotation kills it. n_chars stays valid (length unchanged).
+  * ``--doc-scheme tag``: every \\S+ word gets a '~<i>' suffix —
+    preserves word-grain structure only; kept for reproducing the
+    first A/B artifacts.
 """
 
 from __future__ import annotations
